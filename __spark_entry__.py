@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` aggregates every registered query across the engine's modules;
+``oracle_sql()`` returns the DuckDB-equivalent SQL for the hash-compare gate.
+Registries live next to the implementations (see
+``hri_flink_validation_passthrough_spark.plans`` / ``operators``).
 """
 
 from __future__ import annotations
@@ -13,26 +12,40 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from hri_flink_validation_passthrough_spark.plans import QuerySpec
+
+
+def _all_specs() -> dict[str, QuerySpec]:
+    from hri_flink_validation_passthrough_spark.plans import relational
+
+    specs: dict[str, QuerySpec] = {}
+    specs.update(relational.QUERIES)
+    for modname in ("passthrough", "dedup", "similarity", "text", "multimodal"):
+        try:
+            mod = __import__(
+                f"hri_flink_validation_passthrough_spark.operators.{modname}",
+                fromlist=["QUERIES"],
+            )
+            specs.update(getattr(mod, "QUERIES", {}))
+        except ImportError:
+            pass  # module not built yet (round-incremental)
+    return specs
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from hri_flink_validation_passthrough_spark.plans.relational import (
+        q5_region_revenue,
+    )
+
+    return q5_region_revenue(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: spec.fn for name, spec in _all_specs().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        name: spec.oracle for name, spec in _all_specs().items() if spec.oracle
+    }

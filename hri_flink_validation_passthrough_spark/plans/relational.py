@@ -1,0 +1,631 @@
+"""Relational / analytical query layer (SURVEY.md §2B).
+
+The reference implements no relational operators; these queries are the
+engine surface the north star requires, expressed declaratively so Catalyst
+supplies pushdown, pruning, join selection and AQE for free. Each query has a
+DuckDB oracle (same aliases, same rounding, timestamps as formatted strings).
+
+Scale notes (100 TB posture):
+- dimension joins (region/nation/supplier/customer-at-small-SF) are broadcast
+  explicitly; fact-fact joins shuffle on their keys and rely on AQE skew
+  handling;
+- aggregations are plain ``groupBy`` → partial (map-side) + final aggregation;
+- top-k = groupBy-agg then ``orderBy + limit`` (Spark plans TakeOrderedAndProject,
+  which is a per-partition heap + driver merge, not a global sort);
+- window queries shuffle once on the partition key, sort within partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.asof import asof_join
+from ..session import load_table, prepare
+from . import QuerySpec, register
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    prepare(spark)
+    return load_table(spark, sf_dir, name)
+
+
+def _fmt_ts(col):
+    return F.date_format(col, "yyyy-MM-dd HH:mm:ss")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-ish core
+# ---------------------------------------------------------------------------
+@register(
+    QUERIES,
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                        AS sum_qty,
+           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           round(avg(l_quantity), 4)                                        AS avg_qty,
+           round(avg(l_extendedprice), 4)                                   AS avg_price,
+           round(avg(l_discount), 6)                                        AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 shape: scan + filter + 8-agg groupBy (partial+final agg).",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    QUERIES,
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')        AS order_date,
+           o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, order_date, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 shape: 3-way join + agg + deterministic top-k.",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", _fmt_ts("o_orderdate").alias("order_date"), "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    QUERIES,
+    "q5_region_revenue",
+    oracle="""
+    SELECT r_name, n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY r_name, n_name
+    """,
+    doc="TPC-H Q5 shape: 6-way join, dims broadcast, local-supplier predicate.",
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey),
+        )
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    QUERIES,
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape: pure scan-side predicates (pushdown showcase) + global agg.",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    QUERIES,
+    "q10_returned_customers",
+    oracle="""
+    SELECT c_custkey, c_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 shape: returned-item revenue by customer, top-20.",
+)
+def q10_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window / rollup / pivot / set ops / semi-anti
+# ---------------------------------------------------------------------------
+@register(
+    QUERIES,
+    "top3_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS total_price, rn
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    )
+    WHERE rn <= 3
+    """,
+    doc="Ranking window: top-3 orders per customer (one shuffle on o_custkey).",
+)
+def top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total_price"),
+            "rn",
+        )
+    )
+
+
+@register(
+    QUERIES,
+    "rollup_lineitem",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           count(*)                  AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="Hierarchical rollup with NULL grouping markers (matches SQL ROLLUP).",
+)
+def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return l.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    QUERIES,
+    "cube_orders",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           round(sum(o_totalprice), 2) AS sum_price,
+           count(*)                    AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE over two low-cardinality dims.",
+)
+def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    QUERIES,
+    "pivot_priority_status",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="Pivot: order counts by priority × status.",
+)
+def pivot_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("n_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("n_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("n_p"),
+    )
+
+
+@register(
+    QUERIES,
+    "semi_customers_with_urgent_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    """,
+    doc="Left-semi join (EXISTS).",
+)
+def semi_customers_with_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    QUERIES,
+    "anti_customers_no_recent_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    """,
+    doc="Left-anti join (NOT EXISTS).",
+)
+def anti_customers_no_recent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    QUERIES,
+    "except_lapsed_custkeys",
+    oracle="""
+    SELECT DISTINCT o_custkey AS custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+    EXCEPT
+    SELECT DISTINCT o_custkey AS custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    """,
+    doc="Set difference: customers active in 1995 but not 1996.",
+)
+def except_lapsed_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+
+    def year(y: int) -> DataFrame:
+        return (
+            o.filter(
+                (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp"))
+            )
+            .select(F.col("o_custkey").alias("custkey"))
+            .distinct()
+        )
+
+    return year(1995).exceptAll(year(1996))
+
+
+@register(
+    QUERIES,
+    "intersect_repeat_custkeys",
+    oracle="""
+    SELECT DISTINCT o_custkey AS custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+    INTERSECT
+    SELECT DISTINCT o_custkey AS custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    """,
+    doc="Set intersection: customers active in both 1995 and 1996.",
+)
+def intersect_repeat_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+
+    def year(y: int) -> DataFrame:
+        return (
+            o.filter(
+                (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp"))
+            )
+            .select(F.col("o_custkey").alias("custkey"))
+            .distinct()
+        )
+
+    return year(1995).intersect(year(1996))
+
+
+@register(
+    QUERIES,
+    "supplier_part_stats",
+    oracle="""
+    SELECT l_suppkey,
+           count(DISTINCT l_partkey)  AS n_parts,
+           count(*)                   AS n_items,
+           round(sum(l_quantity), 2)  AS sum_qty
+    FROM lineitem
+    GROUP BY l_suppkey
+    """,
+    doc="Distinct aggregation per key (expand + two-phase agg in Spark).",
+)
+def supplier_part_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_suppkey").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+@register(
+    QUERIES,
+    "part_type_stats",
+    oracle="""
+    SELECT p_type,
+           count(*)                        AS n,
+           round(avg(p_retailprice), 4)    AS avg_price,
+           CAST(sum(p_size) AS BIGINT)     AS sum_size,
+           max(p_brand)                    AS max_brand
+    FROM part
+    GROUP BY p_type
+    """,
+    doc="Scalar funcs + agg over the part dimension.",
+)
+def part_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return p.groupBy("p_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+        F.sum("p_size").cast("long").alias("sum_size"),
+        F.max("p_brand").alias("max_brand"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Events (stream-shaped table, processed in batch here; streaming in streaming/)
+# ---------------------------------------------------------------------------
+@register(
+    QUERIES,
+    "events_hourly",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
+           event_type,
+           count(*)             AS n,
+           round(sum(value), 2) AS sum_value,
+           round(avg(value), 4) AS avg_value
+    FROM events
+    GROUP BY hour_ts, event_type
+    """,
+    doc="Tumbling 1h window aggregation (batch form of the streaming window).",
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            _fmt_ts(F.date_trunc("hour", F.col("ts"))).alias("hour_ts"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+@register(
+    QUERIES,
+    "events_sessionize",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
+      FROM flagged
+    )
+    SELECT user_id, sess_id,
+           count(*) AS n_events,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           date_diff('second', min(ts), max(ts)) AS duration_sec
+    FROM sess
+    GROUP BY user_id, sess_id
+    """,
+    doc="Sessionization: 30-min inactivity gap via lag + running sum (no UDF).",
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.withColumn(
+        "new_sess",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+                > 1800
+            ),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "sess_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "sess_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        _fmt_ts(F.min("ts")).alias("session_start"),
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
+        .cast("long")
+        .alias("duration_sec"),
+    )
+
+
+@register(
+    QUERIES,
+    "events_topk_users",
+    oracle="""
+    SELECT user_id,
+           count(*)             AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY total_value DESC, user_id
+    LIMIT 10
+    """,
+    doc="Top-k heavy hitters (TakeOrderedAndProject, no global sort).",
+)
+def events_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy(F.desc("total_value"), "user_id")
+        .limit(10)
+    )
+
+
+@register(
+    QUERIES,
+    "asof_latest_order_per_event",
+    oracle="""
+    WITH m AS (
+      SELECT e.event_id, e.user_id, max(o.o_orderdate) AS mdt
+      FROM events e
+      LEFT JOIN orders o
+        ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+      GROUP BY e.event_id, e.user_id
+    )
+    SELECT m.event_id, max(o2.o_orderkey) AS asof_orderkey
+    FROM m
+    LEFT JOIN orders o2
+      ON o2.o_custkey = m.user_id AND o2.o_orderdate = m.mdt
+    GROUP BY m.event_id
+    """,
+    doc=(
+        "As-of join: each event enriched with the user's most recent order. "
+        "Union+window plan (operators/asof.py) — no row explosion at scale."
+    ),
+)
+def asof_latest_order_per_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        _t(spark, sf_dir, "events")
+        .select(F.col("event_id"), F.col("user_id").alias("k"), F.col("ts").alias("t"))
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.col("o_orderkey").alias("asof_orderkey"),
+    )
+    return asof_join(e, o, key="k", time="t", value_cols=["asof_orderkey"]).select(
+        "event_id", "asof_orderkey"
+    )

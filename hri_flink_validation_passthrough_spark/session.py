@@ -1,0 +1,95 @@
+"""SparkSession construction and per-session tuning.
+
+Two entry points:
+
+- ``build_session()``   — create a tuned local session (tests, bench, CLI).
+- ``prepare(spark)``    — apply the *runtime-settable* subset of the tuning to
+  a session we did not create (the driver passes us its own session). Only
+  ``spark.sql.*`` runtime confs are touched; never the master or memory.
+
+Scale posture (100 TB, ~1000 executors): everything here is either
+runtime-settable or per-job. Shuffle partitioning is sized to cores locally
+but would be AQE-coalesced on a real cluster; adaptive skew-join handling is
+on so a hot batchId / hot join key re-splits at runtime.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+# Runtime-settable confs applied to ANY session that runs our queries.
+RUNTIME_CONF: dict[str, str] = {
+    # Oracle comparability: DuckDB timestamps are UTC-naive.
+    "spark.sql.session.timeZone": "UTC",
+    # AQE: runtime re-plan — coalesce post-shuffle partitions, split skewed
+    # ones, demote/promote join strategies with real stats.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for every pandas-UDF / applyInPandas boundary.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # testdata events.parquet stores TIMESTAMP(NANOS); Spark reads it as a
+    # long we convert in load_table (DuckDB truncates nanos→micros the same).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # ANSI off: mirror classic SQL null-on-overflow semantics that the DuckDB
+    # oracle comparison tolerates; we never rely on silent overflow.
+}
+
+
+def _local_cpus() -> int:
+    try:
+        return int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    except ValueError:
+        return os.cpu_count() or 4
+
+
+def prepare(spark: SparkSession) -> SparkSession:
+    """Apply runtime tuning to an externally provided session (idempotent)."""
+    for k, v in RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # conf not settable on this build — never fail a query over tuning
+    # Size the shuffle for the session's actual parallelism; AQE coalesces
+    # down, so erring high is cheap.
+    try:
+        cores = spark.sparkContext.defaultParallelism
+        spark.conf.set("spark.sql.shuffle.partitions", str(max(cores, 8)))
+    except Exception:
+        pass
+    return spark
+
+
+def build_session(app_name: str = "hri_spark", cpus: int | None = None) -> SparkSession:
+    """Create the tuned local session used by tests, bench.py and the CLI."""
+    n = cpus or _local_cpus()
+    b = (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(max(n, 8)))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    for k, v in RUNTIME_CONF.items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return prepare(spark)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str):
+    """Read one driver-generated parquet table (TESTDATA.md).
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS); with ``nanosAsLong`` Spark
+    surfaces it as nanos-since-epoch LONG. Convert with *integer* division
+    (``div``) to microseconds — matching DuckDB's truncating nanos→micros
+    read; float division would round and drift by 1µs.
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for f in df.schema.fields:
+        if f.name == "ts" and f.dataType.simpleString() == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
