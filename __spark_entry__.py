@@ -33,12 +33,14 @@ def _all_specs() -> dict[str, QuerySpec]:
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    from hri_flink_validation_passthrough_spark.plans.relational import (
-        q5_region_revenue,
+    """Flagship: the reference topology (passthrough routing + batch lifecycle
+    state machine) replayed over the sf0.001 events table. Driver checks
+    rows>0 and a stable schema."""
+    from hri_flink_validation_passthrough_spark.operators.passthrough import (
+        passthrough_route,
     )
 
-    return q5_region_revenue(spark, "/root/testdata/sf0.001")
+    return passthrough_route(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
