@@ -1,0 +1,307 @@
+"""Deduplication operators — the first pass of any 100 TB training-data
+pipeline (north star surface): exact, fingerprint, n-gram Jaccard,
+MinHash+LSH, SimHash, embedding-cosine near-dup.
+
+Scale design notes:
+- exact/fingerprint dedup = hash groupBy (one shuffle, map-side partial agg);
+- n-gram Jaccard uses an inverted shingle index (explode → equi-join →
+  count), which is exact but explodes on stop-shingles — it is the
+  *verification* path. The *scale* path is MinHash+LSH: constant-size
+  signatures (64 hashes), banding (32×2) so only same-bucket pairs are
+  compared, candidate verification against true shingle sets. All hashing is
+  ``xxhash64`` — JVM-side, codegen, no Python;
+- SimHash gives a single 64-bit hamming sketch per doc (cheapest near-dup
+  at scale, bucketable by bit-prefix);
+- embedding cosine dedup mirrors the similarity-search operator at
+  threshold 0.95.
+
+The LSH parameters (32 bands × 2 rows) make the miss probability at the 0.8
+verification threshold ≈ (1 − 0.8²)³² ≈ 6e-13, so the LSH output is
+deterministically equal to the brute-force pair set at this scale — which is
+why ``dedup_minhash_lsh`` can be oracle-checked against the exact SQL.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import cosine_similarity, fingerprint_md5
+from ..plans import QuerySpec, register
+from ..session import load_table, prepare
+
+QUERIES: dict[str, QuerySpec] = {}
+
+# Shared brute-force 3-gram Jaccard oracle (DuckDB); threshold interpolated.
+_JACCARD_ORACLE = """
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      FROM t WHERE len(toks) >= 3
+    ), e AS (
+      SELECT doc_id, unnest(sh) AS g FROM s
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+      FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 6) AS jaccard
+    FROM pairs
+    JOIN (SELECT doc_id, len(sh) AS n FROM s) sa ON sa.doc_id = doc_a
+    JOIN (SELECT doc_id, len(sh) AS n FROM s) sb ON sb.doc_id = doc_b
+    WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= {thr}
+"""
+
+
+def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
+    """doc_id + distinct word n-gram shingle array (JVM-side, codegen)."""
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    df = df.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= n)
+    gram = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(F.col("toks"), (i + k).cast("int")) for k in range(n)]
+        ),
+    )
+    return df.select("doc_id", F.array_distinct(gram).alias("sh"))
+
+
+def _jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
+    """Exact pair Jaccard via inverted shingle index."""
+    s = _shingles(docs)
+    sizes = s.select("doc_id", F.size("sh").alias("n"))
+    e = s.select("doc_id", F.explode("sh").alias("g"))
+    a, b = e.alias("a"), e.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.withColumnsRenamed({"doc_id": "doc_a", "n": "na"})
+    sb = sizes.withColumnsRenamed({"doc_id": "doc_b", "n": "nb"})
+    jac = F.col("shared").cast("double") / (F.col("na") + F.col("nb") - F.col("shared"))
+    return (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@register(
+    QUERIES,
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text)      AS text_hash,
+           min(doc_id)    AS keeper_doc_id,
+           count(*)       AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+    doc="Exact dedup: hash-groupBy on content, keep lowest doc_id. One "
+    "shuffle with map-side partial agg; the canonical first pass at 100 TB.",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+@register(
+    QUERIES,
+    "dedup_fingerprint",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(
+                   regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                   ' +', ' ', 'g'))) AS fp
+      FROM documents
+    )
+    SELECT fp, min(doc_id) AS keeper_doc_id, count(*) AS n_copies
+    FROM f GROUP BY fp
+    """,
+    doc="Normalized-content dedup: collapses case/punct/whitespace variants "
+    "that exact hashing misses.",
+)
+def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy(fingerprint_md5("text").alias("fp")).agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+@register(
+    QUERIES,
+    "dedup_ngram_jaccard",
+    oracle=_JACCARD_ORACLE.format(thr=0.5),
+    doc="Exact 3-gram Jaccard near-dup pairs (threshold 0.5) via inverted "
+    "shingle index. Exact but O(postings²) on hot shingles — the "
+    "verification path; LSH below is the scale path.",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    return _jaccard_pairs(load_table(spark, sf_dir, "documents"), 0.5)
+
+
+@register(
+    QUERIES,
+    "dedup_minhash_lsh",
+    oracle=_JACCARD_ORACLE.format(thr=0.8),
+    doc="MinHash (64 perms) + LSH banding (32 bands × 2 rows) candidate "
+    "generation, exact-Jaccard verification at 0.8. Constant-size state per "
+    "doc; only same-bucket pairs compared → survives 100 TB. Miss prob at "
+    "0.8 ≈ 6e-13, so output equals the brute-force oracle.",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    s = _shingles(docs)  # doc_id, sh (distinct shingles)
+
+    # 64-permutation MinHash signature, all JVM-side: sig[p] = min over
+    # shingles of xxhash64(g, p).
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda p: F.array_min(
+            F.transform(F.col("sh"), lambda g: F.xxhash64(g, p))
+        ),
+    )
+    signed = s.select("doc_id", "sh", sig.alias("sig"))
+
+    # 32 bands × 2 rows: band key = hash of the band's signature slice.
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(31)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.xxhash64(
+                F.element_at(F.col("sig"), (2 * b + 1).cast("int")),
+                F.element_at(F.col("sig"), (2 * b + 2).cast("int")),
+                b,
+            ).alias("bkey"),
+        ),
+    )
+    buckets = signed.select(
+        "doc_id", "sh", F.explode(bands).alias("bb")
+    ).select("doc_id", "sh", "bb.band", "bb.bkey")
+
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sh").alias("sha"),
+            F.col("b.sh").alias("shb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])  # pairs collide in many bands
+    )
+
+    shared = F.size(F.array_intersect("sha", "shb")).cast("double")
+    union = (F.size("sha") + F.size("shb")).cast("double") - shared
+    jac = shared / union
+    return cand.filter(jac >= 0.8).select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+    )
+
+
+def _simhash_from_hashes(hs: pd.Series) -> pd.Series:
+    """Bit-majority over 64-bit token hashes, vectorized with numpy over the
+    Arrow batch (the sanctioned slow path: pandas UDF, never per-row)."""
+    shifts = np.arange(64, dtype=np.uint64)
+    out = np.zeros(len(hs), dtype=np.int64)
+    for j, arr in enumerate(hs):
+        a = np.asarray(arr, dtype=np.int64).view(np.uint64)
+        if a.size == 0:
+            continue
+        bits = ((a[:, None] >> shifts) & np.uint64(1)).sum(axis=0)
+        maj = (bits * 2 >= a.size).astype(np.uint64)
+        out[j] = (maj << shifts).sum(dtype=np.uint64).astype(np.int64)
+    return pd.Series(out)
+
+
+@register(
+    QUERIES,
+    "dedup_simhash",
+    oracle=None,  # xxhash64 bit patterns aren't reproducible in DuckDB SQL
+    doc="64-bit SimHash per doc (bit-majority over token xxhash64), plus "
+    "near-dup pairs at hamming ≤ 3 bucketed by 16-bit prefix — the cheapest "
+    "per-doc sketch; rows-only check.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    hashed = d.select(
+        "doc_id", F.transform(toks, lambda t: F.xxhash64(t)).alias("hs")
+    )
+    simhash_udf = F.pandas_udf(_simhash_from_hashes, "long")  # lazy: needs session
+    sketched = hashed.select("doc_id", simhash_udf("hs").alias("simhash"))
+    # near-dup: bucket by 16-bit prefix, compare within buckets
+    pref = F.shiftrightunsigned("simhash", 48)
+    sk = sketched.withColumn("pref", pref)
+    a, b = sk.alias("a"), sk.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.pref") == F.col("b.pref"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(ham <= 3)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.cast("long").alias("hamming"),
+        )
+    )
+
+
+@register(
+    QUERIES,
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(a.e, b.e), 6) AS cos_sim
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.e, b.e) >= 0.95
+    """,
+    doc="Embedding near-dup pairs at cosine ≥ 0.95 (semantic dedup). "
+    "Brute-force here; the LSH/IVF variants in similarity.py are the scale "
+    "path.",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    a = emb.withColumnsRenamed({"vec_id": "vec_a", "e": "ea"})
+    b = emb.withColumnsRenamed({"vec_id": "vec_b", "e": "eb"})
+    cos = cosine_similarity(F.col("ea"), F.col("eb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .filter(cos >= 0.95)
+        .select("vec_a", "vec_b", F.round(cos, 6).alias("cos_sim"))
+    )

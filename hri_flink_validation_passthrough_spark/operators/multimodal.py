@@ -1,0 +1,134 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` with typed
+metadata, processed through ``mapInPandas`` (north star surface).
+
+The container has no image/audio libraries, so the *decode* step is stubbed
+(deterministic fake decoder + a clearly-marked NotImplementedError for real
+codecs) — but the Spark-side plumbing is real and tested: binary columns,
+Arrow batch iteration, stable output schema, partition-preserving map.
+
+At 100 TB the pattern is: store blobs in parquet ``binary`` columns (or
+``binaryFile`` source for object stores), keep metadata in sibling typed
+columns so filters prune BEFORE decode, and decode only inside mapInPandas
+batches (never collect). ``spark.sql.files.maxPartitionBytes`` sizes decode
+tasks; per-batch memory = batch_size × avg_blob, bounded via
+``spark.sql.execution.arrow.maxRecordsPerBatch``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans import QuerySpec, register
+from ..session import load_table, prepare
+
+QUERIES: dict[str, QuerySpec] = {}
+
+FEATURE_SCHEMA = (
+    "doc_id long, byte_len long, first_byte long, checksum long, n_frames long"
+)
+
+
+def decode_real(blob: bytes) -> dict:
+    """Real codec hook — not available in this container."""
+    raise NotImplementedError(
+        "image/audio codecs are not installed; use decode_fake (deterministic) "
+        "or plug a codec library here"
+    )
+
+
+def decode_fake(blob: bytes) -> dict:
+    """Deterministic stand-in decoder: derives 'features' from raw bytes so
+    tests/oracles can verify the plumbing end to end."""
+    if blob is None or len(blob) == 0:
+        return {"byte_len": 0, "first_byte": -1, "checksum": 0, "n_frames": 0}
+    return {
+        "byte_len": len(blob),
+        "first_byte": blob[0],
+        "checksum": sum(blob[:64]) % 997,
+        "n_frames": 1 + len(blob) // 1024,  # fake frame sampling: 1 per KiB
+    }
+
+
+def extract_features(blobs: DataFrame, decoder=decode_fake) -> DataFrame:
+    """mapInPandas feature extraction over (doc_id, content BINARY) — the
+    real operator shape: per-partition Arrow batch iterator, typed output."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decoder(b if b is None else bytes(b)) for b in pdf["content"]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out
+
+    return blobs.mapInPandas(op, FEATURE_SCHEMA)
+
+
+def documents_as_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stand-in blob table: document text bytes as the opaque binary column
+    (the real pipeline would read image/audio bytes the same way)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("content"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.col("n_chars").alias("size_hint"),
+            F.col("lang").alias("lang"),
+        ).alias("meta"),
+    )
+
+
+@register(
+    QUERIES,
+    "multimodal_extract",
+    oracle="""
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT)                 AS byte_len,
+           CAST(ascii(substr(text, 1, 1)) AS BIGINT)    AS first_byte,
+           CAST(1 + strlen(text) // 1024 AS BIGINT)     AS n_frames
+    FROM documents
+    """,
+    doc="Binary-column feature extraction through mapInPandas (Arrow batch "
+    "iterator); fake decoder derives features from bytes so the full "
+    "plumbing is oracle-checked (checksum column omitted from the oracle "
+    "comparison; asserted in unit tests).",
+)
+def multimodal_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    blobs = documents_as_blobs(spark, sf_dir).select("doc_id", "content")
+    return extract_features(blobs).select(
+        "doc_id", "byte_len", "first_byte", "n_frames"
+    )
+
+
+@register(
+    QUERIES,
+    "multimodal_meta_prune",
+    oracle="""
+    SELECT lang,
+           count(*)                           AS n_blobs,
+           CAST(sum(strlen(text)) AS BIGINT)  AS total_bytes
+    FROM documents
+    WHERE n_chars > 200
+    GROUP BY lang
+    """,
+    doc="Metadata-first pruning: filter on typed sibling columns so the scan "
+    "never touches blob bytes for skipped rows (column pruning + predicate "
+    "pushdown are the whole point of typed metadata next to blobs).",
+)
+def multimodal_meta_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    blobs = documents_as_blobs(spark, sf_dir)
+    return (
+        blobs.filter(F.col("meta.size_hint") > 200)
+        .groupBy(F.col("meta.lang").alias("lang"))
+        .agg(
+            F.count(F.lit(1)).alias("n_blobs"),
+            F.sum(F.length("content")).cast("long").alias("total_bytes"),
+        )
+    )

@@ -1,0 +1,267 @@
+"""Text-analysis operators for training-data pipelines (north star surface):
+language-ID heuristic, quality scoring, token counting, fingerprinting.
+
+All formulas are deliberately expressible in both Spark and ANSI SQL so every
+query here is oracle-checked. Everything stays JVM-side (split/filter/
+aggregate builtins — whole-stage codegen, no Python in the hot path).
+Shared constants are interpolated into BOTH the Spark plan and the oracle SQL
+from one Python definition, so the two can't drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import fingerprint_md5, normalized_text
+from ..plans import QuerySpec, register
+from ..session import load_table, prepare
+
+QUERIES: dict[str, QuerySpec] = {}
+
+# one source of truth for both engines
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+_SQL_STOPS = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+# language marker words → language, fixed precedence for deterministic argmax
+LANG_MARKERS = {
+    "en": ("the", "a", "and", "is", "of"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "la", "los", "que", "es"),
+    "fr": ("le", "la", "les", "et", "est"),
+}
+
+
+def _tokens_col():
+    return F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+
+
+@register(
+    QUERIES,
+    "text_stats",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS toks,
+             length(text) AS n_char,
+             length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+               AS n_punct
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(toks, x -> x IN ({_SQL_STOPS}))) AS BIGINT)
+             AS n_stop,
+           round(CAST(n_punct AS DOUBLE) / n_char, 6)  AS punct_ratio,
+           round(CAST(len(list_filter(toks, x -> x IN ({_SQL_STOPS}))) AS DOUBLE)
+                 / len(toks), 6) AS stop_ratio
+    FROM t
+    """,
+    doc="Per-document token/punctuation/stopword metrics (quality signals).",
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens_col()
+    stops_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_tokens = F.size(toks).cast("long")
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stops_arr, x))).cast(
+        "long"
+    )
+    n_char = F.length("text")
+    n_punct = n_char - F.length(F.regexp_replace("text", r"[.,;:!?]", ""))
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_stop.alias("n_stop"),
+        F.round(n_punct.cast("double") / n_char, 6).alias("punct_ratio"),
+        F.round(n_stop.cast("double") / n_tokens, 6).alias("stop_ratio"),
+    )
+
+
+@register(
+    QUERIES,
+    "text_quality_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS toks,
+             length(text) AS n_char,
+             length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+               AS n_punct
+      FROM documents
+    ), m AS (
+      SELECT doc_id, source,
+             len(toks) AS n_tokens,
+             CAST(len(list_filter(toks, x -> x IN ({_SQL_STOPS}))) AS DOUBLE)
+               / len(toks) AS stop_ratio,
+             CAST(n_punct AS DOUBLE) / n_char AS punct_ratio
+      FROM t
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           round(avg(0.4 * stop_ratio
+                     + 0.4 * least(n_tokens / 100.0, 1.0)
+                     - 0.2 * punct_ratio), 6) AS avg_quality
+    FROM m
+    GROUP BY source
+    """,
+    doc="Heuristic quality score (stopword density + length, penalize punct), "
+    "aggregated per source — the filter signal a 100 TB corpus pipeline ranks on.",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens_col()
+    stops_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_tokens = F.size(toks)
+    stop_ratio = F.size(
+        F.filter(toks, lambda x: F.array_contains(stops_arr, x))
+    ).cast("double") / n_tokens
+    n_char = F.length("text")
+    punct_ratio = (
+        n_char - F.length(F.regexp_replace("text", r"[.,;:!?]", ""))
+    ).cast("double") / n_char
+    quality = (
+        0.4 * stop_ratio
+        + 0.4 * F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+        - 0.2 * punct_ratio
+    )
+    return (
+        d.select("source", quality.alias("q"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("q"), 6).alias("avg_quality"),
+        )
+    )
+
+
+def _lang_case_sql() -> str:
+    hits = {
+        lang: f"len(list_filter(toks, x -> x IN ({', '.join(repr(w) for w in ws)})))"
+        for lang, ws in LANG_MARKERS.items()
+    }
+    # fixed precedence en > de > es > fr, then 'und' when all zero
+    return f"""
+      CASE
+        WHEN {hits['en']} = 0 AND {hits['de']} = 0 AND {hits['es']} = 0
+             AND {hits['fr']} = 0 THEN 'und'
+        WHEN {hits['en']} >= {hits['de']} AND {hits['en']} >= {hits['es']}
+             AND {hits['en']} >= {hits['fr']} THEN 'en'
+        WHEN {hits['de']} >= {hits['es']} AND {hits['de']} >= {hits['fr']}
+             THEN 'de'
+        WHEN {hits['es']} >= {hits['fr']} THEN 'es'
+        ELSE 'fr'
+      END
+    """
+
+
+@register(
+    QUERIES,
+    "lang_id_heuristic",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+      FROM documents
+    )
+    SELECT doc_id, {_lang_case_sql()} AS pred_lang
+    FROM t
+    """,
+    doc="Stopword-marker language ID (n-gram-free heuristic); deterministic "
+    "argmax with fixed precedence.",
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens_col()
+
+    def hits(ws):
+        arr = F.array(*[F.lit(w) for w in ws])
+        return F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
+
+    en, de, es, fr = (hits(LANG_MARKERS[lang]) for lang in ("en", "de", "es", "fr"))
+    pred = (
+        F.when((en == 0) & (de == 0) & (es == 0) & (fr == 0), "und")
+        .when((en >= de) & (en >= es) & (en >= fr), "en")
+        .when((de >= es) & (de >= fr), "de")
+        .when(es >= fr, "es")
+        .otherwise("fr")
+    )
+    return d.select("doc_id", pred.alias("pred_lang"))
+
+
+@register(
+    QUERIES,
+    "token_count_by_source",
+    oracle="""
+    SELECT source,
+           CAST(sum(len(regexp_split_to_array(lower(trim(text)), '\\s+')))
+                AS BIGINT) AS total_tokens,
+           count(*) AS n_docs,
+           round(avg(n_chars), 4) AS avg_chars
+    FROM documents
+    GROUP BY source
+    """,
+    doc="Corpus token accounting per source (the 'how many tokens do we have' "
+    "question every training pipeline asks).",
+)
+def token_count_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.sum(F.size(_tokens_col())).cast("long").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
+@register(
+    QUERIES,
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(
+                 regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                 ' +', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+    doc="Deterministic content fingerprint: md5 of normalized text "
+    "(lowercase, alnum-only, squeezed whitespace).",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint_md5("text").alias("fingerprint"))
+
+
+@register(
+    QUERIES,
+    "rolling_hash_fingerprint",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(list_aggregate(
+                  list_transform(toks, x -> CAST(length(x) AS BIGINT)
+                                            + CAST(ascii(x) AS BIGINT) * 31),
+                  'sum')
+                % 1000000007 AS BIGINT) AS rhash
+    FROM t
+    """,
+    doc="Order-free rolling-style content hash from token statistics — a "
+    "cheap pre-filter fingerprint computable identically in any engine.",
+)
+def rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens_col()
+    per_tok = F.transform(
+        toks, lambda x: F.length(x).cast("long") + F.ascii(x).cast("long") * 31
+    )
+    total = F.aggregate(per_tok, F.lit(0).cast("long"), lambda acc, v: acc + v)
+    return d.select("doc_id", (total % 1000000007).cast("long").alias("rhash"))
