@@ -76,6 +76,8 @@ def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
 
 def _jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
     """Exact pair Jaccard via inverted shingle index."""
+    spark = docs.sparkSession
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     s = _shingles(docs)
     sizes = s.select("doc_id", F.size("sh").alias("n"))
     e = s.select("doc_id", F.explode("sh").alias("g"))
@@ -170,18 +172,29 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
-    docs = load_table(spark, sf_dir, "documents")
+    # The doc table arrives as few parquet files → few input partitions, but
+    # signature computation is heavy per row: spread it across all cores
+    # BEFORE the expensive projection (at 100 TB the scan already has
+    # thousands of partitions; this repartition is a no-op cost there).
+    par = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents").repartition(par, "doc_id")
     s = _shingles(docs)  # doc_id, sh (distinct shingles)
 
-    # 64-permutation MinHash signature, all JVM-side: sig[p] = min over
-    # shingles of xxhash64(g, p).
+    # 64-permutation MinHash signature, all JVM-side. Hash each shingle
+    # STRING exactly once (the expensive part), then derive the 64
+    # permutations by re-hashing the resulting long — 64× cheaper than
+    # hashing the string per permutation.
+    base = s.select(
+        "doc_id",
+        F.transform(F.col("sh"), lambda g: F.xxhash64(g)).alias("hs"),
+    )
     sig = F.transform(
         F.sequence(F.lit(0), F.lit(63)),
         lambda p: F.array_min(
-            F.transform(F.col("sh"), lambda g: F.xxhash64(g, p))
+            F.transform(F.col("hs"), lambda h: F.xxhash64(h, p))
         ),
     )
-    signed = s.select("doc_id", "sh", sig.alias("sig"))
+    signed = base.select("doc_id", sig.alias("sig"))
 
     # 32 bands × 2 rows: band key = hash of the band's signature slice.
     bands = F.transform(
@@ -195,31 +208,42 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bkey"),
         ),
     )
-    buckets = signed.select(
-        "doc_id", "sh", F.explode(bands).alias("bb")
-    ).select("doc_id", "sh", "bb.band", "bb.bkey")
-
-    a, b = buckets.alias("a"), buckets.alias("b")
+    # Explode ONLY (doc_id, band, bkey): the shingle arrays must not ride
+    # through the ×32 explode (that amplification was the first bench cost).
+    # Candidates come from groupBy(bucket) + in-array pair combinations
+    # rather than a self-join: one pass over the signature pipeline instead
+    # of two (self-joins re-execute the expensive subtree on both sides).
+    buckets = signed.select("doc_id", F.explode(bands).alias("bb")).select(
+        "doc_id", "bb.band", "bb.bkey"
+    )
+    ids = F.col("ids")
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(
+                    F.least(x, y).alias("doc_a"), F.greatest(x, y).alias("doc_b")
+                ),
+            ),
+        )
+    )
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sh").alias("sha"),
-            F.col("b.sh").alias("shb"),
-        )
+        buckets.groupBy("band", "bkey")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(pair_structs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .dropDuplicates(["doc_a", "doc_b"])  # pairs collide in many bands
     )
 
+    sh_a = s.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
+    sh_b = s.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
+    verified = cand.join(sh_a, "doc_a").join(sh_b, "doc_b")
     shared = F.size(F.array_intersect("sha", "shb")).cast("double")
     union = (F.size("sha") + F.size("shb")).cast("double") - shared
     jac = shared / union
-    return cand.filter(jac >= 0.8).select(
+    return verified.filter(jac >= 0.8).select(
         "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
     )
 
@@ -249,7 +273,9 @@ def _simhash_from_hashes(hs: pd.Series) -> pd.Series:
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     hashed = d.select(
         "doc_id", F.transform(toks, lambda t: F.xxhash64(t)).alias("hs")

@@ -21,7 +21,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..model import SEND_COMPLETED, STARTED, TERMINATED
+from ..model import SEND_COMPLETED, STARTED, TERMINATED, UNKNOWN_BATCH_FAILURE
 from ..plans import QuerySpec, register
 from ..session import load_table, prepare
 from ..sources.envelope import (
@@ -30,7 +30,13 @@ from ..sources.envelope import (
     data_to_envelope,
     events_as_records,
 )
-from .batch_state import BatchState, BatchStateMachine, Outputs, passthrough_validator
+from .batch_state import (
+    BatchState,
+    BatchStateMachine,
+    Outputs,
+    failure_body,
+    passthrough_validator,
+)
 
 QUERIES: dict[str, QuerySpec] = {}
 
@@ -70,54 +76,162 @@ def _notification_json(payload: dict) -> bytes:
     return json.dumps(p, ensure_ascii=False).encode("utf-8")
 
 
+_OUT_COLS = ["dest", "batch_id", "key", "value", "headers"]
+
+
+def _replay_rowwise(pdf: pd.DataFrame, machine: BatchStateMachine, batch_id):
+    """Reference implementation: event-at-a-time through the pure core."""
+    st = BatchState(batch_id=batch_id or "")
+    outs = Outputs()
+    for row in pdf.itertuples(index=False):
+        now = _none_if_nan(row.time_ms)
+        now = int(now) if now is not None else None
+        if row.kind == "control":
+            notif = {k: _none_if_nan(v) for k, v in dict(row.notification).items()}
+            outs.extend(machine.on_control(st, notif, now))
+        else:
+            key = bytes(row.key) if row.key is not None else None
+            value = bytes(row.value) if row.value is not None else None
+            outs.extend(
+                machine.on_data(st, key, value, _headers_to_py(row.headers), now)
+            )
+    outs.extend(machine.end_of_input(st))
+
+    rows = [
+        {"dest": r.dest, "batch_id": batch_id, "key": r.key, "value": r.value,
+         "headers": r.headers}
+        for r in outs.routed
+    ] + [
+        {"dest": "notification", "batch_id": batch_id,
+         "key": (batch_id or "").encode("utf-8"),
+         "value": _notification_json(n), "headers": []}
+        for n in outs.notifications
+    ]
+    return pd.DataFrame(rows, columns=_OUT_COLS)
+
+
+def _replay_vectorized(pdf: pd.DataFrame, machine: BatchStateMachine, batch_id):
+    """Passthrough fast path: control rows still go one-by-one through the
+    core, but runs of data rows between controls are routed in BULK (pandas
+    slices, no per-row Python). Valid ONLY for the passthrough validator with
+    no external lookup — the per-row path covers everything else. The
+    differential property test (tests/test_replay_equivalence.py) pins this
+    to the row-wise reference on randomized scenarios.
+
+    Why bulk routing is sound (given passthrough + no lookup):
+    - unknown batch   → every row of the run is invalid(UNKNOWN), no counts;
+    - terminated      → every row dropped;
+    - completed       → every row invalid(already completed);
+    - armed deadline  → if the run's FIRST row is past it, the timer fires
+      before any data (→ completed, run handled above); otherwise the first
+      row overflows the matched count, fails the batch and CLEARS the timer,
+      so no later row in the run can fire it;
+    - otherwise       → every row routes to .out; the only state change is
+      processed += n and at most one sendCompleted-overage failure.
+    """
+    from ..model import COMPLETED, FAILED, SEND_COMPLETED, TERMINATED
+
+    st = BatchState(batch_id=batch_id or "")
+    parts: list[tuple[pd.DataFrame, str, bytes | None]] = []  # slice, dest, body
+    notifs: list[dict] = []
+
+    def flush_block(block: pd.DataFrame) -> None:
+        n = len(block)
+        if n == 0:
+            return
+        if st.deadline_ms is not None:
+            t0 = _none_if_nan(block["time_ms"].iloc[0])
+            if t0 is not None and int(t0) >= st.deadline_ms:
+                out = Outputs()
+                machine.advance_time(st, int(t0), out)  # fires → completed
+                notifs.extend(out.notifications)
+        if not st.known:
+            parts.append((block, "invalid", failure_body(UNKNOWN_BATCH_FAILURE)))
+            return
+        if st.status == TERMINATED:
+            return
+        if st.status == COMPLETED:
+            parts.append(
+                (block, "invalid", failure_body("Batch is already completed"))
+            )
+            return
+        parts.append((block, "out", None))
+        p0 = st.processed
+        st.processed = p0 + n
+        if (
+            st.status == SEND_COMPLETED
+            and st.expected is not None
+            and st.processed > st.expected
+        ):
+            # the row-wise core fails at the CROSSING row, so the emitted
+            # notification snapshots recordCount at that instant
+            final = st.processed
+            st.processed = max(p0 + 1, st.expected + 1)
+            out = Outputs()
+            machine._fail(st, out)
+            notifs.extend(out.notifications)
+            st.processed = final
+
+    kinds = pdf["kind"].to_numpy()
+    control_pos = [i for i, k in enumerate(kinds) if k == "control"]
+    pos = 0
+    for c in control_pos:
+        flush_block(pdf.iloc[pos:c])
+        row = pdf.iloc[c]
+        now = _none_if_nan(row["time_ms"])
+        notif = {k: _none_if_nan(v) for k, v in dict(row["notification"]).items()}
+        out = Outputs()
+        out.extend(machine.on_control(st, notif, int(now) if now is not None else None))
+        notifs.extend(out.notifications)
+        pos = c + 1
+    flush_block(pdf.iloc[pos:])
+    eoi = machine.end_of_input(st)
+    notifs.extend(eoi.notifications)
+
+    frames = []
+    for block, dest, body in parts:
+        frames.append(
+            pd.DataFrame(
+                {
+                    "dest": dest,
+                    "batch_id": batch_id,
+                    "key": block["key"].values,
+                    "value": (
+                        block["value"].values if body is None else [body] * len(block)
+                    ),
+                    "headers": block["headers"].values,
+                }
+            )
+        )
+    if notifs:
+        frames.append(
+            pd.DataFrame(
+                {
+                    "dest": "notification",
+                    "batch_id": batch_id,
+                    "key": [(batch_id or "").encode("utf-8")] * len(notifs),
+                    "value": [_notification_json(n) for n in notifs],
+                    "headers": [[]] * len(notifs),
+                }
+            )
+        )
+    if not frames:
+        return pd.DataFrame(columns=_OUT_COLS)
+    return pd.concat(frames, ignore_index=True)[_OUT_COLS]
+
+
 def make_replay(delay_ms: int, validator=passthrough_validator, lookup=None):
     """Build the per-group replay fn; closure is cloudpickled to executors."""
+    fast = validator is passthrough_validator and lookup is None
 
     def replay(pdf: pd.DataFrame) -> pd.DataFrame:
         machine = BatchStateMachine(delay_ms, validator, lookup)
         pdf = pdf.sort_values(["time_ms", "kind_rank", "seq"], na_position="first")
         raw_bid = pdf["batch_id"].iloc[0]
         batch_id = raw_bid if isinstance(raw_bid, str) else None
-        st = BatchState(batch_id=batch_id or "")
-        outs = Outputs()
-        for row in pdf.itertuples(index=False):
-            now = _none_if_nan(row.time_ms)
-            now = int(now) if now is not None else None
-            if row.kind == "control":
-                notif = {
-                    k: _none_if_nan(v) for k, v in dict(row.notification).items()
-                }
-                outs.extend(machine.on_control(st, notif, now))
-            else:
-                key = bytes(row.key) if row.key is not None else None
-                value = bytes(row.value) if row.value is not None else None
-                outs.extend(
-                    machine.on_data(st, key, value, _headers_to_py(row.headers), now)
-                )
-        outs.extend(machine.end_of_input(st))
-
-        rows = [
-            {
-                "dest": r.dest,
-                "batch_id": batch_id,
-                "key": r.key,
-                "value": r.value,
-                "headers": r.headers,
-            }
-            for r in outs.routed
-        ] + [
-            {
-                "dest": "notification",
-                "batch_id": batch_id,
-                "key": (batch_id or "").encode("utf-8"),
-                "value": _notification_json(n),
-                "headers": [],
-            }
-            for n in outs.notifications
-        ]
-        return pd.DataFrame(
-            rows, columns=["dest", "batch_id", "key", "value", "headers"]
-        )
+        if fast:
+            return _replay_vectorized(pdf, machine, batch_id)
+        return _replay_rowwise(pdf, machine, batch_id)
 
     return replay
 
