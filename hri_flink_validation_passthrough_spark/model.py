@@ -115,13 +115,13 @@ def derive_topics(input_topic: str) -> TopicQuartet:
     """
     if not input_topic.startswith("ingest."):
         raise TopicNameError(
-            f"Invalid value '{input_topic}' for option '--input-topic': "
-            "must start with 'ingest.'"
+            f"The Input Topic Name {input_topic} is invalid. "
+            'It must start with "ingest."'
         )
     if not input_topic.endswith(".in"):
         raise TopicNameError(
-            f"Invalid value '{input_topic}' for option '--input-topic': "
-            "must end with '.in'"
+            f"The Input Topic Name {input_topic} is invalid. "
+            'It must end with ".in"'
         )
     base = input_topic[: -len(".in")]
     return TopicQuartet(

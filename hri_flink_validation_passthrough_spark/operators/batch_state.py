@@ -117,6 +117,36 @@ def failure_body(message: str) -> bytes:
     return json.dumps({"failure": message}).encode("utf-8")
 
 
+def notification_json(payload: dict) -> bytes:
+    """Serialize an emitted notification; the raw ``metadata`` JSON string is
+    re-inflated so arbitrary nested objects round-trip
+    (flink_validation_passthrough_spec.rb:112-114)."""
+    p = dict(payload)
+    meta = p.get("metadata")
+    if isinstance(meta, str):
+        try:
+            p["metadata"] = json.loads(meta)
+        except (ValueError, TypeError):
+            pass
+    return json.dumps(p, ensure_ascii=False).encode("utf-8")
+
+
+def outputs_to_rows(outs: Outputs, batch_id: str | None) -> list[dict]:
+    """Flatten Outputs into destination-tagged Kafka-shaped row dicts
+    (ROUTED_SCHEMA order) — shared by the batch replay and the streaming
+    stateful processor."""
+    return [
+        {"dest": r.dest, "batch_id": batch_id, "key": r.key, "value": r.value,
+         "headers": r.headers}
+        for r in outs.routed
+    ] + [
+        {"dest": "notification", "batch_id": batch_id,
+         "key": (batch_id or "").encode("utf-8"),
+         "value": notification_json(n), "headers": []}
+        for n in outs.notifications
+    ]
+
+
 class BatchStateMachine:
     """Event-at-a-time core. Callers own state persistence and clocks."""
 
@@ -169,6 +199,15 @@ class BatchStateMachine:
         """Batch-mode replay: any armed timer fires once input is exhausted."""
         out = Outputs()
         if st.deadline_ms is not None:
+            self._complete(st, out)
+        return out
+
+    def on_timer(self, st: BatchState, expiry_ms: int) -> Outputs:
+        """Streaming: a registered processing-time timer fired. Only acts if
+        the armed deadline is still the one that fired (a straggler overage
+        clears the deadline and fails the batch before expiry)."""
+        out = Outputs()
+        if st.deadline_ms is not None and expiry_ms >= st.deadline_ms:
             self._complete(st, out)
         return out
 

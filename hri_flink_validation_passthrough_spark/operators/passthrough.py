@@ -35,6 +35,8 @@ from .batch_state import (
     BatchStateMachine,
     Outputs,
     failure_body,
+    notification_json,
+    outputs_to_rows,
     passthrough_validator,
 )
 
@@ -65,15 +67,7 @@ def _headers_to_py(h) -> list:
     return out
 
 
-def _notification_json(payload: dict) -> bytes:
-    p = dict(payload)
-    meta = p.get("metadata")
-    if isinstance(meta, str):
-        try:
-            p["metadata"] = json.loads(meta)  # round-trip arbitrary objects
-        except (ValueError, TypeError):
-            pass
-    return json.dumps(p, ensure_ascii=False).encode("utf-8")
+_notification_json = notification_json  # shared with the streaming processor
 
 
 _OUT_COLS = ["dest", "batch_id", "key", "value", "headers"]
@@ -96,18 +90,7 @@ def _replay_rowwise(pdf: pd.DataFrame, machine: BatchStateMachine, batch_id):
                 machine.on_data(st, key, value, _headers_to_py(row.headers), now)
             )
     outs.extend(machine.end_of_input(st))
-
-    rows = [
-        {"dest": r.dest, "batch_id": batch_id, "key": r.key, "value": r.value,
-         "headers": r.headers}
-        for r in outs.routed
-    ] + [
-        {"dest": "notification", "batch_id": batch_id,
-         "key": (batch_id or "").encode("utf-8"),
-         "value": _notification_json(n), "headers": []}
-        for n in outs.notifications
-    ]
-    return pd.DataFrame(rows, columns=_OUT_COLS)
+    return pd.DataFrame(outputs_to_rows(outs, batch_id), columns=_OUT_COLS)
 
 
 def _replay_vectorized(pdf: pd.DataFrame, machine: BatchStateMachine, batch_id):

@@ -1,0 +1,130 @@
+"""Kafka source/sink builders (SURVEY.md §2A ops 1-2, 14-16).
+
+The reference consumes ``<base>.in`` + ``<base>.notification`` and produces
+``<base>.out`` / ``<base>.invalid`` / ``<base>.notification`` over SASL_SSL
+with user ``token`` (flink_validation_passthrough_spec.rb:38). Spark's
+built-in Kafka connector provides the same envelope with
+``includeHeaders=true`` — no custom deserializers needed.
+
+NOTE: the spark-sql-kafka connector jar (and a broker) are not present in
+the dev container; everything here builds options/DataFrames lazily and is
+exercised against live Kafka on a real cluster. The topology itself is
+tested through file/memory sources (tests/test_streaming.py), which is the
+same seam the reference's MiniCluster tests use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..model import NOTIFICATION_SCHEMA, consumer_group
+from ..streaming.topology import build_routed_stream, kafka_fanout_writer
+
+
+def kafka_security_options(password: str | None) -> dict[str, str]:
+    """SASL_SSL/PLAIN with user 'token' — the reference's Event Streams
+    client config (flink_validation_passthrough_spec.rb:38)."""
+    if not password:
+        return {}
+    jaas = (
+        "org.apache.kafka.common.security.plain.PlainLoginModule required "
+        f'username="token" password="{password}";'
+    )
+    return {
+        "kafka.security.protocol": "SASL_SSL",
+        "kafka.sasl.mechanism": "PLAIN",
+        "kafka.sasl.jaas.config": jaas,
+    }
+
+
+def read_records_stream(
+    spark: SparkSession,
+    topic: str,
+    brokers: list[str] | str,
+    password: str | None = None,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+) -> DataFrame:
+    """Data-plane source: Kafka envelope + time_ms/seq for replay order."""
+    brokers_s = brokers if isinstance(brokers, str) else ",".join(brokers)
+    r = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers_s)
+        .option("subscribe", topic)
+        .option("includeHeaders", "true")
+        .option("startingOffsets", starting_offsets)
+    )
+    if max_offsets_per_trigger:
+        r = r.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    for k, v in kafka_security_options(password).items():
+        r = r.option(k, v)
+    df = r.load()
+    return df.select(
+        "key",
+        "value",
+        "headers",
+        "topic",
+        "partition",
+        "offset",
+        F.unix_millis("timestamp").alias("time_ms"),
+        F.col("offset").alias("seq"),
+    )
+
+
+def read_notifications_stream(
+    spark: SparkSession,
+    topic: str,
+    brokers: list[str] | str,
+    password: str | None = None,
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """Control-plane source: JSON value → typed notification columns."""
+    brokers_s = brokers if isinstance(brokers, str) else ",".join(brokers)
+    r = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers_s)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+    )
+    for k, v in kafka_security_options(password).items():
+        r = r.option(k, v)
+    df = r.load()
+    parsed = df.select(
+        F.from_json(F.col("value").cast("string"), NOTIFICATION_SCHEMA).alias("n"),
+        F.unix_millis("timestamp").alias("time_ms"),
+        F.col("offset").alias("seq"),
+    )
+    return parsed.select("n.*", "time_ms", "seq")
+
+
+def run_validation_job(spark: SparkSession, config):
+    """Assemble the full production topology from a CLI JobConfig: two Kafka
+    sources → stateful routing → foreachBatch fan-out, checkpointed under
+    the consumer group name (ops 17-18)."""
+    topics = config.topics
+    group = consumer_group(topics.input, topics.output)
+    records = read_records_stream(
+        spark, topics.input, config.brokers, config.password
+    )
+    notifs = read_notifications_stream(
+        spark, topics.notification, config.brokers, config.password
+    )
+    routed = build_routed_stream(
+        records,
+        notifs,
+        completion_delay_ms=config.batch_completion_delay_ms,
+        lookup=None,  # mgmt mode would inject a Management-API lookup here
+    )
+    writer = kafka_fanout_writer(
+        topics,
+        ",".join(config.brokers),
+        extra_options=kafka_security_options(config.password),
+    )
+    return (
+        routed.writeStream.foreachBatch(writer)
+        .outputMode("append")
+        .option("checkpointLocation", f"/tmp/hri-checkpoints/{group}")
+        .queryName("Passthrough")
+        .start()
+    )

@@ -1,0 +1,303 @@
+"""The streaming topology (SURVEY.md §7 phase 3).
+
+Reference shape (SURVEY.md §2A): Kafka data source + Kafka notification
+source → connect/broadcast → keyed validator+tracker → three sinks. Spark
+shape: two ``readStream``s → normalize to the common envelope → ``unionByName``
+→ keyed stateful operator → ``foreachBatch`` fan-out to out/invalid/
+notification.
+
+Two interchangeable stateful implementations (same pure core,
+operators/batch_state.py):
+
+- ``BatchLifecycleProcessor`` — ``transformWithStateInPandas`` (Spark 4 API:
+  value state + explicit timers). Preferred on clusters; requires the
+  ``protobuf`` Python package, which this container lacks.
+- ``lifecycle_with_group_state`` — ``applyInPandasWithState`` (Spark 3.4+
+  API: GroupState + ProcessingTimeTimeout). No extra deps; the active path
+  here. Timeout semantics: Spark clears a key's timeout whenever the
+  function runs for that key, so the deadline is re-armed from state on
+  every invocation.
+
+``build_routed_stream`` picks automatically (probe protobuf).
+
+Semantics deltas vs Flink, documented per SURVEY.md §3.3/§2C.6:
+- timers fire at microbatch boundaries: ``completed`` lands at the first
+  trigger after the delay elapses — satisfies the ``≥ delay`` contract;
+- sinks are at-least-once per topic (no cross-topic transaction); replays
+  are idempotent by (key, batchId) for downstream dedup.
+
+Scale posture: state is one tiny row per batchId (RocksDB provider for large
+key counts); the shuffle is one hash exchange on batchId — exactly the
+reference's ``keyBy``; ``maxOffsetsPerTrigger`` bounds per-trigger work. A
+single hot batch serializes on one task, same as in Flink.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..model import DEFAULT_BATCH_COMPLETION_DELAY_MS
+from ..operators.batch_state import (
+    BatchState,
+    BatchStateMachine,
+    Outputs,
+    outputs_to_rows,
+    passthrough_validator,
+)
+from ..sources.envelope import ROUTED_SCHEMA, control_to_envelope, data_to_envelope
+
+_OUT_COLS = ["dest", "batch_id", "key", "value", "headers"]
+_STATE_SCHEMA = "state_json STRING"
+
+
+def _protobuf_available() -> bool:
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _sorted_rows(pdf: pd.DataFrame) -> pd.DataFrame:
+    kind_rank = (pdf["kind"] == "control").map({True: 0, False: 1})
+    return pdf.assign(kind_rank=kind_rank).sort_values(
+        ["time_ms", "kind_rank", "seq"], na_position="first"
+    )
+
+
+def _apply_rows(machine, st, pdf: pd.DataFrame, now: int, outs: Outputs) -> None:
+    for row in _sorted_rows(pdf).itertuples(index=False):
+        if row.kind == "control":
+            notif = {
+                k: (None if pd.isna(v) else v)
+                for k, v in dict(row.notification).items()
+            }
+            outs.extend(machine.on_control(st, notif, now))
+        else:
+            key_b = bytes(row.key) if row.key is not None else None
+            val_b = bytes(row.value) if row.value is not None else None
+            headers = [
+                {"key": h["key"], "value": bytes(h["value"])}
+                for h in (row.headers if row.headers is not None else [])
+            ]
+            outs.extend(machine.on_data(st, key_b, val_b, headers, now))
+
+
+# ---------------------------------------------------------------------------
+# Path A: applyInPandasWithState (GroupState; no extra deps — active here)
+# ---------------------------------------------------------------------------
+def lifecycle_with_group_state(
+    completion_delay_ms: int = DEFAULT_BATCH_COMPLETION_DELAY_MS,
+    validator=passthrough_validator,
+    lookup=None,
+):
+    """Returns the (key, pdf_iter, state) function for applyInPandasWithState."""
+
+    def fn(key, pdf_iter, state) -> Iterator[pd.DataFrame]:
+        machine = BatchStateMachine(completion_delay_ms, validator, lookup)
+        batch_id = key[0] if key else None
+        stored = state.getOption  # property in the GroupState API
+        st = (
+            BatchState.from_dict(json.loads(stored[0]))
+            if stored is not None
+            else BatchState(batch_id=batch_id or "")
+        )
+
+        if state.hasTimedOut:
+            outs = machine.on_timer(st, st.deadline_ms or 0)
+            state.update((json.dumps(st.to_dict()),))
+            rows = outputs_to_rows(outs, batch_id)
+            if rows:
+                yield pd.DataFrame(rows, columns=_OUT_COLS)
+            return
+
+        now = state.getCurrentProcessingTimeMs()
+        outs = Outputs()
+        for pdf in pdf_iter:
+            _apply_rows(machine, st, pdf, now, outs)
+
+        state.update((json.dumps(st.to_dict()),))
+        # Spark clears the key's timeout each time this function runs —
+        # re-arm from state unconditionally.
+        if st.deadline_ms is not None:
+            state.setTimeoutDuration(max(1, st.deadline_ms - now))
+        rows = outputs_to_rows(outs, batch_id)
+        if rows:
+            yield pd.DataFrame(rows, columns=_OUT_COLS)
+
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# Path B: transformWithStateInPandas (Spark 4 timers; needs protobuf)
+# ---------------------------------------------------------------------------
+try:  # the import itself is safe; instantiation needs protobuf at runtime
+    from pyspark.sql.streaming.stateful_processor import (
+        ExpiredTimerInfo,
+        StatefulProcessor,
+        StatefulProcessorHandle,
+        TimerValues,
+    )
+
+    class BatchLifecycleProcessor(StatefulProcessor):
+        """Keyed batch lifecycle (ops 5-13) with explicit processing-time
+        timers. A straggler overage clears the deadline in state, and
+        ``on_timer`` re-checks it, so a stale timer firing is a no-op."""
+
+        def __init__(
+            self,
+            completion_delay_ms: int = DEFAULT_BATCH_COMPLETION_DELAY_MS,
+            validator=passthrough_validator,
+            lookup=None,
+        ):
+            self.delay_ms = completion_delay_ms
+            self.validator = validator
+            self.lookup = lookup
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.handle = handle
+            self.state = handle.getValueState("batch_state", _STATE_SCHEMA)
+            self.machine = BatchStateMachine(
+                self.delay_ms, self.validator, self.lookup
+            )
+
+        def _load(self, batch_id: str | None) -> BatchState:
+            v = self.state.get()
+            if v is None:
+                return BatchState(batch_id=batch_id or "")
+            return BatchState.from_dict(json.loads(v[0]))
+
+        def _save(self, st: BatchState) -> None:
+            self.state.update((json.dumps(st.to_dict()),))
+
+        def handleInputRows(
+            self, key, rows: Iterator[pd.DataFrame], timerValues: TimerValues
+        ) -> Iterator[pd.DataFrame]:
+            batch_id = key[0] if key is not None else None
+            st = self._load(batch_id)
+            old_deadline = st.deadline_ms
+            now = timerValues.getCurrentProcessingTimeInMs()
+            outs = Outputs()
+            for pdf in rows:
+                _apply_rows(self.machine, st, pdf, now, outs)
+            if st.deadline_ms != old_deadline:
+                if old_deadline is not None:
+                    self.handle.deleteTimer(old_deadline)
+                if st.deadline_ms is not None:
+                    self.handle.registerTimer(st.deadline_ms)
+            self._save(st)
+            out_rows = outputs_to_rows(outs, batch_id)
+            if out_rows:
+                yield pd.DataFrame(out_rows, columns=_OUT_COLS)
+
+        def handleExpiredTimer(
+            self, key, timerValues: TimerValues, expiredTimerInfo: ExpiredTimerInfo
+        ) -> Iterator[pd.DataFrame]:
+            batch_id = key[0] if key is not None else None
+            st = self._load(batch_id)
+            outs = self.machine.on_timer(st, expiredTimerInfo.getExpiryTimeInMs())
+            self._save(st)
+            out_rows = outputs_to_rows(outs, batch_id)
+            if out_rows:
+                yield pd.DataFrame(out_rows, columns=_OUT_COLS)
+
+        def close(self) -> None:
+            pass
+
+except ImportError:  # pragma: no cover - older Spark
+    BatchLifecycleProcessor = None  # type: ignore[assignment]
+
+
+# ---------------------------------------------------------------------------
+# Topology
+# ---------------------------------------------------------------------------
+def build_routed_stream(
+    records: DataFrame,
+    notifications: DataFrame,
+    completion_delay_ms: int = DEFAULT_BATCH_COMPLETION_DELAY_MS,
+    validator=passthrough_validator,
+    lookup=None,
+    prefer_transform_with_state: bool | None = None,
+) -> DataFrame:
+    """records/notifications: STREAMING DataFrames already in record/
+    notification shape (see sources.envelope). Returns the destination-tagged
+    routed stream (ROUTED_SCHEMA). Pure function — sinks are the caller's
+    (same injection seam as the reference, SURVEY.md §3.2)."""
+    env = control_to_envelope(notifications).unionByName(data_to_envelope(records))
+    grouped = env.groupBy("batch_id")
+
+    use_tws = (
+        prefer_transform_with_state
+        if prefer_transform_with_state is not None
+        else (_protobuf_available() and BatchLifecycleProcessor is not None)
+    )
+    if use_tws:
+        spark = records.sparkSession
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        return grouped.transformWithStateInPandas(
+            BatchLifecycleProcessor(completion_delay_ms, validator, lookup),
+            outputStructType=ROUTED_SCHEMA,
+            outputMode="append",
+            timeMode="processingTime",
+        )
+    return grouped.applyInPandasWithState(
+        lifecycle_with_group_state(completion_delay_ms, validator, lookup),
+        outputStructType=ROUTED_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="ProcessingTimeTimeout",
+    )
+
+
+def start_memory_query(routed: DataFrame, name: str, checkpoint: str):
+    """Test/debug sink: collect the routed stream into an in-memory table."""
+    return (
+        routed.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
+def kafka_fanout_writer(topics, brokers: str, extra_options: dict | None = None):
+    """foreachBatch writer: one atomic-per-microbatch fan-out to the three
+    topics (avoids three independent queries sharing state). At-least-once
+    per topic; see module docstring for the cross-topic contract."""
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.persist()
+        try:
+            for dest, topic in (
+                ("out", topics.output),
+                ("invalid", topics.invalid),
+                ("notification", topics.notification),
+            ):
+                part = batch_df.filter(F.col("dest") == dest).select(
+                    "key", "value", "headers"
+                )
+                w = (
+                    part.write.format("kafka")
+                    .option("kafka.bootstrap.servers", brokers)
+                    .option("topic", topic)
+                    .option("includeHeaders", "true")
+                )
+                for k, v in (extra_options or {}).items():
+                    w = w.option(k, v)
+                w.save()
+        finally:
+            batch_df.unpersist()
+
+    return write
