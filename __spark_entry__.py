@@ -20,12 +20,13 @@ def _all_specs() -> dict[str, QuerySpec]:
 
     specs: dict[str, QuerySpec] = {}
     specs.update(relational.QUERIES)
-    for modname in ("passthrough", "dedup", "similarity", "text", "multimodal"):
+    modules = [
+        f"hri_flink_validation_passthrough_spark.operators.{m}"
+        for m in ("passthrough", "dedup", "similarity", "text", "multimodal")
+    ] + ["hri_flink_validation_passthrough_spark.streaming.windows"]
+    for modpath in modules:
         try:
-            mod = __import__(
-                f"hri_flink_validation_passthrough_spark.operators.{modname}",
-                fromlist=["QUERIES"],
-            )
+            mod = __import__(modpath, fromlist=["QUERIES"])
             specs.update(getattr(mod, "QUERIES", {}))
         except ImportError:
             pass  # module not built yet (round-incremental)

@@ -1,0 +1,169 @@
+"""Streaming window operators (SURVEY.md §2B 'streaming windows'): tumbling,
+sliding, and session windows executed as REAL Structured Streaming queries.
+
+Each query boots a ``readStream`` over the parquet table, runs the windowed
+aggregation with ``Trigger.AvailableNow`` into a memory sink, and returns the
+sink table — so the driver's oracle compare exercises the actual streaming
+engine (state store, window assignment, output modes), not a batch rewrite.
+
+``complete`` output mode is used so closed AND in-flight windows emit without
+needing the watermark to advance past the last event (AvailableNow replays a
+finite table; in production these run in append mode with
+``withWatermark``)."""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans import QuerySpec, register
+from ..session import prepare
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    # raw schema (ts is INT64 nanos under nanosAsLong — conversion below);
+    # the file streaming source wants a directory: point at sf_dir and
+    # glob-filter down to the events table
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    df = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    # events.ts is TIMESTAMP(NANOS) → long under nanosAsLong (see session.py)
+    for f in df.schema.fields:
+        if f.name == "ts" and f.dataType.simpleString() == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def _run_to_table(agg: DataFrame, prefix: str) -> DataFrame:
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return agg.sparkSession.table(name)
+
+
+@register(
+    QUERIES,
+    "stream_tumbling_hourly",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
+           event_type,
+           count(*)             AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY hour_ts, event_type
+    """,
+    doc="Tumbling 1h windows through the real streaming engine "
+    "(groupBy(window(ts,'1 hour')) + AvailableNow), oracle = batch SQL.",
+)
+def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events_stream(spark, sf_dir)
+    agg = (
+        e.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    return _run_to_table(agg, "tumbling")
+
+
+@register(
+    QUERIES,
+    "stream_sliding_2h_1h",
+    oracle="""
+    WITH w AS (
+      SELECT date_trunc('hour', ts) AS ws, event_type, value FROM events
+      UNION ALL
+      SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type, value
+      FROM events
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*)             AS n,
+           round(sum(value), 2) AS sum_value
+    FROM w
+    GROUP BY window_start, event_type
+    """,
+    doc="Sliding windows (2h size, 1h slide): every event lands in two "
+    "windows; oracle materializes the same assignment via UNION ALL.",
+)
+def stream_sliding_2h_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events_stream(spark, sf_dir)
+    agg = (
+        e.groupBy(F.window("ts", "2 hours", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    return _run_to_table(agg, "sliding")
+
+
+@register(
+    QUERIES,
+    "stream_session_windows",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           count(*) AS n_events
+    FROM sess
+    GROUP BY user_id, sess_id
+    """,
+    doc="session_window(ts, 30 min) per user through the streaming engine; "
+    "oracle = the lag-based sessionization (identical gap semantics).",
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events_stream(spark, sf_dir)
+    agg = (
+        e.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "n_events",
+        )
+    )
+    return _run_to_table(agg, "session")

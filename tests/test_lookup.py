@@ -1,0 +1,90 @@
+"""BatchLookup client tests against a live in-process HTTP server (port of
+MapBatchLookupJavaTest + the mgmt-mode lookup surface)."""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, HTTPServer
+
+import pytest
+
+from hri_flink_validation_passthrough_spark.operators.batch_state import (
+    BatchState,
+    BatchStateMachine,
+    Outputs,
+)
+from hri_flink_validation_passthrough_spark.sources.lookup import (
+    MapBatchLookup,
+    MgmtApiBatchLookup,
+    OAuthTokenProvider,
+)
+
+BATCH = {"id": "batch-42", "status": "started", "name": "n"}
+
+
+class _Handler(BaseHTTPRequestHandler):
+    tokens_issued = 0
+
+    def do_POST(self):  # oauth token endpoint
+        type(self).tokens_issued += 1
+        body = json.dumps({"access_token": "tok-123", "expires_in": 300}).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):  # mgmt batches endpoint
+        assert self.headers.get("Authorization") == "Bearer tok-123"
+        if self.path.endswith("/batches/batch-42"):
+            body = json.dumps(BATCH).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(body)
+        else:
+            self.send_error(404)
+
+    def log_message(self, *a):
+        pass
+
+
+@pytest.fixture()
+def server():
+    httpd = HTTPServer(("127.0.0.1", 0), _Handler)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{httpd.server_port}"
+    httpd.shutdown()
+
+
+def test_mgmt_lookup_hit_miss_and_cache(server):
+    tokens = OAuthTokenProvider(server, "cid", "secret", "aud")
+    lk = MgmtApiBatchLookup(server, "porcupine", tokens)
+    assert lk("batch-42") == BATCH
+    assert lk("nope") is None
+    # cached: no extra token fetches on repeat calls
+    before = _Handler.tokens_issued
+    assert lk("batch-42") == BATCH and lk("nope") is None
+    assert _Handler.tokens_issued == before
+
+
+def test_lookup_wired_into_state_machine(server):
+    tokens = OAuthTokenProvider(server, "cid", "secret", "aud")
+    lk = MgmtApiBatchLookup(server, "porcupine", tokens)
+    m = BatchStateMachine(5000, lookup=lk)
+    st = BatchState(batch_id="batch-42")
+    out = Outputs()
+    out.extend(m.on_data(st, b"k", b"v", [], 10))
+    # lookup resolved the unknown batch → record routed to .out, counted
+    assert [r.dest for r in out.routed] == ["out"] and st.processed == 1
+
+    st2 = BatchState(batch_id="ghost")
+    out2 = Outputs()
+    out2.extend(m.on_data(st2, b"k", b"v", [], 10))
+    assert [r.dest for r in out2.routed] == ["invalid"]  # 404 → unknown
+
+
+def test_map_lookup_double():
+    lk = MapBatchLookup([BATCH])
+    assert lk("batch-42") == BATCH and lk("x") is None and lk.calls == 2

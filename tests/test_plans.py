@@ -1,0 +1,71 @@
+"""Physical-plan assertions: the plans we'd want at 100 TB, not just plans
+that pass. Checks predicate pushdown reaches the parquet scan, column
+pruning shrinks ReadSchema, dimensions broadcast, and top-k avoids a global
+sort (TakeOrderedAndProject)."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_ORACLE
+
+
+def plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    from hri_flink_validation_passthrough_spark.plans.relational import (
+        q1_pricing_summary,
+        q3_shipping_priority,
+        q5_region_revenue,
+        events_topk_users,
+    )
+
+    return {
+        "q1": plan(q1_pricing_summary(spark, SF_ORACLE)),
+        "q3": plan(q3_shipping_priority(spark, SF_ORACLE)),
+        "q5": plan(q5_region_revenue(spark, SF_ORACLE)),
+        "topk": plan(events_topk_users(spark, SF_ORACLE)),
+    }
+
+
+def test_q1_filter_pushed_to_scan(plans):
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plans["q1"]
+
+
+def test_q1_column_pruning(plans):
+    # the scan must not read l_orderkey/l_partkey/... — only the 7 used cols
+    read = [l for l in plans["q1"].splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" not in read and "l_partkey" not in read
+    assert "l_quantity" in read and "l_discount" in read
+
+
+def test_q3_broadcasts_customer_dim(plans):
+    assert "BroadcastHashJoin" in plans["q3"]
+    assert "PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)" in plans["q3"]
+
+
+def test_q5_all_dims_broadcast(plans):
+    # customer, supplier, nation, region all broadcast; only the fact-fact
+    # join (lineitem-orders) may shuffle
+    assert plans["q5"].count("BroadcastHashJoin") >= 4
+
+
+def test_topk_uses_heap_not_global_sort(plans):
+    assert "TakeOrderedAndProject" in plans["topk"]
+
+
+def test_whole_stage_codegen_in_q1(spark):
+    from hri_flink_validation_passthrough_spark.plans.relational import (
+        q1_pricing_summary,
+    )
+
+    df = q1_pricing_summary(spark, SF_ORACLE)
+    df.collect()  # AQE finalizes the plan only on execution
+    p = plan(df)
+    assert "[codegen id :" in p  # whole-stage codegen spans
+    assert "partial_sum" in p  # map-side partial aggregation before shuffle

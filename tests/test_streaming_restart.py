@@ -1,0 +1,111 @@
+"""Chaos-parity test (SURVEY.md §2C.6 / nightly HA spec): kill the streaming
+query mid-batch and restart from the checkpoint; the file sink's commit log
+must show every record exactly once and the batch must still complete."""
+
+from __future__ import annotations
+
+import json
+import time
+
+import pytest
+
+from pyspark.sql import types as T
+
+from hri_flink_validation_passthrough_spark.model import (
+    HRI_RECORD_SCHEMA,
+    NOTIFICATION_SCHEMA,
+)
+from hri_flink_validation_passthrough_spark.streaming.topology import (
+    build_routed_stream,
+)
+
+DELAY_MS = 800
+
+CTRL_SCHEMA = T.StructType(
+    list(NOTIFICATION_SCHEMA.fields)
+    + [T.StructField("time_ms", T.LongType()), T.StructField("seq", T.LongType())]
+)
+REC_SCHEMA = T.StructType(
+    list(HRI_RECORD_SCHEMA.fields)
+    + [T.StructField("time_ms", T.LongType()), T.StructField("seq", T.LongType())]
+)
+
+
+def _notif_row(status, expected=None, t=0, seq=0):
+    base = {f.name: None for f in NOTIFICATION_SCHEMA.fields}
+    base.update(id="batch-42", status=status, expectedRecordCount=expected,
+                invalidThreshold=-1)
+    return tuple(base[f.name] for f in NOTIFICATION_SCHEMA.fields) + (t, seq)
+
+
+def _rec_row(i):
+    return (str(i).encode(), b"v" + str(i).encode(),
+            [("batchId", b"batch-42")], "t", 1, i, 100 + i, i)
+
+
+def test_restart_from_checkpoint_no_loss_no_dup(spark, tmp_path):
+    data_dir, ctrl_dir = str(tmp_path / "d"), str(tmp_path / "c")
+    ckpt, out_dir = str(tmp_path / "k"), str(tmp_path / "out")
+
+    def write_ctrl(rows):
+        spark.createDataFrame(rows, CTRL_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(ctrl_dir)
+
+    def write_recs(rows):
+        spark.createDataFrame(rows, REC_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(data_dir)
+
+    def start_query():
+        records = spark.readStream.schema(REC_SCHEMA).parquet(data_dir)
+        notifs = spark.readStream.schema(CTRL_SCHEMA).parquet(ctrl_dir)
+        routed = build_routed_stream(records, notifs, completion_delay_ms=DELAY_MS)
+        return (
+            routed.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+
+    def sink_rows():
+        try:
+            return spark.read.parquet(out_dir).collect()
+        except Exception:
+            return []
+
+    def wait_for(cond, timeout=40.0, msg=""):
+        t0 = time.time()
+        while time.time() - t0 < timeout:
+            r = sink_rows()
+            if cond(r):
+                return r
+            time.sleep(0.4)
+        pytest.fail(f"timeout: {msg}; sink has {len(sink_rows())} rows")
+
+    write_ctrl([_notif_row("started", t=0, seq=0)])
+    write_recs([_rec_row(i) for i in range(8)])
+    q = start_query()
+    wait_for(lambda r: len([x for x in r if x.dest == "out"]) >= 8,
+             msg="first 8 records committed")
+    q.stop()  # chaos: kill the job mid-stream
+
+    # more records + sendCompleted arrive while the job is down
+    write_recs([_rec_row(i) for i in range(8, 15)])
+    write_ctrl([_notif_row("sendCompleted", expected=15, t=300, seq=1)])
+
+    q2 = start_query()  # restart from the same checkpoint
+    rows = wait_for(
+        lambda r: len([x for x in r if x.dest == "out"]) >= 15
+        and [x for x in r if x.dest == "notification"],
+        msg="all 15 records + terminal notification after restart",
+    )
+    q2.stop()
+
+    out = [r for r in rows if r.dest == "out"]
+    keys = sorted(bytes(r.key).decode() for r in out)
+    assert keys == sorted(str(i) for i in range(15)), "loss or duplication"
+    notifs = [json.loads(bytes(r.value)) for r in rows if r.dest == "notification"]
+    assert [n["status"] for n in notifs] == ["completed"]
+    assert notifs[0]["recordCount"] == 15
