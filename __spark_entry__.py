@@ -16,10 +16,11 @@ from hri_flink_validation_passthrough_spark.plans import QuerySpec
 
 
 def _all_specs() -> dict[str, QuerySpec]:
-    from hri_flink_validation_passthrough_spark.plans import relational
+    from hri_flink_validation_passthrough_spark.plans import relational, scalar
 
     specs: dict[str, QuerySpec] = {}
     specs.update(relational.QUERIES)
+    specs.update(scalar.QUERIES)
     modules = [
         f"hri_flink_validation_passthrough_spark.operators.{m}"
         for m in ("passthrough", "dedup", "similarity", "text", "multimodal")

@@ -63,6 +63,14 @@ def main() -> None:
         timings[name] = round(dt, 3)
         print(f"{name}: {dt:.3f}s", file=sys.stderr)
 
+    # Reference-parity micro-bench: records/s through the REAL streaming
+    # topology (file source → keyed state machine → memory sink). The
+    # reference's implied floor is 15 records ≤ 60 s (BASELINE.md).
+    try:
+        timings["stream_passthrough"] = round(_stream_passthrough(spark, sf_dir), 3)
+    except Exception as e:  # never fail the bench line on the extra metric
+        print(f"stream_passthrough failed: {e}", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -75,6 +83,59 @@ def main() -> None:
             }
         )
     )
+
+
+def _stream_passthrough(spark, sf_dir: str) -> float:
+    """Route the whole events table through the streaming state machine;
+    returns elapsed seconds (throughput = n_events / elapsed)."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from hri_flink_validation_passthrough_spark.operators.passthrough import _derive_control
+    from hri_flink_validation_passthrough_spark.session import load_table
+    from hri_flink_validation_passthrough_spark.sources.envelope import events_as_records
+    from hri_flink_validation_passthrough_spark.streaming.topology import (
+        build_routed_stream,
+        start_memory_query,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    n_events = e.count()
+    tmp = tempfile.mkdtemp(prefix="hri_stream_bench_")
+    events_as_records(e).write.parquet(f"{tmp}/records")
+    ctrl = _derive_control(e)
+    ctrl_cols = [f for f in ctrl.columns]
+    ctrl.write.parquet(f"{tmp}/ctrl")
+
+    rec_schema = spark.read.parquet(f"{tmp}/records").schema
+    ctrl_schema = spark.read.parquet(f"{tmp}/ctrl").schema
+    records = spark.readStream.schema(rec_schema).parquet(f"{tmp}/records")
+    notifs = spark.readStream.schema(ctrl_schema).parquet(f"{tmp}/ctrl")
+    routed = build_routed_stream(records, notifs, completion_delay_ms=2000)
+    name = f"bench_{uuid.uuid4().hex[:8]}"
+    t0 = time.perf_counter()
+    q = start_memory_query(routed, name, f"{tmp}/ckpt")
+    try:
+        while True:
+            got = spark.sql(
+                f"SELECT count(*) FROM {name} WHERE dest = 'out'"
+            ).collect()[0][0]
+            if got >= n_events:
+                break
+            if time.perf_counter() - t0 > 300:
+                raise TimeoutError(f"only {got}/{n_events} routed")
+            time.sleep(0.25)
+        dt = time.perf_counter() - t0
+        print(
+            f"stream_passthrough: {n_events} records in {dt:.2f}s "
+            f"({n_events / dt:,.0f} rec/s)",
+            file=sys.stderr,
+        )
+        return dt
+    finally:
+        q.stop()
 
 
 if __name__ == "__main__":

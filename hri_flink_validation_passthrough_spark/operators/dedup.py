@@ -180,21 +180,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").repartition(par, "doc_id")
     s = _shingles(docs)  # doc_id, sh (distinct shingles)
 
-    # 64-permutation MinHash signature, all JVM-side. Hash each shingle
-    # STRING exactly once (the expensive part), then derive the 64
-    # permutations by re-hashing the resulting long — 64× cheaper than
-    # hashing the string per permutation.
+    # 64-permutation MinHash signature. Shingle STRINGS are hashed exactly
+    # once JVM-side (xxhash64); the 64 permutations are multiply-add over
+    # uint64 computed as one numpy matrix op per doc in an Arrow-batched
+    # pandas UDF — the expression-tree form (64 nested transforms) spends
+    # more time building arrays than hashing.
     base = s.select(
         "doc_id",
         F.transform(F.col("sh"), lambda g: F.xxhash64(g)).alias("hs"),
     )
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(63)),
-        lambda p: F.array_min(
-            F.transform(F.col("hs"), lambda h: F.xxhash64(h, p))
-        ),
-    )
-    signed = base.select("doc_id", sig.alias("sig"))
+    sig_udf = F.pandas_udf(_minhash_signature, "array<long>")
+    signed = base.select("doc_id", sig_udf("hs").alias("sig"))
 
     # 32 bands × 2 rows: band key = hash of the band's signature slice.
     bands = F.transform(
@@ -246,6 +242,27 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified.filter(jac >= 0.8).select(
         "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
     )
+
+
+# 64 deterministic odd multipliers/offsets for the MinHash permutation family
+# h_p(x) = (A[p]*x + B[p]) mod 2^64 over xxhash64-distributed inputs.
+_RNG = np.random.RandomState(0x5EED)
+_MH_A = (_RNG.randint(0, 2**63, size=64, dtype=np.uint64) * 2 + 1).astype(np.uint64)
+_MH_B = _RNG.randint(0, 2**63, size=64, dtype=np.uint64).astype(np.uint64)
+
+
+def _minhash_signature(hs: pd.Series) -> pd.Series:
+    """64-slot MinHash from pre-hashed shingles, one matrix op per doc."""
+    out = []
+    with np.errstate(over="ignore"):
+        for arr in hs:
+            a = np.asarray(arr, dtype=np.int64).view(np.uint64)
+            if a.size == 0:
+                out.append(np.full(64, np.iinfo(np.int64).max, dtype=np.int64))
+                continue
+            perms = a[:, None] * _MH_A[None, :] + _MH_B[None, :]  # mod 2^64
+            out.append(perms.min(axis=0).view(np.int64))
+    return pd.Series(out)
 
 
 def _simhash_from_hashes(hs: pd.Series) -> pd.Series:

@@ -1,0 +1,246 @@
+"""Scalar-function + grouping surface (SURVEY.md §2B: grouping sets, JSON /
+string / date / math functions, unpivot). All JVM-side builtins, all
+oracle-checked.
+
+Cross-engine gotchas handled here: DuckDB ``extract``/``count FILTER``
+return BIGINT (cast Spark side or oracle side to match), ``ceil``/``floor``
+return types differ (cast both to double), day-of-week numbering differs
+(avoided), and Spark's ``get_json_object`` ≈ DuckDB's
+``json_extract_string``."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import load_table, prepare
+from . import QuerySpec, register
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    prepare(spark)
+    return load_table(spark, sf_dir, name)
+
+
+@register(
+    QUERIES,
+    "grouping_sets_orders",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                            (o_orderstatus, o_orderpriority))
+    """,
+    doc="Explicit GROUPING SETS (finer than rollup/cube).",
+)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n,
+               round(sum(o_totalprice), 2) AS sum_price
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority))
+        """
+    )
+
+
+@register(
+    QUERIES,
+    "json_props_stats",
+    oracle="""
+    SELECT event_type,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                AS BIGINT)                                          AS sum_k,
+           round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4)
+                                                                    AS avg_k,
+           count(*) FILTER (WHERE CAST(json_extract_string(props, '$.k')
+                                       AS INTEGER) > 50)            AS n_high
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="JSON scalar extraction over the events.props column.",
+)
+def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.groupBy("event_type").agg(
+        F.sum(k).cast("long").alias("sum_k"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.count(F.when(k > 50, 1)).alias("n_high"),
+    )
+
+
+@register(
+    QUERIES,
+    "string_functions_showcase",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name)                       AS name_upper,
+           substr(p_type, 1, 5)                AS type_prefix,
+           CAST(length(p_name) AS BIGINT)      AS name_len,
+           concat_ws('-', p_brand, p_type)     AS brand_type,
+           replace(p_name, ' ', '_')           AS name_snake,
+           reverse(p_brand)                    AS brand_rev,
+           CAST(levenshtein(p_brand, 'Brand#11') AS BIGINT) AS brand_dist
+    FROM part
+    """,
+    doc="String scalar functions incl. levenshtein (identical in both engines).",
+)
+def string_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.levenshtein("p_brand", F.lit("Brand#11")).cast("long").alias("brand_dist"),
+    )
+
+
+@register(
+    QUERIES,
+    "date_functions_monthly",
+    oracle="""
+    SELECT CAST(extract(year FROM o_orderdate) AS BIGINT)    AS yr,
+           CAST(extract(month FROM o_orderdate) AS BIGINT)   AS mon,
+           CAST(extract(quarter FROM o_orderdate) AS BIGINT) AS qtr,
+           count(*)                                          AS n,
+           round(sum(o_totalprice), 2)                       AS sum_price
+    FROM orders
+    GROUP BY yr, mon, qtr
+    """,
+    doc="Date part extraction + monthly aggregation.",
+)
+def date_functions_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.month("o_orderdate").cast("long").alias("mon"),
+            F.quarter("o_orderdate").cast("long").alias("qtr"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+@register(
+    QUERIES,
+    "math_functions_showcase",
+    oracle="""
+    SELECT l_returnflag,
+           round(sqrt(sum(l_quantity)), 6)            AS sqrt_qty,
+           round(ln(sum(l_extendedprice)), 6)         AS ln_price,
+           round(pow(avg(l_discount), 2), 10)         AS disc_sq,
+           CAST(ceil(avg(l_extendedprice)) AS DOUBLE) AS ceil_avg,
+           CAST(floor(avg(l_extendedprice)) AS DOUBLE) AS floor_avg,
+           round(abs(min(l_discount) - max(l_discount)), 6) AS disc_range
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Math scalar functions over aggregates.",
+)
+def math_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.sqrt(F.sum("l_quantity")), 6).alias("sqrt_qty"),
+        F.round(F.log(F.sum("l_extendedprice")), 6).alias("ln_price"),
+        F.round(F.pow(F.avg("l_discount"), 2), 10).alias("disc_sq"),
+        F.ceil(F.avg("l_extendedprice")).cast("double").alias("ceil_avg"),
+        F.floor(F.avg("l_extendedprice")).cast("double").alias("floor_avg"),
+        F.round(F.abs(F.min("l_discount") - F.max("l_discount")), 6).alias(
+            "disc_range"
+        ),
+    )
+
+
+@register(
+    QUERIES,
+    "unpivot_lineitem_measures",
+    oracle="""
+    WITH agg AS (
+      SELECT l_returnflag,
+             round(sum(l_quantity), 2)      AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_price
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM agg
+    UNION ALL
+    SELECT l_returnflag, 'sum_price' AS measure, sum_price AS value FROM agg
+    """,
+    doc="Unpivot (wide→long) via the native unpivot operator; oracle UNION ALL.",
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    agg = l.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+    return agg.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_price"], "measure", "value"
+    )
+
+
+@register(
+    QUERIES,
+    "percentile_events",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6)  AS p50,
+           round(quantile_cont(value, 0.95), 6) AS p95,
+           round(median(value), 6)              AS med
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Exact percentiles (Spark percentile == DuckDB quantile_cont, both "
+    "linear interpolation). approx_percentile is the sketch variant at "
+    "scale; the exact form is the oracle-checkable one.",
+)
+def percentile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("med"),
+    )
+
+
+@register(
+    QUERIES,
+    "case_when_value_buckets",
+    oracle="""
+    SELECT CASE WHEN value < 10 THEN 'lo'
+                WHEN value < 100 THEN 'mid'
+                ELSE 'hi' END AS bucket,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY bucket, event_type
+    """,
+    doc="CASE bucketing histogram.",
+)
+def case_when_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    bucket = (
+        F.when(F.col("value") < 10, "lo")
+        .when(F.col("value") < 100, "mid")
+        .otherwise("hi")
+    )
+    return e.groupBy(bucket.alias("bucket"), "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )

@@ -129,6 +129,62 @@ def stream_sliding_2h_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     QUERIES,
+    "stream_dedup_exact",
+    oracle="""
+    SELECT event_type, count(DISTINCT event_id) AS n_unique
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Streaming exact dedup: a duplicated feed (stream unioned with "
+    "itself) deduped on event_id with keyed state, then counted. Production "
+    "uses dropDuplicatesWithinWatermark to bound the state; the unbounded "
+    "form is used here for a deterministic oracle over a finite replay.",
+)
+def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events_stream(spark, sf_dir)
+    doubled = e.unionByName(_events_stream(spark, sf_dir))  # duplicate feed
+    deduped = doubled.dropDuplicates(["event_id"])
+    agg = deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_unique")
+    )
+    return _run_to_table(agg, "dedupstream")
+
+
+@register(
+    QUERIES,
+    "stream_static_join_nation",
+    oracle="""
+    SELECT n_name,
+           count(*)             AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    JOIN customer ON c_custkey = user_id
+    JOIN nation   ON n_nationkey = c_nationkey
+    GROUP BY n_name
+    """,
+    doc="Stream-static join: the event stream enriched against the static "
+    "customer/nation dims (broadcast per microbatch) — the streaming form "
+    "of dimension enrichment.",
+)
+def stream_static_join_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import load_table
+
+    e = _events_stream(spark, sf_dir)
+    spark = e.sparkSession
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    joined = e.join(F.broadcast(c), e.user_id == c.c_custkey).join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    )
+    agg = joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    return _run_to_table(agg, "streamstatic")
+
+
+@register(
+    QUERIES,
     "stream_session_windows",
     oracle="""
     WITH flagged AS (
