@@ -112,7 +112,7 @@ def _replay_vectorized(pdf: pd.DataFrame, machine: BatchStateMachine, batch_id):
     - otherwise       → every row routes to .out; the only state change is
       processed += n and at most one sendCompleted-overage failure.
     """
-    from ..model import COMPLETED, FAILED, SEND_COMPLETED, TERMINATED
+    from ..model import COMPLETED, SEND_COMPLETED, TERMINATED
 
     st = BatchState(batch_id=batch_id or "")
     parts: list[tuple[pd.DataFrame, str, bytes | None]] = []  # slice, dest, body

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions import fingerprint_md5, normalized_text
+from ..functions import fingerprint_md5
 from ..plans import QuerySpec, register
 from ..session import load_table, prepare
 

@@ -1,0 +1,84 @@
+"""Custom-validator injection through the STREAMING path — the reference's
+extension point (Validator.isValid, PassthroughValidator.java:18-25,
+README.md:49): a rejecting validator routes to .invalid with the failure
+body and trips the invalid-threshold failure."""
+
+from __future__ import annotations
+
+import json
+import time
+import uuid
+
+import pytest
+
+from pyspark.sql import types as T
+
+from hri_flink_validation_passthrough_spark.model import (
+    HRI_RECORD_SCHEMA,
+    NOTIFICATION_SCHEMA,
+)
+from hri_flink_validation_passthrough_spark.streaming.topology import (
+    build_routed_stream,
+    start_memory_query,
+)
+
+CTRL_SCHEMA = T.StructType(
+    list(NOTIFICATION_SCHEMA.fields)
+    + [T.StructField("time_ms", T.LongType()), T.StructField("seq", T.LongType())]
+)
+REC_SCHEMA = T.StructType(
+    list(HRI_RECORD_SCHEMA.fields)
+    + [T.StructField("time_ms", T.LongType()), T.StructField("seq", T.LongType())]
+)
+
+
+def test_custom_validator_and_threshold_in_streaming(spark, tmp_path):
+    def reject_odd_keys(key, value, headers):
+        # defined inside the test → cloudpickle serializes it BY VALUE, so
+        # executors don't need the test module importable
+        if int(key.decode()) % 2 == 1:
+            return False, f"odd key {key.decode()} rejected"
+        return True, None
+
+    data_dir, ctrl_dir, ckpt = (
+        str(tmp_path / "d"), str(tmp_path / "c"), str(tmp_path / "k"),
+    )
+    base = {f.name: None for f in NOTIFICATION_SCHEMA.fields}
+    started = dict(base, id="B", status="started", invalidThreshold=3)
+    spark.createDataFrame(
+        [tuple(started[f.name] for f in NOTIFICATION_SCHEMA.fields) + (0, 0)],
+        CTRL_SCHEMA,
+    ).write.parquet(ctrl_dir)
+    recs = [
+        (str(i).encode(), b"v", [("batchId", b"B")], "t", 1, i, 100 + i, i)
+        for i in range(10)  # 5 odd keys > threshold 3 → batch fails
+    ]
+    spark.createDataFrame(recs, REC_SCHEMA).write.parquet(data_dir)
+
+    routed = build_routed_stream(
+        spark.readStream.schema(REC_SCHEMA).parquet(data_dir),
+        spark.readStream.schema(CTRL_SCHEMA).parquet(ctrl_dir),
+        completion_delay_ms=60_000,
+        validator=reject_odd_keys,
+    )
+    name = f"val_{uuid.uuid4().hex[:8]}"
+    q = start_memory_query(routed, name, ckpt)
+    try:
+        t0 = time.time()
+        while time.time() - t0 < 30:
+            rows = spark.sql(f"SELECT * FROM {name}").collect()
+            if len(rows) >= 11:
+                break
+            time.sleep(0.4)
+        else:
+            pytest.fail(f"timeout; rows={len(rows)}")
+    finally:
+        q.stop()
+
+    out = [r for r in rows if r.dest == "out"]
+    inv = [r for r in rows if r.dest == "invalid"]
+    notifs = [json.loads(bytes(r.value)) for r in rows if r.dest == "notification"]
+    assert sorted(bytes(r.key).decode() for r in out) == ["0", "2", "4", "6", "8"]
+    assert len(inv) == 5
+    assert json.loads(bytes(inv[0].value))["failure"].endswith("rejected")
+    assert [n["status"] for n in notifs] == ["failed"]  # threshold 3 < 4th invalid
