@@ -196,6 +196,30 @@ def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     QUERIES,
+    "array_functions_showcase",
+    oracle="""
+    SELECT l_returnflag,
+           list_sort(list(DISTINCT l_linestatus))            AS statuses,
+           CAST(len(list(DISTINCT l_linestatus)) AS BIGINT)  AS n_statuses,
+           list_sort(list(DISTINCT l_linestatus))[1]         AS first_status
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Array functions: collect_set → sort_array → element_at "
+    "(deterministic despite collect order).",
+)
+def array_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    statuses = F.sort_array(F.collect_set("l_linestatus"))
+    return l.groupBy("l_returnflag").agg(
+        statuses.alias("statuses"),
+        F.size(F.collect_set("l_linestatus")).cast("long").alias("n_statuses"),
+        F.element_at(statuses, 1).alias("first_status"),
+    )
+
+
+@register(
+    QUERIES,
     "percentile_events",
     oracle="""
     SELECT event_type,

@@ -110,16 +110,32 @@ def run_validation_job(spark: SparkSession, config):
     notifs = read_notifications_stream(
         spark, topics.notification, config.brokers, config.password
     )
+    lookup = None
+    notifier = None
+    if config.mgmt:
+        from .lookup import MgmtApiBatchLookup, MgmtApiBatchNotifier, OAuthTokenProvider
+
+        # tenant id per reference convention: ingest.<tenant>.<stream>.in
+        tenant = topics.input.split(".")[1]
+        tokens = OAuthTokenProvider(
+            config.mgmt["oauth_url"],
+            config.mgmt["client_id"],
+            config.mgmt["client_secret"],
+            config.mgmt["audience"],
+        )
+        lookup = MgmtApiBatchLookup(config.mgmt["mgmt_url"], tenant, tokens)
+        notifier = MgmtApiBatchNotifier(config.mgmt["mgmt_url"], tenant, tokens)
     routed = build_routed_stream(
         records,
         notifs,
         completion_delay_ms=config.batch_completion_delay_ms,
-        lookup=None,  # mgmt mode would inject a Management-API lookup here
+        lookup=lookup,
     )
     writer = kafka_fanout_writer(
         topics,
         ",".join(config.brokers),
         extra_options=kafka_security_options(config.password),
+        notifier=notifier,
     )
     return (
         routed.writeStream.foreachBatch(writer)

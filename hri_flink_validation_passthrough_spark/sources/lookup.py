@@ -75,6 +75,67 @@ class OAuthTokenProvider:
         return self._token
 
 
+class MgmtApiBatchNotifier:
+    """Op 16, mgmt mode: terminal batch transitions go through Management API
+    PUTs (which owns the notification topic) instead of the job writing the
+    topic directly (PassthroughStreamingJob.java:71-86, SURVEY.md §2A op 16).
+
+    Endpoints follow the HRI Management API action shape:
+    ``PUT <mgmt>/tenants/<t>/batches/<id>/action/processingComplete`` with
+    ``{actualRecordCount, invalidRecordCount}`` and ``.../action/fail`` with
+    a failure message.
+    """
+
+    def __init__(
+        self,
+        mgmt_url: str,
+        tenant_id: str,
+        token_provider: "OAuthTokenProvider | None" = None,
+        timeout_s: float = 10.0,
+    ):
+        self.mgmt_url = mgmt_url.rstrip("/")
+        self.tenant_id = tenant_id
+        self.tokens = token_provider
+        self.timeout_s = timeout_s
+
+    def _put(self, batch_id: str, action: str, body: dict) -> None:
+        url = (
+            f"{self.mgmt_url}/tenants/{urllib.parse.quote(self.tenant_id)}"
+            f"/batches/{urllib.parse.quote(str(batch_id))}/action/{action}"
+        )
+        headers = {"Content-Type": "application/json"}
+        if self.tokens is not None:
+            headers["Authorization"] = f"Bearer {self.tokens.token()}"
+        req = urllib.request.Request(
+            url, data=json.dumps(body).encode(), headers=headers, method="PUT"
+        )
+        with urllib.request.urlopen(req, timeout=self.timeout_s):
+            pass
+
+    def notify(self, notification: dict) -> None:
+        """Dispatch one job-emitted terminal notification to the API."""
+        status = notification.get("status")
+        if status == "completed":
+            self._put(
+                notification["id"],
+                "processingComplete",
+                {
+                    "actualRecordCount": notification.get("recordCount"),
+                    "invalidRecordCount": notification.get("invalidRecordCount", 0),
+                },
+            )
+        elif status == "failed":
+            self._put(
+                notification["id"],
+                "fail",
+                {
+                    "actualRecordCount": notification.get("recordCount"),
+                    "invalidRecordCount": notification.get("invalidRecordCount", 0),
+                    "failureMessage": notification.get("failureMessage", "batch failed"),
+                },
+            )
+
+
 class MgmtApiBatchLookup:
     """GET <mgmt-url>/tenants/<tenant>/batches/<batchId> with bearer auth.
 

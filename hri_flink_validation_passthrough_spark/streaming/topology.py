@@ -272,19 +272,37 @@ def start_memory_query(routed: DataFrame, name: str, checkpoint: str):
     )
 
 
-def kafka_fanout_writer(topics, brokers: str, extra_options: dict | None = None):
+def kafka_fanout_writer(
+    topics,
+    brokers: str,
+    extra_options: dict | None = None,
+    notifier=None,
+):
     """foreachBatch writer: one atomic-per-microbatch fan-out to the three
     topics (avoids three independent queries sharing state). At-least-once
-    per topic; see module docstring for the cross-topic contract."""
+    per topic; see module docstring for the cross-topic contract.
+
+    ``notifier`` (mgmt mode, op 16): terminal transitions are PUT to the
+    Management API — which owns the notification topic — instead of the job
+    writing that topic directly. Standalone mode (notifier=None) writes the
+    topic itself."""
 
     def write(batch_df: DataFrame, epoch_id: int) -> None:
         batch_df.persist()
         try:
-            for dest, topic in (
-                ("out", topics.output),
-                ("invalid", topics.invalid),
-                ("notification", topics.notification),
-            ):
+            if notifier is not None:
+                import json as _json
+
+                for row in (
+                    batch_df.filter(F.col("dest") == "notification")
+                    .select("value")
+                    .collect()
+                ):
+                    notifier.notify(_json.loads(bytes(row.value)))
+            dests = [("out", topics.output), ("invalid", topics.invalid)]
+            if notifier is None:
+                dests.append(("notification", topics.notification))
+            for dest, topic in dests:
                 part = batch_df.filter(F.col("dest") == dest).select(
                     "key", "value", "headers"
                 )

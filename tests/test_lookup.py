@@ -25,6 +25,7 @@ BATCH = {"id": "batch-42", "status": "started", "name": "n"}
 
 class _Handler(BaseHTTPRequestHandler):
     tokens_issued = 0
+    puts: list = []
 
     def do_POST(self):  # oauth token endpoint
         type(self).tokens_issued += 1
@@ -33,6 +34,13 @@ class _Handler(BaseHTTPRequestHandler):
         self.send_header("Content-Type", "application/json")
         self.end_headers()
         self.wfile.write(body)
+
+    def do_PUT(self):  # mgmt batch action endpoint (op 16)
+        assert self.headers.get("Authorization") == "Bearer tok-123"
+        n = int(self.headers.get("Content-Length", 0))
+        type(self).puts.append((self.path, json.loads(self.rfile.read(n))))
+        self.send_response(200)
+        self.end_headers()
 
     def do_GET(self):  # mgmt batches endpoint
         assert self.headers.get("Authorization") == "Bearer tok-123"
@@ -83,6 +91,24 @@ def test_lookup_wired_into_state_machine(server):
     out2 = Outputs()
     out2.extend(m.on_data(st2, b"k", b"v", [], 10))
     assert [r.dest for r in out2.routed] == ["invalid"]  # 404 → unknown
+
+
+def test_mgmt_notifier_puts_terminal_transitions(server):
+    from hri_flink_validation_passthrough_spark.sources.lookup import MgmtApiBatchNotifier
+
+    tokens = OAuthTokenProvider(server, "cid", "secret", "aud")
+    notifier = MgmtApiBatchNotifier(server, "porcupine", tokens)
+    _Handler.puts.clear()
+    notifier.notify({"id": "batch-42", "status": "completed", "recordCount": 15})
+    notifier.notify({"id": "batch-43", "status": "failed", "recordCount": 17})
+    notifier.notify({"id": "batch-44", "status": "started"})  # non-terminal: no PUT
+    paths = [p for p, _ in _Handler.puts]
+    assert paths == [
+        "/tenants/porcupine/batches/batch-42/action/processingComplete",
+        "/tenants/porcupine/batches/batch-43/action/fail",
+    ]
+    assert _Handler.puts[0][1]["actualRecordCount"] == 15
+    assert "failureMessage" in _Handler.puts[1][1]
 
 
 def test_map_lookup_double():

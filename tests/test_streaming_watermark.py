@@ -1,0 +1,80 @@
+"""Watermark semantics (SURVEY.md §2B 'streaming watermarks'): append-mode
+windowed aggregation emits a window only after the watermark passes its end,
+and drops events arriving later than the allowed lateness."""
+
+from __future__ import annotations
+
+import time
+import uuid
+from datetime import datetime
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def test_watermark_closes_windows_and_drops_late(spark, tmp_path):
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "ts timestamp, v long"
+
+    def write_chunk(rows):
+        spark.createDataFrame(
+            [(datetime(2024, 1, 1, h, m), v) for h, m, v in rows], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    # chunk 1: events in hour 10
+    write_chunk([(10, 5, 1), (10, 20, 1)])
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("ws"), "n"
+        )
+    )
+    name = f"wm_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+
+    def rows():
+        return {r.ws: r.n for r in spark.sql(f"SELECT * FROM {name}").collect()}
+
+    def wait_for(cond, msg, timeout=30):
+        t0 = time.time()
+        while time.time() - t0 < timeout:
+            if cond(rows()):
+                return
+            time.sleep(0.3)
+        pytest.fail(f"timeout: {msg}; sink={rows()}")
+
+    try:
+        q.processAllAvailable()
+        assert rows() == {}, "hour-10 window must stay open (watermark not past)"
+
+        # chunk 2 advances event time to hour 12 → watermark 11:30 → the
+        # hour-10 window closes and emits
+        write_chunk([(12, 0, 1)])
+        wait_for(lambda r: "2024-01-01 10:00:00" in r, "hour-10 window emitted")
+        assert rows()["2024-01-01 10:00:00"] == 2
+
+        # a straggler inside the closed hour-10 window is LATE (10:40 <
+        # watermark 11:30) and must be dropped, not re-emitted
+        write_chunk([(10, 40, 1)])
+        # advance watermark far enough to close hour 12 as well
+        write_chunk([(14, 0, 1)])
+        wait_for(lambda r: "2024-01-01 12:00:00" in r, "hour-12 window emitted")
+        assert rows()["2024-01-01 10:00:00"] == 2, "late event must be dropped"
+    finally:
+        q.stop()
