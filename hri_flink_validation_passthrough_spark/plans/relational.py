@@ -596,6 +596,44 @@ def events_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     QUERIES,
+    "range_join_event_pairs",
+    oracle="""
+    SELECT a.event_id AS event_a, b.event_id AS event_b, a.user_id
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     AND epoch_ms(b.ts) >  epoch_ms(a.ts)
+     AND epoch_ms(b.ts) <= epoch_ms(a.ts) + 300000
+    """,
+    doc=(
+        "Interval join: pairs of same-user events within 5 minutes, via the "
+        "bucketized range join (operators/rangejoin.py) — hash join on "
+        "(key, time-bucket), no per-key row explosion."
+    ),
+)
+def range_join_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rangejoin import range_join
+
+    e = _t(spark, sf_dir, "events")
+    a = e.select(
+        F.col("event_id").alias("event_a"),
+        F.col("user_id"),
+        F.unix_millis("ts").alias("ta"),
+    )
+    b = e.select(
+        F.col("event_id").alias("event_b"),
+        F.col("user_id"),
+        F.unix_millis("ts").alias("tb"),
+    )
+    joined = range_join(
+        a, b, key="user_id", left_time_ms="ta", right_time_ms="tb",
+        lower_ms=0, upper_ms=300_000,
+    )
+    return joined.select("event_a", "event_b", "user_id")
+
+
+@register(
+    QUERIES,
     "asof_latest_order_per_event",
     oracle="""
     WITH m AS (

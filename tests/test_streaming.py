@@ -161,6 +161,36 @@ def test_streaming_unknown_batch_and_overcount(spark, stream_env):
     assert len(_dest(r, "out")) == 5
 
 
+def test_streaming_multi_batch_interleaving(spark, stream_env):
+    """IVT multi-batch scenario (spec.rb:134-227): two interleaved batches,
+    each tracked independently, both complete with their own counts."""
+    q, rows, wait_for, write_ctrl, write_recs = stream_env
+
+    write_ctrl([_notif_row("started", bid="batch-B", t=10, seq=2)])
+    # interleave records of batch-42 (fixture-started) and batch-B
+    write_recs(
+        [_rec_row(i) for i in range(0, 10, 2)]
+        + [_rec_row(i, bid=b"batch-B") for i in range(1, 10, 2)]
+    )
+    wait_for(lambda r: len(_dest(r, "out")) == 10, msg="10 routed")
+    write_ctrl(
+        [
+            _notif_row("sendCompleted", expected=5, t=200, seq=3),
+            _notif_row("sendCompleted", bid="batch-B", expected=5, t=201, seq=4),
+        ]
+    )
+    r = wait_for(lambda r: len(_notifs(r)) == 2, msg="both batches complete")
+    by_id = {n["id"]: n for n in _notifs(r)}
+    assert set(by_id) == {"batch-42", "batch-B"}
+    assert all(n["status"] == "completed" for n in by_id.values())
+    assert all(n["recordCount"] == 5 for n in by_id.values())
+    # every routed record kept its own batchId header
+    for x in _dest(r, "out"):
+        bid = dict((h.key, bytes(h.value)) for h in x.headers)["batchId"]
+        expected = b"batch-42" if int(bytes(x.key)) % 2 == 0 else b"batch-B"
+        assert bid == expected
+
+
 def test_streaming_terminate_drops_later_records(spark, stream_env):
     q, rows, wait_for, write_ctrl, write_recs = stream_env
 
