@@ -634,6 +634,62 @@ def range_join_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     QUERIES,
+    "events_topk_users_salted",
+    oracle="""
+    SELECT user_id,
+           count(*)             AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY total_value DESC, user_id
+    LIMIT 10
+    """,
+    doc=(
+        "Skew-safe two-phase aggregation: salt the key into 16 sub-keys, "
+        "partial-aggregate, merge partials. Same result as the direct "
+        "groupBy (same oracle) — this is the manual form of what AQE "
+        "skew-handling does, for when one key dominates at 100 TB."
+    ),
+)
+def events_topk_users_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    salted = e.withColumn("salt", F.pmod(F.hash("event_id"), F.lit(16)))
+    partial = salted.groupBy("user_id", "salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum("value").alias("pv"),
+    )
+    return (
+        partial.groupBy("user_id")
+        .agg(
+            F.sum("pn").alias("n_events"),
+            F.round(F.sum("pv"), 2).alias("total_value"),
+        )
+        .orderBy(F.desc("total_value"), "user_id")
+        .limit(10)
+    )
+
+
+@register(
+    QUERIES,
+    "sketch_cardinalities",
+    oracle=None,  # HLL/KLL sketches are engine-specific; rows-only check
+    doc=(
+        "Approximate sketches for 100 TB-scale profiling: HyperLogLog "
+        "distinct counts and approx percentiles (sub-1% error, constant "
+        "memory). Exact twins: supplier_part_stats / percentile_events."
+    ),
+)
+def sketch_cardinalities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.approx_count_distinct("event_id").alias("approx_events"),
+        F.percentile_approx("value", 0.95).alias("approx_p95"),
+    )
+
+
+@register(
+    QUERIES,
     "asof_latest_order_per_event",
     oracle="""
     WITH m AS (
