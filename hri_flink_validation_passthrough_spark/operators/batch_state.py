@@ -310,4 +310,13 @@ class BatchStateMachine:
             # straggler overage within the delay window (spec.rb:320-356);
             # the record was already routed above — routing is decoupled.
             self._fail(st, out)
+        elif (
+            st.status == SEND_COMPLETED
+            and st.expected is not None
+            and 0 < st.expected == st.processed
+        ):
+            # count caught UP to an earlier sendCompleted (cross-topic
+            # ordering gives no record/notification ordering guarantee —
+            # SURVEY.md §7 hard part 1): arm the completion timer now.
+            st.deadline_ms = (now_ms or 0) + self.delay_ms
         return out

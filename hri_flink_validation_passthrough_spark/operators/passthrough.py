@@ -138,6 +138,23 @@ def _replay_vectorized(pdf: pd.DataFrame, machine: BatchStateMachine, batch_id):
                 (block, "invalid", failure_body("Batch is already completed"))
             )
             return
+        if st.status == SEND_COMPLETED and st.expected is not None:
+            # the count can catch UP to expected mid-block: the row-wise core
+            # arms the completion timer at the crossing row, so split there —
+            # the tail re-enters with the deadline armed (and may either
+            # overflow → failed, or start past the deadline → completed).
+            to_expected = st.expected - st.processed
+            if 0 < to_expected < n:
+                head, tail = block.iloc[:to_expected], block.iloc[to_expected:]
+                parts.append((head, "out", None))
+                st.processed += to_expected
+                if st.expected > 0:
+                    t_arm = _none_if_nan(head["time_ms"].iloc[-1])
+                    st.deadline_ms = (
+                        int(t_arm) if t_arm is not None else 0
+                    ) + machine.delay_ms
+                flush_block(tail)
+                return
         parts.append((block, "out", None))
         p0 = st.processed
         st.processed = p0 + n
@@ -154,6 +171,17 @@ def _replay_vectorized(pdf: pd.DataFrame, machine: BatchStateMachine, batch_id):
             machine._fail(st, out)
             notifs.extend(out.notifications)
             st.processed = final
+        elif (
+            st.status == SEND_COMPLETED
+            and st.expected is not None
+            and 0 < st.expected == st.processed
+        ):
+            # block ended exactly at the expected count → timer armed at the
+            # last row's time (mirrors on_data catch-up arming)
+            t_arm = _none_if_nan(block["time_ms"].iloc[-1])
+            st.deadline_ms = (
+                int(t_arm) if t_arm is not None else 0
+            ) + machine.delay_ms
 
     kinds = pdf["kind"].to_numpy()
     control_pos = [i for i, k in enumerate(kinds) if k == "control"]

@@ -188,6 +188,27 @@ def test_late_records_after_completed_go_invalid():
     assert len(outs(o, "out")) == 15 and len(outs(o, "invalid")) == 15
 
 
+def test_count_catchup_after_send_completed_completes():
+    """sendCompleted may be observed BEFORE the last records (no cross-topic
+    ordering): the timer must arm when the count catches up."""
+    ev = [("c", started(), 0)] + [("d", i, 10 + i) for i in range(10)]
+    ev.append(("c", send_completed(expected=15), 50))  # count not yet matched
+    ev += [("d", i, 100 + i) for i in range(10, 15)]  # catch-up
+    st, o = run(ev)
+    assert st.status == COMPLETED and statuses(o) == [COMPLETED]
+    assert len(outs(o, "out")) == 15
+    assert o.notifications[0]["recordCount"] == 15
+
+
+def test_count_catchup_then_overage_fails():
+    ev = [("c", started(), 0)] + [("d", i, 10 + i) for i in range(10)]
+    ev.append(("c", send_completed(expected=15), 50))
+    ev += [("d", i, 100 + i) for i in range(10, 17)]  # catches up then +2
+    st, o = run(ev)
+    assert st.status == FAILED and statuses(o) == [FAILED]
+    assert len(outs(o, "out")) == 17  # still all routed
+
+
 def test_zero_record_batch_emits_nothing():
     st, o = run([("c", started(), 0), ("c", send_completed(expected=1), 10)])
     assert statuses(o) == [] and not o.routed
