@@ -93,13 +93,27 @@ def _replay_rowwise(pdf: pd.DataFrame, machine: BatchStateMachine, batch_id):
     return pd.DataFrame(outputs_to_rows(outs, batch_id), columns=_OUT_COLS)
 
 
-def _replay_vectorized(pdf: pd.DataFrame, machine: BatchStateMachine, batch_id):
+def _replay_vectorized(
+    pdf: pd.DataFrame,
+    machine: BatchStateMachine,
+    batch_id,
+    st: BatchState | None = None,
+    now_ms: int | None = None,
+    end_input: bool = True,
+):
     """Passthrough fast path: control rows still go one-by-one through the
     core, but runs of data rows between controls are routed in BULK (pandas
     slices, no per-row Python). Valid ONLY for the passthrough validator with
     no external lookup — the per-row path covers everything else. The
     differential property test (tests/test_replay_equivalence.py) pins this
     to the row-wise reference on randomized scenarios.
+
+    Two time modes:
+    - batch replay (``now_ms=None``): logical time = each row's ``time_ms``,
+      armed deadlines can fire mid-stream, ``end_input`` fires leftovers;
+    - streaming (``now_ms`` set): every row shares the trigger's processing
+      time, so an armed deadline can never fire inside the same invocation
+      (deadline = now + delay > now) and the caller owns real timers.
 
     Why bulk routing is sound (given passthrough + no lookup):
     - unknown batch   → every row of the run is invalid(UNKNOWN), no counts;
@@ -109,24 +123,33 @@ def _replay_vectorized(pdf: pd.DataFrame, machine: BatchStateMachine, batch_id):
       before any data (→ completed, run handled above); otherwise the first
       row overflows the matched count, fails the batch and CLEARS the timer,
       so no later row in the run can fire it;
+    - count catch-up  → split at the crossing row (batch mode) so the armed
+      deadline governs the tail;
     - otherwise       → every row routes to .out; the only state change is
       processed += n and at most one sendCompleted-overage failure.
     """
     from ..model import COMPLETED, SEND_COMPLETED, TERMINATED
 
-    st = BatchState(batch_id=batch_id or "")
+    if st is None:
+        st = BatchState(batch_id=batch_id or "")
     parts: list[tuple[pd.DataFrame, str, bytes | None]] = []  # slice, dest, body
     notifs: list[dict] = []
+
+    def _block_now(block: pd.DataFrame, idx: int) -> int | None:
+        if now_ms is not None:
+            return now_ms
+        t = _none_if_nan(block["time_ms"].iloc[idx])
+        return int(t) if t is not None else None
 
     def flush_block(block: pd.DataFrame) -> None:
         n = len(block)
         if n == 0:
             return
         if st.deadline_ms is not None:
-            t0 = _none_if_nan(block["time_ms"].iloc[0])
-            if t0 is not None and int(t0) >= st.deadline_ms:
+            t0 = _block_now(block, 0)
+            if t0 is not None and t0 >= st.deadline_ms:
                 out = Outputs()
-                machine.advance_time(st, int(t0), out)  # fires → completed
+                machine.advance_time(st, t0, out)  # fires → completed
                 notifs.extend(out.notifications)
         if not st.known:
             parts.append((block, "invalid", failure_body(UNKNOWN_BATCH_FAILURE)))
@@ -138,7 +161,11 @@ def _replay_vectorized(pdf: pd.DataFrame, machine: BatchStateMachine, batch_id):
                 (block, "invalid", failure_body("Batch is already completed"))
             )
             return
-        if st.status == SEND_COMPLETED and st.expected is not None:
+        if (
+            st.status == SEND_COMPLETED
+            and st.expected is not None
+            and now_ms is None  # streaming: constant now → no mid-block fire
+        ):
             # the count can catch UP to expected mid-block: the row-wise core
             # arms the completion timer at the crossing row, so split there —
             # the tail re-enters with the deadline armed (and may either
@@ -149,10 +176,8 @@ def _replay_vectorized(pdf: pd.DataFrame, machine: BatchStateMachine, batch_id):
                 parts.append((head, "out", None))
                 st.processed += to_expected
                 if st.expected > 0:
-                    t_arm = _none_if_nan(head["time_ms"].iloc[-1])
-                    st.deadline_ms = (
-                        int(t_arm) if t_arm is not None else 0
-                    ) + machine.delay_ms
+                    t_arm = _block_now(head, -1)
+                    st.deadline_ms = (t_arm or 0) + machine.delay_ms
                 flush_block(tail)
                 return
         parts.append((block, "out", None))
@@ -178,10 +203,8 @@ def _replay_vectorized(pdf: pd.DataFrame, machine: BatchStateMachine, batch_id):
         ):
             # block ended exactly at the expected count → timer armed at the
             # last row's time (mirrors on_data catch-up arming)
-            t_arm = _none_if_nan(block["time_ms"].iloc[-1])
-            st.deadline_ms = (
-                int(t_arm) if t_arm is not None else 0
-            ) + machine.delay_ms
+            t_arm = _block_now(block, -1)
+            st.deadline_ms = (t_arm or 0) + machine.delay_ms
 
     kinds = pdf["kind"].to_numpy()
     control_pos = [i for i, k in enumerate(kinds) if k == "control"]
@@ -189,15 +212,20 @@ def _replay_vectorized(pdf: pd.DataFrame, machine: BatchStateMachine, batch_id):
     for c in control_pos:
         flush_block(pdf.iloc[pos:c])
         row = pdf.iloc[c]
-        now = _none_if_nan(row["time_ms"])
+        if now_ms is not None:
+            now = now_ms
+        else:
+            t = _none_if_nan(row["time_ms"])
+            now = int(t) if t is not None else None
         notif = {k: _none_if_nan(v) for k, v in dict(row["notification"]).items()}
         out = Outputs()
-        out.extend(machine.on_control(st, notif, int(now) if now is not None else None))
+        out.extend(machine.on_control(st, notif, now))
         notifs.extend(out.notifications)
         pos = c + 1
     flush_block(pdf.iloc[pos:])
-    eoi = machine.end_of_input(st)
-    notifs.extend(eoi.notifications)
+    if end_input:
+        eoi = machine.end_of_input(st)
+        notifs.extend(eoi.notifications)
 
     frames = []
     for block, dest, body in parts:

@@ -101,7 +101,11 @@ def lifecycle_with_group_state(
 ):
     """Returns the (key, pdf_iter, state) function for applyInPandasWithState."""
 
+    fast = validator is passthrough_validator and lookup is None
+
     def fn(key, pdf_iter, state) -> Iterator[pd.DataFrame]:
+        from ..operators.passthrough import _replay_vectorized
+
         machine = BatchStateMachine(completion_delay_ms, validator, lookup)
         batch_id = key[0] if key else None
         stored = state.getOption  # property in the GroupState API
@@ -120,18 +124,31 @@ def lifecycle_with_group_state(
             return
 
         now = state.getCurrentProcessingTimeMs()
-        outs = Outputs()
-        for pdf in pdf_iter:
-            _apply_rows(machine, st, pdf, now, outs)
+        frames: list[pd.DataFrame] = []
+        if fast:
+            # bulk routing (same vectorized core as the batch replay, with
+            # the trigger's processing time as the constant clock)
+            for pdf in pdf_iter:
+                out_pdf = _replay_vectorized(
+                    _sorted_rows(pdf), machine, batch_id,
+                    st=st, now_ms=now, end_input=False,
+                )
+                if len(out_pdf):
+                    frames.append(out_pdf)
+        else:
+            outs = Outputs()
+            for pdf in pdf_iter:
+                _apply_rows(machine, st, pdf, now, outs)
+            rows = outputs_to_rows(outs, batch_id)
+            if rows:
+                frames.append(pd.DataFrame(rows, columns=_OUT_COLS))
 
         state.update((json.dumps(st.to_dict()),))
         # Spark clears the key's timeout each time this function runs —
         # re-arm from state unconditionally.
         if st.deadline_ms is not None:
             state.setTimeoutDuration(max(1, st.deadline_ms - now))
-        rows = outputs_to_rows(outs, batch_id)
-        if rows:
-            yield pd.DataFrame(rows, columns=_OUT_COLS)
+        yield from frames
 
     return fn
 
