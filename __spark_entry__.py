@@ -23,7 +23,14 @@ def _all_specs() -> dict[str, QuerySpec]:
     specs.update(scalar.QUERIES)
     modules = [
         f"hri_flink_validation_passthrough_spark.operators.{m}"
-        for m in ("passthrough", "dedup", "similarity", "text", "multimodal")
+        for m in (
+            "passthrough",
+            "passthrough_relational",
+            "dedup",
+            "similarity",
+            "text",
+            "multimodal",
+        )
     ] + ["hri_flink_validation_passthrough_spark.streaming.windows"]
     for modpath in modules:
         try:

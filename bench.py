@@ -27,8 +27,9 @@ HEADLINE = [
     "top3_orders_per_customer",
     "events_sessionize",
     "asof_latest_order_per_event",
-    # reference-parity pipeline
+    # reference-parity pipeline (state-machine and pure-DataFrame forms)
     "passthrough_route",
+    "passthrough_route_relational",
     # LLM-data operators
     "dedup_minhash_lsh",
     "dedup_exact",

@@ -1,0 +1,279 @@
+"""Relational (pure-DataFrame) batch replay of the passthrough pipeline.
+
+The state machine (operators/batch_state.py) is the parity-faithful,
+event-at-a-time implementation. THIS module is the 100 TB plan for batch
+replay: record routing stays entirely JVM-side — one window over
+(batchId, time) plus a broadcast join against per-batch outcomes — so no
+payload byte ever crosses the Python boundary and Tungsten/codegen handle
+the full record volume.
+
+Scope: the canonical control pattern (≤1 started, ≤1 sendCompleted, ≤1
+terminated per batch — what production producers emit; arbitrary control
+sequences fall back to `run_pipeline_batch`). Timer semantics are encoded as
+time algebra:
+
+- ``processed_at_sc``   = #records ordered before sendCompleted
+- ``t_expected/t_over`` = times of the expected-th / (expected+1)-th record
+- armed deadline        = max(sc_t, t_expected) + delay
+- failed                = overage at sendCompleted, or t_over < deadline
+- completed_t           = deadline when armed, not failed, not terminated
+- routing               = unknown → invalid; rt ≥ term_t → dropped;
+                          rt ≥ completed_t → invalid(late); else out
+
+Equivalence with the state machine is pinned by registering the SAME DuckDB
+oracles for both implementations (tests/test_oracle_parity.py), i.e. the
+two engines and the oracle agree on every scenario query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..model import COMPLETED, FAILED, SEND_COMPLETED, STARTED, TERMINATED, UNKNOWN_BATCH_FAILURE
+from ..plans import QuerySpec, register
+from ..session import load_table, prepare
+from ..sources.envelope import events_as_records
+from .passthrough import _derive_control, _summarize
+
+QUERIES: dict[str, QuerySpec] = {}
+
+def _big():
+    return F.lit(2**62).cast("long")  # +infinity stand-in for time comparisons
+
+
+def _outcomes(records: DataFrame, controls: DataFrame, delay_ms: int) -> DataFrame:
+    """Per-batch outcome table: (batch_id, term_t, completed_t,
+    final_status). ``records``: envelope rows with batch_id/time_ms/seq;
+    ``controls``: notification columns + time_ms/seq."""
+    ctrl = controls.groupBy(F.col("id").alias("batch_id")).agg(
+        F.min(F.when(F.col("status") == STARTED, F.col("time_ms"))).alias("started_t"),
+        F.min(F.when(F.col("status") == SEND_COMPLETED, F.col("time_ms"))).alias("sc_t_raw"),
+        F.max(
+            F.when(F.col("status") == SEND_COMPLETED, F.col("expectedRecordCount"))
+        ).alias("expected_raw"),
+        F.min(F.when(F.col("status") == TERMINATED, F.col("time_ms"))).alias("term_t"),
+    )
+    ctrl = ctrl.withColumn(
+        "sc_t",
+        F.when(
+            F.col("term_t").isNotNull() & (F.col("sc_t_raw") >= F.col("term_t")),
+            F.lit(None),
+        ).otherwise(F.col("sc_t_raw")),
+    ).withColumn(
+        "expected",
+        F.when(F.col("sc_t").isNull(), F.lit(None)).otherwise(F.col("expected_raw")),
+    ).select("batch_id", "started_t", "sc_t", "expected", "term_t")
+
+    r = records.select("batch_id", "time_ms", "seq").join(
+        F.broadcast(ctrl), "batch_id", "left"
+    )
+    eligible = F.col("term_t").isNull() | (F.col("time_ms") < F.col("term_t"))
+    w = (
+        Window.partitionBy("batch_id")
+        .orderBy("time_ms", "seq")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    r = r.withColumn("cnt", F.sum(F.when(eligible, 1).otherwise(0)).over(w))
+    agg = r.groupBy("batch_id").agg(
+        F.count(F.when(eligible & (F.col("time_ms") < F.col("sc_t")), 1)).alias(
+            "processed_at_sc"
+        ),
+        F.min(
+            F.when(eligible & (F.col("cnt") == F.col("expected")), F.col("time_ms"))
+        ).alias("t_expected"),
+        F.min(
+            F.when(eligible & (F.col("cnt") == F.col("expected") + 1), F.col("time_ms"))
+        ).alias("t_over"),
+    )
+    o = ctrl.join(agg, "batch_id", "left")
+
+    failed_at_sc = F.col("sc_t").isNotNull() & (
+        F.col("processed_at_sc") > F.col("expected")
+    )
+    armed = (
+        F.col("sc_t").isNotNull()
+        & (F.col("expected") > 0)
+        & ~failed_at_sc
+        & F.col("t_expected").isNotNull()
+    )
+    deadline = F.greatest(F.col("sc_t"), F.col("t_expected")) + F.lit(delay_ms)
+    failed_in_window = armed & F.col("t_over").isNotNull() & (
+        F.col("t_over") < deadline
+    )
+    completed = armed & ~failed_in_window & F.col("term_t").isNull()
+    return o.select(
+        "batch_id",
+        "term_t",
+        F.when(completed, deadline).alias("completed_t"),
+        F.when(failed_at_sc | failed_in_window, F.lit(FAILED))
+        .when(completed, F.lit(COMPLETED))
+        .alias("final_status"),
+    )
+
+
+def route_records_relational(
+    records: DataFrame, controls: DataFrame, delay_ms: int = 5000
+) -> DataFrame:
+    """records: envelope-shaped (batch_id, time_ms, seq, key, value, headers)
+    where batch_id may be null/unknown; controls: notification columns +
+    time_ms/seq. Returns ROUTED_SCHEMA-shaped rows (data + one notification
+    row per terminal batch) — all JVM-side."""
+    outcomes = _outcomes(records, controls, delay_ms)
+    known_ids = controls.select(F.col("id").alias("batch_id")).distinct()
+    rec = records.join(F.broadcast(known_ids.withColumn("known", F.lit(True))), "batch_id", "left")
+    rec = rec.join(F.broadcast(outcomes), "batch_id", "left")
+
+    unknown_body = F.encode(
+        F.lit('{"failure": "%s"}' % UNKNOWN_BATCH_FAILURE), "UTF-8"
+    )
+    late_body = F.encode(F.lit('{"failure": "Batch is already completed"}'), "UTF-8")
+    term_t = F.coalesce(F.col("term_t"), _big())
+    completed_t = F.coalesce(F.col("completed_t"), _big())
+
+    dest = (
+        F.when(F.col("known").isNull(), F.lit("invalid"))
+        .when(F.col("time_ms") >= term_t, F.lit("dropped"))
+        .when(F.col("time_ms") >= completed_t, F.lit("invalid"))
+        .otherwise(F.lit("out"))
+    )
+    value = (
+        F.when(F.col("known").isNull(), unknown_body)
+        .when(F.col("time_ms") >= completed_t, late_body)
+        .otherwise(F.col("value"))
+    )
+    routed = (
+        rec.withColumn("dest", dest)
+        .filter(F.col("dest") != "dropped")
+        .select("dest", "batch_id", "key", value.alias("value"), "headers")
+    )
+    notifications = outcomes.filter(F.col("final_status").isNotNull()).select(
+        F.lit("notification").alias("dest"),
+        "batch_id",
+        F.encode(F.col("batch_id"), "UTF-8").alias("key"),
+        F.encode(
+            F.to_json(F.struct(F.col("batch_id").alias("id"), F.col("final_status").alias("status"))),
+            "UTF-8",
+        ).alias("value"),
+        F.array().cast("array<struct<key:string,value:binary>>").alias("headers"),
+    )
+    return routed.unionByName(notifications)
+
+
+# ---------------------------------------------------------------------------
+# scenario queries — SAME oracles as the state-machine versions
+# ---------------------------------------------------------------------------
+def _routed_events(spark: SparkSession, sf_dir: str, **ctrl_kw) -> DataFrame:
+    prepare(spark)
+    e = load_table(spark, sf_dir, "events")
+    recs = events_as_records(e)
+    from ..sources.envelope import batch_id_from_headers
+
+    recs = recs.withColumn("batch_id", batch_id_from_headers())
+    ctrl = _derive_control(e, **ctrl_kw)
+    return route_records_relational(recs, ctrl, delay_ms=5000)
+
+
+@register(
+    QUERIES,
+    "passthrough_route_relational",
+    oracle="""
+    SELECT event_type            AS batch_id,
+           count(*)              AS n_out,
+           CAST(0 AS BIGINT)     AS n_invalid,
+           'completed'           AS final_status
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Happy path through the PURE-DataFrame routing plan (no Python on "
+    "the record path) — same oracle as passthrough_route, so the state "
+    "machine, the relational plan, and DuckDB all agree.",
+)
+def passthrough_route_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _summarize(_routed_events(spark, sf_dir))
+
+
+@register(
+    QUERIES,
+    "passthrough_overcount_relational",
+    oracle="""
+    SELECT event_type AS batch_id,
+           count(*)   AS n_out,
+           CASE WHEN event_type = 'click' THEN 'failed' ELSE 'completed' END
+             AS final_status
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Overcount→failed via the relational plan (same oracle as the state "
+    "machine's passthrough_overcount).",
+)
+def passthrough_overcount_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
+    routed = _routed_events(spark, sf_dir, expected_delta={"click": -5})
+    return _summarize(routed).select("batch_id", "n_out", "final_status")
+
+
+@register(
+    QUERIES,
+    "passthrough_terminate_relational",
+    oracle="""
+    WITH v AS (
+      SELECT epoch_ms(ts) AS ms,
+             row_number() OVER (ORDER BY ts, event_id) AS rn
+      FROM events WHERE event_type = 'view'
+    )
+    SELECT event_type AS batch_id,
+           CAST(CASE WHEN event_type = 'view'
+                THEN (SELECT count(*) FROM v WHERE ms < (SELECT ms FROM v WHERE rn = 100))
+                ELSE count(*) END AS BIGINT) AS n_out,
+           CASE WHEN event_type = 'view' THEN NULL ELSE 'completed' END
+             AS final_status
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Terminate via the relational plan (same oracle as the state "
+    "machine's passthrough_terminate).",
+)
+def passthrough_terminate_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    e = load_table(spark, sf_dir, "events")
+    w = Window.orderBy("ts", "event_id")  # scenario construction only
+    cutoff = (
+        e.filter(F.col("event_type") == "view")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 100)
+        .select(F.unix_millis("ts").alias("time_ms"))
+    )
+    term = cutoff.select(
+        F.lit("view").alias("id"),
+        F.lit("view").alias("name"),
+        F.lit("ingest.t.events.in").alias("topic"),
+        F.lit("events").alias("dataType"),
+        F.lit(-1).alias("invalidThreshold"),
+        F.lit(TERMINATED).alias("status"),
+        F.lit(None).cast("int").alias("expectedRecordCount"),
+        "time_ms",
+        F.lit(0).cast("long").alias("seq"),
+    )
+    ctrl = _derive_control(e).unionByName(term)
+    from ..sources.envelope import batch_id_from_headers
+
+    recs = events_as_records(e).withColumn("batch_id", batch_id_from_headers())
+    routed = route_records_relational(recs, ctrl, delay_ms=5000)
+    return _summarize(routed).select("batch_id", "n_out", "final_status")
+
+
+@register(
+    QUERIES,
+    "passthrough_unknown_relational",
+    oracle="""
+    SELECT event_type AS batch_id,
+           CAST(CASE WHEN event_type = 'error' THEN 0 ELSE count(*) END AS BIGINT) AS n_out,
+           CAST(CASE WHEN event_type = 'error' THEN count(*) ELSE 0 END AS BIGINT) AS n_invalid,
+           CASE WHEN event_type = 'error' THEN NULL ELSE 'completed' END AS final_status
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Unknown-batch routing via the relational plan.",
+)
+def passthrough_unknown_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _summarize(_routed_events(spark, sf_dir, exclude=["error"]))
