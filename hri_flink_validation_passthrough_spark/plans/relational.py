@@ -634,6 +634,103 @@ def range_join_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     QUERIES,
+    "q4_priority_with_late_items",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape: EXISTS-semi-join feeding an aggregation.",
+)
+def q4_priority_with_late_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    late = l.join(
+        o.select("o_orderkey", "o_orderdate"), l.l_orderkey == F.col("o_orderkey")
+    ).filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+    return (
+        o.join(late.select("l_orderkey").distinct(), o.o_orderkey == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@register(
+    QUERIES,
+    "q18_large_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total_price,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderkey, o_custkey, total_price
+    HAVING sum(l_quantity) > 150
+    """,
+    doc="TPC-H Q18 shape: join + aggregation + HAVING on the aggregate.",
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 2).alias("total_price"),
+        )
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.sum("l_quantity").alias("_raw_qty"),  # HAVING on the raw agg
+        )
+        .filter(F.col("_raw_qty") > 150)
+        .drop("_raw_qty")
+    )
+
+
+@register(
+    QUERIES,
+    "q22_wealthy_inactive_customers",
+    oracle="""
+    SELECT c_nationkey,
+           count(*)                  AS n_cust,
+           round(sum(c_acctbal), 2)  AS total_bal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+    GROUP BY c_nationkey
+    """,
+    doc="TPC-H Q22 shape: scalar subquery threshold + NOT EXISTS anti-join.",
+)
+def q22_wealthy_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    )
+    threshold = (
+        c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("thr"))
+    )
+    return (
+        c.crossJoin(F.broadcast(threshold))  # scalar subquery, no collect()
+        .filter(F.col("c_acctbal") > F.col("thr"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+@register(
+    QUERIES,
     "events_topk_users_salted",
     oracle="""
     SELECT user_id,

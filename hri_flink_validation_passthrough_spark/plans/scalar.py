@@ -196,6 +196,35 @@ def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     QUERIES,
+    "udtf_tokenize",
+    oracle="""
+    SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+    FROM documents
+    WHERE doc_id < 50
+    """,
+    doc="Python UDTF (Spark 3.5+/4 table function) exploding documents into "
+    "token rows via LATERAL — the UDTF surface of SURVEY §2B.",
+)
+def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="token string")
+    class Tokenize:
+        def eval(self, text: str):
+            for t in (text or "").strip().lower().split():
+                yield (t,)
+
+    prepare(spark)
+    spark.udtf.register("tokenize_udtf", Tokenize)
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    d.createOrReplaceTempView("docs_udtf")
+    return spark.sql(
+        "SELECT doc_id, token FROM docs_udtf, LATERAL tokenize_udtf(text)"
+    )
+
+
+@register(
+    QUERIES,
     "array_functions_showcase",
     oracle="""
     SELECT l_returnflag,
