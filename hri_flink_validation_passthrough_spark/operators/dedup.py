@@ -321,6 +321,92 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     QUERIES,
+    "dedup_clusters",
+    oracle="""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      FROM t WHERE len(toks) >= 3
+    ), e AS (
+      SELECT doc_id, unnest(sh) AS g FROM s
+    ), shared_counts AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+      FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT doc_a, doc_b
+      FROM shared_counts
+      JOIN (SELECT doc_id, len(sh) AS n FROM s) sa ON sa.doc_id = doc_a
+      JOIN (SELECT doc_id, len(sh) AS n FROM s) sb ON sb.doc_id = doc_b
+      WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5
+    ), edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+      UNION SELECT doc_a, doc_a FROM pairs
+      UNION SELECT doc_b, doc_b FROM pairs
+    ), reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a
+    )
+    SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
+    """,
+    doc="Near-dup clustering: connected components over the Jaccard≥0.5 "
+    "pair graph via iterative min-label propagation (converges in "
+    "O(diameter) joins — the Spark form of an iterative graph algorithm); "
+    "oracle is a recursive-CTE transitive closure.",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    pairs = _jaccard_pairs(load_table(spark, sf_dir, "documents"), 0.5).select(
+        "doc_a", "doc_b"
+    )
+    edges = (
+        pairs.selectExpr("doc_a AS a", "doc_b AS b")
+        .unionByName(pairs.selectExpr("doc_b AS a", "doc_a AS b"))
+        .distinct()
+        .cache()
+    )
+    # min-label propagation to fixpoint: label(v) ← min(label(v),
+    # min(label(u)) over neighbors u). Pair graphs from near-dup detection
+    # have tiny diameters, so this converges in a handful of joins.
+    labels = edges.select(F.col("a").alias("v"), F.col("a").alias("lbl")).distinct()
+    for _ in range(20):  # safety bound >> expected diameter
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.v)
+            .groupBy(edges.a)
+            .agg(F.min("lbl").alias("nlbl"))
+            .select(F.col("a").alias("v"), "nlbl")
+        )
+        new_labels = (
+            labels.join(neighbor_min, "v", "left")
+            .select(
+                "v",
+                F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias(
+                    "lbl"
+                ),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "v")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.cache()
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("v").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+
+
+@register(
+    QUERIES,
     "dedup_embedding_cosine",
     oracle="""
     WITH v AS (
