@@ -407,6 +407,44 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     QUERIES,
+    "dedup_removal_list",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      FROM t WHERE len(toks) >= 3
+    ), e AS (
+      SELECT doc_id, unnest(sh) AS g FROM s
+    ), shared_counts AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+      FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT doc_a, doc_b
+      FROM shared_counts
+      JOIN (SELECT doc_id, len(sh) AS n FROM s) sa ON sa.doc_id = doc_a
+      JOIN (SELECT doc_id, len(sh) AS n FROM s) sb ON sb.doc_id = doc_b
+      WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5
+    )
+    SELECT DISTINCT doc_b AS removed_doc_id FROM pairs
+    """,
+    doc="End-to-end near-dup REMOVAL decision: greedy keep-lowest-id — a "
+    "doc is removed iff it near-matches (Jaccard≥0.5) any lower doc_id. "
+    "This is the materialized 'which rows do we delete from the corpus' "
+    "answer a 100 TB pipeline writes back.",
+)
+def dedup_removal_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    pairs = _jaccard_pairs(load_table(spark, sf_dir, "documents"), 0.5)
+    return pairs.select(F.col("doc_b").alias("removed_doc_id")).distinct()
+
+
+@register(
+    QUERIES,
     "dedup_embedding_cosine",
     oracle="""
     WITH v AS (
