@@ -47,6 +47,10 @@ def main() -> None:
     from hri_flink_validation_passthrough_spark.session import build_session
 
     spark = build_session("hri_spark_bench", cpus=cpus)
+    # Silence executor/scheduler WARN chatter (TaskKilled storms from the
+    # streaming-query shutdown land asynchronously and previously buried the
+    # final JSON line — BENCH_r01.json had parsed:null).
+    spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as entrymod
 
@@ -89,17 +93,35 @@ def main() -> None:
         print(f"stream_passthrough failed: {e}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    line = json.dumps(result)
+
+    # Sidecar copy so the number survives even if stdout gets corrupted.
+    try:
+        side = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_result.json")
+        with open(side, "w") as fh:
+            fh.write(line + "\n")
+    except OSError:
+        pass
+
+    # Let any in-flight async executor log lines land, then mute everything
+    # and emit the JSON as the absolute last output of the process. os._exit
+    # skips JVM shutdown hooks whose log output could trail the JSON.
+    time.sleep(2)
+    try:
+        spark.sparkContext.setLogLevel("OFF")
+    except Exception:
+        pass
+    sys.stderr.flush()
+    print(line, flush=True)
+    sys.stdout.flush()
+    os._exit(0)
 
 
 def _stream_passthrough(spark, sf_dir: str) -> float:

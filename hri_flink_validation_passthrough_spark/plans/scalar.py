@@ -198,9 +198,12 @@ def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     QUERIES,
     "udtf_tokenize",
     oracle="""
-    SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
-    FROM documents
-    WHERE doc_id < 50
+    SELECT doc_id, token FROM (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+      FROM documents
+      WHERE doc_id < 50
+    ) WHERE token <> ''
     """,
     doc="Python UDTF (Spark 3.5+/4 table function) exploding documents into "
     "token rows via LATERAL — the UDTF surface of SURVEY §2B.",
@@ -228,20 +231,22 @@ def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_functions_showcase",
     oracle="""
     SELECT l_returnflag,
-           list_sort(list(DISTINCT l_linestatus))            AS statuses,
+           array_to_string(list_sort(list(DISTINCT l_linestatus)), ',')
+                                                             AS statuses,
            CAST(len(list(DISTINCT l_linestatus)) AS BIGINT)  AS n_statuses,
            list_sort(list(DISTINCT l_linestatus))[1]         AS first_status
     FROM lineitem
     GROUP BY l_returnflag
     """,
-    doc="Array functions: collect_set → sort_array → element_at "
-    "(deterministic despite collect order).",
+    doc="Array functions: collect_set → sort_array → element_at → array_join. "
+    "The array is serialized to csv for output: the driver canonicalizer "
+    "sorts columns pre-hash and cannot hash ndarray cells.",
 )
 def array_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
     statuses = F.sort_array(F.collect_set("l_linestatus"))
     return l.groupBy("l_returnflag").agg(
-        statuses.alias("statuses"),
+        F.array_join(statuses, ",").alias("statuses"),
         F.size(F.collect_set("l_linestatus")).cast("long").alias("n_statuses"),
         F.element_at(statuses, 1).alias("first_status"),
     )

@@ -34,8 +34,11 @@ RUNTIME_CONF: dict[str, str] = {
     # testdata events.parquet stores TIMESTAMP(NANOS); Spark reads it as a
     # long we convert in load_table (DuckDB truncates nanos→micros the same).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
-    # ANSI off: mirror classic SQL null-on-overflow semantics that the DuckDB
-    # oracle comparison tolerates; we never rely on silent overflow.
+    # ANSI off: Spark 4 defaults ansi.enabled=true (strict cast/overflow/
+    # element_at). We want classic null-on-bad-cast semantics so expressions
+    # like get_json_object(...).cast('int') behave like DuckDB TRY_CAST-ish
+    # oracle comparisons; we never rely on silent overflow.
+    "spark.sql.ansi.enabled": "false",
 }
 
 
