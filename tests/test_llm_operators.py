@@ -54,6 +54,48 @@ def test_multimodal_empty_blob(spark):
     assert rows[3].byte_len == 3 and rows[3].first_byte == ord("a")
 
 
+def test_srp_lsh_equals_brute_force_on_synthetic_near_dups(spark):
+    """The SF data has no pairs at cosine ≥ 0.95, so the oracle check of
+    dedup_embedding_srp_lsh is vacuous there. This drives the SRP plan with a
+    corpus that DOES contain near-dups (base vectors + small perturbations)
+    and pins it to the exact all-pairs answer."""
+    import numpy as np
+
+    from hri_flink_validation_passthrough_spark.functions import cosine_similarity
+    from hri_flink_validation_passthrough_spark.operators.dedup import srp_lsh_pairs
+
+    rng = np.random.RandomState(7)
+    rows = []
+    vid = 0
+    for _ in range(20):  # 20 groups of near-dups
+        base = rng.standard_normal(64)
+        for _ in range(3):  # base + 2 noisy copies → 3 pairs per group
+            noisy = base + 0.05 * rng.standard_normal(64)
+            rows.append((vid, [float(x) for x in noisy]))
+            vid += 1
+    for _ in range(40):  # unrelated background vectors
+        rows.append((vid, [float(x) for x in rng.standard_normal(64)]))
+        vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, e array<double>")
+
+    got = {
+        (r.vec_a, r.vec_b, r.cos_sim)
+        for r in srp_lsh_pairs(emb, threshold=0.95).collect()
+    }
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
+    cos = cosine_similarity(F.col("ea"), F.col("eb"))
+    brute = {
+        (r.vec_a, r.vec_b, r.cos_sim)
+        for r in a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .filter(cos >= 0.95)
+        .select("vec_a", "vec_b", F.round(cos, 6).alias("cos_sim"))
+        .collect()
+    }
+    assert len(brute) >= 20  # the synthetic corpus really has near-dups
+    assert got == brute
+
+
 def test_knn_self_excluded_and_k(spark):
     from hri_flink_validation_passthrough_spark.operators.similarity import (
         TOP_K,
