@@ -89,14 +89,28 @@ def documents_as_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id,
            CAST(strlen(text) AS BIGINT)                 AS byte_len,
-           CAST(ascii(substr(text, 1, 1)) AS BIGINT)    AS first_byte,
-           CAST(1 + strlen(text) // 1024 AS BIGINT)     AS n_frames
+           -- first UTF-8 *byte* (the decoder sees bytes, not code points):
+           -- derive it from the first code point's UTF-8 leading byte
+           CAST(CASE
+             WHEN strlen(text) = 0 THEN -1
+             WHEN ascii(substr(text, 1, 1)) < 128
+               THEN ascii(substr(text, 1, 1))
+             WHEN ascii(substr(text, 1, 1)) < 2048
+               THEN 192 + ascii(substr(text, 1, 1)) // 64
+             WHEN ascii(substr(text, 1, 1)) < 65536
+               THEN 224 + ascii(substr(text, 1, 1)) // 4096
+             ELSE 240 + ascii(substr(text, 1, 1)) // 262144
+           END AS BIGINT)                               AS first_byte,
+           CAST(CASE WHEN strlen(text) = 0 THEN 0
+                     ELSE 1 + strlen(text) // 1024 END AS BIGINT) AS n_frames
     FROM documents
     """,
     doc="Binary-column feature extraction through mapInPandas (Arrow batch "
     "iterator); fake decoder derives features from bytes so the full "
     "plumbing is oracle-checked (checksum column omitted from the oracle "
-    "comparison; asserted in unit tests).",
+    "comparison; asserted in unit tests). first_byte is the first UTF-8 "
+    "BYTE on both sides (the oracle derives the leading byte from the code "
+    "point), and empty docs yield n_frames=0 on both sides.",
 )
 def multimodal_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)

@@ -106,8 +106,11 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
     )
     return (
+        # No broadcast hint on customer: at 100× scale a forced broadcast of a
+        # GB-size table OOMs executors. The optimizer (size stats + AQE)
+        # broadcasts it when small — asserted in tests/test_plans.py.
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", _fmt_ts("o_orderdate").alias("order_date"), "o_orderpriority")
         .agg(
             F.round(
@@ -148,10 +151,13 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     l = _t(spark, sf_dir, "lineitem")
     return (
+        # nation/region are true bounded dims → keep the broadcast hint.
+        # customer/supplier grow with SF → no hint; the optimizer broadcasts
+        # while they fit and falls back to shuffle join at scale.
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (l.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey),
         )
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
@@ -228,7 +234,7 @@ def q10_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)  # optimizer-chosen strategy (see q3)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(

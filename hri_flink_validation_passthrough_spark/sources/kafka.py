@@ -24,12 +24,17 @@ from ..streaming.topology import build_routed_stream, kafka_fanout_writer
 
 def kafka_security_options(password: str | None) -> dict[str, str]:
     """SASL_SSL/PLAIN with user 'token' — the reference's Event Streams
-    client config (flink_validation_passthrough_spec.rb:38)."""
+    client config (flink_validation_passthrough_spec.rb:38).
+
+    The password is interpolated into a JAAS config string, whose grammar
+    treats backslashes and double quotes specially — escape them so a
+    password containing either can't corrupt (or inject into) the config."""
     if not password:
         return {}
+    escaped = password.replace("\\", "\\\\").replace('"', '\\"')
     jaas = (
         "org.apache.kafka.common.security.plain.PlainLoginModule required "
-        f'username="token" password="{password}";'
+        f'username="token" password="{escaped}";'
     )
     return {
         "kafka.security.protocol": "SASL_SSL",

@@ -142,6 +142,12 @@ class MgmtApiBatchLookup:
     404 → None (the 'unknown batchId' path, op 6); transport errors raise so
     the stateful operator can retry on the next record rather than
     mis-classifying a live batch as unknown.
+
+    Positive results are cached forever (a batch's identity never changes);
+    404s are cached only for ``negative_ttl_s`` — a record can arrive BEFORE
+    its batch is registered in the Management API, and a permanent negative
+    cache would poison that batchId as 'unknown' for the executor's lifetime
+    (the reference lookup re-queries).
     """
 
     def __init__(
@@ -150,16 +156,24 @@ class MgmtApiBatchLookup:
         tenant_id: str,
         token_provider: OAuthTokenProvider | None = None,
         timeout_s: float = 10.0,
+        negative_ttl_s: float = 30.0,
     ):
         self.mgmt_url = mgmt_url.rstrip("/")
         self.tenant_id = tenant_id
         self.tokens = token_provider
         self.timeout_s = timeout_s
-        self._cache: dict[str, dict | None] = {}
+        self.negative_ttl_s = negative_ttl_s
+        self._cache: dict[str, dict] = {}
+        self._neg_cache: dict[str, float] = {}  # batch_id → miss timestamp
 
     def __call__(self, batch_id: str) -> dict | None:
         if batch_id in self._cache:
             return self._cache[batch_id]
+        miss_at = self._neg_cache.get(batch_id)
+        if miss_at is not None:
+            if time.time() - miss_at < self.negative_ttl_s:
+                return None
+            del self._neg_cache[batch_id]  # TTL elapsed → re-query
         url = (
             f"{self.mgmt_url}/tenants/{urllib.parse.quote(self.tenant_id)}"
             f"/batches/{urllib.parse.quote(str(batch_id))}"
@@ -173,8 +187,8 @@ class MgmtApiBatchLookup:
                 result = json.loads(resp.read())
         except urllib.error.HTTPError as e:
             if e.code == 404:
-                result = None
-            else:
-                raise
+                self._neg_cache[batch_id] = time.time()
+                return None
+            raise
         self._cache[batch_id] = result
         return result

@@ -42,9 +42,17 @@ class _Handler(BaseHTTPRequestHandler):
         self.send_response(200)
         self.end_headers()
 
+    late_registered = False  # flips on when 'late-batch' becomes known
+
     def do_GET(self):  # mgmt batches endpoint
         assert self.headers.get("Authorization") == "Bearer tok-123"
-        if self.path.endswith("/batches/batch-42"):
+        if self.path.endswith("/batches/late-batch") and type(self).late_registered:
+            body = json.dumps({**BATCH, "id": "late-batch"}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(body)
+        elif self.path.endswith("/batches/batch-42"):
             body = json.dumps(BATCH).encode()
             self.send_response(200)
             self.send_header("Content-Type", "application/json")
@@ -75,6 +83,50 @@ def test_mgmt_lookup_hit_miss_and_cache(server):
     before = _Handler.tokens_issued
     assert lk("batch-42") == BATCH and lk("nope") is None
     assert _Handler.tokens_issued == before
+
+
+def test_mgmt_lookup_negative_cache_expires(server, monkeypatch):
+    """A 404 must not poison the batchId forever: a record can arrive before
+    its batch is registered; after the negative TTL the lookup re-queries."""
+    tokens = OAuthTokenProvider(server, "cid", "secret", "aud")
+    lk = MgmtApiBatchLookup(server, "porcupine", tokens, negative_ttl_s=30.0)
+    calls = {"n": 0}
+    real_urlopen = __import__("urllib.request", fromlist=["urlopen"]).urlopen
+
+    def counting_urlopen(req, timeout=None):
+        calls["n"] += 1
+        return real_urlopen(req, timeout=timeout)
+
+    import hri_flink_validation_passthrough_spark.sources.lookup as lookup_mod
+
+    monkeypatch.setattr(lookup_mod.urllib.request, "urlopen", counting_urlopen)
+    assert lk("late-batch") is None  # 404 → negative-cached
+    n_after_first = calls["n"]
+    assert lk("late-batch") is None  # within TTL → no new request
+    assert calls["n"] == n_after_first
+    # simulate TTL expiry, then the lookup re-queries (batch now registered)
+    lk._neg_cache["late-batch"] -= 31.0
+    _Handler.late_registered = True
+    try:
+        assert lk("late-batch") is not None  # re-queried and found
+    finally:
+        _Handler.late_registered = False
+    assert calls["n"] > n_after_first
+    # positive result is now permanent
+    n = calls["n"]
+    assert lk("late-batch") is not None
+    assert calls["n"] == n
+
+
+def test_jaas_password_escaping():
+    from hri_flink_validation_passthrough_spark.sources.kafka import (
+        kafka_security_options,
+    )
+
+    jaas = kafka_security_options('p"w\\d;x')["kafka.sasl.jaas.config"]
+    # the quote and backslash are escaped; the literal `";` terminator appears
+    # exactly once (config cannot be truncated/injected mid-password)
+    assert 'password="p\\"w\\\\d;x";' in jaas
 
 
 def test_lookup_wired_into_state_machine(server):

@@ -44,14 +44,18 @@ def test_q1_column_pruning(plans):
     assert "l_quantity" in read and "l_discount" in read
 
 
-def test_q3_broadcasts_customer_dim(plans):
+def test_q3_optimizer_broadcasts_customer_when_small(plans):
+    # No F.broadcast hint on customer anymore (a forced broadcast OOMs at
+    # 100x scale) — this asserts the OPTIMIZER still picks broadcast at this
+    # SF from size stats, so intent is pinned without the scale hazard.
     assert "BroadcastHashJoin" in plans["q3"]
     assert "PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)" in plans["q3"]
 
 
 def test_q5_all_dims_broadcast(plans):
-    # customer, supplier, nation, region all broadcast; only the fact-fact
-    # join (lineitem-orders) may shuffle
+    # nation/region broadcast by hint; customer/supplier broadcast by
+    # optimizer choice at this SF; only the fact-fact join (lineitem-orders)
+    # may shuffle
     assert plans["q5"].count("BroadcastHashJoin") >= 4
 
 
