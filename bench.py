@@ -33,6 +33,8 @@ HEADLINE = [
     # LLM-data operators
     "dedup_minhash_lsh",
     "dedup_exact",
+    "dedup_clusters",
+    "dedup_embedding_srp_lsh",
     "knn_brute_force",
     "ann_ivf_topk",
     "text_quality_score",

@@ -15,6 +15,9 @@ from hri_flink_validation_passthrough_spark.model import (
     HRI_RECORD_SCHEMA,
     NOTIFICATION_SCHEMA,
 )
+from hri_flink_validation_passthrough_spark.streaming.monitor import (
+    StreamingHealthMonitor,
+)
 from hri_flink_validation_passthrough_spark.streaming.topology import (
     build_routed_stream,
 )
@@ -43,9 +46,53 @@ def _rec_row(i):
             [("batchId", b"batch-42")], "t", 1, i, 100 + i, i)
 
 
+def test_health_monitor_catches_failing_query(spark, tmp_path):
+    """flink_job.rb:51-54 parity: the monitor must surface a root exception
+    from a dying job (there: polled from the REST API; here: pushed via
+    onQueryTerminated)."""
+    from pyspark.sql import functions as F
+
+    mon = StreamingHealthMonitor()
+    spark.streams.addListener(mon)
+    src = str(tmp_path / "src")
+    spark.range(10).coalesce(1).write.parquet(src)
+
+    def boom(v):  # defined inside the test: module-level fns don't unpickle
+        raise ValueError("intentional failure")
+
+    boom_udf = F.udf(boom, "long")
+    try:
+        q = (
+            spark.readStream.schema("id long")
+            .parquet(src)
+            .select(boom_udf("id").alias("x"))
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .start()
+        )
+        with pytest.raises(Exception):
+            q.awaitTermination(60)
+            raise RuntimeError("query should have failed")
+        deadline = time.time() + 20
+        while time.time() < deadline and not mon.failed:
+            time.sleep(0.3)
+        assert mon.failed
+        with pytest.raises(RuntimeError, match="failed"):
+            mon.assert_healthy()
+        assert not mon.clean_stop(q.runId)
+    finally:
+        spark.streams.removeListener(mon)
+
+
 def test_restart_from_checkpoint_no_loss_no_dup(spark, tmp_path):
     data_dir, ctrl_dir = str(tmp_path / "d"), str(tmp_path / "c")
     ckpt, out_dir = str(tmp_path / "k"), str(tmp_path / "out")
+
+    # health monitor — parity with the reference's Flink REST monitor thread
+    # (flink_job.rb:47-66): fail on root exceptions, observe checkpoint
+    # (microbatch) progress across the kill/restart cycle
+    mon = StreamingHealthMonitor()
+    spark.streams.addListener(mon)
 
     def write_ctrl(rows):
         spark.createDataFrame(rows, CTRL_SCHEMA).coalesce(1).write.mode(
@@ -102,6 +149,22 @@ def test_restart_from_checkpoint_no_loss_no_dup(spark, tmp_path):
         msg="all 15 records + terminal notification after restart",
     )
     q2.stop()
+
+    # the monitor saw committed microbatches for both incarnations, no root
+    # exceptions, and clean terminations (flink_job.rb monitor semantics)
+    try:
+        deadline = time.time() + 20
+        while time.time() < deadline and not (
+            mon.clean_stop(q.runId) and mon.clean_stop(q2.runId)
+        ):
+            time.sleep(0.3)  # termination events are async on the event bus
+        mon.assert_healthy()
+        assert not mon.failed
+        assert mon.progress_count(q.runId) > 0
+        assert mon.progress_count(q2.runId) > 0
+        assert mon.clean_stop(q.runId) and mon.clean_stop(q2.runId)
+    finally:
+        spark.streams.removeListener(mon)
 
     out = [r for r in rows if r.dest == "out"]
     keys = sorted(bytes(r.key).decode() for r in out)
