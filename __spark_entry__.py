@@ -16,11 +16,16 @@ from hri_flink_validation_passthrough_spark.plans import QuerySpec
 
 
 def _all_specs() -> dict[str, QuerySpec]:
-    from hri_flink_validation_passthrough_spark.plans import relational, scalar
+    from hri_flink_validation_passthrough_spark.plans import (
+        relational,
+        scalar,
+        tpch_extra,
+    )
 
     specs: dict[str, QuerySpec] = {}
     specs.update(relational.QUERIES)
     specs.update(scalar.QUERIES)
+    specs.update(tpch_extra.QUERIES)
     # Registration order == the driver's execution order. Cheap batch modules
     # run before the expensive dedup/streaming tails so a truncated driver
     # budget cuts the costly end, not untested coverage (round-1 lesson:
