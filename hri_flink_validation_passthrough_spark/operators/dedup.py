@@ -115,18 +115,72 @@ def _jaccard_pairs_capped(s: DataFrame, threshold: float, df_cap: int = DF_CAP) 
     path for clusters/removal; `_jaccard_pairs` stays as the uncapped exact
     reference."""
     e = s.select("doc_id", F.explode("sh").alias("g"))
-    rare = (
+    # One groupBy builds the posting list AND applies the df cap (size ≤ cap);
+    # pairs come from in-array combination expansion, not a self-join — the
+    # self-join form shuffles the exploded index twice and re-executes the
+    # shingle subtree on both sides. Max L²/2 combos per shingle = cap²/2,
+    # bounded by construction.
+    lists = (
         e.groupBy("g")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= df_cap)
-        .select("g")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") <= df_cap)
     )
-    ec = e.join(rare, "g")  # capped posting lists
-    a, b = ec.alias("a"), ec.alias("b")
+    ids = F.col("ids")
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(
+                    F.least(x, y).alias("doc_a"), F.greatest(x, y).alias("doc_b")
+                ),
+            ),
+        )
+    )
+    # shared_rare = |rare shingles the pair shares| (count per pair, not
+    # dropDuplicates — the count powers the pruning bound below for free).
+    shared_rare = (
+        lists.filter(F.size("ids") > 1)
+        .select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared_rare"))
+    )
+    # Upper-bound prune BEFORE the exact array verification: a pair can share
+    # at most min(hot_a, hot_b) additional (hot, df>cap) shingles, so
+    #   shared_exact ≤ shared_rare + min(hot_a, hot_b) = shared_ub
+    # and jaccard ≤ shared_ub / (n_a + n_b − shared_ub). Pairs whose bound
+    # misses the threshold are pruned with zero recall loss (bound ≥ true
+    # value), which collapses the verify set from O(candidates) to ≈O(output)
+    # — at sf0.1 that is 1.13 M candidates → ~300 survivors. Verification on
+    # survivors uses the FULL shingle arrays, so results stay exact.
+    n_rare = (
+        lists.select(F.explode("ids").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_rare"))
+    )
+    stats = (
+        s.select("doc_id", F.size("sh").alias("n"))
+        .join(n_rare, "doc_id", "left")
+        .select(
+            "doc_id", "n",
+            (F.col("n") - F.coalesce(F.col("n_rare"), F.lit(0))).alias("hot"),
+        )
+    )
+    st_a = stats.select(
+        F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), F.col("hot").alias("hot_a")
+    )
+    st_b = stats.select(
+        F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), F.col("hot").alias("hot_b")
+    )
+    shared_ub = F.col("shared_rare") + F.least(F.col("hot_a"), F.col("hot_b"))
+    jac_ub = shared_ub.cast("double") / (
+        (F.col("na") + F.col("nb")).cast("double") - shared_ub
+    )
     cand = (
-        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
+        shared_rare.join(st_a, "doc_a")
+        .join(st_b, "doc_b")
+        .filter(jac_ub >= threshold)
+        .select("doc_a", "doc_b")
     )
     sh_a = s.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
     sh_b = s.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
