@@ -616,20 +616,24 @@ _SRP_SEED = 0x5EED1  # deterministic hyperplane family
 
 
 def _srp_band_keys_factory(dim: int):
-    """Build the pandas UDF computing the 32 SRP band keys for one embedding.
-    Hyperplanes are a fixed seeded Gaussian matrix (dim × SRP_BITS); the whole
-    Arrow batch is one matrix multiply."""
+    """Build the pandas UDF computing, per embedding, the 32 SRP band keys
+    AND the full 256-bit sign signature packed into 4 int64 words (for the
+    Hamming prefilter). Hyperplanes are a fixed seeded Gaussian matrix
+    (dim × SRP_BITS); the whole Arrow batch is one matrix multiply."""
     H = np.random.RandomState(_SRP_SEED).standard_normal((dim, SRP_BITS))
     powers = 1 << np.arange(SRP_ROWS, dtype=np.int64)
+    word_powers = (1 << np.arange(64, dtype=np.uint64)).astype(np.uint64)
 
-    def srp_band_keys(es: pd.Series) -> pd.Series:
+    def srp_band_keys(es: pd.Series) -> pd.DataFrame:
         X = np.stack([np.asarray(e, dtype=np.float64) for e in es])
         bits = (X @ H) >= 0.0  # (n, SRP_BITS)
         bands = bits.reshape(len(es), SRP_BANDS, SRP_ROWS)
         keys = (bands * powers).sum(axis=2).astype(np.int64)  # (n, 32)
         # encode the band index into the key so one groupBy covers all bands
         keys += np.arange(SRP_BANDS, dtype=np.int64) << np.int64(SRP_ROWS)
-        return pd.Series(list(keys))
+        words = bits.reshape(len(es), SRP_BITS // 64, 64).astype(np.uint64)
+        sig = (words * word_powers).sum(axis=2).astype(np.int64)  # (n, 4)
+        return pd.DataFrame({"keys": list(keys), "sig": list(sig)})
 
     return srp_band_keys
 
@@ -665,12 +669,18 @@ def dedup_embedding_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def srp_lsh_pairs(emb: DataFrame, threshold: float) -> DataFrame:
     """SRP-LSH near-dup pairs over (vec_id, e: array<double>). Reusable core
     so tests can drive synthetic near-dup corpora through the same plan."""
+    import math
+
     spark = emb.sparkSession
     par = spark.sparkContext.defaultParallelism
     emb = emb.repartition(par, "vec_id")
     dim = emb.select(F.size("e").alias("d")).limit(1).collect()[0]["d"]
-    keys_udf = F.pandas_udf(_srp_band_keys_factory(dim), "array<long>")
-    keyed = emb.select("vec_id", keys_udf("e").alias("keys"))
+    keys_udf = F.pandas_udf(
+        _srp_band_keys_factory(dim), "keys array<long>, sig array<long>"
+    )
+    keyed = emb.select("vec_id", keys_udf("e").alias("ks")).select(
+        "vec_id", F.col("ks.keys").alias("keys"), F.col("ks.sig").alias("sig")
+    )
     buckets = keyed.select("vec_id", F.explode("keys").alias("bkey"))
     ids = F.col("ids")
     pair_structs = F.flatten(
@@ -690,13 +700,40 @@ def srp_lsh_pairs(emb: DataFrame, threshold: float) -> DataFrame:
         .filter(F.size("ids") > 1)
         .select(F.explode(pair_structs).alias("p"))
         .select("p.vec_a", "p.vec_b")
-        .dropDuplicates(["vec_a", "vec_b"])
     )
     ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
     eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
     cos = cosine_similarity(F.col("ea"), F.col("eb"))
+    # Hamming prefilter between candidate generation and the exact cosine:
+    # agreement(pair) ~ Binomial(256, 1−θ/π). At the threshold the mean is
+    # 256·p with σ = sqrt(256·p·(1−p)); requiring agreement ≥ mean − 6σ keeps
+    # near-threshold pairs with P ≈ 1−1e-9 while a random band collision
+    # (agreement ≈ 128, σ = 8) is > 9σ below the bar. The 4-word XOR +
+    # bit_count runs JVM-side, so the expensive d-dim cosine is evaluated
+    # only on ≈O(output) survivors instead of every bucket collision.
+    p_bit = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    agree_min = int(SRP_BITS * p_bit - 6.0 * math.sqrt(SRP_BITS * p_bit * (1 - p_bit)))
+    sig_a = keyed.select(F.col("vec_id").alias("vec_a"), F.col("sig").alias("sig_a"))
+    sig_b = keyed.select(F.col("vec_id").alias("vec_b"), F.col("sig").alias("sig_b"))
+    hamming = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    # The filter runs BEFORE dropDuplicates: the per-vector signature sidecar
+    # (4 longs) is far smaller than the vectors, so AQE broadcasts it when it
+    # fits (then collisions are pruned map-side and the dedup shuffle carries
+    # only ≈O(output) survivors) and falls back to SMJ when it doesn't —
+    # either way the cheap 4-word filter precedes the wide-row cosine join.
+    survivors = (
+        cand.join(sig_a, "vec_a")
+        .join(sig_b, "vec_b")
+        .filter(hamming <= F.lit(SRP_BITS - agree_min))
+        .select("vec_a", "vec_b")
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
     return (
-        cand.join(ea, "vec_a")
+        survivors.join(ea, "vec_a")
         .join(eb, "vec_b")
         .filter(cos >= threshold)
         .select("vec_a", "vec_b", F.round(cos, 6).alias("cos_sim"))
