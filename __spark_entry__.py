@@ -36,6 +36,7 @@ def _all_specs() -> dict[str, QuerySpec]:
             "passthrough",
             "passthrough_relational",
             "text",
+            "sampling",
             "multimodal",
             "similarity",
             "dedup",
