@@ -41,7 +41,10 @@ def _all_specs() -> dict[str, QuerySpec]:
             "similarity",
             "dedup",
         )
-    ] + ["hri_flink_validation_passthrough_spark.streaming.windows"]
+    ] + [
+        "hri_flink_validation_passthrough_spark.sources.formats",
+        "hri_flink_validation_passthrough_spark.streaming.windows",
+    ]
     for modpath in modules:
         try:
             mod = __import__(modpath, fromlist=["QUERIES"])

@@ -223,3 +223,71 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_table(agg, "session")
+
+
+@register(
+    QUERIES,
+    "stream_stream_interval_join",
+    oracle="""
+    SELECT a.event_id AS click_id,
+           b.event_id AS purchase_id,
+           a.user_id  AS user_id,
+           strftime(a.ts, '%Y-%m-%d %H:%M:%S') AS click_ts
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'purchase'
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+    """,
+    doc="Stream-stream inner interval join (clicks x purchases by the same "
+    "user within 30 min) through the real streaming engine: both sides are "
+    "readStream sources with 1h watermarks, so the join state is bounded "
+    "(rows age out once the opposite watermark passes the interval) — the "
+    "attribution-join shape. Inner-join output in append mode is exactly "
+    "the matched pairs, so the batch SQL oracle applies.",
+)
+def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("user_id"),
+            F.col("ts").alias("click_ts_t"),
+        )
+        .withWatermark("click_ts_t", "1 hour")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts_t"),
+        )
+        .withWatermark("purchase_ts_t", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        on=[
+            F.col("user_id") == F.col("p_user_id"),
+            F.col("purchase_ts_t") >= F.col("click_ts_t"),
+            F.col("purchase_ts_t") <= F.col("click_ts_t") + F.expr("INTERVAL 30 MINUTES"),
+        ],
+        how="inner",
+    ).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        F.date_format("click_ts_t", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+    )
+    name = f"ssjoin_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
