@@ -302,3 +302,45 @@ def case_when_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+@register(
+    QUERIES,
+    "udaf_median_value",
+    oracle="""
+    SELECT event_type,
+           count(*)                 AS n,
+           round(median(value), 6)  AS med
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Grouped-aggregate pandas UDAF (Arrow-batched numpy median per "
+    "group) — the UDAF member of the UDF/UDAF/UDTF surface. numpy median "
+    "== DuckDB median (linear interpolation at even counts). At scale a "
+    "median UDAF shuffles each group's values to one executor; the "
+    "approx_percentile sketch is the scale path, this is the exact form.",
+)
+def udaf_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    def _median(v):
+        return float(np.median(v.to_numpy()))
+
+    def _n(v):
+        return len(v)
+
+    # real (non-string) annotations: `from __future__ import annotations`
+    # stringifies inline hints, which defeats pandas_udf eval-type inference.
+    # Both aggregates are pandas UDAFs — Spark disallows mixing group-agg
+    # pandas UDFs with built-in aggregates in one agg().
+    _median.__annotations__ = {"v": pd.Series, "return": float}
+    _n.__annotations__ = {"v": pd.Series, "return": int}
+    median_udaf = F.pandas_udf(_median, "double")
+    count_udaf = F.pandas_udf(_n, "long")
+
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        count_udaf("value").alias("n"),
+        F.round(median_udaf("value"), 6).alias("med"),
+    )
