@@ -17,6 +17,7 @@ from hri_flink_validation_passthrough_spark.plans import QuerySpec
 
 def _all_specs() -> dict[str, QuerySpec]:
     from hri_flink_validation_passthrough_spark.plans import (
+        bucketing,
         relational,
         scalar,
         tpch_extra,
@@ -26,6 +27,7 @@ def _all_specs() -> dict[str, QuerySpec]:
     specs.update(relational.QUERIES)
     specs.update(scalar.QUERIES)
     specs.update(tpch_extra.QUERIES)
+    specs.update(bucketing.QUERIES)
     # Registration order == the driver's execution order. Cheap batch modules
     # run before the expensive dedup/streaming tails so a truncated driver
     # budget cuts the costly end, not untested coverage (round-1 lesson:

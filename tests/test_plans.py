@@ -73,3 +73,20 @@ def test_whole_stage_codegen_in_q1(spark):
     p = plan(df)
     assert "[codegen id :" in p  # whole-stage codegen spans
     assert "partial_sum" in p  # map-side partial aggregation before shuffle
+
+
+def test_bucketed_join_has_no_exchange_or_sort(spark):
+    """Both sides bucketed+sorted on the join key at write time -> the SMJ
+    must read co-located buckets directly: no Exchange, no Sort anywhere
+    below the join (the only Exchange allowed is the final groupBy's)."""
+    from hri_flink_validation_passthrough_spark.plans.bucketing import (
+        bucketed_join_revenue,
+    )
+
+    p = plan(bucketed_join_revenue(spark, SF_ORACLE))
+    assert "SortMergeJoin" in p
+    # no shuffle on either join key — the join reads bucket layout
+    assert "hashpartitioning(l_orderkey" not in p
+    assert "hashpartitioning(o_orderkey" not in p
+    # buckets are sorted at write time, so the SMJ needs no Sort operator
+    assert "Sort [l_orderkey" not in p and "Sort [o_orderkey" not in p
