@@ -826,3 +826,50 @@ def asof_latest_order_per_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(e, o, key="k", time="t", value_cols=["asof_orderkey"]).select(
         "event_id", "asof_orderkey"
     )
+
+
+@register(
+    QUERIES,
+    "events_gap_filled_hourly",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ), spans AS (
+      SELECT event_type, min(hr) AS mn, max(hr) AS mx FROM hourly GROUP BY 1
+    ), spine AS (
+      SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hr
+      FROM spans
+    )
+    SELECT s.event_type,
+           strftime(s.hr, '%Y-%m-%d %H:%M:%S') AS hour_ts,
+           CAST(coalesce(h.cnt, 0) AS BIGINT)  AS n
+    FROM spine s
+    LEFT JOIN hourly h ON s.event_type = h.event_type AND s.hr = h.hr
+    """,
+    doc="Time-series gap filling: per-type hourly spine via sequence() + "
+    "explode, left-joined onto actual counts, missing hours filled with 0 "
+    "(the resample/densify primitive). The spine derives from a tiny "
+    "per-type min/max aggregate, so the explode is O(span), not O(rows), "
+    "and AQE broadcasts it onto the hourly aggregate.",
+)
+def events_gap_filled_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    spans = hourly.groupBy("event_type").agg(
+        F.min("hr").alias("mn"), F.max("hr").alias("mx")
+    )
+    spine = spans.select(
+        "event_type",
+        F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))).alias("hr"),
+    )
+    return (
+        spine.join(hourly, ["event_type", "hr"], "left")
+        .select(
+            "event_type",
+            F.date_format("hr", "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),
+            F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("n"),
+        )
+    )
