@@ -48,15 +48,39 @@ TEST_SET = [
     "tests/test_llm_operators.py",
     "tests/test_replay_equivalence.py",
     "tests/test_asof_property.py",
+    # streaming integration: affordable under the path-filtered tracer
+    # (only package frames pay the tracing cost, not pyspark/py4j)
+    "tests/test_streaming.py",
+    "tests/test_streaming_watermark.py",
+    "tests/test_streaming_validator.py",
+    "tests/test_streaming_restart.py",
 ]
 
 
 def main() -> int:
     os.chdir(REPO)
     sys.path.insert(0, REPO)
-    ignore = [sys.prefix, sys.exec_prefix]
-    site = [p for p in sys.path if "site-packages" in p]
-    tracer = trace.Trace(count=1, trace=0, ignoredirs=ignore + site)
+    tracer = trace.Trace(count=1, trace=0)
+    # Do NOT use trace's ignoredirs: its ignore cache is keyed by module
+    # BASENAME, so ignoring site-packages also ignores any repo module that
+    # shares a name with a pyspark/pandas module (session.py, functions,
+    # monitor, __init__ ... all silently dropped — observed as 0% rows).
+    # Instead, filter by full path: only frames inside the package are
+    # traced, everything else returns None (which also makes tracing cheap).
+    pkg_prefix = os.path.join(REPO, PKG) + os.sep
+
+    def globaltrace(frame, why, arg):
+        if why == "call" and frame.f_code.co_filename.startswith(pkg_prefix):
+            return tracer.localtrace
+        return None
+
+    tracer.globaltrace = globaltrace
+    # StreamingQueryListener callbacks (streaming/monitor.py) arrive on py4j
+    # callback threads; runfunc only hooks the calling thread, so register
+    # the same hook for threads spawned during the run.
+    import threading
+
+    threading.settrace(globaltrace)
 
     import pytest
 
