@@ -1,0 +1,102 @@
+"""Unit pins for the JVM-side column helpers (functions/__init__.py).
+
+These helpers are the building blocks of the similarity/dedup/text operators;
+each is pinned against hand-computed values so a drive-by edit to a formula
+fails here before it shows up as an oracle drift three layers up.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from hri_flink_validation_passthrough_spark.functions import (
+    cosine_similarity,
+    digit_ratio,
+    dot,
+    fingerprint_md5,
+    norm,
+    normalized_text,
+    punct_count,
+    token_count,
+    tokens,
+)
+
+
+@pytest.fixture(scope="module")
+def vec_df(spark):
+    return spark.createDataFrame(
+        [([1.0, 2.0, 3.0], [4.0, -5.0, 6.0])], "a array<double>, b array<double>"
+    )
+
+
+def test_dot(vec_df):
+    assert vec_df.select(dot("a", "b").alias("d")).collect()[0]["d"] == pytest.approx(
+        1 * 4 - 2 * 5 + 3 * 6
+    )
+
+
+def test_norm(vec_df):
+    assert vec_df.select(norm("a").alias("n")).collect()[0]["n"] == pytest.approx(
+        math.sqrt(14)
+    )
+
+
+def test_cosine_similarity_self_is_one(vec_df):
+    row = vec_df.select(
+        cosine_similarity("a", "a").alias("self"),
+        cosine_similarity("a", "b").alias("cross"),
+    ).collect()[0]
+    assert row["self"] == pytest.approx(1.0)
+    expected = 12.0 / (math.sqrt(14) * math.sqrt(77))
+    assert row["cross"] == pytest.approx(expected)
+
+
+@pytest.fixture(scope="module")
+def text_df(spark):
+    rows = [
+        ("hello,  World! 99 bottles.",),
+        ("   ",),
+        ("",),
+        ("a.b,c;d:e!f?g",),
+    ]
+    return spark.createDataFrame(rows, "text string")
+
+
+def test_tokens_and_count(text_df):
+    got = text_df.select(
+        tokens("text").alias("t"), token_count("text").alias("n")
+    ).collect()
+    assert got[0]["t"] == ["hello,", "World!", "99", "bottles."] and got[0]["n"] == 4
+    # whitespace-only and empty both tokenize to the empty array, not ['']
+    assert got[1]["t"] == [] and got[1]["n"] == 0
+    assert got[2]["t"] == [] and got[2]["n"] == 0
+
+
+def test_punct_count(text_df):
+    got = [r["p"] for r in text_df.select(punct_count("text").alias("p")).collect()]
+    assert got == [3, 0, 0, 6]
+
+
+def test_digit_ratio(text_df):
+    got = [r["d"] for r in text_df.select(digit_ratio("text").alias("d")).collect()]
+    assert got[0] == pytest.approx(2 / 26)
+    assert got[2] == 0.0  # empty text: defined 0, not NaN/div-by-zero
+
+
+def test_normalized_text_and_fingerprint(spark):
+    df = spark.createDataFrame(
+        [("  Hello,   WORLD!! 42  ",), ("hello world 42",)], "text string"
+    )
+    got = df.select(
+        normalized_text("text").alias("norm"),
+        fingerprint_md5("text").alias("fp"),
+    ).collect()
+    assert got[0]["norm"] == "hello world 42"
+    # both spellings normalize identically -> identical fingerprints
+    assert got[0]["fp"] == got[1]["fp"]
+    assert got[0]["fp"] == hashlib.md5(b"hello world 42").hexdigest()
