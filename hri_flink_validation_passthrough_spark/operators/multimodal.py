@@ -146,3 +146,74 @@ def multimodal_meta_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.length("content")).cast("long").alias("total_bytes"),
         )
     )
+
+
+FRAME_SIZE = 128  # bytes per fake frame
+FRAME_STRIDE = 2  # keep every 2nd frame
+FRAME_SCHEMA = "doc_id long, frame_idx long, frame_md5 string"
+
+
+def sample_frames(blobs: DataFrame) -> DataFrame:
+    """mapInPandas frame sampler: split each blob into FRAME_SIZE-byte
+    frames, keep every FRAME_STRIDE-th, emit the frame's md5 — the video
+    frame-sampling shape (decode -> per-frame feature -> downsample) with a
+    deterministic stand-in for the codec. Row explosion happens INSIDE the
+    Arrow batch (one input row -> few output rows), so no shuffle at all."""
+    import hashlib
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, digests = [], [], []
+            for doc_id, b in zip(pdf["doc_id"], pdf["content"]):
+                blob = b if b is None else bytes(b)
+                if not blob:
+                    continue
+                n_frames = (len(blob) + FRAME_SIZE - 1) // FRAME_SIZE
+                for i in range(0, n_frames, FRAME_STRIDE):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    digests.append(
+                        hashlib.md5(blob[i * FRAME_SIZE:(i + 1) * FRAME_SIZE]).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_md5": digests}
+            )
+
+    return blobs.mapInPandas(op, FRAME_SCHEMA)
+
+
+@register(
+    QUERIES,
+    "multimodal_frame_sample",
+    oracle=f"""
+    WITH a AS (  -- ASCII-only docs: characters == bytes, so VARCHAR
+                 -- substr/md5 mirror the byte slicing (DuckDB has no BLOB md5)
+      SELECT doc_id, text FROM documents
+      WHERE regexp_matches(text, '^[\\x00-\\x7F]*$') AND strlen(text) > 0
+    ), f AS (
+      SELECT doc_id, text,
+             unnest(generate_series(
+               0, CAST(floor((strlen(text) - 1) / {FRAME_SIZE}) AS BIGINT)
+             )) AS frame_idx
+      FROM a
+    )
+    SELECT doc_id, frame_idx,
+           md5(substr(text, frame_idx * {FRAME_SIZE} + 1, {FRAME_SIZE})) AS frame_md5
+    FROM f
+    WHERE frame_idx % {FRAME_STRIDE} = 0
+    """,
+    doc=f"Frame sampling over binary blobs: {FRAME_SIZE}-byte frames, every "
+    f"{FRAME_STRIDE}nd kept, per-frame md5 — the video-pipeline downsample "
+    "shape through mapInPandas with in-batch row explosion (no shuffle).",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    blobs = (
+        documents_as_blobs(spark, sf_dir)
+        # byte-exact oracle parity needs chars == bytes; non-ASCII blobs are
+        # still sampled fine by sample_frames (unit-tested), just not
+        # SQL-mirrorable
+        .filter(F.col("content").cast("string").rlike("^[\\x00-\\x7F]*$"))
+        .select("doc_id", "content")
+    )
+    return sample_frames(blobs)

@@ -108,3 +108,34 @@ def test_knn_self_excluded_and_k(spark):
 
     counts = Counter(r.qid for r in res)
     assert all(c == TOP_K for c in counts.values())
+
+
+def test_frame_sampler_handles_non_ascii_and_empty_blobs(spark):
+    """The oracle-checked query filters to ASCII blobs (DuckDB can't md5
+    bytes); the operator itself must handle arbitrary/empty/null bytes."""
+    import hashlib
+
+    from hri_flink_validation_passthrough_spark.operators.multimodal import (
+        FRAME_SIZE,
+        FRAME_STRIDE,
+        sample_frames,
+    )
+
+    payload = "héllo ✓ ".encode("utf-8") * 40  # 400 bytes, non-ASCII
+    df = spark.createDataFrame(
+        [(1, payload), (2, b""), (3, None), (4, b"x" * (FRAME_SIZE * 3))],
+        "doc_id long, content binary",
+    )
+    got = {
+        (r["doc_id"], r["frame_idx"]): r["frame_md5"]
+        for r in sample_frames(df).collect()
+    }
+    # doc 1: 400 bytes -> 4 frames -> sampled frames 0 and 2
+    n_frames = (len(payload) + FRAME_SIZE - 1) // FRAME_SIZE
+    expect_idx = set(range(0, n_frames, FRAME_STRIDE))
+    assert {i for (d, i) in got if d == 1} == expect_idx
+    assert got[(1, 0)] == hashlib.md5(payload[:FRAME_SIZE]).hexdigest()
+    # empty and null blobs emit nothing
+    assert not [k for k in got if k[0] in (2, 3)]
+    # doc 4: exactly 3 frames -> frames 0, 2
+    assert {i for (d, i) in got if d == 4} == {0, 2}
