@@ -294,6 +294,7 @@ def kafka_fanout_writer(
     brokers: str,
     extra_options: dict | None = None,
     notifier=None,
+    sink=None,
 ):
     """foreachBatch writer: one atomic-per-microbatch fan-out to the three
     topics (avoids three independent queries sharing state). At-least-once
@@ -302,7 +303,23 @@ def kafka_fanout_writer(
     ``notifier`` (mgmt mode, op 16): terminal transitions are PUT to the
     Management API — which owns the notification topic — instead of the job
     writing that topic directly. Standalone mode (notifier=None) writes the
-    topic itself."""
+    topic itself.
+
+    ``sink(part_df, topic)`` overrides the per-topic write — the test seam
+    (the default writes Kafka, unverifiable without a broker/connector)."""
+
+    def kafka_sink(part: DataFrame, topic: str) -> None:
+        w = (
+            part.write.format("kafka")
+            .option("kafka.bootstrap.servers", brokers)
+            .option("topic", topic)
+            .option("includeHeaders", "true")
+        )
+        for k, v in (extra_options or {}).items():
+            w = w.option(k, v)
+        w.save()
+
+    sink = sink or kafka_sink
 
     def write(batch_df: DataFrame, epoch_id: int) -> None:
         batch_df.persist()
@@ -323,15 +340,7 @@ def kafka_fanout_writer(
                 part = batch_df.filter(F.col("dest") == dest).select(
                     "key", "value", "headers"
                 )
-                w = (
-                    part.write.format("kafka")
-                    .option("kafka.bootstrap.servers", brokers)
-                    .option("topic", topic)
-                    .option("includeHeaders", "true")
-                )
-                for k, v in (extra_options or {}).items():
-                    w = w.option(k, v)
-                w.save()
+                sink(part, topic)
         finally:
             batch_df.unpersist()
 

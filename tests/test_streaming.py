@@ -205,3 +205,56 @@ def test_streaming_terminate_drops_later_records(spark, stream_env):
     r = rows()
     assert len(_dest(r, "out")) == 10  # post-terminate records dropped
     assert not _notifs(r)  # job emits nothing for terminated batches
+
+
+def test_kafka_fanout_writer_routes_by_dest(spark):
+    """Drive the foreachBatch fan-out with an injected sink (the Kafka write
+    itself needs a broker): out/invalid go to their topics, notification is
+    PUT to the notifier in mgmt mode and NOT written to the topic."""
+    import json
+
+    from hri_flink_validation_passthrough_spark.model import derive_topics
+    from hri_flink_validation_passthrough_spark.streaming.topology import (
+        kafka_fanout_writer,
+    )
+
+    topics = derive_topics("ingest.t1.events.in")
+    rows = [
+        ("out", b"k1", b"v1", []),
+        ("out", b"k2", b"v2", []),
+        ("invalid", b"k3", b'{"failure": "bad"}', []),
+        ("notification", b"b1", json.dumps({"id": "b1", "status": "completed"}).encode(), []),
+    ]
+    batch = spark.createDataFrame(
+        rows,
+        "dest string, key binary, value binary, "
+        "headers array<struct<key:string,value:binary>>",
+    )
+
+    written: dict[str, list] = {}
+
+    def sink(part, topic):
+        written.setdefault(topic, []).extend(
+            (bytes(r.key), bytes(r.value)) for r in part.collect()
+        )
+
+    # standalone mode: notification topic written directly
+    kafka_fanout_writer(topics, "broker:9092", sink=sink)(batch, epoch_id=0)
+    assert sorted(written[topics.output]) == [(b"k1", b"v1"), (b"k2", b"v2")]
+    assert written[topics.invalid] == [(b"k3", b'{"failure": "bad"}')]
+    assert [k for k, _ in written[topics.notification]] == [b"b1"]
+
+    # mgmt mode: notifier receives the terminal transition, topic untouched
+    written.clear()
+    puts = []
+
+    class Notifier:
+        def notify(self, body):
+            puts.append(body)
+
+    kafka_fanout_writer(topics, "broker:9092", notifier=Notifier(), sink=sink)(
+        batch, epoch_id=1
+    )
+    assert puts == [{"id": "b1", "status": "completed"}]
+    assert topics.notification not in written
+    assert len(written[topics.output]) == 2
