@@ -738,3 +738,121 @@ def srp_lsh_pairs(emb: DataFrame, threshold: float) -> DataFrame:
         .filter(cos >= threshold)
         .select("vec_a", "vec_b", F.round(cos, 6).alias("cos_sim"))
     )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (md5 twin): fully oracle-checked variant of dedup_simhash.
+# 60-bit signature from md5 (the one hash both engines compute identically;
+# xxhash64 — the faster production hash above — has no DuckDB twin).
+# 4 bands x 15 bits with hamming <= 3: any pair within the threshold has all
+# its <= 3 differing bits in <= 3 bands, so AT LEAST one band matches exactly
+# (pigeonhole) -> banded blocking has GUARANTEED recall and the bucketed
+# Spark plan equals the brute-force SQL oracle, deterministically.
+# ---------------------------------------------------------------------------
+SIMHASH_MD5_BITS = 60
+SIMHASH_MD5_BANDS = 4
+SIMHASH_MD5_BAND_BITS = SIMHASH_MD5_BITS // SIMHASH_MD5_BANDS  # 15
+SIMHASH_MD5_HAM_MAX = SIMHASH_MD5_BANDS - 1  # pigeonhole guarantee
+
+# signature expression over the shingle array `sh` — same SQL dialect text
+# works in Spark SQL and (modulo function spellings) DuckDB, so the two
+# engines cannot drift structurally
+_SIMHASH_MD5_SPARK = f"""
+    aggregate(sequence(0, {SIMHASH_MD5_BITS - 1}), 0L, (acc, b) -> acc +
+      IF(aggregate(transform(sh, g -> conv(substring(md5(g), 1, 15), 16, 10)),
+                   0L, (a, x) -> a + 2 * ((CAST(x AS LONG) >> b) & 1) - 1) > 0,
+         shiftleft(1L, b), 0L))
+"""
+
+
+def dedup_simhash_md5_pairs(s: DataFrame) -> DataFrame:
+    """Banded SimHash near-dup pairs over the shingle table (doc_id, sh)."""
+    sig = s.select("doc_id", F.expr(_SIMHASH_MD5_SPARK).alias("sig"))
+    band_mask = (1 << SIMHASH_MD5_BAND_BITS) - 1
+    # B is a small compile-time constant: unroll the band structs in Python
+    # (shiftright's bit count must be a literal int, not a Column)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("sig"), b * SIMHASH_MD5_BAND_BITS)
+                .bitwiseAND(F.lit(band_mask))
+                .alias("bkey"),
+            )
+            for b in range(SIMHASH_MD5_BANDS)
+        ]
+    )
+    buckets = sig.select("doc_id", "sig", F.explode(bands).alias("bb")).select(
+        "doc_id", "sig", "bb.band", "bb.bkey"
+    )
+    ids = F.col("ids")
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(
+                    F.least(x, y).alias("doc_a"), F.greatest(x, y).alias("doc_b")
+                ),
+            ),
+        )
+    )
+    cand = (
+        buckets.groupBy("band", "bkey")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(pair_structs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(ham <= SIMHASH_MD5_HAM_MAX)
+        .select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
+    )
+
+
+@register(
+    QUERIES,
+    "dedup_simhash_md5",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      FROM t WHERE len(toks) >= 3
+    ), h AS (
+      SELECT doc_id,
+             list_transform(sh, g -> ('0x' || substr(md5(g), 1, 15))::BIGINT) AS hs
+      FROM s
+    ), sig AS (
+      SELECT doc_id,
+             list_aggregate(list_transform(range(0, {SIMHASH_MD5_BITS}), b -> CASE
+               WHEN list_aggregate(
+                      list_transform(hs, x -> 2 * ((x >> b) & 1) - 1), 'sum') > 0
+               THEN (1::BIGINT << b) ELSE 0 END), 'sum') AS sig
+      FROM h
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= {SIMHASH_MD5_HAM_MAX}
+    """,
+    doc=f"SimHash near-dup pairs, fully oracle-checked: 60-bit md5 sign "
+    f"signature (JVM expression, no UDF), {SIMHASH_MD5_BANDS} bands x "
+    f"{SIMHASH_MD5_BAND_BITS} bits blocking, hamming <= "
+    f"{SIMHASH_MD5_HAM_MAX}. Pigeonhole makes banded recall EXACT at this "
+    "threshold, so the bucketed plan equals the brute-force oracle. "
+    "dedup_simhash above is the xxhash64 production twin (faster hash, no "
+    "SQL equivalent).",
+)
+def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    return dedup_simhash_md5_pairs(_shingles_for(spark, sf_dir))
