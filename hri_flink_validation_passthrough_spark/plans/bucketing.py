@@ -87,3 +87,91 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events written once per (session, sf_dir) PARTITIONED BY event_type —
+    the disk layout that turns a type filter into directory pruning."""
+    tag = f"part_{abs(hash((spark.sparkContext.applicationId, sf_dir))) % 10**8}"
+    name = f"events_{tag}"
+    if not spark.catalog.tableExists(name):
+        base = tempfile.mkdtemp(prefix=f"partitioned_{uuid.uuid4().hex[:6]}_")
+        prepare(spark)
+        (
+            load_table(spark, sf_dir, "events")
+            .write.mode("overwrite")
+            .option("path", f"{base}/{name}")
+            .partitionBy("event_type")
+            .saveAsTable(name)
+        )
+    return spark.table(name)
+
+
+@register(
+    QUERIES,
+    "partition_pruned_scan",
+    oracle="""
+    SELECT user_id,
+           count(*)             AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    WHERE event_type = 'click'
+    GROUP BY user_id
+    HAVING count(*) >= 10
+    """,
+    doc="Partition pruning: events laid out PARTITIONED BY event_type, so "
+    "the type predicate prunes to one directory before any IO "
+    "(PartitionFilters asserted in tests/test_plans.py) — at 100 TB the "
+    "difference between scanning 1/5th of the table and all of it.",
+)
+def partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = partitioned_events(spark, sf_dir)
+    return (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .filter(F.col("n") >= 10)
+    )
+
+
+@register(
+    QUERIES,
+    "rollup_daily_to_monthly",
+    oracle="""
+    SELECT strftime(date_trunc('month', ts), '%Y-%m') AS month,
+           event_type,
+           count(*)                                   AS n,
+           round(sum(value), 2)                       AS sum_value,
+           round(sum(value) / count(*), 6)            AS avg_value
+    FROM events
+    GROUP BY month, event_type
+    """,
+    doc="Two-level pre-aggregation: daily partials (count/sum) roll up to "
+    "monthly totals, with avg recomposed from the sums — the materialized-"
+    "rollup pattern where the daily layer is computed once and every "
+    "coarser granularity derives from it without touching raw data. Oracle "
+    "aggregates raw directly, proving the decomposition is lossless.",
+)
+def rollup_daily_to_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("sum_value"),
+    )
+    return (
+        daily.groupBy(
+            F.date_format(F.date_trunc("month", F.col("day")), "yyyy-MM").alias("month"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n").alias("n"),
+            F.round(F.sum("sum_value"), 2).alias("sum_value"),
+            F.round(F.sum("sum_value") / F.sum("n"), 6).alias("avg_value"),
+        )
+    )

@@ -90,3 +90,16 @@ def test_bucketed_join_has_no_exchange_or_sort(spark):
     assert "hashpartitioning(o_orderkey" not in p
     # buckets are sorted at write time, so the SMJ needs no Sort operator
     assert "Sort [l_orderkey" not in p and "Sort [o_orderkey" not in p
+
+
+def test_partitioned_scan_prunes_directories(spark):
+    """PARTITIONED BY event_type + type predicate -> the scan must carry a
+    PartitionFilter (directory pruning), not a data filter over all files."""
+    from hri_flink_validation_passthrough_spark.plans.bucketing import (
+        partition_pruned_scan,
+    )
+
+    p = plan(partition_pruned_scan(spark, SF_ORACLE))
+    assert "PartitionFilters" in p
+    pf_line = [l for l in p.splitlines() if "PartitionFilters" in l][0]
+    assert "event_type" in pf_line and "click" in pf_line
