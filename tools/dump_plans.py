@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Regenerate PLANS.md: formatted physical plans of representative queries.
+
+The plan IS the product at 100 TB — this artifact lets a reviewer read the
+chosen physical strategies (pushdown, broadcast vs SMJ, bucketing, partition
+pruning, codegen spans) without running anything. Regenerate after plan-
+affecting changes: ``python tools/dump_plans.py``.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF = "/root/testdata/sf0.01"
+
+# query -> one-line "what to look for"
+SHOWCASE = {
+    "q1_pricing_summary": "filter pushed to parquet scan; single partial+final agg; whole-stage codegen",
+    "q3_shipping_priority": "optimizer-chosen broadcast of filtered customer; TakeOrderedAndProject top-k",
+    "q5_region_revenue": "nation/region broadcast by hint, customer/supplier by size; one fact-fact shuffle",
+    "q7_volume_shipping": "5-way join, nation dims broadcast, disjunctive pair filter as join residual",
+    "q17_small_quantity_revenue": "correlated subquery decorrelated to aggregate-then-join",
+    "q21_suppliers_kept_waiting": "EXISTS/NOT EXISTS as left_semi/left_anti with non-equi residuals",
+    "bucketed_join_revenue": "bucketed SMJ: NO Exchange, NO Sort below the join",
+    "partition_pruned_scan": "PartitionFilters prune event_type directories before IO",
+    "events_topk_users": "TakeOrderedAndProject (heap top-k), no global sort",
+    "asof_latest_order_per_event": "as-of join as union + last(ignorenulls) window — one shuffle",
+    "range_join_event_pairs": "interval join bucketized to an equi-join on (key, bucket)",
+    "dedup_minhash_lsh": "signature pipeline evaluated once; groupBy-bucket pair expansion, no self-join",
+    "dedup_simhash_md5": "pure-expression 60-bit signature; banded blocking; bit_count verify",
+    "rollup_daily_to_monthly": "two-level aggregation: daily partials reused for monthly",
+}
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    sys.path.insert(0, REPO)
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    out = [
+        "# PLANS — physical plans of representative queries (auto-generated)",
+        "",
+        f"Regenerate with `python tools/dump_plans.py` (sf dir: {SF}).",
+        "Each section notes what the plan is supposed to show; grep the plan",
+        "text below it to confirm.",
+        "",
+    ]
+    for name, claim in SHOWCASE.items():
+        df = qs[name](spark, SF)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        out += [f"## {name}", "", f"**Claim:** {claim}", "", "```", plan.rstrip(), "```", ""]
+    with open(os.path.join(REPO, "PLANS.md"), "w") as fh:
+        fh.write("\n".join(out))
+    print(f"wrote PLANS.md with {len(SHOWCASE)} plans")
+
+
+if __name__ == "__main__":
+    main()
