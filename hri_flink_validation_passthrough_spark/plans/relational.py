@@ -873,3 +873,60 @@ def events_gap_filled_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("n"),
         )
     )
+
+
+@register(
+    QUERIES,
+    "skew_join_salted",
+    oracle="""
+    WITH f AS (  -- induce a deterministic hot key: users < 30 collapse to 0
+      SELECT CASE WHEN user_id < 30 THEN 0 ELSE user_id END AS jk, value
+      FROM events
+    ), d AS (    -- dimension: one row per surviving join key
+      SELECT c_custkey AS jk, c_mktsegment
+      FROM customer
+      WHERE c_custkey < 150 AND (c_custkey = 0 OR c_custkey >= 30)
+    )
+    SELECT c_mktsegment,
+           count(*)             AS n,
+           round(sum(value), 2) AS sum_value
+    FROM f JOIN d USING (jk)
+    GROUP BY c_mktsegment
+    """,
+    doc="Salted skew join: ~20% of fact rows share one join key, so a plain "
+    "shuffle join puts a fifth of the table in one task. The fact side gets "
+    "a deterministic salt (hash(event_id) mod 16), the dimension side is "
+    "replicated across all 16 salts via explode(sequence), and the join key "
+    "becomes (jk, salt) — fanning the hot key over 16 tasks. The oracle is "
+    "the UNSALTED join, proving salting never changes results. This is the "
+    "explicit form of what AQE skew-join does adaptively; you need it when "
+    "the skew is known up front, the partitioning must be reused, or the "
+    "join feeds streaming state (AQE can't re-plan there).",
+)
+def skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_salts = 16
+    e = _t(spark, sf_dir, "events")
+    c = _t(spark, sf_dir, "customer")
+    fact = e.select(
+        F.when(F.col("user_id") < 30, F.lit(0))
+        .otherwise(F.col("user_id"))
+        .alias("jk"),
+        "value",
+        F.pmod(F.xxhash64("event_id"), F.lit(n_salts)).alias("salt"),
+    )
+    dim = (
+        c.filter(
+            (F.col("c_custkey") < 150)
+            & ((F.col("c_custkey") == 0) | (F.col("c_custkey") >= 30))
+        )
+        .select(F.col("c_custkey").alias("jk"), "c_mktsegment")
+        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
+    )
+    return (
+        fact.join(dim.hint("shuffle_hash"), ["jk", "salt"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
