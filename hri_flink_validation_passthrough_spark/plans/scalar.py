@@ -344,3 +344,46 @@ def udaf_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         count_udaf("value").alias("n"),
         F.round(median_udaf("value"), 6).alias("med"),
     )
+
+
+@register(
+    QUERIES,
+    "corrupt_record_routing",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) FILTER (event_id % 17 <> 0) AS BIGINT) AS n_valid,
+           CAST(count(*) FILTER (event_id % 17 = 0)  AS BIGINT) AS n_corrupt,
+           round(sum(value) FILTER (event_id % 17 <> 0), 2)     AS sum_valid
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Corrupt-record routing, the reference's validation primitive in "
+    "batch form: the events table is serialized to JSON wire strings with a "
+    "deterministic subset (event_id % 17 = 0) truncated mid-payload; "
+    "from_json yields NULL for those, and rows route to valid/corrupt "
+    "streams accordingly — all JVM-side. The oracle derives the same "
+    "partition from the corruption rule, so the parse-and-route path is "
+    "value-checked end to end.",
+)
+def corrupt_record_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    wire = F.to_json(F.struct("event_id", "event_type", "value"))
+    # deterministically corrupt ~6% of payloads: drop the closing half
+    corrupted = F.when(
+        F.col("event_id") % 17 == 0,
+        F.substring(wire, 1, 10),
+    ).otherwise(wire)
+    parsed = F.from_json(
+        corrupted, "event_id long, event_type string, value double"
+    )
+    return (
+        e.select("event_type", "value", parsed.alias("p"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.when(F.col("p.event_id").isNotNull(), 1)).alias("n_valid"),
+            F.count(F.when(F.col("p.event_id").isNull(), 1)).alias("n_corrupt"),
+            F.round(
+                F.sum(F.when(F.col("p.event_id").isNotNull(), F.col("p.value"))), 2
+            ).alias("sum_valid"),
+        )
+    )
