@@ -345,3 +345,23 @@ def kafka_fanout_writer(
             batch_df.unpersist()
 
     return write
+
+
+def idempotent_parquet_sink(base_path: str):
+    """foreachBatch sink with exactly-once effective semantics: each
+    microbatch lands in ``{base_path}/epoch_id={N}/`` with dynamic overwrite,
+    so a replayed epoch (post-crash reprocessing — foreachBatch is
+    at-least-once) REPLACES its own previous output instead of appending a
+    duplicate. Readers see parquet partitioned by epoch_id; dedup across
+    epochs is the checkpoint's job, dedup within an epoch is this overwrite.
+
+    This is the standard idempotent-sink recipe when the target is a file
+    store rather than a transactional sink."""
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.write.mode("overwrite")
+            .parquet(f"{base_path}/epoch_id={epoch_id}")
+        )
+
+    return write

@@ -258,3 +258,25 @@ def test_kafka_fanout_writer_routes_by_dest(spark):
     assert puts == [{"id": "b1", "status": "completed"}]
     assert topics.notification not in written
     assert len(written[topics.output]) == 2
+
+
+def test_idempotent_sink_replay_does_not_duplicate(spark, tmp_path):
+    """Replaying an epoch (foreachBatch at-least-once) must replace, not
+    append: after a double write of epoch 0, totals are unchanged."""
+    from hri_flink_validation_passthrough_spark.streaming.topology import (
+        idempotent_parquet_sink,
+    )
+
+    out = str(tmp_path / "sink")
+    sink = idempotent_parquet_sink(out)
+    batch0 = spark.range(100).withColumnRenamed("id", "v")
+    batch1 = spark.range(100, 150).withColumnRenamed("id", "v")
+    sink(batch0, epoch_id=0)
+    sink(batch1, epoch_id=1)
+    first = spark.read.parquet(out).count()
+    assert first == 150
+    # crash-replay of epoch 0: same data written again under the same epoch
+    sink(batch0, epoch_id=0)
+    again = spark.read.parquet(out)
+    assert again.count() == 150
+    assert again.agg({"v": "sum"}).collect()[0][0] == sum(range(150))
