@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import pytest
 
+from tests.conftest import SF_ORACLE
+
 from pyspark.sql import functions as F
 
 from hri_flink_validation_passthrough_spark.operators.multimodal import (
@@ -139,3 +141,39 @@ def test_frame_sampler_handles_non_ascii_and_empty_blobs(spark):
     assert not [k for k in got if k[0] in (2, 3)]
     # doc 4: exactly 3 frames -> frames 0, 2
     assert {i for (d, i) in got if d == 4} == {0, 2}
+
+
+def test_hash_sampling_invariant_under_partitioning(spark):
+    """The whole point of hash-based sampling: the same doc lands in the
+    same sample/split/stratum rank no matter how the input is partitioned
+    (rand()-based sampling fails exactly this)."""
+    from hri_flink_validation_passthrough_spark.operators.sampling import (
+        sample_hash_10pct,
+        stratified_sample_by_source,
+        train_val_test_split,
+    )
+
+    sf = SF_ORACLE
+
+    def fingerprint(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    base = [
+        fingerprint(sample_hash_10pct(spark, sf)),
+        fingerprint(train_val_test_split(spark, sf)),
+        fingerprint(stratified_sample_by_source(spark, sf)),
+    ]
+    # perturb the session's default parallelism context: recompute under a
+    # different shuffle-partition setting (affects physical partitioning of
+    # every stage) and require bit-identical outputs
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        again = [
+            fingerprint(sample_hash_10pct(spark, sf)),
+            fingerprint(train_val_test_split(spark, sf)),
+            fingerprint(stratified_sample_by_source(spark, sf)),
+        ]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert base == again
