@@ -217,3 +217,72 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "content")
     )
     return sample_frames(blobs)
+
+
+RESIZE_STRIDE = 4  # keep every 4th byte — the deterministic "resize" stand-in
+RESIZE_SCHEMA = "doc_id long, orig_len long, resized_len long, resized_md5 string"
+
+
+def resize_blobs(blobs: DataFrame, stride: int = RESIZE_STRIDE) -> DataFrame:
+    """mapInPandas blob 'resize': subsample every ``stride``-th byte (the
+    deterministic stand-in for an image downscale — real codecs plug in at
+    decode_real). Emits the resized length + md5 so tests/oracles verify
+    content, not just shape. One Arrow pass, no shuffle, output rows ==
+    input rows (unlike frame sampling there is no explosion)."""
+    import hashlib
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, orig, rlen, rmd5 = [], [], [], []
+            for doc_id, b in zip(pdf["doc_id"], pdf["content"]):
+                blob = b"" if b is None else bytes(b)
+                resized = blob[::stride]
+                ids.append(doc_id)
+                orig.append(len(blob))
+                rlen.append(len(resized))
+                rmd5.append(hashlib.md5(resized).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "orig_len": orig,
+                    "resized_len": rlen,
+                    "resized_md5": rmd5,
+                }
+            )
+
+    return blobs.mapInPandas(op, RESIZE_SCHEMA)
+
+
+@register(
+    QUERIES,
+    "multimodal_resize",
+    oracle=f"""
+    WITH a AS (  -- ASCII docs: chars == bytes (DuckDB cannot md5 blobs)
+      SELECT doc_id, text FROM documents
+      WHERE regexp_matches(text, '^[\\x00-\\x7F]*$')
+    )
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS orig_len,
+           CAST(CASE WHEN strlen(text) = 0 THEN 0
+                     ELSE (strlen(text) + {RESIZE_STRIDE} - 1) // {RESIZE_STRIDE}
+                END AS BIGINT)          AS resized_len,
+           md5(array_to_string(
+                 list_transform(
+                   generate_series(1, strlen(text), {RESIZE_STRIDE}),
+                   i -> substr(text, CAST(i AS INTEGER), 1)),
+                 ''))                   AS resized_md5
+    FROM a
+    """,
+    doc=f"Blob 'resize' (every {RESIZE_STRIDE}th byte kept) through "
+    "mapInPandas with content verified by md5 — the image-downscale shape "
+    "with a deterministic codec stand-in; real decoders plug in at "
+    "decode_real. Completes the decode/extract/resize/frame-sample quartet.",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    blobs = (
+        documents_as_blobs(spark, sf_dir)
+        .filter(F.col("content").cast("string").rlike("^[\\x00-\\x7F]*$"))
+        .select("doc_id", "content")
+    )
+    return resize_blobs(blobs)
