@@ -98,7 +98,11 @@ def main() -> None:
     # topology (file source → keyed state machine → memory sink). The
     # reference's implied floor is 15 records ≤ 60 s (BASELINE.md).
     try:
-        timings["stream_passthrough"] = round(_stream_passthrough(spark, sf_dir), 3)
+        # best-of-2 like the batch queries: the first boot pays source
+        # bootstrap + checkpoint creation; the second reflects steady state
+        timings["stream_passthrough"] = round(
+            min(_stream_passthrough(spark, sf_dir) for _ in range(2)), 3
+        )
     except Exception as e:  # never fail the bench line on the extra metric
         print(f"stream_passthrough failed: {e}", file=sys.stderr)
 
