@@ -78,3 +78,39 @@ def test_watermark_closes_windows_and_drops_late(spark, tmp_path):
         assert rows()["2024-01-01 10:00:00"] == 2, "late event must be dropped"
     finally:
         q.stop()
+
+
+def test_drop_duplicates_within_watermark_bounds_state(spark, tmp_path):
+    """The production streaming-dedup form: duplicates arriving within the
+    watermark horizon are dropped while state stays bounded (keys age out
+    once the watermark passes) — the scale path stream_dedup_exact's
+    docstring points at."""
+    from datetime import datetime, timedelta
+
+    src = tmp_path / "dupfeed"
+    src.mkdir()
+    rows = []
+    base = datetime(2026, 1, 1)
+    for i in range(50):
+        ts = base + timedelta(seconds=i)
+        rows.append((i, ts))
+        rows.append((i, ts))  # exact duplicate, same event time
+    pdf = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    pdf.write.parquet(str(src / "part0"))
+
+    stream = spark.readStream.schema("event_id long, ts timestamp").parquet(
+        str(src / "*")
+    )
+    deduped = stream.withWatermark("ts", "10 seconds").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("ddww")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM ddww").collect()[0]
+    assert got.n == 50 and got.d == 50

@@ -54,6 +54,8 @@ TEST_SET = [
     "tests/test_streaming_watermark.py",
     "tests/test_streaming_validator.py",
     "tests/test_streaming_restart.py",
+    "tests/test_fixture_source.py",
+    "tests/test_functions.py",
 ]
 
 
