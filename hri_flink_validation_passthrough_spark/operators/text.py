@@ -265,3 +265,60 @@ def rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     total = F.aggregate(per_tok, F.lit(0).cast("long"), lambda acc, v: acc + v)
     return d.select("doc_id", (total % 1000000007).cast("long").alias("rhash"))
+
+
+@register(
+    QUERIES,
+    "lm_trigram_score",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, lower(trim(text)) AS t FROM documents
+      WHERE strlen(lower(trim(text))) >= 3
+    ), tri AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, strlen(t) - 1),
+                                   i -> substr(t, CAST(i AS INTEGER), 3))) AS g
+      FROM docs
+    ), model AS (  -- corpus trigram relative frequencies
+      SELECT g, count(*) AS c FROM tri GROUP BY g
+    ), total AS (SELECT sum(c) AS n FROM model)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_trigrams,
+           round(avg(-log2(CAST(c AS DOUBLE) / n)), 4) AS bits_per_trigram
+    FROM tri JOIN model USING (g) CROSS JOIN total
+    GROUP BY doc_id
+    """,
+    doc="Language-model quality scoring (KenLM-filter shape): corpus char-"
+    "trigram relative frequencies are the model; each doc scores the mean "
+    "-log2 probability of its trigrams (low bits = typical text, high bits "
+    "= junk/outlier). Two aggregations + one join, all JVM-side; at 100 TB "
+    "the model is a capped top-V trigram table trained once and "
+    "broadcast-joined, exactly this plan with the count table materialized.",
+)
+def lm_trigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    d = load_table(spark, sf_dir, "documents")
+    t = F.lower(F.trim(F.col("text")))
+    docs = d.select("doc_id", t.alias("t")).filter(F.length("t") >= 3)
+    # python F.substring takes int positions only — the position-dependent
+    # slice needs the SQL lambda form
+    tri = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, length(t) - 2), i -> substr(t, i, 3))")
+        ).alias("g"),
+    )
+    model = tri.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+    total = model.agg(F.sum("c").alias("n"))
+    scored = (
+        tri.join(model, "g")
+        .join(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.round(
+                F.avg(-F.log2(F.col("c").cast("double") / F.col("n"))), 4
+            ).alias("bits_per_trigram"),
+        )
+    )
+    return scored

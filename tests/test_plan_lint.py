@@ -23,6 +23,7 @@ ALLOWED_NESTED_LOOP = {
     "ann_ivf_topk": "crossJoin against the broadcast centroid table (nlist rows)",
     "q11_important_parts": "1-row scalar threshold broadcast-joined",
     "q22_wealthy_inactive_customers": "1-row avg(c_acctbal) scalar broadcast cross join",
+    "lm_trigram_score": "1-row corpus-total scalar broadcast cross join",
 }
 
 # queries that EXECUTE work when constructed (streaming boots a query; these
