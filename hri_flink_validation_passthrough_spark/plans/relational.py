@@ -930,3 +930,62 @@ def skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
+
+
+@register(
+    QUERIES,
+    "merge_upsert_orders",
+    oracle="""
+    WITH updates AS (  -- deterministic CDC batch: 10% updated, plus new keys
+      SELECT o_orderkey,
+             'P'                  AS o_orderstatus,
+             o_totalprice * 1.1   AS o_totalprice
+      FROM orders WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT o_orderkey + 1000000, 'N', 42.0
+      FROM orders WHERE o_orderkey % 1000 = 0
+    ), merged AS (
+      SELECT coalesce(u.o_orderkey, t.o_orderkey)       AS o_orderkey,
+             coalesce(u.o_orderstatus, t.o_orderstatus) AS o_orderstatus,
+             coalesce(u.o_totalprice, t.o_totalprice)   AS o_totalprice
+      FROM orders t FULL OUTER JOIN updates u USING (o_orderkey)
+    )
+    SELECT o_orderstatus,
+           count(*)                    AS n,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM merged
+    GROUP BY o_orderstatus
+    """,
+    doc="MERGE/upsert (CDC apply) as a full-outer join + coalesce: a "
+    "deterministic update batch (10% price changes + inserts) merged into "
+    "the orders snapshot — matched rows take the update, unmatched keep the "
+    "target, insert-only keys append. This is the table-format-free upsert "
+    "plan; at scale the join shuffles on the merge key (or stays "
+    "shuffle-free over bucketed layouts, see bucketed_join_revenue), and "
+    "lake formats implement exactly this under MERGE INTO.",
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    upd = t.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        F.lit("P").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+    )
+    ins = t.filter(F.col("o_orderkey") % 1000 == 0).select(
+        (F.col("o_orderkey") + 1000000).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        F.lit(42.0).alias("o_totalprice"),
+    )
+    u = upd.unionByName(ins)
+    tt, uu = t.alias("t"), u.alias("u")
+    merged = tt.join(uu, F.col("t.o_orderkey") == F.col("u.o_orderkey"), "full_outer").select(
+        F.coalesce("u.o_orderkey", "t.o_orderkey").alias("o_orderkey"),
+        F.coalesce("u.o_orderstatus", "t.o_orderstatus").alias("o_orderstatus"),
+        F.coalesce("u.o_totalprice", "t.o_totalprice").alias("o_totalprice"),
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
