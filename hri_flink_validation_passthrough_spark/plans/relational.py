@@ -989,3 +989,99 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
     )
+
+
+@register(
+    QUERIES,
+    "events_funnel",
+    oracle="""
+    WITH stage AS (
+      SELECT user_id,
+             min(ts) FILTER (event_type = 'view')     AS t_view,
+             min(ts) FILTER (event_type = 'click')    AS t_click,
+             min(ts) FILTER (event_type = 'purchase') AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT count(*) FILTER (t_view IS NOT NULL)            AS n_view,
+           count(*) FILTER (t_view IS NOT NULL
+                            AND t_click > t_view)          AS n_view_click,
+           count(*) FILTER (t_view IS NOT NULL
+                            AND t_click > t_view
+                            AND t_purchase > t_click)      AS n_full_funnel
+    FROM stage
+    """,
+    doc="Funnel analysis: per-user first-touch times of each stage (one "
+    "groupBy with conditional min), then ordered-progression counts "
+    "(view -> click -> purchase). One shuffle on user_id, then a 1-row "
+    "global aggregate — the standard product-analytics funnel at any scale.",
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    stage = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    return stage.agg(
+        F.count(F.when(F.col("t_view").isNotNull(), 1)).alias("n_view"),
+        F.count(
+            F.when(
+                F.col("t_view").isNotNull() & (F.col("t_click") > F.col("t_view")), 1
+            )
+        ).alias("n_view_click"),
+        F.count(
+            F.when(
+                F.col("t_view").isNotNull()
+                & (F.col("t_click") > F.col("t_view"))
+                & (F.col("t_purchase") > F.col("t_click")),
+                1,
+            )
+        ).alias("n_full_funnel"),
+    )
+
+
+@register(
+    QUERIES,
+    "retention_cohorts",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST(date_diff('week', f.cohort_week,
+                            date_trunc('week', e.ts)) AS BIGINT) AS week_n
+      FROM events e JOIN first_seen f USING (user_id)
+    )
+    SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+           week_n,
+           count(*)                          AS active_users
+    FROM activity
+    WHERE week_n BETWEEN 0 AND 8
+    GROUP BY cohort_week, week_n
+    """,
+    doc="Retention cohorts: users bucketed by first-seen week, activity "
+    "counted per subsequent week offset — the cohort-retention matrix. Two "
+    "aggregations + one join on user_id; the first-seen table is the only "
+    "state carried, one row per user.",
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    week_n = (
+        F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week")) / 7
+    ).cast("long")
+    activity = (
+        e.join(first_seen, "user_id")
+        .select("user_id", "cohort_week", week_n.alias("week_n"))
+        .distinct()
+    )
+    return (
+        activity.filter(F.col("week_n").between(0, 8))
+        .groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"), "week_n"
+        )
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )
