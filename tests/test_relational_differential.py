@@ -1,0 +1,133 @@
+"""Randomized differential test: the pure-DataFrame routing plan
+(`route_records_relational`, zero Python on the record path) must agree with
+the REAL state machine (`run_pipeline_batch` -> applyInPandas replay) on
+arbitrary generated scenarios — not just the four fixed oracle scenarios the
+driver checks. Covers: completion via delay timer, overcount at and after
+sendCompleted, expected-never-reached (no completion), terminate mid-stream,
+unknown batches, and late records after completion.
+
+All event times are generated DISTINCT so ordering is unambiguous; tie
+semantics (control-before-data at equal time) are pinned separately by the
+fixed scenarios and unit tests.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from hri_flink_validation_passthrough_spark.model import (
+    SEND_COMPLETED,
+    STARTED,
+    TERMINATED,
+)
+from hri_flink_validation_passthrough_spark.operators.passthrough import (
+    _summarize,
+    run_pipeline_batch,
+)
+from hri_flink_validation_passthrough_spark.operators.passthrough_relational import (
+    route_records_relational,
+)
+
+DELAY_MS = 1000
+BASE = 1_700_000_000_000
+
+REC_SCHEMA = (
+    "key binary, value binary, headers array<struct<key:string,value:binary>>, "
+    "time_ms long, seq long"
+)
+CTRL_SCHEMA = (
+    "id string, name string, topic string, dataType string, "
+    "invalidThreshold int, status string, expectedRecordCount int, "
+    "time_ms long, seq long"
+)
+
+
+def _gen_scenario(rng: random.Random):
+    """Random batches with distinct times; returns (records, controls)."""
+    records, controls = [], []
+    n_batches = rng.randint(2, 4)
+    for b in range(n_batches):
+        bid = f"b{b}"
+        kind = rng.choice(["happy", "over", "under", "terminate", "unknown"])
+        n_recs = rng.randint(1, 12)
+        # well-ordered batch: started strictly before all records, then
+        # sendCompleted strictly after (the lifecycle precondition both
+        # implementations assume; pre-start records are pinned by the
+        # fixed unknown-batch scenarios)
+        ts = sorted(
+            rng.sample(range(BASE + b * 50_000_000, BASE + (b + 1) * 50_000_000, 7),
+                       n_recs + 2)
+        )
+        start_t, rec_ts, sc_t = ts[0], ts[1:-1], ts[-1]
+        if kind != "unknown":
+            controls.append(
+                (bid, bid, "ingest.t.x.in", "x", -1, STARTED, None, start_t, 0)
+            )
+        if kind == "terminate":
+            term_t = rec_ts[rng.randrange(n_recs)] + 1  # mid-stream, distinct
+            controls.append(
+                (bid, bid, "ingest.t.x.in", "x", -1, TERMINATED, None, term_t, 1)
+            )
+        elif kind != "unknown":
+            delta = {"happy": 0, "over": -rng.randint(1, min(3, n_recs)),
+                     "under": rng.randint(1, 3)}[kind]
+            controls.append(
+                (bid, bid, "ingest.t.x.in", "x", -1, SEND_COMPLETED,
+                 n_recs + delta, sc_t, 1)
+            )
+        for i, t in enumerate(rec_ts):
+            records.append(
+                (
+                    f"{bid}-k{i}".encode(),
+                    f"{bid}-v{i}".encode(),
+                    [("batchId", bid.encode())],
+                    t,
+                    b * 100_000 + i,
+                )
+            )
+        # a few late stragglers for completed-capable batches
+        if kind == "happy" and rng.random() < 0.5:
+            late_t = sc_t + DELAY_MS + rng.randint(10_000, 50_000)
+            records.append(
+                (
+                    f"{bid}-late".encode(),
+                    f"{bid}-late-v".encode(),
+                    [("batchId", bid.encode())],
+                    late_t,
+                    b * 100_000 + 999,
+                )
+            )
+    return records, controls
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_relational_plan_matches_state_machine(spark, seed):
+    rng = random.Random(0xD1F + seed)
+    rec_rows, ctrl_rows = _gen_scenario(rng)
+    records = spark.createDataFrame(rec_rows, REC_SCHEMA)
+    controls = spark.createDataFrame(ctrl_rows, CTRL_SCHEMA)
+
+    machine_routed = run_pipeline_batch(
+        records, controls, completion_delay_ms=DELAY_MS
+    )
+    from hri_flink_validation_passthrough_spark.sources.envelope import (
+        batch_id_from_headers,
+    )
+
+    env = records.withColumn("batch_id", batch_id_from_headers())
+    relational_routed = route_records_relational(
+        env, controls, delay_ms=DELAY_MS
+    )
+
+    def canon(routed):
+        return {
+            r["batch_id"]: (r["n_out"], r["n_invalid"], r["final_status"])
+            for r in _summarize(routed).collect()
+        }
+
+    left, right = canon(machine_routed), canon(relational_routed)
+    assert left == right, f"seed {seed}: machine={left} relational={right}"
