@@ -856,3 +856,33 @@ def dedup_simhash_md5_pairs(s: DataFrame) -> DataFrame:
 def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
     return dedup_simhash_md5_pairs(_shingles_for(spark, sf_dir))
+
+
+@register(
+    QUERIES,
+    "dedup_graph_triangles",
+    oracle="""
+    WITH pairs AS (
+    """
+    + _CAPPED_PAIRS_SQL.format(thr=0.5, cap=DF_CAP)
+    + """
+    )
+    SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+    FROM pairs e1
+    JOIN pairs e2 ON e2.doc_a = e1.doc_b
+    JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+    """,
+    doc="Graph analytics over the near-dup pair graph: triangle enumeration "
+    "via the ordered 3-way self-join (a<b<c, each edge stored once, so "
+    "every triangle appears exactly once). Triangles measure cluster "
+    "density — tight dup clusters are triangle-rich, chains are not. Two "
+    "shuffle joins on doc ids; at scale the standard optimization is "
+    "degree-ordered orientation, which the a<b ordering already provides.",
+)
+def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    pairs = _capped_pairs_for(spark, sf_dir, 0.5).select("doc_a", "doc_b")
+    e1 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = pairs.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
+    e3 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
+    return e1.join(e2, "b").join(e3, ["a", "c"]).select("a", "b", "c")
