@@ -38,6 +38,7 @@ def _all_specs() -> dict[str, QuerySpec]:
             "passthrough",
             "passthrough_relational",
             "text",
+            "quality",
             "sampling",
             "multimodal",
             "similarity",

@@ -244,3 +244,74 @@ def corpus_quality_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("q"), 6).alias("avg_quality"),
         )
     )
+
+
+# Sequence packing: context-window budget and the block size of the two-level
+# parallel prefix sum. One constant pair for both engines.
+PACK_CTX = 2048
+PACK_BLOCK = 64
+
+
+@register(
+    QUERIES,
+    "sequence_packing",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cum - n_tokens AS BIGINT) AS start_offset,
+           CAST((cum - n_tokens) // {PACK_CTX} AS BIGINT) AS chunk_id
+    FROM c
+    """,
+    doc="Sequence packing for training: documents are laid end-to-end in "
+    "doc_id order and chunked into fixed token-budget context windows "
+    "(start offset = exclusive running token count, chunk = offset / ctx). "
+    "The oracle uses a flat window cumsum; the Spark plan is the TWO-LEVEL "
+    "parallel prefix sum (within-block cumsum partitioned by doc_id/block "
+    "in parallel + tiny block-total prefix broadcast back), because a "
+    "single ORDER BY window is one task at 100 TB. Same numbers, scalable "
+    "shape; recurse the block level once more at extreme scale.",
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    t = d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        (F.col("doc_id") / PACK_BLOCK).cast("long").alias("blk"),
+    )
+    # level 1: cumsum within each block — parallel across blocks
+    w_in = (
+        Window.partitionBy("blk")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = t.withColumn("cum_in", F.sum("n_tokens").over(w_in))
+    # level 2: exclusive prefix over per-block totals — N/PACK_BLOCK rows,
+    # broadcast back (at 100 TB recurse: blocks-of-blocks)
+    blk_tot = t.groupBy("blk").agg(F.sum("n_tokens").alias("tot"))
+    w_blk = (
+        Window.orderBy("blk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    blk_pre = blk_tot.select(
+        "blk", (F.sum("tot").over(w_blk) - F.col("tot")).alias("blk_offset")
+    )
+    joined = t.join(F.broadcast(blk_pre), "blk")
+    start = F.col("blk_offset") + F.col("cum_in") - F.col("n_tokens")
+    return joined.select(
+        "doc_id",
+        "n_tokens",
+        start.alias("start_offset"),
+        F.floor(start / PACK_CTX).cast("long").alias("chunk_id"),
+    )

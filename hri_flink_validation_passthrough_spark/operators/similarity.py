@@ -165,3 +165,95 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= TOP_K)
     )
+
+
+# BM25 keyword search — fixed query-term set, one source of truth for both
+# engines. k1/b are the standard Robertson defaults; idf is the Lucene
+# BM25 form ln(1 + (N - df + 0.5)/(df + 0.5)), non-negative by construction.
+BM25_TERMS = ("spark", "join", "stream")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 20
+
+
+@register(
+    QUERIES,
+    "bm25_keyword_search",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+      FROM documents
+    ), per_doc AS (
+      SELECT doc_id, len(toks) AS dl,
+             {', '.join(f"len(list_filter(toks, x -> x = '{w}')) AS tf_{i}"
+                        for i, w in enumerate(BM25_TERMS))}
+      FROM t
+    ), stats AS (
+      SELECT count(*) AS n_docs, avg(dl) AS avgdl,
+             {', '.join(f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+                        for i in range(len(BM25_TERMS)))}
+      FROM per_doc
+    ), scored AS (
+      SELECT doc_id,
+             round({' + '.join(
+                 f"ln(1 + (n_docs - df_{i} + 0.5) / (df_{i} + 0.5))"
+                 f" * tf_{i} * ({BM25_K1} + 1)"
+                 f" / (tf_{i} + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / avgdl))"
+                 for i in range(len(BM25_TERMS)))}, 6) AS score
+      FROM per_doc CROSS JOIN stats
+    )
+    SELECT doc_id, score
+    FROM scored
+    ORDER BY score DESC, doc_id
+    LIMIT {BM25_TOP_K}
+    """,
+    doc="BM25 keyword search (Robertson k1=1.2 b=0.75, Lucene idf) for a "
+    "fixed query-term set: per-doc term frequencies computed INSIDE the row "
+    "(array filter, no posting-list explode), corpus stats (N, avgdl, per-"
+    "term df) as one tiny aggregate broadcast back, then top-k on the "
+    "rounded score with doc_id tie-break (deterministic cut across "
+    "engines). At 100 TB: the scan is map-side + one 1-row broadcast + "
+    "TakeOrderedAndProject — no shuffle proportional to data beyond the "
+    "final k-row merge.",
+)
+def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    def tf_col(w: str):
+        # NB: the lambda must take exactly one arg — F.filter treats a
+        # two-arg lambda as (element, index), silently breaking a w=w capture
+        return F.size(F.filter(toks, lambda x: x == F.lit(w)))
+
+    per_doc = d.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        *[tf_col(w).alias(f"tf_{i}") for i, w in enumerate(BM25_TERMS)],
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("int")).alias(f"df_{i}")
+            for i in range(len(BM25_TERMS))
+        ],
+    )
+    score = None
+    for i in range(len(BM25_TERMS)):
+        tf = F.col(f"tf_{i}").cast("double")
+        df = F.col(f"df_{i}").cast("double")
+        idf = F.log(1 + (F.col("n_docs") - df + 0.5) / (df + 0.5))
+        term = (
+            idf
+            * tf
+            * (BM25_K1 + 1)
+            / (tf + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")))
+        )
+        score = term if score is None else score + term
+    return (
+        per_doc.join(F.broadcast(stats))
+        .select("doc_id", F.round(score, 6).alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(BM25_TOP_K)
+    )

@@ -572,3 +572,43 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+@register(
+    QUERIES,
+    "q12_shipmode_priority",
+    oracle="""
+    SELECT l_returnflag AS ship_mode,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
+      AND l_shipdate < o_orderdate + INTERVAL 90 DAY
+    GROUP BY l_returnflag
+    ORDER BY ship_mode
+    """,
+    doc="TPC-H Q12 shape: join with a date-arithmetic lateness window "
+    "(shipped 30-90 days after order, standing in for the missing commit/"
+    "receipt dates) + per-mode conditional priority counts (l_returnflag "
+    "stands in for the missing l_shipmode). Completes the classic TPC-H "
+    "query-shape set (Q1-Q22) adapted to TESTDATA.md's trimmed schema.",
+)
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    joined = l.join(o, l.l_orderkey == o.o_orderkey).filter(
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        & (F.col("l_shipdate") < F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+    )
+    return (
+        joined.groupBy(F.col("l_returnflag").alias("ship_mode"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("ship_mode")
+    )
