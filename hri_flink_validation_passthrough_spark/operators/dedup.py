@@ -886,3 +886,68 @@ def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     e2 = pairs.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
     e3 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
     return e1.join(e2, "b").join(e3, ["a", "c"]).select("a", "b", "c")
+
+
+# PageRank over the near-dup graph: fixed iteration count, one constant for
+# both engines (the oracle unrolls exactly this many CTE stages).
+PAGERANK_ITERS = 5
+PAGERANK_DAMP = 0.85
+
+
+def _pagerank_oracle_sql() -> str:
+    """Unrolled fixed-iteration PageRank as chained CTEs (DuckDB twin of the
+    Spark loop below — same damping, same iteration count, same init)."""
+    stages = [
+        "r0 AS (SELECT u AS node, 1.0 AS pr FROM deg)",
+    ]
+    for i in range(1, PAGERANK_ITERS + 1):
+        stages.append(
+            f"r{i} AS (SELECT e.v AS node, "
+            f"{1 - PAGERANK_DAMP} + {PAGERANK_DAMP} * sum(r{i-1}.pr / deg.d) AS pr "
+            f"FROM edges e JOIN r{i-1} ON r{i-1}.node = e.u "
+            f"JOIN deg ON deg.u = e.u GROUP BY e.v)"
+        )
+    return (
+        "WITH pairs AS ("
+        + _CAPPED_PAIRS_SQL.format(thr=0.5, cap=DF_CAP)
+        + "), edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs "
+        "UNION ALL SELECT doc_b, doc_a FROM pairs), "
+        "deg AS (SELECT u, CAST(count(*) AS DOUBLE) AS d FROM edges GROUP BY u), "
+        + ", ".join(stages)
+        + f" SELECT node AS doc_id, round(pr, 6) AS pagerank FROM r{PAGERANK_ITERS}"
+    )
+
+
+@register(
+    QUERIES,
+    "dedup_graph_pagerank",
+    oracle=_pagerank_oracle_sql(),
+    doc="PageRank over the near-dup pair graph (5 fixed power iterations, "
+    "d=0.85, symmetric edges): centrality inside dup clusters — the hub "
+    "document of each near-dup family ranks highest, a principled pick for "
+    "the canonical copy. The oracle unrolls the identical iterations as "
+    "chained CTEs from the same constants, so the loop cannot drift. Each "
+    "iteration is one shuffle join on node id + one groupBy; at 100 TB add "
+    "localCheckpoint every few iterations (as dedup_clusters does) and "
+    "partition edges by u so the join is co-located across iterations.",
+)
+def dedup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    pairs = _capped_pairs_for(spark, sf_dir, 0.5).select("doc_a", "doc_b")
+    edges = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).unionAll(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).cast("double").alias("d"))
+    pr = deg.select(F.col("u").alias("node"), F.lit(1.0).alias("pr"))
+    for _ in range(PAGERANK_ITERS):
+        contrib = (
+            edges.join(pr, pr.node == edges.u)
+            .join(deg, "u")
+            .select("v", (F.col("pr") / F.col("d")).alias("c"))
+        )
+        pr = contrib.groupBy("v").agg(
+            (F.lit(1 - PAGERANK_DAMP) + F.lit(PAGERANK_DAMP) * F.sum("c")).alias("pr")
+        ).select(F.col("v").alias("node"), "pr")
+    return pr.select(
+        F.col("node").alias("doc_id"), F.round("pr", 6).alias("pagerank")
+    )

@@ -322,3 +322,46 @@ def lm_trigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored
+
+
+# BPE-ish pre-tokenizer pattern (GPT-2-style word/digit/punct split, minus
+# the lookaheads neither engine's default regex needs): letters run together,
+# digits split singly, punctuation runs together. Common Java-regex/RE2
+# subset — one constant for both engines.
+BPE_PATTERN = "[a-z]+|[0-9]|[^a-z0-9\\s]+"
+
+
+@register(
+    QUERIES,
+    "token_count_bpe_regex",
+    oracle=f"""
+    SELECT source,
+           CAST(sum(len(regexp_extract_all(lower(text), '{BPE_PATTERN}')))
+                AS BIGINT) AS bpe_tokens,
+           CAST(sum(len(regexp_split_to_array(lower(trim(text)), '\\s+')))
+                AS BIGINT) AS ws_tokens,
+           round(CAST(sum(len(regexp_extract_all(lower(text), '{BPE_PATTERN}')))
+                      AS DOUBLE)
+                 / sum(len(regexp_split_to_array(lower(trim(text)), '\\s+'))), 6)
+             AS bpe_per_ws
+    FROM documents
+    GROUP BY source
+    """,
+    doc="BPE-ish token accounting: a GPT-2-style pre-tokenizer regex "
+    "(letter runs | single digits | punct runs) counted next to whitespace "
+    "tokens, per source — the 'how many *model* tokens is this corpus' "
+    "estimate next to the word count, and the ratio between them. "
+    "regexp_extract_all is JVM-side (codegen); one partial-agg groupBy.",
+)
+def token_count_bpe_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    d = load_table(spark, sf_dir, "documents")
+    bpe = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_PATTERN), F.lit(0)))
+    ws = F.size(_tokens_col())
+    return d.groupBy("source").agg(
+        F.sum(bpe).cast("long").alias("bpe_tokens"),
+        F.sum(ws).cast("long").alias("ws_tokens"),
+        F.round(
+            F.sum(bpe).cast("double") / F.sum(ws), 6
+        ).alias("bpe_per_ws"),
+    )

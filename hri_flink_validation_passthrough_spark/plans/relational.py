@@ -1085,3 +1085,64 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("active_users"))
     )
+
+
+@register(
+    QUERIES,
+    "events_moving_avg",
+    oracle="""
+    SELECT event_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+           round(avg(value) OVER (
+             PARTITION BY user_id
+             ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 4) AS mavg_1h
+    FROM events
+    """,
+    doc="Time-based RANGE window frame: per-user trailing-1h moving average "
+    "of event value (frame bounded by the ORDER BY value, not row count — "
+    "peers in the same second share a frame, so the result is deterministic "
+    "under any row order). One shuffle on user_id; the frame scan is linear "
+    "per partition via Spark's sliding-frame aggregation.",
+)
+def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    sec = F.col("ts").cast("long")
+    w = Window.partitionBy("user_id").orderBy(sec).rangeBetween(-3600, 0)
+    return e.select(
+        "event_id",
+        sec.alias("sec"),
+        F.round(F.avg("value").over(w), 4).alias("mavg_1h"),
+    )
+
+
+@register(
+    QUERIES,
+    "events_zscore_outliers",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
+      FROM events GROUP BY event_type
+    )
+    SELECT event_id, e.event_type,
+           round((value - mu) / sigma, 4) AS z
+    FROM events e JOIN stats USING (event_type)
+    WHERE abs(round((value - mu) / sigma, 4)) > 2.5
+    """,
+    doc="Z-score anomaly detection: per-type mean/stddev (tiny aggregate, "
+    "broadcast back) scores every event; |z| > 2.5 flags outliers. The "
+    "filter compares the ROUNDED score on both sides so the cut is "
+    "deterministic across engines. At 100 TB: one partial-agg groupBy over "
+    "a handful of types + a map-side broadcast join — no second shuffle.",
+)
+def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    stats = e.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    z = F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 4)
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .select("event_id", "event_type", z.alias("z"))
+        .filter(F.abs(F.col("z")) > 2.5)
+    )
