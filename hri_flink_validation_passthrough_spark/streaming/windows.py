@@ -291,3 +291,127 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+# Far-future sentinel offset: pushes the final watermark hours past every
+# real row's outer-join eviction horizon, so ALL unmatched left rows are
+# flushed deterministically before the AvailableNow query terminates.
+_SENTINEL_OFFSET_H = 10
+_WM = "1 hour"
+
+_ssjoin_dirs: dict[str, str] = {}
+
+
+def _outer_join_input_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize events + 2 far-future sentinel rows (user_id -1, one per
+    join side) into a temp dir the file stream source replays."""
+    import tempfile
+
+    if sf_dir in _ssjoin_dirs:
+        return _ssjoin_dirs[sf_dir]
+    from ..session import load_table
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    max_ts = e.agg(F.max("ts")).collect()[0][0]
+    # The two sentinels are 2h apart so they can never pair with each other
+    # (30-min join window), and user_id -1 never pairs with real rows; the
+    # unmatched sentinel click's own horizon stays ABOVE the final watermark,
+    # so neither sentinel ever reaches the output — no output filter needed.
+    # (An output filter like user_id >= 0 would be pushed below the join
+    # into the source and silently hold the watermark back.)
+    sent = spark.createDataFrame(
+        [
+            (-1, max_ts, -1, "click"),
+            (-2, max_ts, -1, "purchase"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    ).select(
+        "event_id",
+        (
+            F.col("ts")
+            + F.expr(f"INTERVAL {_SENTINEL_OFFSET_H} HOURS")
+            + F.when(F.col("event_type") == "purchase", F.expr("INTERVAL 2 HOURS"))
+            .otherwise(F.expr("INTERVAL 0 HOURS"))
+        ).alias("ts"),
+        "user_id",
+        "event_type",
+    )
+    tmp = tempfile.mkdtemp(prefix="hri_ssjoin_")
+    e.unionByName(sent).write.mode("overwrite").parquet(tmp)
+    _ssjoin_dirs[sf_dir] = tmp
+    return tmp
+
+
+@register(
+    QUERIES,
+    "stream_stream_left_outer_join",
+    oracle="""
+    SELECT a.event_id AS click_id,
+           b.event_id AS purchase_id,
+           a.user_id  AS user_id,
+           strftime(a.ts, '%Y-%m-%d %H:%M:%S') AS click_ts
+    FROM events a
+    LEFT JOIN events b
+      ON a.user_id = b.user_id
+     AND b.event_type = 'purchase'
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+    WHERE a.event_type = 'click'
+    """,
+    doc="Stream-stream LEFT OUTER interval join (every click, attributed "
+    "purchase or NULL) through the real streaming engine: watermarked state "
+    "on both sides, unmatched clicks emitted with nulls when the watermark "
+    "passes their match horizon (click_ts + 30 min). A far-future sentinel "
+    "row pushes the final watermark hours past every real click's horizon, "
+    "and AvailableNow runs the extra eviction batch the advanced watermark "
+    "requires — so the outer emission is COMPLETE and deterministic, and "
+    "the plain batch LEFT JOIN oracle applies exactly. The state-eviction "
+    "semantics this pins (emit-on-eviction, one-batch delay) are the core "
+    "of attribution pipelines at scale.",
+)
+def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    path = _outer_join_input_dir(spark, sf_dir)
+    schema = spark.read.parquet(path).schema
+
+    def side(tag: str) -> DataFrame:
+        return spark.readStream.schema(schema).parquet(path).filter(
+            F.col("event_type") == tag
+        )
+
+    clicks = side("click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("user_id"),
+        F.col("ts").alias("click_ts_t"),
+    ).withWatermark("click_ts_t", _WM)
+    purchases = side("purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts_t"),
+    ).withWatermark("purchase_ts_t", _WM)
+    joined = clicks.join(
+        purchases,
+        on=[
+            F.col("user_id") == F.col("p_user_id"),
+            F.col("purchase_ts_t") >= F.col("click_ts_t"),
+            F.col("purchase_ts_t")
+            <= F.col("click_ts_t") + F.expr("INTERVAL 30 MINUTES"),
+        ],
+        how="left_outer",
+    ).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        F.date_format("click_ts_t", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+    )
+    name = f"ssleft_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
