@@ -415,3 +415,75 @@ def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@register(
+    QUERIES,
+    "stream_passthrough_route",
+    oracle="""
+    SELECT event_type            AS batch_id,
+           count(*)              AS n_out,
+           CAST(0 AS BIGINT)     AS n_invalid,
+           'completed'           AS final_status
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="The reference pipeline itself through the REAL streaming engine: "
+    "file sources -> envelope union -> keyed lifecycle state machine "
+    "(applyInPandasWithState / transformWithState, processing-time "
+    "completion timers) -> memory sink, then the same per-batch summary as "
+    "the batch replay. Same oracle as passthrough_route, so the streaming "
+    "topology, the batch state machine, the relational plan, and DuckDB "
+    "all agree on the happy path.",
+)
+def stream_passthrough_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import time
+
+    from ..operators.passthrough import _derive_control, _summarize
+    from ..session import load_table
+    from ..sources.envelope import events_as_records
+    from .topology import build_routed_stream, start_memory_query
+
+    prepare(spark)
+    e = load_table(spark, sf_dir, "events")
+    n_events = e.count()
+    n_batches = e.select("event_type").distinct().count()
+    tmp = tempfile.mkdtemp(prefix="hri_stream_route_")
+    events_as_records(e).write.parquet(f"{tmp}/records")
+    _derive_control(e).write.parquet(f"{tmp}/ctrl")
+    records = spark.readStream.schema(
+        spark.read.parquet(f"{tmp}/records").schema
+    ).parquet(f"{tmp}/records")
+    notifs = spark.readStream.schema(
+        spark.read.parquet(f"{tmp}/ctrl").schema
+    ).parquet(f"{tmp}/ctrl")
+    # Size the state store to the keyed-state cardinality (one key per
+    # batch): empty state partitions still pay per-microbatch checkpoint
+    # I/O. Restored after the run; see bench.py for the measurement.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    routed = build_routed_stream(records, notifs, completion_delay_ms=1500)
+    name = f"route_{uuid.uuid4().hex[:8]}"
+    q = start_memory_query(routed, name, f"{tmp}/ckpt")
+    try:
+        # run until every record routed AND every batch's completion timer
+        # has fired (the 'completed' notification is emitted by a later
+        # no-data microbatch once the processing-time deadline passes)
+        t0 = time.time()
+        while time.time() - t0 < 300:
+            done = spark.sql(
+                f"""SELECT
+                      sum(CASE WHEN dest = 'out' THEN 1 ELSE 0 END) AS n_out,
+                      sum(CASE WHEN dest = 'notification'
+                               AND CAST(value AS STRING) LIKE '%completed%'
+                               THEN 1 ELSE 0 END) AS n_done
+                    FROM {name}"""
+            ).collect()[0]
+            if (done.n_out or 0) >= n_events and (done.n_done or 0) >= n_batches:
+                break
+            time.sleep(0.3)
+        return _summarize(spark.table(name))
+    finally:
+        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
