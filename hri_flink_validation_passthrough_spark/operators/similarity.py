@@ -257,3 +257,66 @@ def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(BM25_TOP_K)
     )
+
+
+@register(
+    QUERIES,
+    "kmeans_one_iteration",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), cent AS (
+      SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < {NLIST}
+    ), assign AS (  -- E-step: nearest centroid per vector
+      SELECT vec_id, e, cid AS cluster FROM (
+        SELECT v.vec_id, v.e, cent.cid,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY round(list_cosine_similarity(v.e, cent.ce), 6) DESC,
+                          cent.cid) AS rn
+        FROM v, cent
+      ) WHERE rn = 1
+    ), flat AS (  -- M-step: per-cluster per-dimension mean
+      SELECT cluster,
+             CAST(generate_subscripts(e, 1) - 1 AS INTEGER) AS dim,
+             unnest(e) AS x
+      FROM assign
+    )
+    SELECT cluster, dim,
+           round(avg(x), 6)       AS mean_val,
+           CAST(count(*) AS BIGINT) AS n_members
+    FROM flat
+    GROUP BY cluster, dim
+    """,
+    doc=f"One full k-means iteration (Lloyd's E+M step) over the embedding "
+    f"table: E-step assigns each vector to the nearest of {NLIST} "
+    "deterministic centroids (broadcast cross join + per-vector argmin "
+    "window, same shape as the IVF assignment), M-step recomputes "
+    "per-cluster per-dimension means via posexplode + partial-agg groupBy "
+    "(the shuffle carries only (clusters x dims) partials). At 100 TB this "
+    "IS the iteration body: centroids stay broadcast-size, data is "
+    "re-scanned once per iteration, no state accumulates across iterations.",
+)
+def kmeans_one_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _emb(spark, sf_dir)
+    cent = (
+        v.filter(F.col("vec_id") < NLIST)
+        .withColumnsRenamed({"vec_id": "cid", "e": "ce"})
+    )
+    sim = F.round(cosine_similarity(F.col("e"), F.col("ce")), 6)
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
+    assign = (
+        v.crossJoin(F.broadcast(cent))
+        .select("vec_id", "e", "cid", sim.alias("sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("e", F.col("cid").alias("cluster"))
+    )
+    return (
+        assign.select("cluster", F.posexplode("e").alias("dim", "x"))
+        .groupBy("cluster", "dim")
+        .agg(
+            F.round(F.avg("x"), 6).alias("mean_val"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+    )
