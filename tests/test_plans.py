@@ -103,3 +103,19 @@ def test_partitioned_scan_prunes_directories(spark):
     assert "PartitionFilters" in p
     pf_line = [l for l in p.splitlines() if "PartitionFilters" in l][0]
     assert "event_type" in pf_line and "click" in pf_line
+
+
+def test_zorder_box_scan_prunes_partitions(spark):
+    """Z-ordered layout + 2-D box -> the scan must prune to the box's
+    z-prefix directories (both predicates folded into ONE partition filter)."""
+    from hri_flink_validation_passthrough_spark.plans.bucketing import (
+        _box_prefixes,
+        zorder_box_query,
+    )
+
+    p = plan(zorder_box_query(spark, SF_ORACLE))
+    pf_lines = [l for l in p.splitlines() if "PartitionFilters" in l]
+    assert pf_lines, "z-order scan lost its PartitionFilters"
+    assert "zprefix" in pf_lines[0]
+    for pref in _box_prefixes():
+        assert str(pref) in pf_lines[0]
