@@ -34,6 +34,11 @@ SHOWCASE = {
     "skew_join_salted": "hot key fanned over 16 salts; dim replicated; shuffle-hash join",
     "corpus_quality_pipeline": "dedup window + map-side filters + partial-agg audit in one plan",
     "lm_trigram_score": "trigram explode, model join, 1-row total broadcast",
+    "zorder_box_query": "2-D box folded into z-prefix PartitionFilters; residual predicates inside",
+    "sequence_packing": "two-level parallel prefix sum: per-block window + tiny block-offset broadcast",
+    "bm25_keyword_search": "map-side tf columns; 1-row stats broadcast; TakeOrderedAndProject top-k",
+    "quality_repetition_filters": "per-doc n-gram stats as array lambdas — zero shuffle, pure codegen",
+    "boilerplate_coverage": "one df aggregation; tiny boilerplate list broadcast back onto the scan",
 }
 
 
