@@ -315,3 +315,46 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         start.alias("start_offset"),
         F.floor(start / PACK_CTX).cast("long").alias("chunk_id"),
     )
+
+
+# Deterministic training-order shuffle: shards + within-shard hash order.
+SHUFFLE_SHARDS = 16
+SHUFFLE_SALT = "|shuffle-v1"
+
+
+@register(
+    QUERIES,
+    "corpus_shuffle_assignment",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id,
+             {_SQL_HASH} % {SHUFFLE_SHARDS} AS shard,
+             md5(CAST(doc_id AS VARCHAR) || '{SHUFFLE_SALT}') AS ord
+      FROM documents
+    )
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id)
+                AS BIGINT) AS pos
+    FROM h
+    """,
+    doc="Deterministic corpus shuffle for training order: every doc gets a "
+    "(shard, position) from two independent content hashes — reproducible "
+    "across runs, engines, and retries (no rand()), which data-order-"
+    "sensitive training runs require. The shard hash reuses the sampling "
+    "hash; the order hash is salted independently so shard and order are "
+    "uncorrelated. One window shuffle on the shard key; shards are read "
+    "round-robin at train time, so no global sort ever happens.",
+)
+def corpus_shuffle_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    ordh = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(SHUFFLE_SALT)))
+    w = Window.partitionBy("shard").orderBy("ord", "doc_id")
+    return (
+        d.select(
+            "doc_id",
+            _hash_bucket(SHUFFLE_SHARDS).alias("shard"),
+            ordh.alias("ord"),
+        )
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("doc_id", "shard", "pos")
+    )

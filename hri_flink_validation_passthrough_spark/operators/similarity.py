@@ -320,3 +320,53 @@ def kmeans_one_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_members"),
         )
     )
+
+
+@register(
+    QUERIES,
+    "embedding_quantize_int8",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), s AS (
+      SELECT vec_id, e,
+             127.0 / list_max(list_transform(e, x -> abs(x))) AS scale
+      FROM v
+      WHERE list_max(list_transform(e, x -> abs(x))) > 0
+    )
+    SELECT vec_id,
+           round(scale, 6) AS scale_r,
+           array_to_string(
+             list_transform(e, x -> CAST(round(x * scale) AS INTEGER)), ',')
+             AS q8,
+           round(list_max(list_transform(e,
+                 x -> abs(x - round(x * scale) / scale))), 9) AS max_abs_err
+    FROM s
+    """,
+    doc="Symmetric per-vector int8 quantization (the embedding-compression "
+    "pass before a 100 TB vector store): scale = 127/max|x|, q = "
+    "round(x*scale), plus the reconstruction max-abs-error as a built-in "
+    "quality audit. Pure map-side array lambdas (codegen, no Python, no "
+    "shuffle); int8 output is serialized to csv because the driver compare "
+    "hashes scalars. Both engines round half-away-from-zero on doubles, so "
+    "the quantized codes match bit-for-bit.",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _emb(spark, sf_dir)
+    absmax = F.array_max(F.transform(F.col("e"), lambda x: F.abs(x)))
+    s = v.filter(absmax > 0).withColumn("scale", F.lit(127.0) / absmax)
+    q = F.transform(
+        F.col("e"), lambda x: F.round(x * F.col("scale"), 0).cast("int")
+    )
+    err = F.array_max(
+        F.transform(
+            F.col("e"),
+            lambda x: F.abs(x - F.round(x * F.col("scale"), 0) / F.col("scale")),
+        )
+    )
+    return s.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale_r"),
+        F.array_join(q, ",").alias("q8"),
+        F.round(err, 9).alias("max_abs_err"),
+    )

@@ -387,3 +387,60 @@ def corrupt_record_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sum_valid"),
         )
     )
+
+
+@register(
+    QUERIES,
+    "cogroup_user_activity",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
+      FROM events GROUP BY user_id
+    ), o AS (
+      SELECT o_custkey AS user_id, count(*) AS n_orders
+      FROM orders WHERE o_custkey <= 1000 GROUP BY o_custkey
+    )
+    SELECT coalesce(e.user_id, o.user_id) AS user_id,
+           CAST(coalesce(n_events, 0) AS BIGINT) AS n_events,
+           coalesce(sum_value, 0.0)              AS sum_value,
+           CAST(coalesce(n_orders, 0) AS BIGINT) AS n_orders
+    FROM e FULL OUTER JOIN o ON e.user_id = o.user_id
+    """,
+    doc="Cogrouped pandas apply (the applyInPandas cogroup surface of "
+    "SURVEY §2B): events and orders cogrouped per user key, each group "
+    "pair reduced to (n_events, sum_value, n_orders) in one Arrow batch — "
+    "the custom two-sided per-key merge for logic a join can't express. "
+    "Oracle = the equivalent FULL OUTER JOIN of two aggregates, proving "
+    "the cogroup reduction is join-consistent. At 100 TB both sides "
+    "shuffle once on the key; the Python work is Arrow-batched per group.",
+)
+def cogroup_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    prepare(spark)
+    e = _t(spark, sf_dir, "events").select("user_id", "value")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") <= 1000)
+        .select(F.col("o_custkey").alias("user_id"))
+    )
+
+    def merge(ev: pd.DataFrame, od: pd.DataFrame) -> pd.DataFrame:
+        uid = ev["user_id"].iloc[0] if len(ev) else od["user_id"].iloc[0]
+        return pd.DataFrame(
+            {
+                "user_id": [int(uid)],
+                "n_events": [len(ev)],
+                "sum_value": [round(float(ev["value"].sum()), 2) if len(ev) else 0.0],
+                "n_orders": [len(od)],
+            }
+        )
+
+    return (
+        e.groupBy("user_id")
+        .cogroup(o.groupBy("user_id"))
+        .applyInPandas(
+            merge,
+            "user_id long, n_events long, sum_value double, n_orders long",
+        )
+    )
