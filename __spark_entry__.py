@@ -40,6 +40,7 @@ def _all_specs() -> dict[str, QuerySpec]:
             "text",
             "quality",
             "sampling",
+            "corpus",
             "multimodal",
             "similarity",
             "dedup",

@@ -1,0 +1,297 @@
+"""Corpus-preparation operators for training-data pipelines (north star
+surface): eval-set decontamination, vocabulary building + OOV audit, TF-IDF
+keyword extraction, and overlapping chunking for retrieval indexes.
+
+These complete the LLM-data families next to dedup/quality/sampling: before a
+100 TB corpus is trained on, it is (1) scrubbed of eval-set n-gram overlap,
+(2) audited against a fixed vocabulary, (3) keyword-indexed, and (4) chunked
+with overlap for retrieval. All four are oracle-checked; all hot paths are
+JVM-side array lambdas / joins (no Python), and the only small sides
+(eval-gram set, vocabulary, corpus-size scalar) are explicit broadcasts.
+
+Reference parity note: the reference engine (Alvearie hri-flink-validation,
+~154 LoC shell around pipeline-core) has no analytics surface; these ops are
+the north-star extensions mandated by SURVEY.md §2's LLM-pipeline inventory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans import QuerySpec, register
+from ..session import load_table, prepare
+from .dedup import _shingles
+
+QUERIES: dict[str, QuerySpec] = {}
+
+# Eval-set membership: a deterministic content-independent holdout
+# (doc_id % EVAL_MOD == EVAL_REM), ~1% of the corpus at any SF.
+EVAL_MOD = 97
+EVAL_REM = 3
+DECONTAM_N = 5  # n-gram width for contamination matching (13 in practice;
+# 5 here so the synthetic word-soup corpus actually produces overlaps)
+
+VOCAB_K = 100  # vocabulary size for the OOV audit
+TFIDF_TOP = 3  # keywords kept per document
+
+CHUNK_C = 32  # chunk width (tokens)
+CHUNK_S = 24  # chunk stride (tokens) -> 8-token overlap between chunks
+
+# DuckDB twin of dedup._shingles at n=5 (same tokenization, same distinct).
+_SQL_SHINGLES_5 = """
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(toks) - 3),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+                    || toks[i+3] || ' ' || toks[i+4])) AS sh
+      FROM t WHERE len(toks) >= 5
+    )
+"""
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    prepare(spark)
+    return load_table(spark, sf_dir, name)
+
+
+def _tok(d: DataFrame) -> DataFrame:
+    """(doc_id, token) exploded rows, same tokenization as the oracle."""
+    return d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token"),
+    )
+
+
+@register(
+    QUERIES,
+    "decontam_ngram_overlap",
+    oracle=f"""
+    {_SQL_SHINGLES_5},
+    ev AS (
+      SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % {EVAL_MOD} = {EVAL_REM}
+    ), tr AS (
+      SELECT doc_id, sh FROM s WHERE doc_id % {EVAL_MOD} <> {EVAL_REM}
+    ), hits AS (
+      SELECT e.doc_id, count(*) AS n_shared
+      FROM (SELECT doc_id, unnest(sh) AS g FROM tr) e JOIN ev USING (g)
+      GROUP BY e.doc_id
+    )
+    SELECT tr.doc_id,
+           CAST(n_shared AS BIGINT)  AS n_shared,
+           CAST(len(sh) AS BIGINT)   AS n_grams,
+           round(CAST(n_shared AS DOUBLE) / len(sh), 6) AS contam_ratio
+    FROM tr JOIN hits ON tr.doc_id = hits.doc_id
+    """,
+    doc="Eval-set decontamination (the n-gram-overlap scrub every training "
+    "corpus runs before release): a deterministic ~1% holdout's distinct "
+    f"{DECONTAM_N}-gram set is built once and BROADCAST; training docs are "
+    "flagged with their count and fraction of shingles that collide. At "
+    "100 TB the eval side is tiny by construction (eval sets are MBs), so "
+    "the match is a map-side broadcast hash join on the exploded training "
+    "shingles — one shuffle total (the per-doc count). Shares dedup's "
+    "shingle builder so tokenization cannot drift between families.",
+)
+def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    sh = _shingles(d, n=DECONTAM_N)
+    is_eval = (F.col("doc_id") % EVAL_MOD) == EVAL_REM
+    ev_grams = (
+        sh.filter(is_eval).select(F.explode("sh").alias("g")).distinct()
+    )
+    tr = sh.filter(~is_eval)
+    hits = (
+        tr.select("doc_id", F.explode("sh").alias("g"))
+        .join(F.broadcast(ev_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sizes = tr.select("doc_id", F.size("sh").cast("long").alias("n_grams"))
+    return sizes.join(hits, "doc_id").select(
+        "doc_id",
+        F.col("n_shared").cast("long").alias("n_shared"),
+        "n_grams",
+        F.round(F.col("n_shared").cast("double") / F.col("n_grams"), 6).alias(
+            "contam_ratio"
+        ),
+    )
+
+
+@register(
+    QUERIES,
+    "vocab_oov_rate",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+      FROM documents
+    ), v AS (
+      SELECT token FROM tok GROUP BY token
+      ORDER BY count(*) DESC, token LIMIT {VOCAB_K}
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(*) FILTER (WHERE token IN (SELECT token FROM v))
+                AS BIGINT) AS n_in_vocab,
+           round(1.0 - CAST(count(*) FILTER (
+                 WHERE token IN (SELECT token FROM v)) AS DOUBLE) / count(*),
+                 6) AS oov_ratio
+    FROM tok GROUP BY doc_id
+    """,
+    doc=f"Vocabulary build + out-of-vocabulary audit: the top-{VOCAB_K} "
+    "tokens by corpus frequency (ties broken by token, so the cut is "
+    "deterministic) become the vocabulary; every document reports its OOV "
+    "token fraction. The vocab is produced by a TakeOrdered top-K (no "
+    "global sort materialization) and joined back as a BROADCAST, so the "
+    "per-token membership test is map-side; the only shuffles are the "
+    "vocab count and the per-doc rollup. The same shape serves tokenizer "
+    "coverage checks before committing a vocab to a 100 TB run.",
+)
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    tok = _tok(d)
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "token")
+        .limit(VOCAB_K)
+        .select("token", F.lit(1).alias("in_vocab"))
+    )
+    joined = tok.join(F.broadcast(vocab), "token", "left")
+    n_tokens = F.count(F.lit(1))
+    n_in = F.count("in_vocab")
+    return joined.groupBy("doc_id").agg(
+        n_tokens.cast("long").alias("n_tokens"),
+        n_in.cast("long").alias("n_in_vocab"),
+        F.round(F.lit(1.0) - n_in.cast("double") / n_tokens, 6).alias(
+            "oov_ratio"
+        ),
+    )
+
+
+@register(
+    QUERIES,
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token
+    ), df AS (
+      SELECT token, count(*) AS dfreq FROM tf GROUP BY token
+    ), n AS (
+      SELECT count(DISTINCT doc_id) AS n_docs FROM tok
+    ), scored AS (
+      SELECT doc_id, token, tf, dfreq,
+             tf * ln((n_docs + 1.0) / (dfreq + 1.0)) AS score
+      FROM tf JOIN df USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, token,
+           CAST(tf AS BIGINT) AS tf,
+           CAST(dfreq AS BIGINT) AS dfreq,
+           round(score, 6) AS score,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, token) AS rnk
+      FROM scored
+    ) WHERE rnk <= {TFIDF_TOP}
+    """,
+    doc=f"TF-IDF keyword extraction: top-{TFIDF_TOP} terms per document by "
+    "tf*ln((N+1)/(df+1)), ties broken by token. The corpus-size scalar N "
+    "is a 1-row aggregate broadcast cross join (same pattern as BM25); "
+    "term document-frequency comes from the (doc,term) partial, so the "
+    "corpus is tokenized exactly once. Per-doc ranking is a window over "
+    "the doc key — at 100 TB this is two shuffles (doc+term rollup, doc "
+    "window) and a broadcast; nothing global.",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    tok = _tok(d)
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("dfreq"))
+    n = tok.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(df_, "token")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.col("tf")
+            * F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("dfreq") + F.lit(1.0))),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "token")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TFIDF_TOP)
+        .select(
+            "doc_id",
+            "token",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("dfreq").cast("long").alias("dfreq"),
+            F.round("score", 6).alias("score"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
+@register(
+    QUERIES,
+    "chunk_overlap_windows",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+      FROM documents
+    ), c AS (
+      SELECT doc_id, toks,
+             CASE WHEN len(toks) <= {CHUNK_C} THEN 1
+                  ELSE (len(toks) - {CHUNK_C} + {CHUNK_S} - 1) // {CHUNK_S} + 1
+             END AS n_chunks
+      FROM t
+    ), k AS (
+      SELECT doc_id, toks, unnest(range(0, n_chunks)) AS k FROM c
+    )
+    SELECT doc_id,
+           CAST(k AS BIGINT)             AS chunk_id,
+           CAST(k * {CHUNK_S} AS BIGINT) AS start_token,
+           CAST(len(toks[k*{CHUNK_S}+1 : k*{CHUNK_S}+{CHUNK_C}]) AS BIGINT)
+                                         AS n_chunk_tokens,
+           md5(array_to_string(toks[k*{CHUNK_S}+1 : k*{CHUNK_S}+{CHUNK_C}], ' '))
+                                         AS chunk_md5
+    FROM k
+    """,
+    doc=f"Overlapping chunking for retrieval indexes: {CHUNK_C}-token chunks "
+    f"at stride {CHUNK_S} ({CHUNK_C - CHUNK_S}-token overlap), the standard "
+    "RAG-ingest shape (complements sequence_packing, which packs WITHOUT "
+    "overlap for training). Chunk count is exact integer math (no float "
+    "ceil), slices come from one in-row sequence+transform+posexplode — "
+    "map-side only, zero shuffles, linear output amplification C/S. Each "
+    "chunk carries its md5 so a downstream embedder can dedup chunks "
+    "before paying for inference.",
+)
+def chunk_overlap_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n = F.size("toks")
+    n_chunks = F.when(n <= CHUNK_C, F.lit(1)).otherwise(
+        F.expr(
+            f"CAST((size(toks) - {CHUNK_C} + {CHUNK_S} - 1) DIV {CHUNK_S} AS INT) + 1"
+        )
+    )
+    base = (
+        d.select("doc_id", toks.alias("toks"))
+        .withColumn("k", F.explode(F.sequence(F.lit(0), n_chunks - 1)))
+    )
+    chunk = F.slice(F.col("toks"), F.col("k") * CHUNK_S + 1, CHUNK_C)
+    return base.select(
+        "doc_id",
+        F.col("k").cast("long").alias("chunk_id"),
+        (F.col("k") * CHUNK_S).cast("long").alias("start_token"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.md5(F.concat_ws(" ", chunk).cast("binary")).alias("chunk_md5"),
+    )

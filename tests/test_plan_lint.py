@@ -26,6 +26,7 @@ ALLOWED_NESTED_LOOP = {
     "q22_wealthy_inactive_customers": "1-row avg(c_acctbal) scalar broadcast cross join",
     "lm_trigram_score": "1-row corpus-total scalar broadcast cross join",
     "bm25_keyword_search": "1-row corpus-stats (N, avgdl, df) broadcast cross join",
+    "tfidf_top_terms": "1-row corpus-size (N) broadcast cross join",
 }
 
 # queries that EXECUTE work when constructed (streaming boots a query; these
