@@ -295,3 +295,113 @@ def zorder_box_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
+
+
+# --- Dynamic partition pruning: the dim-filter-prunes-the-fact pattern.
+# event_type -> tier dim, one shared definition rendered into both engines.
+EVENT_TIERS = [
+    ("click", "interaction"),
+    ("view", "interaction"),
+    ("purchase", "conversion"),
+    ("signup", "conversion"),
+    ("error", "ops"),
+]
+_TIER_VALUES = ", ".join(f"('{t}', '{g}')" for t, g in EVENT_TIERS)
+
+
+@register(
+    QUERIES,
+    "dpp_event_tier_stats",
+    oracle=f"""
+    WITH dim(event_type, tier) AS (VALUES {_TIER_VALUES})
+    SELECT e.event_type,
+           count(*)             AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events e JOIN dim ON e.event_type = dim.event_type
+    WHERE dim.tier = 'conversion'
+    GROUP BY e.event_type
+    """,
+    doc="Dynamic partition pruning (the star-schema scale pattern): the fact "
+    "is laid out PARTITIONED BY event_type, the filter lives only on a tiny "
+    "joined dim (tier = 'conversion'), and Catalyst injects the dim's "
+    "surviving keys as a runtime partition filter on the fact scan — the "
+    "fact reads 2 of 5 directories without any literal fact predicate "
+    "(dynamicpruning asserted in tests/test_plans.py). At 100 TB this is "
+    "the difference between scanning the whole fact and only the partitions "
+    "the dim selects, for every dim-filtered query shape.",
+)
+def dpp_event_tier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = partitioned_events(spark, sf_dir)
+    dim = spark.createDataFrame(EVENT_TIERS, ["event_type", "tier"])
+    return (
+        e.join(F.broadcast(dim), "event_type")
+        .filter(F.col("tier") == "conversion")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+@register(
+    QUERIES,
+    "bloom_filtered_join",
+    oracle="""
+    SELECT l_returnflag,
+           count(*)                                          AS n,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY l_returnflag
+    """,
+    doc="Runtime bloom-filter join pruning (the shuffle-reduction pattern "
+    "when the filtered dim is too big to broadcast): orders is filtered to "
+    "one priority, Catalyst builds a bloom filter over the surviving order "
+    "keys and pushes bloom_filter_might_contain onto the lineitem side "
+    "BEFORE its shuffle, so ~4/5 of the fact rows never cross the network "
+    "(asserted in tests/test_plans.py). Broadcast is disabled and the "
+    "application-side size floor zeroed within this query only — at 100 TB "
+    "the thresholds pass on their own and the same plan appears unforced; "
+    "the plan is materialized before the confs are restored, so the "
+    "returned DataFrame keeps the bloom-filtered shape.",
+)
+def bloom_filtered_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10GB"
+        )
+        l = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        df = (
+            l.join(o, l.l_orderkey == o.o_orderkey)
+            .groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                ).alias("revenue"),
+            )
+        )
+        # pin the plan (QueryExecution caches) while the confs are in force
+        df._jdf.queryExecution().executedPlan()
+        return df
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

@@ -119,3 +119,30 @@ def test_zorder_box_scan_prunes_partitions(spark):
     assert "zprefix" in pf_lines[0]
     for pref in _box_prefixes():
         assert str(pref) in pf_lines[0]
+
+
+def test_dpp_injects_runtime_partition_filter(spark):
+    """Dim-side filter + partitioned fact -> Catalyst must inject a
+    dynamicpruning subquery into the fact scan's PartitionFilters (the fact
+    reads only the dim-selected directories, with no literal fact predicate)."""
+    from hri_flink_validation_passthrough_spark.plans.bucketing import (
+        dpp_event_tier_stats,
+    )
+
+    p = plan(dpp_event_tier_stats(spark, SF_ORACLE))
+    pf_lines = [l for l in p.splitlines() if "PartitionFilters" in l]
+    assert pf_lines, "fact scan lost its PartitionFilters"
+    assert "dynamicpruning" in pf_lines[0]
+
+
+def test_bloom_filter_pruned_join(spark):
+    """Selective dim filter + non-broadcast join -> a runtime bloom filter
+    must be built over the dim keys and applied to the fact side before its
+    shuffle (bloom_filter_might_contain in the fact subtree)."""
+    from hri_flink_validation_passthrough_spark.plans.bucketing import (
+        bloom_filtered_join,
+    )
+
+    p = plan(bloom_filtered_join(spark, SF_ORACLE))
+    assert "bloom_filter_agg" in p, "no bloom filter built on the dim side"
+    assert "might_contain" in p, "bloom filter not applied to the fact side"
