@@ -34,6 +34,12 @@ RUNTIME_CONF: dict[str, str] = {
     # testdata events.parquet stores TIMESTAMP(NANOS); Spark reads it as a
     # long we convert in load_table (DuckDB truncates nanos→micros the same).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Driver testdata timestamps are timezone-less parquet micros. Read them
+    # as session-TZ (UTC) TIMESTAMP, not TIMESTAMP_NTZ: values then equal the
+    # DuckDB oracle's UTC-naive reads and chrono functions (unix_millis,
+    # window, watermarks) accept them. load_table also casts defensively in
+    # case this conf cannot be applied to an externally built session.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # ANSI off: Spark 4 defaults ansi.enabled=true (strict cast/overflow/
     # element_at). We want classic null-on-bad-cast semantics so expressions
     # like get_json_object(...).cast('int') behave like DuckDB TRY_CAST-ish
@@ -95,4 +101,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     for f in df.schema.fields:
         if f.name == "ts" and f.dataType.simpleString() == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif f.dataType.simpleString() == "timestamp_ntz":
+            # Session TZ is UTC, so NTZ → LTZ is a value-preserving
+            # reinterpretation matching the DuckDB oracle's naive reads.
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
     return df
