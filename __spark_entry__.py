@@ -8,11 +8,41 @@ Registries live next to the implementations (see
 
 from __future__ import annotations
 
+import glob
+import json
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 from hri_flink_validation_passthrough_spark.plans import QuerySpec
+
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+
+
+def _driver_verified_names() -> set[str]:
+    """Names that already have a green driver CORRECTNESS row in any past round.
+
+    A row counts as verified when the hash compare passed, or when the query is
+    a documented rows-only check (err == "no_oracle") that produced rows — that
+    is the strongest evidence the driver can ever record for it.
+    """
+    verified: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("hash_match") is True or (
+                row.get("err") == "no_oracle"
+                and (row.get("spark_rows") or 0) > 0
+            ):
+                verified.add(name)
+    return verified
 
 
 def _all_specs() -> dict[str, QuerySpec]:
@@ -23,20 +53,52 @@ def _all_specs() -> dict[str, QuerySpec]:
         tpch_extra,
     )
 
-    specs: dict[str, QuerySpec] = {}
-    specs.update(relational.QUERIES)
-    specs.update(scalar.QUERIES)
-    specs.update(tpch_extra.QUERIES)
-    specs.update(bucketing.QUERIES)
-    # Registration order == the driver's execution order. Cheap batch modules
-    # run before the expensive dedup/streaming tails so a truncated driver
-    # budget cuts the costly end, not untested coverage (round-1 lesson:
-    # the run stopped exactly at the end of the dedup module).
+    # Registration order == the driver's execution order, and the driver
+    # verifies only the FIRST ~50 registered queries each round. The round-2
+    # verdict's top finding: 61/126 registered queries had never appeared in
+    # any CORRECTNESS_r*.json because the already-green plans.* modules always
+    # registered first. Fix: self-rotating order — queries with no green driver
+    # row yet register FIRST (in the module-priority order below), and
+    # already-verified queries go last. Each round this automatically promotes
+    # whatever the previous rounds' windows never reached.
     modules = [
         f"hri_flink_validation_passthrough_spark.operators.{m}"
         for m in (
+            "text",
+            "quality",
+            "sampling",
+            "corpus",
+            "multimodal",
+            "similarity",
+            "dedup",
             "passthrough",
             "passthrough_relational",
+        )
+    ] + [
+        "hri_flink_validation_passthrough_spark.sources.formats",
+        "hri_flink_validation_passthrough_spark.streaming.windows",
+    ]
+
+    ordered: dict[str, QuerySpec] = {}
+    for mod in (relational, scalar, tpch_extra, bucketing):
+        ordered.update(mod.QUERIES)
+    for modpath in modules:
+        try:
+            mod = __import__(modpath, fromlist=["QUERIES"])
+            ordered.update(getattr(mod, "QUERIES", {}))
+        except ImportError:
+            pass  # module not built yet (round-incremental)
+
+    verified = _driver_verified_names()
+    specs: dict[str, QuerySpec] = {}
+    # Within each partition, module-priority order above is preserved — so the
+    # unverified tail of the LLM-pipeline modules (text/quality/sampling/
+    # corpus/multimodal/similarity/dedup), file formats, and the streaming
+    # window family all land inside the driver's window before the remaining
+    # tpch_extra/bucketing stragglers.
+    priority = [
+        f"hri_flink_validation_passthrough_spark.operators.{m}"
+        for m in (
             "text",
             "quality",
             "sampling",
@@ -49,12 +111,25 @@ def _all_specs() -> dict[str, QuerySpec]:
         "hri_flink_validation_passthrough_spark.sources.formats",
         "hri_flink_validation_passthrough_spark.streaming.windows",
     ]
-    for modpath in modules:
+    prio_specs: dict[str, QuerySpec] = {}
+    for modpath in priority:
         try:
             mod = __import__(modpath, fromlist=["QUERIES"])
-            specs.update(getattr(mod, "QUERIES", {}))
+            prio_specs.update(getattr(mod, "QUERIES", {}))
         except ImportError:
-            pass  # module not built yet (round-incremental)
+            pass
+    # 1) never-verified, from the priority modules
+    for name, spec in prio_specs.items():
+        if name not in verified:
+            specs[name] = spec
+    # 2) never-verified, everything else (tpch_extra stragglers, bucketing, …)
+    for name, spec in ordered.items():
+        if name not in verified and name not in specs:
+            specs[name] = spec
+    # 3) already driver-verified — register last; a truncated budget cuts these
+    for name, spec in ordered.items():
+        if name not in specs:
+            specs[name] = spec
     return specs
 
 
