@@ -13,6 +13,7 @@ finite table; in production these run in append mode with
 
 from __future__ import annotations
 
+import contextlib
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -22,6 +23,40 @@ from ..plans import QuerySpec, register
 from ..session import prepare
 
 QUERIES: dict[str, QuerySpec] = {}
+
+# State-store partition count for these finite-replay harness queries. A
+# streaming aggregation creates one state store per shuffle partition and
+# every microbatch pays per-partition checkpoint I/O even for empty
+# partitions — under an untuned driver session (200 shuffle partitions) that
+# is ~25× more tiny-file I/O than the data needs. The partition count is
+# fixed into the checkpoint at query start, so pinning it here only affects
+# the freshly started query; production jobs size it to key cardinality.
+_STATE_PARTITIONS = 8
+
+
+@contextlib.contextmanager
+def _pinned_state(spark: SparkSession):
+    prev = None
+    try:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+    except Exception:
+        pass
+    try:
+        cur = int(prev) if prev is not None else 1 << 30
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(min(cur, _STATE_PARTITIONS)),
+        )
+    except Exception:
+        pass
+    try:
+        yield
+    finally:
+        if prev is not None:
+            try:
+                spark.conf.set("spark.sql.shuffle.partitions", prev)
+            except Exception:
+                pass
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -42,17 +77,21 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
-def _run_to_table(agg: DataFrame, prefix: str) -> DataFrame:
+def _run_to_table(
+    agg: DataFrame, prefix: str, output_mode: str = "complete"
+) -> DataFrame:
+    spark = agg.sparkSession
     name = f"{prefix}_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return agg.sparkSession.table(name)
+    with _pinned_state(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
 
 
 @register(
@@ -281,16 +320,7 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.date_format("click_ts_t", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
     )
-    name = f"ssjoin_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    return _run_to_table(joined, "ssjoin", output_mode="append")
 
 
 # Far-future sentinel offset: pushes the final watermark hours past every
@@ -405,16 +435,7 @@ def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
         "user_id",
         F.date_format("click_ts_t", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
     )
-    name = f"ssleft_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    return _run_to_table(joined, "ssleft", output_mode="append")
 
 
 @register(
