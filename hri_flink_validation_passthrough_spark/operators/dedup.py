@@ -505,22 +505,41 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
     pairs = _capped_pairs_for(spark, sf_dir, 0.5).select("doc_a", "doc_b")
+    labels = min_label_components(pairs, "doc_a", "doc_b")
+    return labels.select(F.col("v").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+
+
+def min_label_components(
+    pairs: DataFrame, a: str, b: str, max_rounds: int = 50
+) -> DataFrame:
+    """Connected components over an undirected pair list → (v, lbl) with
+    lbl = min vertex id of v's component.
+
+    Min-label propagation + pointer jumping to fixpoint. Each round:
+      (1) neighbor step: label(v) ← min(label(v), min(label(u)) over
+          neighbors u) — spreads the component-min one hop;
+      (2) shortcut step: label(v) ← label(label(v)) — path compression,
+          the star-contraction move: a chain of length L collapses in
+          O(log L) rounds instead of O(L) (labels are always vertex ids
+          with label(u) ≤ u, so composing is monotone and stays inside
+          the component).
+    Labels only ever DECREASE, so the sum of labels strictly decreases on
+    any change — convergence is one cheap aggregate, batched every 2nd
+    round to halve driver round-trips (each is a full-cluster barrier at
+    scale). localCheckpoint per step keeps the plan O(1) deep instead of
+    O(iterations) (lineage growth is what kills iterative DataFrame jobs)
+    and materializes the frame the shortcut self-join reads twice.
+    """
     edges = (
-        pairs.selectExpr("doc_a AS a", "doc_b AS b")
-        .unionByName(pairs.selectExpr("doc_b AS a", "doc_a AS b"))
+        pairs.selectExpr(f"{a} AS a", f"{b} AS b")
+        .unionByName(pairs.selectExpr(f"{b} AS a", f"{a} AS b"))
         .distinct()
         .localCheckpoint()  # eager: truncates the pair-generation lineage
     )
-    # min-label propagation to fixpoint: label(v) ← min(label(v),
-    # min(label(u)) over neighbors u). Labels only ever DECREASE, so the
-    # sum of labels strictly decreases on any change — convergence is
-    # detected by a single cheap aggregate per iteration (no join-compare).
-    # localCheckpoint per iteration keeps the plan O(1) deep instead of
-    # O(iterations) (lineage growth is what kills iterative DataFrame jobs).
     labels = edges.select(F.col("a").alias("v"), F.col("a").alias("lbl")).distinct()
     prev_sum = None
     converged = False
-    for _ in range(50):  # safety bound >> any real near-dup graph diameter
+    for it in range(max_rounds):
         neighbor_min = (
             edges.join(labels, edges.b == labels.v)
             .groupBy(edges.a)
@@ -537,6 +556,16 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint()
         )
+        jump = labels.select(F.col("v").alias("u"), F.col("lbl").alias("ulbl"))
+        labels = (
+            labels.join(jump, labels.lbl == jump.u, "left")
+            .select(
+                "v", F.coalesce(F.col("ulbl"), F.col("lbl")).alias("lbl")
+            )
+            .localCheckpoint()
+        )
+        if it % 2 == 1:
+            continue  # batch the convergence barrier every 2nd round
         cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
         if cur_sum == prev_sum:
             converged = True
@@ -544,10 +573,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev_sum = cur_sum
     if not converged:
         raise RuntimeError(
-            "dedup_clusters: min-label propagation did not converge within the "
-            "iteration bound — component diameter exceeds 50"
+            "min_label_components: did not converge within the iteration "
+            "bound — component diameter exceeds 2^rounds"
         )
-    return labels.select(F.col("v").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+    return labels
 
 
 @register(

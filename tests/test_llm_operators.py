@@ -177,3 +177,39 @@ def test_hash_sampling_invariant_under_partitioning(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert base == again
+
+
+def test_min_label_components_chain_converges_in_log_rounds(spark):
+    """A 64-node path graph needs ~63 neighbor-only rounds; pointer jumping
+    must collapse it within the 14-round budget (≈2·log2(64)+slack)."""
+    from hri_flink_validation_passthrough_spark.operators.dedup import (
+        min_label_components,
+    )
+
+    n = 64
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    labels = min_label_components(pairs, "doc_a", "doc_b", max_rounds=14)
+    rows = {r.v: r.lbl for r in labels.collect()}
+    assert rows == {i: 0 for i in range(n)}
+
+
+def test_min_label_components_two_components_and_bound_raises(spark):
+    from hri_flink_validation_passthrough_spark.operators.dedup import (
+        min_label_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    labels = min_label_components(pairs, "doc_a", "doc_b")
+    rows = {r.v: r.lbl for r in labels.collect()}
+    assert rows == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    # an unconvergeable budget must raise, not return a partial clustering
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        min_label_components(chain, "doc_a", "doc_b", max_rounds=2)
