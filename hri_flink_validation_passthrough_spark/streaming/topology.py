@@ -58,12 +58,13 @@ _STATE_SCHEMA = "state_json STRING"
 
 
 def _protobuf_available() -> bool:
-    try:
-        import google.protobuf  # noqa: F401
+    """Auto-detection gate for the transformWithStateInPandas backend: a
+    REAL pip-installed protobuf only. The filesystem shim (``protobuf_shim``)
+    never flips the default — callers opt in with
+    ``prefer_transform_with_state=True`` after preparing the env."""
+    from ..protobuf_shim import have_pip_protobuf
 
-        return True
-    except ImportError:
-        return False
+    return have_pip_protobuf()
 
 
 def _sorted_rows(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -257,7 +258,15 @@ def build_routed_stream(
         else (_protobuf_available() and BatchLifecycleProcessor is not None)
     )
     if use_tws:
+        from ..protobuf_shim import ensure_protobuf
+
         spark = records.sparkSession
+        if not ensure_protobuf(spark) or BatchLifecycleProcessor is None:
+            raise RuntimeError(
+                "transformWithStateInPandas requested but no google.protobuf "
+                "runtime reaches this session's Python workers (see "
+                "protobuf_shim.pre_jvm_env)"
+            )
         spark.conf.set(
             "spark.sql.streaming.stateStore.providerClass",
             "org.apache.spark.sql.execution.streaming.state."

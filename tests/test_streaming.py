@@ -61,8 +61,20 @@ def _rec_row(i, bid=b"batch-42", t=100):
     )
 
 
-@pytest.fixture()
-def stream_env(spark, tmp_path):
+@pytest.fixture(params=["group_state", "tws"])
+def stream_env(request, spark, tmp_path):
+    """The MiniCluster scenario matrix runs over BOTH stateful backends:
+    ``group_state`` = applyInPandasWithState (path A), ``tws`` =
+    transformWithStateInPandas (path B, Spark 4 timers — needs a protobuf
+    runtime, provided by protobuf_shim.pre_jvm_env in conftest)."""
+    prefer = request.param == "tws"
+    if prefer:
+        from hri_flink_validation_passthrough_spark.protobuf_shim import (
+            ensure_protobuf,
+        )
+
+        if not ensure_protobuf(spark):
+            pytest.skip("no google.protobuf runtime reaches Python workers")
     data_dir = str(tmp_path / "data")
     ctrl_dir = str(tmp_path / "ctrl")
     ckpt = str(tmp_path / "ckpt")
@@ -83,7 +95,12 @@ def stream_env(spark, tmp_path):
 
     records = spark.readStream.schema(REC_SCHEMA).parquet(data_dir)
     notifs = spark.readStream.schema(CTRL_SCHEMA).parquet(ctrl_dir)
-    routed = build_routed_stream(records, notifs, completion_delay_ms=DELAY_MS)
+    routed = build_routed_stream(
+        records,
+        notifs,
+        completion_delay_ms=DELAY_MS,
+        prefer_transform_with_state=prefer,
+    )
     name = f"routed_{uuid.uuid4().hex[:8]}"
     q = start_memory_query(routed, name, ckpt)
 
