@@ -43,6 +43,31 @@ def kafka_security_options(password: str | None) -> dict[str, str]:
     }
 
 
+def kafka_reader_options(
+    topic: str,
+    brokers: list[str] | str,
+    password: str | None = None,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+    include_headers: bool = True,
+) -> dict[str, str]:
+    """The exact option dict a Kafka readStream uses — a pure function so
+    source assembly (subscription, offsets, throttle, SASL) is testable
+    without the connector jar; only ``.format("kafka").load()`` needs it."""
+    brokers_s = brokers if isinstance(brokers, str) else ",".join(brokers)
+    opts = {
+        "kafka.bootstrap.servers": brokers_s,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+    }
+    if include_headers:
+        opts["includeHeaders"] = "true"
+    if max_offsets_per_trigger:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    opts.update(kafka_security_options(password))
+    return opts
+
+
 def read_records_stream(
     spark: SparkSession,
     topic: str,
@@ -52,19 +77,19 @@ def read_records_stream(
     max_offsets_per_trigger: int | None = None,
 ) -> DataFrame:
     """Data-plane source: Kafka envelope + time_ms/seq for replay order."""
-    brokers_s = brokers if isinstance(brokers, str) else ",".join(brokers)
-    r = (
+    df = (
         spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", brokers_s)
-        .option("subscribe", topic)
-        .option("includeHeaders", "true")
-        .option("startingOffsets", starting_offsets)
+        .options(
+            **kafka_reader_options(
+                topic,
+                brokers,
+                password,
+                starting_offsets,
+                max_offsets_per_trigger,
+            )
+        )
+        .load()
     )
-    if max_offsets_per_trigger:
-        r = r.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
-    for k, v in kafka_security_options(password).items():
-        r = r.option(k, v)
-    df = r.load()
     return df.select(
         "key",
         "value",
@@ -85,16 +110,19 @@ def read_notifications_stream(
     starting_offsets: str = "earliest",
 ) -> DataFrame:
     """Control-plane source: JSON value → typed notification columns."""
-    brokers_s = brokers if isinstance(brokers, str) else ",".join(brokers)
-    r = (
+    df = (
         spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", brokers_s)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
+        .options(
+            **kafka_reader_options(
+                topic,
+                brokers,
+                password,
+                starting_offsets,
+                include_headers=False,
+            )
+        )
+        .load()
     )
-    for k, v in kafka_security_options(password).items():
-        r = r.option(k, v)
-    df = r.load()
     parsed = df.select(
         F.from_json(F.col("value").cast("string"), NOTIFICATION_SCHEMA).alias("n"),
         F.unix_millis("timestamp").alias("time_ms"),

@@ -314,19 +314,13 @@ def kafka_fanout_writer(
     writing that topic directly. Standalone mode (notifier=None) writes the
     topic itself.
 
-    ``sink(part_df, topic)`` overrides the per-topic write — the test seam
-    (the default writes Kafka, unverifiable without a broker/connector)."""
+    ``sink(part_df, topic, options)`` overrides the per-topic write — the
+    test seam (the default writes Kafka, unverifiable without a broker/
+    connector). ``options`` is the exact dict the default write would use
+    (``kafka_writer_options``), so tests can assert assembly byte-exactly."""
 
-    def kafka_sink(part: DataFrame, topic: str) -> None:
-        w = (
-            part.write.format("kafka")
-            .option("kafka.bootstrap.servers", brokers)
-            .option("topic", topic)
-            .option("includeHeaders", "true")
-        )
-        for k, v in (extra_options or {}).items():
-            w = w.option(k, v)
-        w.save()
+    def kafka_sink(part: DataFrame, topic: str, options: dict) -> None:
+        part.write.format("kafka").options(**options).save()
 
     sink = sink or kafka_sink
 
@@ -349,11 +343,26 @@ def kafka_fanout_writer(
                 part = batch_df.filter(F.col("dest") == dest).select(
                     "key", "value", "headers"
                 )
-                sink(part, topic)
+                sink(part, topic, kafka_writer_options(topic, brokers, extra_options))
         finally:
             batch_df.unpersist()
 
     return write
+
+
+def kafka_writer_options(
+    topic: str, brokers: str, extra_options: dict | None = None
+) -> dict[str, str]:
+    """The exact option dict the per-topic Kafka write uses — a pure
+    function so the assembly (incl. SASL/JAAS passthrough) is testable
+    without a broker; only ``.format("kafka").save()`` itself needs one."""
+    opts = {
+        "kafka.bootstrap.servers": brokers,
+        "topic": topic,
+        "includeHeaders": "true",
+    }
+    opts.update(extra_options or {})
+    return opts
 
 
 def idempotent_parquet_sink(base_path: str):

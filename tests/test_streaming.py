@@ -249,8 +249,10 @@ def test_kafka_fanout_writer_routes_by_dest(spark):
     )
 
     written: dict[str, list] = {}
+    seen_options: dict[str, dict] = {}
 
-    def sink(part, topic):
+    def sink(part, topic, options):
+        seen_options[topic] = options
         written.setdefault(topic, []).extend(
             (bytes(r.key), bytes(r.value)) for r in part.collect()
         )
@@ -260,6 +262,12 @@ def test_kafka_fanout_writer_routes_by_dest(spark):
     assert sorted(written[topics.output]) == [(b"k1", b"v1"), (b"k2", b"v2")]
     assert written[topics.invalid] == [(b"k3", b'{"failure": "bad"}')]
     assert [k for k, _ in written[topics.notification]] == [b"b1"]
+    # exact per-topic write options (what the default Kafka sink would use)
+    assert seen_options[topics.output] == {
+        "kafka.bootstrap.servers": "broker:9092",
+        "topic": topics.output,
+        "includeHeaders": "true",
+    }
 
     # mgmt mode: notifier receives the terminal transition, topic untouched
     written.clear()
