@@ -213,3 +213,56 @@ def test_min_label_components_two_components_and_bound_raises(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         min_label_components(chain, "doc_a", "doc_b", max_rounds=2)
+
+
+def test_multimodal_real_codec_seam_with_png_parser(spark):
+    """Prove decode_real's seam takes a REAL codec end-to-end: a ~20-line
+    pure-Python PNG header parser plugged into extract_features runs inside
+    mapInPandas over binary columns and emits parsed dimensions. decode_fake
+    stays the oracle path; this pins the plumbing contract for real codecs."""
+    import struct
+
+    from hri_flink_validation_passthrough_spark.operators.multimodal import (
+        extract_features,
+    )
+
+    PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+    def make_png(width, height, bit_depth=8):
+        ihdr_data = struct.pack(">IIBBBBB", width, height, bit_depth, 2, 0, 0, 0)
+        ihdr = struct.pack(">I", 13) + b"IHDR" + ihdr_data + b"\x00\x00\x00\x00"
+        return PNG_SIG + ihdr
+
+    def decode_png_header(blob):
+        """Minimal real decoder: PNG signature + IHDR width/height/depth."""
+        if not blob or not bytes(blob).startswith(PNG_SIG):
+            return {"byte_len": len(blob or b""), "first_byte": -1,
+                    "checksum": 0, "n_frames": 0}
+        b = bytes(blob)
+        assert b[12:16] == b"IHDR"
+        width, height = struct.unpack(">II", b[16:24])
+        bit_depth = b[24]
+        return {
+            "byte_len": len(b),
+            "first_byte": bit_depth,       # schema reuse: depth in first_byte
+            "checksum": width * height,    # schema reuse: pixel count
+            "n_frames": 1,
+        }
+
+    blobs = spark.createDataFrame(
+        [
+            (1, make_png(640, 480)),
+            (2, make_png(16, 16, bit_depth=16)),
+            (3, b"not a png"),
+            (4, b""),
+        ],
+        "doc_id long, content binary",
+    )
+    out = {
+        r.doc_id: r.asDict()
+        for r in extract_features(blobs, decoder=decode_png_header).collect()
+    }
+    assert out[1]["checksum"] == 640 * 480 and out[1]["first_byte"] == 8
+    assert out[2]["checksum"] == 256 and out[2]["first_byte"] == 16
+    assert out[3]["first_byte"] == -1 and out[3]["n_frames"] == 0
+    assert out[4]["byte_len"] == 0 and out[4]["n_frames"] == 0
