@@ -114,11 +114,38 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+
+    # Per-query delta vs the previous recorded run (sidecar from last bench),
+    # so round-over-round regressions are mechanically visible in the driver's
+    # BENCH_r{N}.json without cross-reading BASELINE.md prose. Positive pct =
+    # slower than previous round.
+    side = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_result.json"
+    )
+    try:
+        with open(side) as fh:
+            prev = json.load(fh)
+        prev_q = prev.get("queries", {})
+        if prev.get("sf") == result["sf"]:
+            result["vs_prev"] = {
+                name: {
+                    "prev": prev_q[name],
+                    "delta_pct": round(100.0 * (t / prev_q[name] - 1.0), 1),
+                }
+                for name, t in timings.items()
+                if prev_q.get(name)
+            }
+            if prev.get("value"):
+                result["vs_prev_total_pct"] = round(
+                    100.0 * (total / prev["value"] - 1.0), 1
+                )
+    except (OSError, ValueError):
+        pass  # first run or unreadable sidecar — no comparison to make
+
     line = json.dumps(result)
 
     # Sidecar copy so the number survives even if stdout gets corrupted.
     try:
-        side = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_result.json")
         with open(side, "w") as fh:
             fh.write(line + "\n")
     except OSError:
