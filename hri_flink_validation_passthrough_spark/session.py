@@ -56,12 +56,36 @@ def _local_cpus() -> int:
 
 
 def prepare(spark: SparkSession) -> SparkSession:
-    """Apply runtime tuning to an externally provided session (idempotent)."""
+    """Apply runtime tuning to an externally provided session (idempotent).
+
+    Conf-set failures never fail a query, but they are not silent either:
+    most of RUNTIME_CONF is tuning, yet ``session.timeZone`` is a
+    CORRECTNESS dependency — load_table's NTZ→LTZ cast is value-preserving
+    only under UTC, and epoch-based functions (unix_millis, watermarks)
+    would silently drift from the UTC-naive DuckDB oracle otherwise."""
+    import warnings
+
     for k, v in RUNTIME_CONF.items():
         try:
             spark.conf.set(k, v)
-        except Exception:
-            pass  # conf not settable on this build — never fail a query over tuning
+        except Exception as e:
+            warnings.warn(
+                f"prepare(): could not set {k}={v!r} on this session: {e}",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+    try:
+        tz = spark.conf.get("spark.sql.session.timeZone")
+    except Exception:
+        tz = None
+    if tz != "UTC":
+        warnings.warn(
+            f"prepare(): spark.sql.session.timeZone is {tz!r}, not 'UTC' — "
+            "timestamp reinterpretation and epoch functions may drift from "
+            "UTC-naive oracles",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     # Size the shuffle for the session's actual parallelism; AQE coalesces
     # down, so erring high is cheap.
     try:
