@@ -84,7 +84,22 @@ def test_health_monitor_catches_failing_query(spark, tmp_path):
         spark.streams.removeListener(mon)
 
 
-def test_restart_from_checkpoint_no_loss_no_dup(spark, tmp_path):
+@pytest.fixture(params=["group_state", "tws"])
+def stateful_backend(request, spark):
+    """Run the chaos cycle over BOTH stateful backends — restart recovery
+    must hold for applyInPandasWithState (HDFS state store) and
+    transformWithStateInPandas (RocksDB store, Spark 4 timers) alike."""
+    if request.param == "tws":
+        from hri_flink_validation_passthrough_spark.protobuf_shim import (
+            ensure_protobuf,
+        )
+
+        if not ensure_protobuf(spark):
+            pytest.skip("no google.protobuf runtime reaches Python workers")
+    return request.param == "tws"
+
+
+def test_restart_from_checkpoint_no_loss_no_dup(spark, tmp_path, stateful_backend):
     data_dir, ctrl_dir = str(tmp_path / "d"), str(tmp_path / "c")
     ckpt, out_dir = str(tmp_path / "k"), str(tmp_path / "out")
 
@@ -107,7 +122,12 @@ def test_restart_from_checkpoint_no_loss_no_dup(spark, tmp_path):
     def start_query():
         records = spark.readStream.schema(REC_SCHEMA).parquet(data_dir)
         notifs = spark.readStream.schema(CTRL_SCHEMA).parquet(ctrl_dir)
-        routed = build_routed_stream(records, notifs, completion_delay_ms=DELAY_MS)
+        routed = build_routed_stream(
+            records,
+            notifs,
+            completion_delay_ms=DELAY_MS,
+            prefer_transform_with_state=stateful_backend,
+        )
         return (
             routed.writeStream.format("parquet")
             .option("path", out_dir)
