@@ -191,6 +191,39 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     QUERIES,
+    "stream_dedup_within_watermark",
+    oracle="""
+    SELECT event_type, count(DISTINCT event_id) AS n_unique
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="The PRODUCTION streaming dedup: dropDuplicatesWithinWatermark — "
+    "keyed dedup state is EVICTED once the watermark passes, so state size "
+    "is O(keys per watermark window), not O(all keys ever) like plain "
+    "dropDuplicates. The duplicated feed's copies arrive within the same "
+    "replay, well inside the 1h delay, so the finite-replay result equals "
+    "exact distinct and the batch oracle applies. At 100 TB this is the "
+    "only dedup shape whose state does not grow without bound.",
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events_stream(spark, sf_dir)
+    doubled = e.unionByName(_events_stream(spark, sf_dir))  # duplicate feed
+    deduped = doubled.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    # dedup emits first-seen rows immediately (append mode, no agg wait);
+    # count per type on the sink side of the memory table would need a
+    # second query, so aggregate with a windowless groupBy is not allowed
+    # in append mode — emit the deduped rows and aggregate in the returned
+    # batch DataFrame instead.
+    rows = _run_to_table(
+        deduped.select("event_id", "event_type"), "dedupwm", output_mode="append"
+    )
+    return rows.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_unique"))
+
+
+@register(
+    QUERIES,
     "stream_static_join_nation",
     oracle="""
     SELECT n_name,
