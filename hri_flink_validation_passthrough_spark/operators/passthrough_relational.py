@@ -42,6 +42,14 @@ def _big():
     return F.lit(2**62).cast("long")  # +infinity stand-in for time comparisons
 
 
+# Time-bucket width for the two-level running count in _outcomes. Sized so
+# bucket cardinality (ingest span / width) stays far below record count but
+# far above core count; at a 1h width a month-long replay yields ~720
+# buckets per batch — enough parallelism to split any hot batch without a
+# bucket table worth shuffling.
+_BUCKET_MS = 3_600_000
+
+
 def _outcomes(records: DataFrame, controls: DataFrame, delay_ms: int) -> DataFrame:
     """Per-batch outcome table: (batch_id, term_t, completed_t,
     final_status). ``records``: envelope rows with batch_id/time_ms/seq;
@@ -69,12 +77,41 @@ def _outcomes(records: DataFrame, controls: DataFrame, delay_ms: int) -> DataFra
         F.broadcast(ctrl), "batch_id", "left"
     )
     eligible = F.col("term_t").isNull() | (F.col("time_ms") < F.col("term_t"))
-    w = (
-        Window.partitionBy("batch_id")
+    # Per-batch running count as a TWO-LEVEL prefix sum (same technique as
+    # sequence_packing): a flat Window.partitionBy("batch_id") makes one
+    # batch = one task — a 10M-record batch at 100 TB serializes. Instead:
+    # (1) in-bucket running count over (batch, time-bucket) — parallel
+    #     across buckets since the bucket key is monotone in (time_ms, seq);
+    # (2) tiny per-bucket totals table → per-batch prefix over buckets
+    #     (bucket cardinality = time-range / width, not record count);
+    # (3) broadcast the offsets back. Exactly equal to the flat window.
+    r = r.withColumn("bucket", F.expr(f"time_ms div {_BUCKET_MS}"))
+    r = r.withColumn("elig", F.when(eligible, 1).otherwise(0))
+    w_in = (
+        Window.partitionBy("batch_id", "bucket")
         .orderBy("time_ms", "seq")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    r = r.withColumn("cnt", F.sum(F.when(eligible, 1).otherwise(0)).over(w))
+    r = r.withColumn("cnt_in", F.sum("elig").over(w_in))
+    w_buckets = (
+        Window.partitionBy("batch_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        # bucket total == last in-bucket running count; aggregating the
+        # windowed frame (already hash-partitioned on (batch_id, bucket))
+        # needs no new exchange and no upstream recompute
+        r.groupBy("batch_id", "bucket")
+        .agg(F.max("cnt_in").alias("b_total"))
+        .withColumn(
+            "b_offset", F.coalesce(F.sum("b_total").over(w_buckets), F.lit(0))
+        )
+        .select("batch_id", "bucket", "b_offset")
+    )
+    r = r.join(F.broadcast(offsets), ["batch_id", "bucket"]).withColumn(
+        "cnt", F.col("b_offset") + F.col("cnt_in")
+    )
     agg = r.groupBy("batch_id").agg(
         F.count(F.when(eligible & (F.col("time_ms") < F.col("sc_t")), 1)).alias(
             "processed_at_sc"
