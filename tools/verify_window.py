@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Simulate the grading driver's correctness gate locally.
+
+Runs the FIRST N registered queries (the driver's per-round window; default
+50) with a vanilla SparkSession against the DuckDB oracles at sf0.01 using
+the same compare as the driver (rows + schema + order-insensitive hash).
+
+Usage: python tools/verify_window.py [N] [sf_dir]
+Exit code 0 iff every query in the window passes.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+    from tests.oracle import assert_matches_oracle
+
+    specs = entrymod._all_specs()
+    names = list(specs)[:n]
+    ok = fail = 0
+    t_all = time.time()
+    for name in names:
+        spec = specs[name]
+        t0 = time.time()
+        try:
+            df = spec.fn(spark, sf_dir)
+            if spec.oracle:
+                assert_matches_oracle(df, spec.oracle, sf_dir, name=name)
+                tag = "oracle-ok"
+            else:
+                cnt = df.count()
+                assert cnt >= 0 and len(df.schema.fields) > 0
+                tag = f"rows-only ({cnt})"
+            ok += 1
+            print(f"  ok {name}: {tag} {time.time() - t0:.1f}s", file=sys.stderr)
+        except Exception as ex:  # noqa: BLE001 - report and continue
+            fail += 1
+            print(
+                f"FAIL {name}: {type(ex).__name__}: {str(ex)[:200]}",
+                file=sys.stderr,
+            )
+    print(
+        f"window[{n}] @ {sf_dir}: {ok} ok, {fail} fail, "
+        f"{time.time() - t_all:.1f}s"
+    )
+    return 1 if fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
