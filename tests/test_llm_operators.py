@@ -266,3 +266,49 @@ def test_multimodal_real_codec_seam_with_png_parser(spark):
     assert out[2]["checksum"] == 256 and out[2]["first_byte"] == 16
     assert out[3]["first_byte"] == -1 and out[3]["n_frames"] == 0
     assert out[4]["byte_len"] == 0 and out[4]["n_frames"] == 0
+
+
+def test_min_label_components_matches_union_find_on_random_graphs(spark):
+    """Property: on random graphs, the distributed component labels equal a
+    pure-Python union-find ground truth (min vertex id per component)."""
+    import random
+
+    from hri_flink_validation_passthrough_spark.operators.dedup import (
+        min_label_components,
+    )
+
+    rng = random.Random(7)
+    for trial in range(4):
+        n = rng.randint(5, 60)
+        m = rng.randint(1, n * 2)
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        ]
+        # union-find ground truth
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = sorted({v for e in edges for v in e})
+        expected = {}
+        comp_min = {}
+        for v in touched:
+            r = find(v)
+            comp_min.setdefault(r, v)  # touched is sorted → first is min
+        for v in touched:
+            expected[v] = comp_min[find(v)]
+
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        got = {
+            r.v: r.lbl
+            for r in min_label_components(pairs, "doc_a", "doc_b").collect()
+        }
+        assert got == expected, f"trial {trial}: n={n} m={m}"
