@@ -36,6 +36,7 @@ SHOWCASE = {
     "lm_trigram_score": "trigram explode, model join, 1-row total broadcast",
     "zorder_box_query": "2-D box folded into z-prefix PartitionFilters; residual predicates inside",
     "sequence_packing": "two-level parallel prefix sum: per-block window + tiny block-offset broadcast",
+    "passthrough_route_relational": "pure-DataFrame lifecycle: broadcast control joins; per-batch running count as two-level prefix over time buckets (no one-task-per-batch window)",
     "bm25_keyword_search": "map-side tf columns; 1-row stats broadcast; TakeOrderedAndProject top-k",
     "quality_repetition_filters": "per-doc n-gram stats as array lambdas — zero shuffle, pure codegen",
     "boilerplate_coverage": "one df aggregation; tiny boilerplate list broadcast back onto the scan",
