@@ -46,9 +46,15 @@ import zipfile
 
 _VERSION_FLAG = "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"
 
-# Well-known locations that bundle a pure-Python google.protobuf runtime.
+# Well-known locations that bundle a pure-Python google.protobuf runtime;
+# PROTOBUF_RUNTIME_DIR overrides/extends for other layouts.
 _FALLBACK_DIRS = [
-    "/usr/lib/google-cloud-sdk/platform/google_appengine",
+    d
+    for d in [
+        os.environ.get("PROTOBUF_RUNTIME_DIR"),
+        "/usr/lib/google-cloud-sdk/platform/google_appengine",
+    ]
+    if d
 ]
 
 _zip_cache: str | None = None
