@@ -980,3 +980,68 @@ def dedup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select(
         F.col("node").alias("doc_id"), F.round("pr", 6).alias("pagerank")
     )
+
+
+@register(
+    QUERIES,
+    "dedup_passage_shingles",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ts
+      FROM documents
+    ), dd AS (
+      SELECT doc_id, ts FROM d WHERE len(ts) >= 8
+    ), sh AS (
+      SELECT doc_id, md5(array_to_string(ts[i:i+7], ' ')) AS h
+      FROM dd, UNNEST(range(1, len(ts) - 6)) AS t(i)
+    ), dups AS (
+      SELECT h FROM sh GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+    )
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT)                              AS n_shingles,
+           CAST(count(d.h) AS BIGINT)                            AS n_dup
+    FROM sh s LEFT JOIN dups d USING (h)
+    GROUP BY s.doc_id
+    """,
+    doc="Passage-level exact-duplication stats — the ExactSubstr-dedup "
+    "shape (Lee et al. 2021, 'Deduplicating Training Data Makes Language "
+    "Models Better'): every 8-token shingle occurrence is marked "
+    "duplicated iff its exact text occurs in >=2 DISTINCT docs, giving a "
+    "per-doc duplicated-passage count to drive span removal. Fully "
+    "JVM-side: tokens/shingles via split + transform/slice (codegen), "
+    "shingles keyed by md5 so the shuffle carries a fixed-width key, "
+    "cross-doc counts by partial-agg groupBy, and only the DUPLICATED "
+    "shingle keys (a tiny fraction of the corpus at 100 TB) flow into the "
+    "left join back onto occurrences. No doc-pair explosion anywhere: "
+    "cost is O(total shingles), not O(candidate pairs); production swaps "
+    "md5 for xxhash64 (same plan, cheaper hash).",
+)
+def dedup_passage_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", F.split(F.lower("text"), r"\s+").alias("ts")
+    ).filter(F.size("ts") >= 8)
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ts) - 7),"
+                " i -> md5(concat_ws(' ', slice(ts, i, 8))))"
+            )
+        ).alias("h"),
+    )
+    dups = (
+        sh.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h", F.lit(1).alias("is_dup"))
+    )
+    return (
+        sh.join(dups, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("is_dup").alias("n_dup"),
+        )
+    )
