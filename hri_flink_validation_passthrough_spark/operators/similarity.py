@@ -370,3 +370,77 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(q, ",").alias("q8"),
         F.round(err, 9).alias("max_abs_err"),
     )
+
+
+# SemDeDup threshold, calibrated to the synthetic embedding distribution
+# (max within-cell cosine ≈ 0.49; real corpora use ~0.95 — same plan).
+SEM_THR = 0.42
+
+
+@register(
+    QUERIES,
+    "dedup_semantic_ivf",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), cent AS (
+      SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < {NLIST}
+    ), assign AS (
+      SELECT vec_id, e, cid AS cell FROM (
+        SELECT v.vec_id, v.e, cent.cid,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY round(list_cosine_similarity(v.e, cent.ce), 6) DESC,
+                          cent.cid) AS rn
+        FROM v, cent
+      ) WHERE rn = 1
+    ), pairs AS (
+      SELECT b.vec_id AS removed_id,
+             round(list_cosine_similarity(a.e, b.e), 6) AS cos_sim
+      FROM assign a JOIN assign b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.e, b.e), 6) >= {SEM_THR}
+    )
+    SELECT removed_id,
+           CAST(count(*) AS BIGINT) AS n_dup_pairs,
+           max(cos_sim)             AS max_sim
+    FROM pairs GROUP BY removed_id
+    """,
+    doc="Semantic dedup, SemDeDup shape (Abbas et al. 2023): embeddings are "
+    "bucketed into IVF cells (deterministic centroids shared with "
+    "ann_ivf_topk), and near-duplicate pairs are sought ONLY within a cell "
+    "— greedy keep-lowest-id emits the removal list. The within-cell "
+    "all-pairs is bounded by cell size (SemDeDup's core trick: clustering "
+    "makes global semantic dedup O(sum cell²) instead of O(n²)); at 100 TB "
+    "cells map to disk partitions and oversized cells are split by "
+    "recursive sub-clustering. Threshold calibrated to the synthetic "
+    "embedding distribution (real corpora: ~0.95, same plan).",
+)
+def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _emb(spark, sf_dir)
+    cent = (
+        v.filter(F.col("vec_id") < NLIST)
+        .withColumnsRenamed({"vec_id": "cid", "e": "ce"})
+    )
+    sim_vc = F.round(cosine_similarity(F.col("e"), F.col("ce")), 6)
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
+    assign = (
+        v.crossJoin(F.broadcast(cent))
+        .select("vec_id", "e", "cid", sim_vc.alias("sim"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "e", F.col("cid").alias("cell"))
+    )
+    a = assign.withColumnsRenamed({"vec_id": "a_id", "e": "a_e"})
+    b = assign.withColumnsRenamed({"vec_id": "removed_id", "e": "b_e"})
+    cs = F.round(cosine_similarity(F.col("a_e"), F.col("b_e")), 6)
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("a_id") < F.col("removed_id"))
+        .select("removed_id", cs.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= SEM_THR)
+    )
+    return pairs.groupBy("removed_id").agg(
+        F.count(F.lit(1)).alias("n_dup_pairs"),
+        F.max("cos_sim").alias("max_sim"),
+    )
