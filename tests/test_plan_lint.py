@@ -22,6 +22,7 @@ ALLOWED_NESTED_LOOP = {
     # tiny broadcast cross joins by construction (scalar/1-row side):
     "ann_ivf_topk": "crossJoin against the broadcast centroid table (nlist rows)",
     "kmeans_one_iteration": "crossJoin against the broadcast centroid table (nlist rows)",
+    "dedup_semantic_ivf": "crossJoin against the broadcast centroid table (nlist rows); within-cell pairing itself is an equi-join on cell",
     "q11_important_parts": "1-row scalar threshold broadcast-joined",
     "q22_wealthy_inactive_customers": "1-row avg(c_acctbal) scalar broadcast cross join",
     "lm_trigram_score": "1-row corpus-total scalar broadcast cross join",
