@@ -358,3 +358,80 @@ def corpus_shuffle_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pos", F.row_number().over(w).cast("long"))
         .select("doc_id", "shard", "pos")
     )
+
+
+# Token budget per source for the mixture sampler (tokens, not docs — the
+# unit that matters for a training run's data recipe).
+MIX_BUDGET = 800
+
+
+@register(
+    QUERIES,
+    "mixture_token_budget",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_tok,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ), c AS (
+      SELECT doc_id, source, n_tok,
+             sum(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+                              ROWS UNBOUNDED PRECEDING) - n_tok AS cum_before
+      FROM t
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT)   AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens
+    FROM c WHERE cum_before < {MIX_BUDGET}
+    GROUP BY source
+    """,
+    doc="Data-mixture sampling by TOKEN budget (the training-recipe op): "
+    "per source, documents are taken in deterministic md5 order until the "
+    "source's token budget fills (greedy fill — the doc that crosses the "
+    "budget is kept, so every budget>0 yields at least one doc). The "
+    "running token total is a two-level prefix sum over 256 hash-prefix "
+    "buckets — a flat per-source window would serialize each source "
+    "(sources are FEW and HUGE at 100 TB, the worst window shape); the "
+    "hash-prefix bucket key is a prefix of the ordering key, so bucket "
+    "boundaries respect (h, doc_id) order exactly. Oracle uses the flat "
+    "window (equal by construction).",
+)
+def mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("n_tok"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    ).withColumn("bucket", F.substring("h", 1, 2))
+    w_in = (
+        Window.partitionBy("source", "bucket")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    t = t.withColumn("cum_in", F.sum("n_tok").over(w_in))
+    w_buckets = (
+        Window.partitionBy("source")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        t.groupBy("source", "bucket")
+        .agg(F.max("cum_in").alias("b_total"))
+        .withColumn(
+            "b_offset", F.coalesce(F.sum("b_total").over(w_buckets), F.lit(0))
+        )
+        .select("source", "bucket", "b_offset")
+    )
+    c = t.join(F.broadcast(offsets), ["source", "bucket"]).withColumn(
+        "cum_before", F.col("b_offset") + F.col("cum_in") - F.col("n_tok")
+    )
+    return (
+        c.filter(F.col("cum_before") < MIX_BUDGET)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+    )
