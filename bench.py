@@ -151,12 +151,18 @@ def main() -> None:
     except OSError:
         pass
 
-    # Let any in-flight async executor log lines land, then mute everything
-    # and emit the JSON as the absolute last output of the process. os._exit
-    # skips JVM shutdown hooks whose log output could trail the JSON.
+    # Let any in-flight async executor log lines land, mute everything, and
+    # STOP the JVM before emitting the JSON — so no shutdown-hook log output
+    # can trail the line AND no orphaned JVM survives to steal CPU from a
+    # following run (os._exit alone leaves the JVM spinning). os._exit after
+    # the print still skips slow Python atexit machinery.
     time.sleep(2)
     try:
         spark.sparkContext.setLogLevel("OFF")
+    except Exception:
+        pass
+    try:
+        spark.stop()
     except Exception:
         pass
     sys.stderr.flush()
