@@ -37,6 +37,9 @@ SHOWCASE = {
     "zorder_box_query": "2-D box folded into z-prefix PartitionFilters; residual predicates inside",
     "sequence_packing": "two-level parallel prefix sum: per-block window + tiny block-offset broadcast",
     "passthrough_route_relational": "pure-DataFrame lifecycle: broadcast control joins; per-batch running count as two-level prefix over time buckets (no one-task-per-batch window)",
+    "dedup_passage_shingles": "shingle occurrences md5-keyed; partial-agg dup counts; only duplicated keys join back — O(total shingles), no pair explosion",
+    "dedup_semantic_ivf": "broadcast centroid assignment; within-cell equi-join pairing only (SemDeDup bound)",
+    "mixture_token_budget": "two-level prefix over hash-prefix buckets; no one-task-per-source window",
     "bm25_keyword_search": "map-side tf columns; 1-row stats broadcast; TakeOrderedAndProject top-k",
     "quality_repetition_filters": "per-doc n-gram stats as array lambdas — zero shuffle, pure codegen",
     "boilerplate_coverage": "one df aggregation; tiny boilerplate list broadcast back onto the scan",
