@@ -1045,3 +1045,80 @@ def dedup_passage_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("is_dup").alias("n_dup"),
         )
     )
+
+
+@register(
+    QUERIES,
+    "dedup_passage_spans",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ts
+      FROM documents
+    ), dd AS (
+      SELECT doc_id, ts FROM d WHERE len(ts) >= 8
+    ), sh AS (
+      SELECT doc_id, i AS pos, md5(array_to_string(ts[i:i+7], ' ')) AS h
+      FROM dd, UNNEST(range(1, len(ts) - 6)) AS t(i)
+    ), dups AS (
+      SELECT h FROM sh GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+    ), dp AS (
+      SELECT s.doc_id, s.pos FROM sh s JOIN dups USING (h)
+    ), runs AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM dp
+    ), islands AS (
+      SELECT doc_id, grp,
+             CAST(count(*) AS BIGINT) AS span_len,
+             CAST(min(pos) AS BIGINT) AS span_start
+      FROM runs GROUP BY doc_id, grp
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT)  AS n_spans,
+           max(span_len)             AS max_span_len,
+           min(span_start)           AS first_span_pos
+    FROM islands GROUP BY doc_id
+    """,
+    doc="The ExactSubstr REMOVAL decision: duplicated 8-token shingle "
+    "positions (see dedup_passage_shingles) merged into maximal contiguous "
+    "spans via gaps-and-islands (pos - row_number() per doc), emitting per-"
+    "doc span count / longest span / first position — exactly what a span-"
+    "cutting rewrite pass consumes. The island window partitions by doc_id "
+    "(high cardinality — parallel), and only duplicated positions (a tiny "
+    "fraction of the corpus) reach it.",
+)
+def dedup_passage_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", F.split(F.lower("text"), r"\s+").alias("ts")
+    ).filter(F.size("ts") >= 8)
+    sh = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, size(ts) - 7),"
+                " i -> md5(concat_ws(' ', slice(ts, i, 8))))"
+            )
+        ).alias("pos0", "h"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
+    dups = (
+        sh.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    dp = sh.join(dups, "h", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = dp.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    islands = runs.groupBy("doc_id", "grp").agg(
+        F.count(F.lit(1)).alias("span_len"),
+        F.min("pos").alias("span_start"),
+    )
+    return islands.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.max("span_len").alias("max_span_len"),
+        F.min("span_start").alias("first_span_pos"),
+    )
