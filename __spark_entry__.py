@@ -126,10 +126,18 @@ def _all_specs() -> dict[str, QuerySpec]:
     for name, spec in ordered.items():
         if name not in verified and name not in specs:
             specs[name] = spec
-    # 3) already driver-verified — register last; a truncated budget cuts these
-    for name, spec in ordered.items():
-        if name not in specs:
-            specs[name] = spec
+    # 3) already driver-verified — register last; a truncated budget cuts
+    # these. ROTATED by round number so the window's tail re-checks a
+    # different slice of verified queries each round: without rotation a
+    # regression in a late-registered verified query would never resurface
+    # in any future driver window (round-3 ADVICE, medium).
+    tail = [name for name in ordered if name not in specs]
+    if tail:
+        n_rounds = len(glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json")))
+        offset = (n_rounds * 37) % len(tail)
+        tail = tail[offset:] + tail[:offset]
+    for name in tail:
+        specs[name] = ordered[name]
     return specs
 
 

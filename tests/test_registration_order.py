@@ -21,6 +21,36 @@ def test_never_driver_verified_queries_register_first():
             )
 
 
+def test_verified_tail_rotates_with_round_count(tmp_path, monkeypatch):
+    """The verified partition's order must depend on the number of recorded
+    rounds, so each round's window tail re-checks a different verified slice
+    (a regression in a late-registered query can resurface)."""
+    specs = list(entrymod._all_specs())
+    verified = entrymod._driver_verified_names()
+    tail_now = [n for n in specs if n in verified]
+    if len(tail_now) < 3:
+        return  # nothing meaningful to rotate yet
+
+    # Simulate one more recorded round: same rows, one extra file.
+    import json
+    import shutil
+
+    for i, src in enumerate(
+        sorted(__import__("glob").glob(entrymod.os.path.join(entrymod._REPO_ROOT, "CORRECTNESS_r*.json")))
+    ):
+        shutil.copy(src, tmp_path / f"CORRECTNESS_r{i:02d}.json")
+    n = len(list(tmp_path.glob("CORRECTNESS_r*.json")))
+    shutil.copy(
+        tmp_path / f"CORRECTNESS_r{n - 1:02d}.json",
+        tmp_path / f"CORRECTNESS_r{n:02d}.json",
+    )
+    monkeypatch.setattr(entrymod, "_REPO_ROOT", str(tmp_path))
+    specs_next = list(entrymod._all_specs())
+    tail_next = [n_ for n_ in specs_next if n_ in verified]
+    assert set(tail_now) == set(tail_next)
+    assert tail_now != tail_next, "verified tail did not rotate across rounds"
+
+
 def test_oracle_and_query_keys_align():
     specs = entrymod._all_specs()
     queries = entrymod.queries()
