@@ -87,30 +87,35 @@ def _outcomes(records: DataFrame, controls: DataFrame, delay_ms: int) -> DataFra
     # (3) broadcast the offsets back. Exactly equal to the flat window.
     r = r.withColumn("bucket", F.expr(f"time_ms div {_BUCKET_MS}"))
     r = r.withColumn("elig", F.when(eligible, 1).otherwise(0))
-    w_in = (
-        Window.partitionBy("batch_id", "bucket")
-        .orderBy("time_ms", "seq")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    r = r.withColumn("cnt_in", F.sum("elig").over(w_in))
+    # Pin the (batch_id, bucket) hash exchange ONCE; both consumers below —
+    # the per-bucket totals aggregation and the in-bucket sort-window —
+    # require exactly this clustering, so Catalyst plans a single shuffle
+    # with a ReusedExchange for the second branch. One scan, one exchange,
+    # one window sort (previously the windowed frame was traversed twice to
+    # read back its own last running count).
+    r = r.repartition("batch_id", "bucket")
     w_buckets = (
         Window.partitionBy("batch_id")
         .orderBy("bucket")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = (
-        # bucket total == last in-bucket running count; aggregating the
-        # windowed frame (already hash-partitioned on (batch_id, bucket))
-        # needs no new exchange and no upstream recompute
+        # bucket total == eligible count — a plain aggregate over the shared
+        # exchange, no window needed
         r.groupBy("batch_id", "bucket")
-        .agg(F.max("cnt_in").alias("b_total"))
+        .agg(F.sum("elig").alias("b_total"))
         .withColumn(
             "b_offset", F.coalesce(F.sum("b_total").over(w_buckets), F.lit(0))
         )
         .select("batch_id", "bucket", "b_offset")
     )
+    w_in = (
+        Window.partitionBy("batch_id", "bucket")
+        .orderBy("time_ms", "seq")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     r = r.join(F.broadcast(offsets), ["batch_id", "bucket"]).withColumn(
-        "cnt", F.col("b_offset") + F.col("cnt_in")
+        "cnt", F.col("b_offset") + F.sum("elig").over(w_in)
     )
     agg = r.groupBy("batch_id").agg(
         F.count(F.when(eligible & (F.col("time_ms") < F.col("sc_t")), 1)).alias(
@@ -157,9 +162,12 @@ def route_records_relational(
     time_ms/seq. Returns ROUTED_SCHEMA-shaped rows (data + one notification
     row per terminal batch) — all JVM-side."""
     outcomes = _outcomes(records, controls, delay_ms)
-    known_ids = controls.select(F.col("id").alias("batch_id")).distinct()
-    rec = records.join(F.broadcast(known_ids.withColumn("known", F.lit(True))), "batch_id", "left")
-    rec = rec.join(F.broadcast(outcomes), "batch_id", "left")
+    # outcomes carries exactly one row per batch_id seen in `controls`, so a
+    # single broadcast join both marks known batches and attaches their
+    # terminal times — no separate known-ids join over the record stream.
+    rec = records.join(
+        F.broadcast(outcomes.withColumn("known", F.lit(True))), "batch_id", "left"
+    )
 
     unknown_body = F.encode(
         F.lit('{"failure": "%s"}' % UNKNOWN_BATCH_FAILURE), "UTF-8"
