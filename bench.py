@@ -126,14 +126,19 @@ def main() -> None:
         with open(side) as fh:
             prev = json.load(fh)
         prev_q = prev.get("queries", {})
-        if prev.get("sf") == result["sf"]:
+        # String-compare sf so a "0.1" (str) vs 0.1 (float) sidecar doesn't
+        # silently suppress the whole comparison; membership (not truthiness)
+        # so a recorded 0.0 timing still yields a row.
+        if str(prev.get("sf")) == str(result["sf"]):
             result["vs_prev"] = {
                 name: {
                     "prev": prev_q[name],
-                    "delta_pct": round(100.0 * (t / prev_q[name] - 1.0), 1),
+                    "delta_pct": round(100.0 * (t / prev_q[name] - 1.0), 1)
+                    if prev_q[name]
+                    else None,
                 }
                 for name, t in timings.items()
-                if prev_q.get(name)
+                if name in prev_q
             }
             if prev.get("value"):
                 result["vs_prev_total_pct"] = round(
