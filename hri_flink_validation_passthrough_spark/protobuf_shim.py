@@ -68,11 +68,47 @@ def _runtime_dir() -> str | None:
     return None
 
 
+_narrow_cache: str | None = None
+
+
+def _narrowed_dir(d: str) -> str:
+    """A path-entry exposing ONLY ``google/protobuf`` from ``d``.
+
+    The fallback dirs (e.g. the GAE platform dir) vendor MANY packages;
+    putting the whole dir on sys.path/PYTHONPATH would let stale vendored
+    modules shadow site-packages (round-3 ADVICE). The narrowed dir holds a
+    bare ``google/`` with a single ``protobuf`` symlink and NO __init__.py,
+    so ``google`` stays a native namespace portion that MERGES with any real
+    ``google.*`` packages instead of shadowing them.
+    """
+    global _narrow_cache
+    if _narrow_cache and os.path.isdir(
+        os.path.join(_narrow_cache, "google", "protobuf")
+    ):
+        return _narrow_cache
+    base = tempfile.mkdtemp(prefix="protobuf_narrow_")
+    os.makedirs(os.path.join(base, "google"), exist_ok=True)
+    link = os.path.join(base, "google", "protobuf")
+    try:
+        os.symlink(os.path.join(d, "google", "protobuf"), link)
+    except OSError:
+        return d  # no symlink support — fall back to the wide dir
+    _narrow_cache = base
+    return base
+
+
 def _loaded_fallback_dir() -> str | None:
     mod = sys.modules.get("google.protobuf")
     f = getattr(mod, "__file__", None) or ""
-    for d in _FALLBACK_DIRS:
-        if f.startswith(d + os.sep):
+    # the loaded __file__ may show either the wide fallback dir or the
+    # narrowed symlink view of it — resolve both spellings
+    candidates = list(_FALLBACK_DIRS)
+    if _narrow_cache:
+        candidates.append(_narrow_cache)
+    for d in candidates:
+        if f.startswith(d + os.sep) or os.path.realpath(f).startswith(
+            os.path.realpath(d) + os.sep
+        ):
             return d
     return None
 
@@ -109,12 +145,15 @@ def pre_jvm_env() -> bool:
     d = _runtime_dir()
     if d is None:
         return False
+    nd = _narrowed_dir(d)
     os.environ[_VERSION_FLAG] = "true"
     pp = os.environ.get("PYTHONPATH", "")
-    if d not in pp.split(os.pathsep):
-        os.environ["PYTHONPATH"] = f"{pp}{os.pathsep}{d}" if pp else d
-    if d not in sys.path:
-        sys.path.insert(0, d)
+    if nd not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = f"{pp}{os.pathsep}{nd}" if pp else nd
+    # APPEND: site-packages must keep winning for everything but the one
+    # missing google.protobuf subtree (namespace merge handles google.*)
+    if nd not in sys.path:
+        sys.path.append(nd)
     return _driver_import_ok()
 
 
@@ -167,14 +206,19 @@ def ensure_protobuf(spark=None) -> bool:
     d = _runtime_dir()
     if d is None:
         return False
-    if d not in sys.path:
-        sys.path.insert(0, d)
+    nd = _narrowed_dir(d)
+    if nd not in sys.path:
+        sys.path.append(nd)
     if not _driver_import_ok():
         return False
     if spark is None:
         return True
-    if not _jvm_env_carries_runtime(spark, d):
+    if not _jvm_env_carries_runtime(spark, nd) and not _jvm_env_carries_runtime(
+        spark, d
+    ):
         # the streaming driver worker would crash at PRE_INIT — not usable
+        # (either spelling of the runtime dir in the JVM's env is fine; older
+        # sessions may have been booted with the wide dir on PYTHONPATH)
         return False
     try:
         sc = spark.sparkContext

@@ -200,15 +200,17 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="The PRODUCTION streaming dedup: dropDuplicatesWithinWatermark — "
     "keyed dedup state is EVICTED once the watermark passes, so state size "
     "is O(keys per watermark window), not O(all keys ever) like plain "
-    "dropDuplicates. The duplicated feed's copies arrive within the same "
-    "replay, well inside the 1h delay, so the finite-replay result equals "
-    "exact distinct and the batch oracle applies. At 100 TB this is the "
-    "only dedup shape whose state does not grow without bound.",
+    "dropDuplicates. The delay here is sized to EXCEED the finite replay's "
+    "whole event-time span: if availableNow splits the replay across "
+    "microbatches, an advancing watermark could otherwise evict state "
+    "mid-replay and silently drop or re-emit rows vs the batch oracle "
+    "(round-3 ADVICE). Production dials the delay to its lateness SLA; the "
+    "operator shape — the only dedup whose state is bounded — is unchanged.",
 )
 def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _events_stream(spark, sf_dir)
     doubled = e.unionByName(_events_stream(spark, sf_dir))  # duplicate feed
-    deduped = doubled.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+    deduped = doubled.withWatermark("ts", "3650 days").dropDuplicatesWithinWatermark(
         ["event_id"]
     )
     # dedup emits first-seen rows immediately (append mode, no agg wait);
