@@ -33,12 +33,112 @@ FEATURE_SCHEMA = (
 )
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def parse_png_header(b: bytes) -> dict | None:
+    """PNG signature + IHDR → width/height/bit_depth. Pure Python, header
+    bytes only — the shape of a 100 TB pre-decode probe (prune on parsed
+    metadata BEFORE shipping blobs to a real codec)."""
+    if len(b) < 26 or not b.startswith(_PNG_SIG) or b[12:16] != b"IHDR":
+        return None
+    width, height = int.from_bytes(b[16:20], "big"), int.from_bytes(b[20:24], "big")
+    return {"fmt": "png", "width": width, "height": height, "bit_depth": b[24],
+            "channels": None, "sample_rate": None, "n_frames": 1}
+
+
+def parse_jpeg_header(b: bytes) -> dict | None:
+    """JPEG marker walk to the first SOF0/1/2 frame header → dimensions.
+    Markers carry a big-endian self-inclusive length; standalone markers
+    (RSTn/SOI/EOI/TEM) have none."""
+    if len(b) < 4 or b[0:2] != b"\xff\xd8":
+        return None
+    i = 2
+    while i + 4 <= len(b):
+        if b[i] != 0xFF:
+            return None  # desynced — not a well-formed marker stream
+        marker = b[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if marker == 0xD9:  # EOI before any SOF
+            return None
+        seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
+        if seg_len < 2:
+            return None
+        if marker in (0xC0, 0xC1, 0xC2):  # SOF0 baseline / ext. / progressive
+            if i + 4 + 6 > len(b):
+                return None
+            precision = b[i + 4]
+            height = int.from_bytes(b[i + 5 : i + 7], "big")
+            width = int.from_bytes(b[i + 7 : i + 9], "big")
+            channels = b[i + 9]
+            return {"fmt": "jpeg", "width": width, "height": height,
+                    "bit_depth": precision, "channels": channels,
+                    "sample_rate": None, "n_frames": 1}
+        i += 2 + seg_len
+    return None
+
+
+def parse_wav_header(b: bytes) -> dict | None:
+    """RIFF/WAVE chunk walk: fmt → channels/rate/depth, data → frame count
+    (little-endian sizes per the RIFF spec)."""
+    if len(b) < 12 or b[0:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    out: dict = {"fmt": "wav", "width": None, "height": None,
+                 "bit_depth": None, "channels": None, "sample_rate": None,
+                 "n_frames": 0}
+    i, block_align = 12, None
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        size = int.from_bytes(b[i + 4 : i + 8], "little")
+        if cid == b"fmt " and i + 8 + 16 <= len(b):
+            p = i + 8
+            out["channels"] = int.from_bytes(b[p + 2 : p + 4], "little")
+            out["sample_rate"] = int.from_bytes(b[p + 4 : p + 8], "little")
+            block_align = int.from_bytes(b[p + 12 : p + 14], "little")
+            out["bit_depth"] = int.from_bytes(b[p + 14 : p + 16], "little")
+        elif cid == b"data" and block_align:
+            out["n_frames"] = size // block_align
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    return out if out["channels"] is not None else None
+
+
+def probe_media_header(blob: bytes) -> dict | None:
+    """Dispatch across the pure-Python header parsers; None if unrecognized."""
+    for parser in (parse_png_header, parse_jpeg_header, parse_wav_header):
+        got = parser(blob)
+        if got is not None:
+            return got
+    return None
+
+
 def decode_real(blob: bytes) -> dict:
-    """Real codec hook — not available in this container."""
-    raise NotImplementedError(
-        "image/audio codecs are not installed; use decode_fake (deterministic) "
-        "or plug a codec library here"
-    )
+    """Real-codec hook. Header-only decoding (PNG/JPEG/WAV) works here with
+    zero dependencies; full pixel/sample decode needs a codec library this
+    container doesn't ship — that path raises so callers fall back to
+    ``decode_fake`` explicitly rather than silently.
+
+    FEATURE_SCHEMA mapping mirrors the PNG-seam test: ``first_byte`` carries
+    bit depth, ``checksum`` carries pixel count (images) / total samples
+    (audio), ``n_frames`` the frame count."""
+    b = b"" if blob is None else bytes(blob)
+    hdr = probe_media_header(b)
+    if hdr is None:
+        raise NotImplementedError(
+            "no pure-Python header parser for this format (have: PNG, JPEG, "
+            "WAV); plug a codec library here or use decode_fake"
+        )
+    if hdr["fmt"] == "wav":
+        units = hdr["n_frames"] * (hdr["channels"] or 0)
+    else:
+        units = (hdr["width"] or 0) * (hdr["height"] or 0)
+    return {
+        "byte_len": len(b),
+        "first_byte": hdr["bit_depth"] if hdr["bit_depth"] is not None else -1,
+        "checksum": units,
+        "n_frames": hdr["n_frames"],
+    }
 
 
 def decode_fake(blob: bytes) -> dict:

@@ -37,13 +37,83 @@ def test_simhash_identical_docs_collide(spark):
     assert by_id[1] != by_id[3]
 
 
-def test_multimodal_real_decoder_is_stubbed(spark):
+def test_multimodal_real_decoder_rejects_unknown_formats(spark):
+    """decode_real handles PNG/JPEG/WAV headers; anything else must raise
+    loudly (no silent fake-decode fallback)."""
     blobs = spark.createDataFrame([(1, b"xx")], "doc_id long, content binary")
     with pytest.raises(Exception) as ei:
         extract_features(blobs, decoder=decode_real).collect()
     assert "NotImplementedError" in str(ei.value) or isinstance(
         ei.value, NotImplementedError
     )
+
+
+def _make_jpeg(width, height, precision=8, channels=3):
+    import struct
+
+    soi = b"\xff\xd8"
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    # a comment segment decode_real must skip over before reaching SOF0
+    com = b"\xff\xfe" + struct.pack(">H", 2 + 5) + b"hello"
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">H", 8 + 3 * channels)
+        + struct.pack(">BHHB", precision, height, width, channels)
+        + b"\x11\x00" * channels
+    )
+    return soi + app0 + com + sof0
+
+
+def _make_wav(channels=2, sample_rate=44_100, bits=16, n_frames=1000):
+    import struct
+
+    block_align = channels * bits // 8
+    fmt = b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, channels, sample_rate,
+        sample_rate * block_align, block_align, bits,
+    )
+    data = b"data" + struct.pack("<I", n_frames * block_align)
+    body = b"WAVE" + fmt + data + b"\x00" * (n_frames * block_align)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_multimodal_real_codec_seam_with_jpeg_parser(spark):
+    """JPEG SOF0 dimensions through decode_real inside mapInPandas — the
+    same proven-seam pattern as the PNG test, now in the product module."""
+    blobs = spark.createDataFrame(
+        [
+            (1, _make_jpeg(1920, 1080)),
+            (2, _make_jpeg(8, 8, precision=12, channels=1)),
+        ],
+        "doc_id long, content binary",
+    )
+    out = {
+        r.doc_id: r.asDict()
+        for r in extract_features(blobs, decoder=decode_real).collect()
+    }
+    assert out[1]["checksum"] == 1920 * 1080 and out[1]["first_byte"] == 8
+    assert out[2]["checksum"] == 64 and out[2]["first_byte"] == 12
+    assert out[1]["n_frames"] == 1
+
+
+def test_multimodal_real_codec_seam_with_wav_parser(spark):
+    """WAV fmt/data chunks through decode_real inside mapInPandas: frame
+    count from data size / block align, total samples in checksum."""
+    blobs = spark.createDataFrame(
+        [
+            (1, _make_wav(channels=2, sample_rate=44_100, bits=16, n_frames=500)),
+            (2, _make_wav(channels=1, sample_rate=8_000, bits=8, n_frames=80)),
+        ],
+        "doc_id long, content binary",
+    )
+    out = {
+        r.doc_id: r.asDict()
+        for r in extract_features(blobs, decoder=decode_real).collect()
+    }
+    assert out[1]["n_frames"] == 500 and out[1]["checksum"] == 1000
+    assert out[1]["first_byte"] == 16
+    assert out[2]["n_frames"] == 80 and out[2]["checksum"] == 80
+    assert out[2]["first_byte"] == 8
 
 
 def test_multimodal_empty_blob(spark):
