@@ -166,3 +166,91 @@ def test_mgmt_notifier_puts_terminal_transitions(server):
 def test_map_lookup_double():
     lk = MapBatchLookup([BATCH])
     assert lk("batch-42") == BATCH and lk("x") is None and lk.calls == 2
+
+
+class _MgmtApiWithNotificationTopic(BaseHTTPRequestHandler):
+    """Fake Management API that OWNS the notification topic (SURVEY §2C.3):
+    batch create/update by the data integrator produce the `started` /
+    `sendCompleted` echoes; the job only PUTs terminal actions, which the
+    API turns into the terminal notification."""
+
+    notification_log: list = []
+
+    def _ok(self):
+        self.send_response(200)
+        self.end_headers()
+
+    def do_POST(self):
+        log = type(self).notification_log
+        if self.path.endswith("/batches"):  # integrator creates the batch
+            n = int(self.headers.get("Content-Length", 0))
+            batch = json.loads(self.rfile.read(n))
+            log.append({"id": batch["id"], "status": "started"})
+        self._ok()
+
+    def do_PUT(self):
+        log = type(self).notification_log
+        batch_id = self.path.split("/batches/")[1].split("/")[0]
+        if self.path.endswith("/action/sendComplete"):  # integrator update
+            log.append({"id": batch_id, "status": "sendCompleted"})
+        elif self.path.endswith("/action/processingComplete"):  # the JOB
+            log.append({"id": batch_id, "status": "completed"})
+        elif self.path.endswith("/action/fail"):  # the JOB
+            log.append({"id": batch_id, "status": "failed"})
+        self._ok()
+
+    def log_message(self, *a):
+        pass
+
+
+@pytest.fixture()
+def mgmt_api():
+    _MgmtApiWithNotificationTopic.notification_log = []
+    httpd = HTTPServer(("127.0.0.1", 0), _MgmtApiWithNotificationTopic)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{httpd.server_port}"
+    httpd.shutdown()
+
+
+def test_mgmt_mode_notification_sequence_includes_nonterminal_echoes(mgmt_api):
+    """§2C.3 ownership split, driven e2e against the fake Management API:
+    in mgmt mode the API emits `started`/`sendCompleted` when the data
+    integrator creates/updates the batch (reference:
+    flink_validation_passthrough_spec.rb:116-131), and the job adds ONLY the
+    terminal transition via MgmtApiBatchNotifier — yet notification-topic
+    consumers still observe the full ordered status sequence."""
+    import urllib.request
+
+    from hri_flink_validation_passthrough_spark.sources.lookup import (
+        MgmtApiBatchNotifier,
+    )
+
+    # --- data integrator's side (owned by the Management API) ---
+    def integrator_call(method, path, body):
+        req = urllib.request.Request(
+            f"{mgmt_api}{path}", data=json.dumps(body).encode(), method=method
+        )
+        urllib.request.urlopen(req, timeout=5).close()
+
+    integrator_call("POST", "/tenants/porcupine/batches", {"id": "batch-7"})
+    integrator_call(
+        "PUT",
+        "/tenants/porcupine/batches/batch-7/action/sendComplete",
+        {"expectedRecordCount": 15},
+    )
+
+    # --- the job's side: terminal transition only ---
+    notifier = MgmtApiBatchNotifier(mgmt_api, "porcupine")
+    notifier.notify({"id": "batch-7", "status": "started"})  # echo NOT re-sent
+    notifier.notify({"id": "batch-7", "status": "sendCompleted"})  # ditto
+    notifier.notify(
+        {"id": "batch-7", "status": "completed", "recordCount": 15}
+    )
+
+    assert [(n["id"], n["status"]) for n in
+            _MgmtApiWithNotificationTopic.notification_log] == [
+        ("batch-7", "started"),
+        ("batch-7", "sendCompleted"),
+        ("batch-7", "completed"),
+    ], "consumers must see the full ordered sequence with exactly one writer per status"
