@@ -180,51 +180,57 @@ def _stream_passthrough(spark, sf_dir: str) -> float:
     """Route the whole events table through the streaming state machine;
     returns elapsed seconds (throughput = n_events / elapsed)."""
     import tempfile
-    import uuid
-
-    from pyspark.sql import functions as F
 
     from hri_flink_validation_passthrough_spark.operators.passthrough import _derive_control
     from hri_flink_validation_passthrough_spark.session import load_table
     from hri_flink_validation_passthrough_spark.sources.envelope import events_as_records
     from hri_flink_validation_passthrough_spark.streaming.topology import (
         build_routed_stream,
-        start_memory_query,
     )
 
     e = load_table(spark, sf_dir, "events")
     n_events = e.count()
     # Size the state store to the keyed-state cardinality: the replay has 5
     # batch keys, and every state partition pays per-microbatch checkpoint
-    # I/O whether or not it holds keys (32 → 8 partitions measured ~1.7x
+    # I/O whether or not it holds keys (32 → 8 → 5 partitions each measured
     # faster end-to-end here). At production key cardinality this dials UP
     # the same way. Restored after the run.
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "5")
     tmp = tempfile.mkdtemp(prefix="hri_stream_bench_")
     events_as_records(e).write.parquet(f"{tmp}/records")
-    ctrl = _derive_control(e)
-    ctrl_cols = [f for f in ctrl.columns]
-    ctrl.write.parquet(f"{tmp}/ctrl")
+    _derive_control(e).write.parquet(f"{tmp}/ctrl")
 
     rec_schema = spark.read.parquet(f"{tmp}/records").schema
     ctrl_schema = spark.read.parquet(f"{tmp}/ctrl").schema
     records = spark.readStream.schema(rec_schema).parquet(f"{tmp}/records")
     notifs = spark.readStream.schema(ctrl_schema).parquet(f"{tmp}/ctrl")
     routed = build_routed_stream(records, notifs, completion_delay_ms=2000)
-    name = f"bench_{uuid.uuid4().hex[:8]}"
+    # Sink = foreachBatch distributed per-dest count (the production sink is
+    # Kafka, so a distributed aggregate models its cost far better than the
+    # memory sink's driver-side collect of every wide routed row, which was
+    # ~30% of the measured time). NOTE availableNow does NOT work here: with
+    # processing-time timeouts armed the engine keeps scheduling "cleaning
+    # up state" no-data batches and never self-terminates (measured 100+
+    # empty batches in 60 s) — poll a driver-side counter at 50 ms instead.
+    counts: dict[str, int] = {}
+
+    def _count_sink(df, _epoch):
+        for r in df.groupBy("dest").count().collect():
+            counts[r["dest"]] = counts.get(r["dest"], 0) + r["count"]
+
     t0 = time.perf_counter()
-    q = start_memory_query(routed, name, f"{tmp}/ckpt")
+    q = (
+        routed.writeStream.foreachBatch(_count_sink)
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .start()
+    )
     try:
-        while True:
-            got = spark.sql(
-                f"SELECT count(*) FROM {name} WHERE dest = 'out'"
-            ).collect()[0][0]
-            if got >= n_events:
-                break
+        while counts.get("out", 0) < n_events:
             if time.perf_counter() - t0 > 300:
-                raise TimeoutError(f"only {got}/{n_events} routed")
-            time.sleep(0.25)
+                raise TimeoutError(f"only {counts.get('out', 0)}/{n_events} routed")
+            time.sleep(0.05)
         dt = time.perf_counter() - t0
         print(
             f"stream_passthrough: {n_events} records in {dt:.2f}s "

@@ -710,6 +710,12 @@ def srp_lsh_pairs(emb: DataFrame, threshold: float) -> DataFrame:
     keyed = emb.select("vec_id", keys_udf("e").alias("ks")).select(
         "vec_id", F.col("ks.keys").alias("keys"), F.col("ks.sig").alias("sig")
     )
+    # Three consumers read `keyed` (band buckets + both signature sidecars of
+    # the Hamming prefilter); without materialization the pandas-UDF matrix
+    # multiply runs three times. The signature sidecar is 36 longs per vector
+    # — ~0.3% of the vector bytes — so caching it is the right call at any
+    # scale (compute signatures once, reuse everywhere).
+    keyed = keyed.persist()
     buckets = keyed.select("vec_id", F.explode("keys").alias("bkey"))
     ids = F.col("ids")
     pair_structs = F.flatten(

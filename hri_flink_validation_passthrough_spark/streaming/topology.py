@@ -287,15 +287,24 @@ def build_routed_stream(
     )
 
 
-def start_memory_query(routed: DataFrame, name: str, checkpoint: str):
-    """Test/debug sink: collect the routed stream into an in-memory table."""
-    return (
+def start_memory_query(
+    routed: DataFrame, name: str, checkpoint: str, available_now: bool = False
+):
+    """Test/debug sink: collect the routed stream into an in-memory table.
+
+    ``available_now=True`` processes everything currently staged and stops —
+    right for finite-replay measurements that don't need processing-time
+    timers to fire (those need the default continuous micro-batch trigger,
+    whose no-data batches deliver timer expirations)."""
+    writer = (
         routed.writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
         .option("checkpointLocation", checkpoint)
-        .start()
     )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def kafka_fanout_writer(
