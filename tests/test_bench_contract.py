@@ -19,24 +19,26 @@ def test_headline_names_are_registered_queries():
     assert not missing, f"headline queries not registered: {missing}"
 
 
-def test_headline_matches_sidecar_keys():
-    """Every sidecar key must still be timed next round (else its vs_prev row
-    silently disappears), and every headline must have a sidecar row (else
-    next round's delta is incomplete). stream_passthrough is the one
-    non-HEADLINE metric bench.py appends."""
-    side = os.path.join(REPO, "bench_result.json")
-    with open(side) as fh:
-        prev = json.load(fh)
+def test_headline_matches_prev_record_keys():
+    """Every previously recorded key must still be timed next round (else its
+    vs_prev row silently disappears), and every headline must have a prev row
+    (else next round's delta is incomplete). stream_passthrough is the one
+    non-HEADLINE metric bench.py appends. _load_prev falls back to the newest
+    committed BENCH_r*.json on a fresh checkout, so this holds everywhere."""
+    prev = bench._load_prev(0.1)
+    assert prev, "no previous bench record found (sidecar or BENCH_r*.json)"
     expected = set(bench.HEADLINE) | {"stream_passthrough"}
     assert set(prev.get("queries", {})) == expected, (
-        "bench_result.json keys diverged from bench.HEADLINE — "
+        "previous bench record keys diverged from bench.HEADLINE — "
         "round-over-round vs_prev would be incomplete"
     )
 
 
-def test_sidecar_sf_matches_default_bench_sf():
-    side = os.path.join(REPO, "bench_result.json")
-    with open(side) as fh:
-        prev = json.load(fh)
-    # bench.py string-compares sf before emitting vs_prev
+def test_prev_record_skips_mismatched_sf():
+    """A local bench run at another sf must not clobber the driver's sf0.1
+    anchor: _load_prev skips mismatched-sf records and falls back to the
+    committed BENCH_r*.json rounds."""
+    prev = bench._load_prev(0.1)
     assert str(prev.get("sf")) == "0.1"
+    # no committed record exists at a made-up sf
+    assert bench._load_prev(7.77) == {}
