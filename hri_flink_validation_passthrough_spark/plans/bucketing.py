@@ -16,6 +16,7 @@ without touching session conf.
 
 from __future__ import annotations
 
+import datetime
 import tempfile
 import uuid
 
@@ -405,3 +406,99 @@ def bloom_filtered_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+# --- Incremental materialized-view maintenance: merge delta partials into a
+# stored rollup without rescanning history. The MV holds mergeable partial
+# states (count + sum — never avg, which doesn't merge); refresh = delta
+# partials ∪ MV, one re-aggregate over MV-cardinality rows.
+MV_CUTOFF = "2024-01-24 00:00:00"
+
+
+def materialized_daily_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily (day, event_type) partials of events BEFORE the cutoff, written
+    once per (session, sf_dir) — "yesterday's MV". The refresh query must
+    read THIS, never the pre-cutoff raw events."""
+    tag = f"mv_{abs(hash((spark.sparkContext.applicationId, sf_dir))) % 10**8}"
+    name = f"daily_mv_{tag}"
+    if not spark.catalog.tableExists(name):
+        base = tempfile.mkdtemp(prefix=f"dailymv_{uuid.uuid4().hex[:6]}_")
+        prepare(spark)
+        (
+            load_table(spark, sf_dir, "events")
+            .filter(F.col("ts") < F.lit(MV_CUTOFF).cast("timestamp"))
+            .groupBy(F.date_trunc("day", F.col("ts")).alias("day"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("value").alias("sum_value"),
+            )
+            .write.mode("overwrite")
+            .option("path", f"{base}/{name}")
+            .saveAsTable(name)
+        )
+    return spark.table(name)
+
+
+@register(
+    QUERIES,
+    "rollup_incremental_merge",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           event_type,
+           count(*)                                    AS n,
+           round(sum(value), 2)                        AS sum_value,
+           round(sum(value) / count(*), 6)             AS avg_value
+    FROM events
+    GROUP BY day, event_type
+    """,
+    doc="Incremental materialized-view maintenance: the daily rollup is "
+    "stored as mergeable partials (count+sum) up to a cutoff; the refresh "
+    "aggregates ONLY the post-cutoff delta from raw (PushedFilters on ts "
+    "asserted in tests/test_plans.py) and merges it with the stored MV via "
+    "union + re-aggregate over MV-cardinality rows. avg is recomposed from "
+    "the merged sums at the end — it never lives in the MV because it "
+    "doesn't merge. At 100 TB this is the difference between an ETL cycle "
+    "that rescans years of history and one that touches a day: refresh cost "
+    "is O(delta + |MV|), independent of history size. The oracle aggregates "
+    "ALL raw events directly, proving merge(MV, delta) is lossless.",
+)
+def rollup_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mv = materialized_daily_mv(spark, sf_dir)
+    prepare(spark)
+    # Filter the delta in the STORAGE type's domain so the predicate reaches
+    # the parquet scan: driver events.ts is TIMESTAMP(NANOS) surfaced as a
+    # nanos LONG (see session.load_table) — a filter on the converted
+    # timestamp expression is not pushable, a bigint comparison is. The
+    # cutoff is a whole second, so nanos-domain and micros-domain cuts agree.
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(raw.dtypes)["ts"] == "bigint":
+        cutoff_ns = int(
+            datetime.datetime.strptime(MV_CUTOFF, "%Y-%m-%d %H:%M:%S")
+            .replace(tzinfo=datetime.timezone.utc)
+            .timestamp()
+        ) * 1_000_000_000
+        raw = raw.filter(F.col("ts") >= F.lit(cutoff_ns)).withColumn(
+            "ts", F.expr("timestamp_micros(ts div 1000)")
+        )
+    else:
+        raw = raw.filter(F.col("ts") >= F.lit(MV_CUTOFF).cast("timestamp"))
+        if dict(raw.dtypes)["ts"] == "timestamp_ntz":
+            raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    delta = raw.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("sum_value"),
+    )
+    return (
+        mv.unionByName(delta)
+        .groupBy(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n").alias("n"),
+            F.round(F.sum("sum_value"), 2).alias("sum_value"),
+            F.round(F.sum("sum_value") / F.sum("n"), 6).alias("avg_value"),
+        )
+    )

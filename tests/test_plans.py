@@ -135,6 +135,26 @@ def test_dpp_injects_runtime_partition_filter(spark):
     assert "dynamicpruning" in pf_lines[0]
 
 
+def test_incremental_merge_scans_only_the_delta(spark):
+    """Incremental MV refresh: the raw-events scan must carry the cutoff as a
+    pushed parquet filter (only the delta is read from raw), and the history
+    side must come from the materialized MV table, not a second events scan."""
+    from hri_flink_validation_passthrough_spark.plans.bucketing import (
+        rollup_incremental_merge,
+    )
+
+    p = plan(rollup_incremental_merge(spark, SF_ORACLE))
+    pushed = [
+        l
+        for l in p.splitlines()
+        if "PushedFilters" in l and "GreaterThanOrEqual(ts" in l
+    ]
+    assert pushed, "delta cutoff not pushed to the raw events scan"
+    # exactly one events.parquet scan: history comes from the MV table
+    assert p.count("events.parquet") == 1
+    assert "daily_mv_" in p
+
+
 def test_bloom_filter_pruned_join(spark):
     """Selective dim filter + non-broadcast join -> a runtime bloom filter
     must be built over the dim keys and applied to the fact side before its
