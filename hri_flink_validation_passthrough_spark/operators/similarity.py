@@ -444,3 +444,179 @@ def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_dup_pairs"),
         F.max("cos_sim").alias("max_sim"),
     )
+
+
+# --- Product quantization: the memory layer of IVF-PQ ANN at 100 TB.
+# 64-dim vectors -> PQ_M=8 subspaces of PQ_DSUB=8 dims, PQ_K=16 centroids
+# per subspace: 8 four-bit codes = 4 bytes/vector vs 256 bytes of float32 —
+# the compression that lets a trillion-vector index live in RAM. Codebooks
+# are deterministic (subvectors of the first PQ_K vectors), mirroring the
+# IVF centroid convention, so every step is SQL-expressible and
+# oracle-checked. In production the codebook is trained offline and shipped
+# to executors as literals/broadcast — exactly the shape here: the encode
+# pass is pure whole-stage-codegen row work, zero shuffle, zero Python.
+PQ_M = 8
+PQ_DSUB = 8
+PQ_K = 16
+
+_pq_codebook_memo: dict[tuple[str, str], list[list[list[float]]]] = {}
+
+
+def _pq_codebook(spark: SparkSession, sf_dir: str) -> list[list[list[float]]]:
+    """codebook[m][c] = PQ_DSUB-dim centroid c of subspace m — the double-cast
+    subvectors of vec_id < PQ_K. Driver-side collect of PQ_K tiny rows (the
+    'load the trained codebook' step), memoized per (session, sf_dir)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _pq_codebook_memo:
+        rows = (
+            _emb(spark, sf_dir)
+            .filter(F.col("vec_id") < PQ_K)
+            .orderBy("vec_id")
+            .collect()
+        )
+        _pq_codebook_memo[key] = [
+            [list(r["e"][m * PQ_DSUB : (m + 1) * PQ_DSUB]) for r in rows]
+            for m in range(PQ_M)
+        ]
+    return _pq_codebook_memo[key]
+
+
+def _sqdist(a, b):
+    """Sequential-fold squared L2 — term order and arithmetic chosen to be
+    bit-identical to the oracle's list_sum(list_transform(range ...)) form."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _pq_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vec_id, e, code_0..code_{M-1} (int), d_0..d_{M-1} (chosen sq dist)."""
+    cb = _pq_codebook(spark, sf_dir)
+    df = _emb(spark, sf_dir)
+    for m in range(PQ_M):
+        sub = F.slice(F.col("e"), m * PQ_DSUB + 1, PQ_DSUB)
+        dists = F.array(
+            *[_sqdist(sub, F.array(*[F.lit(x) for x in c])) for c in cb[m]]
+        )
+        df = df.withColumn(f"_d{m}", dists)
+        rounded = F.transform(F.col(f"_d{m}"), lambda x: F.round(x, 6))
+        code = (F.array_position(rounded, F.array_min(rounded)) - 1).cast("int")
+        df = df.withColumn(f"code_{m}", code).withColumn(
+            f"d_{m}", F.element_at(F.col(f"_d{m}"), F.col(f"code_{m}") + 1)
+        )
+    return df.drop(*[f"_d{m}" for m in range(PQ_M)])
+
+
+def _pq_oracle_encode_cte() -> str:
+    """Shared oracle CTEs: v (double vectors), cb (codebook per subspace),
+    enc (vec_id, m, code, d — chosen centroid + its sq distance)."""
+    return f"""
+    v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), cb AS (
+      SELECT m, vec_id AS cid, e[m * {PQ_DSUB} + 1 : (m + 1) * {PQ_DSUB}] AS c
+      FROM v, (SELECT unnest(range({PQ_M})) AS m)
+      WHERE vec_id < {PQ_K}
+    ), dist AS (
+      SELECT v.vec_id, cb.m, cb.cid, cb.c,
+             list_sum(list_transform(range(1, {PQ_DSUB} + 1),
+               i -> (e[m * {PQ_DSUB} + i] - c[i]) * (e[m * {PQ_DSUB} + i] - c[i])
+             )) AS d
+      FROM v, cb
+    ), enc AS (
+      SELECT vec_id, m, cid AS code, c, d FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id, m ORDER BY round(d, 6), cid) AS rn
+        FROM dist
+      ) WHERE rn = 1
+    )"""
+
+
+@register(
+    QUERIES,
+    "embedding_pq_codes",
+    oracle=f"""
+    WITH {_pq_oracle_encode_cte()}
+    SELECT vec_id,
+           {', '.join(f"CAST(max(CASE WHEN m = {m} THEN code END) AS INTEGER) AS pq{m}" for m in range(PQ_M))},
+           round(sqrt({' + '.join(f"max(CASE WHEN m = {m} THEN d END)" for m in range(PQ_M))}), 6) AS recon_err
+    FROM enc
+    GROUP BY vec_id
+    """,
+    doc=f"Product-quantization encode: {PQ_M}×{PQ_DSUB}-dim subspaces, "
+    f"{PQ_K} centroids each (4-bit codes — 64× smaller than float32). "
+    "Codebook shipped as literals; encode is zero-shuffle codegen row work. "
+    "recon_err is the L2 distance to the reconstruction — the quantization "
+    "quality metric that picks M/K at scale.",
+)
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _pq_encoded(spark, sf_dir)
+    err = F.round(
+        F.sqrt(sum(F.col(f"d_{m}") for m in range(PQ_M))), 6
+    )
+    return df.select(
+        "vec_id",
+        *[F.col(f"code_{m}").alias(f"pq{m}") for m in range(PQ_M)],
+        err.alias("recon_err"),
+    )
+
+
+@register(
+    QUERIES,
+    "ann_pq_adc_topk",
+    oracle=f"""
+    WITH {_pq_oracle_encode_cte()}, recon AS (
+      SELECT vec_id, flatten(list(c ORDER BY m)) AS re
+      FROM enc GROUP BY vec_id
+    ), q AS (
+      SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < {N_QUERIES}
+    ), s AS (
+      SELECT qid, r.vec_id AS nid,
+             round(sqrt(list_sum(list_transform(range(1, {PQ_M * PQ_DSUB} + 1),
+               i -> (qe[i] - re[i]) * (qe[i] - re[i])))), 6) AS adc_dist
+      FROM q, recon r WHERE r.vec_id != qid
+    )
+    SELECT qid, nid, adc_dist, rnk FROM (
+      SELECT qid, nid, adc_dist,
+             CAST(row_number() OVER (PARTITION BY qid
+                                     ORDER BY adc_dist, nid) AS BIGINT) AS rnk
+      FROM s
+    ) WHERE rnk <= {TOP_K}
+    """,
+    doc="Asymmetric-distance ANN over PQ codes: full-precision queries "
+    "against 4-byte compressed candidates (distance to the codebook "
+    "reconstruction). The scan side never touches raw vectors — at 100 TB "
+    "the index is the code table + literal codebook, and the candidate set "
+    "composes with the IVF cells (`ann_ivf_topk`) for IVF-PQ.",
+)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cb = _pq_codebook(spark, sf_dir)
+    enc = _pq_encoded(spark, sf_dir)
+    # reconstruction = concat of chosen centroids, looked up in the literal
+    # codebook (array-of-arrays per subspace) — no join back to vectors
+    cb_lits = [
+        F.array(*[F.array(*[F.lit(x) for x in c]) for c in cb[m]])
+        for m in range(PQ_M)
+    ]
+    recon = F.flatten(
+        F.array(*[
+            F.element_at(cb_lits[m], F.col(f"code_{m}") + 1)
+            for m in range(PQ_M)
+        ])
+    )
+    cand = enc.select("vec_id", recon.alias("re"))
+    q = (
+        _emb(spark, sf_dir)
+        .filter(F.col("vec_id") < N_QUERIES)
+        .withColumnsRenamed({"vec_id": "qid", "e": "qe"})
+    )
+    pairs = cand.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+    adc = F.round(F.sqrt(_sqdist(F.col("qe"), F.col("re"))), 6)
+    w = Window.partitionBy("qid").orderBy(F.asc("adc_dist"), F.asc("nid"))
+    return (
+        pairs.select("qid", F.col("vec_id").alias("nid"), adc.alias("adc_dist"))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= TOP_K)
+    )

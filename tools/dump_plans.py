@@ -32,6 +32,7 @@ SHOWCASE = {
     "dedup_simhash_md5": "pure-expression 60-bit signature; banded blocking; bit_count verify",
     "rollup_daily_to_monthly": "two-level aggregation: daily partials reused for monthly",
     "rollup_incremental_merge": "MV refresh: pushed delta cutoff + stored-partials merge, no history rescan",
+    "embedding_pq_codes": "PQ encode: literal codebook, zero-shuffle codegen row work",
     "skew_join_salted": "hot key fanned over 16 salts; dim replicated; shuffle-hash join",
     "corpus_quality_pipeline": "dedup window + map-side filters + partial-agg audit in one plan",
     "lm_trigram_score": "trigram explode, model join, 1-row total broadcast",
