@@ -289,3 +289,107 @@ def boilerplate_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("boiler_frac"),
         )
     )
+
+
+# --- Model inference at scale: a fasttext-style hashed linear quality
+# classifier (Joulin et al. 2016's architecture: tokens -> hashing-trick
+# buckets -> weight lookup -> mean logit -> sigmoid). The "trained model" is
+# a CLF_DIM-entry weight vector shipped to every task as a literal array —
+# exactly how a real per-doc quality filter runs at 100 TB: the model is
+# tiny and broadcast, inference is pure map-side whole-stage codegen (no
+# shuffle, no Python, no per-row UDF). Weights here are a deterministic
+# pseudo-random function of the bucket id so both engines embed the
+# identical table; swapping in learned weights changes nothing structural.
+CLF_DIM = 256
+CLF_SCALE = 10.0  # logit = CLF_SCALE * mean(weight)
+
+# Knuth multiplicative hashing for the synthetic weights; exact decimals so
+# Spark and DuckDB parse the same doubles.
+CLF_WEIGHTS = [
+    round(((b * 2654435761) % 1000003) / 1000003.0 - 0.5, 6)
+    for b in range(CLF_DIM)
+]
+
+# portable token -> bucket: first 8 hex chars of md5, parsed positionally
+# (both engines lack a shared hex->int builtin; instr over the hex alphabet
+# is exact and identical in both)
+_HEX = "0123456789abcdef"
+
+
+def _clf_bucket_sql(tok: str) -> str:
+    """DuckDB expression: md5-derived bucket id of a token expression."""
+    terms = " + ".join(
+        f"(instr('{_HEX}', substring(md5({tok}), {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return f"(({terms}) % {CLF_DIM})"
+
+
+def _clf_bucket_col(tok):
+    h = F.md5(tok)
+    fid = None
+    for i in range(8):
+        # long arithmetic: the top hex digit contributes up to 15*16^7,
+        # which overflows int32
+        term = (F.instr(F.lit(_HEX), F.substring(h, i + 1, 1)) - 1).cast(
+            "long"
+        ) * F.lit(16 ** (7 - i)).cast("long")
+        fid = term if fid is None else fid + term
+    return fid % CLF_DIM
+
+
+@register(
+    QUERIES,
+    "quality_classifier_inference",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+      FROM documents
+    ), scored AS (
+      -- the literal weight list rides along as a column so the lambda can
+      -- index it (DuckDB forbids subqueries inside lambdas)
+      SELECT doc_id, len(toks) AS n_tokens,
+             list_sum(list_transform(toks,
+               tok -> wts[{_clf_bucket_sql('tok')} + 1]
+             )) AS wsum
+      FROM t, (SELECT [{', '.join(str(w) for w in CLF_WEIGHTS)}] AS wts)
+    )
+    SELECT doc_id, n_tokens,
+           round(1.0 / (1.0 + exp(-({CLF_SCALE} * wsum / n_tokens))), 6) AS score,
+           (1.0 / (1.0 + exp(-({CLF_SCALE} * wsum / n_tokens)))) >= 0.5 AS keep
+    FROM scored
+    """,
+    doc=f"Hashed linear quality-classifier inference (fasttext shape): "
+    f"md5 hashing trick into {CLF_DIM} buckets, literal broadcast weight "
+    "table, mean-logit sigmoid score and keep decision — model inference "
+    "as pure map-side codegen, the zero-shuffle way a learned per-doc "
+    "filter runs over 100 TB.",
+)
+def quality_classifier_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    d = load_table(spark, sf_dir, "documents")
+    weights = F.array(*[F.lit(w) for w in CLF_WEIGHTS])
+    wsum = F.aggregate(
+        F.transform(
+            _toks(),
+            lambda t: F.element_at(weights, (_clf_bucket_col(t) + 1).cast("int")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    logit = F.lit(CLF_SCALE) * F.col("wsum") / F.col("n_tokens")
+    score = 1.0 / (1.0 + F.exp(-logit))
+    return (
+        d.select(
+            "doc_id",
+            F.size(_toks()).cast("long").alias("n_tokens"),
+            wsum.alias("wsum"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(score, 6).alias("score"),
+            (score >= 0.5).alias("keep"),
+        )
+    )
