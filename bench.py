@@ -85,14 +85,22 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
-        best = None
+        reps: list[float] = []
         for _rep in range(2):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
+            reps.append(time.perf_counter() - t0)
+        # Adaptive third pass: when the two timings disagree by >25% a
+        # transient hiccup (GC storm, disk stall during localCheckpoint —
+        # observed inflating one query 3.8× for a single run) may span both;
+        # one more sample keeps an outlier from poisoning the round's delta.
+        if min(reps) > 0 and (max(reps) - min(reps)) / min(reps) > 0.25:
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            reps.append(time.perf_counter() - t0)
+        best = min(reps)
         timings[name] = round(best, 3)
-        print(f"{name}: {best:.3f}s", file=sys.stderr)
+        print(f"{name}: {best:.3f}s ({len(reps)} reps)", file=sys.stderr)
 
     # Reference-parity micro-bench: records/s through the REAL streaming
     # topology (file source → keyed state machine → memory sink). The
