@@ -161,7 +161,14 @@ def route_records_relational(
     where batch_id may be null/unknown; controls: notification columns +
     time_ms/seq. Returns ROUTED_SCHEMA-shaped rows (data + one notification
     row per terminal batch) — all JVM-side."""
-    outcomes = _outcomes(records, controls, delay_ms)
+    # outcomes is consumed TWICE (the broadcast join below and the
+    # notifications branch) — without materialization each consumer re-runs
+    # the whole _outcomes subtree (two aggregations + two windows over the
+    # full record set; measured ~2× the query's cost at sf0.1). The table is
+    # per-batch cardinality — tiny at any scale — so an eager localCheckpoint
+    # (the same lineage-control trade as dedup_clusters) materializes it once
+    # and both consumers read the stored rows.
+    outcomes = _outcomes(records, controls, delay_ms).localCheckpoint(eager=True)
     # outcomes carries exactly one row per batch_id seen in `controls`, so a
     # single broadcast join both marks known batches and attaches their
     # terminal times — no separate known-ids join over the record stream.
