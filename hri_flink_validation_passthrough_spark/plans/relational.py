@@ -1146,3 +1146,80 @@ def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type", z.alias("z"))
         .filter(F.abs(F.col("z")) > 2.5)
     )
+
+
+# --- Recursive query / transitive closure. The reference has none, and
+# Spark has no WITH RECURSIVE — but the CATEGORY matters at scale (org
+# trees, BOM explosions, referral chains). The engine's answer is pointer
+# DOUBLING: each round composes the ancestor map with itself, so a chain of
+# depth d resolves in ceil(log2 d) self-joins instead of d dependent
+# scans — the same O(log d) technique as dedup_clusters' pointer jumping.
+# The forest here is deterministic (parent = custkey div 3, roots are
+# custkey <= 2) so DuckDB's real WITH RECURSIVE is the oracle.
+_CLOSURE_ROUNDS = 6  # covers depth 2^6 = 64 >> log3(max custkey)
+
+
+@register(
+    QUERIES,
+    "transitive_closure_depth",
+    oracle="""
+    WITH RECURSIVE up AS (
+      SELECT c_custkey AS node,
+             CASE WHEN c_custkey <= 2 THEN c_custkey
+                  ELSE greatest(c_custkey // 3, 1) END AS anc,
+             CASE WHEN c_custkey <= 2 THEN 0 ELSE 1 END AS depth
+      FROM customer
+      UNION ALL
+      SELECT node, greatest(anc // 3, 1), depth + 1
+      FROM up WHERE anc > 2
+    )
+    SELECT node AS c_custkey,
+           anc  AS root_key,
+           CAST(depth AS BIGINT) AS depth,
+           CAST(count(*) OVER (PARTITION BY anc) AS BIGINT) AS root_n
+    FROM up WHERE anc <= 2
+    """,
+    doc="Transitive closure over a deterministic customer forest (parent = "
+    "custkey div 3): every node's root ancestor, its depth, and its tree's "
+    "size. Spark side uses pointer DOUBLING — the ancestor map composed "
+    "with itself for ceil(log2 depth) rounds — so a depth-d chain costs "
+    "O(log d) equi-joins, not d dependent scans; the oracle is DuckDB's "
+    "native WITH RECURSIVE, proving the doubling is exactly the recursive "
+    "closure.",
+)
+def transitive_closure_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    is_root = F.col("c_custkey") <= 2
+    state = c.select(
+        F.col("c_custkey").alias("node"),
+        F.when(is_root, F.col("c_custkey"))
+        .otherwise(F.greatest(F.expr("c_custkey div 3"), F.lit(1)))
+        .alias("anc"),
+        F.when(is_root, F.lit(0)).otherwise(F.lit(1)).cast("long").alias("depth"),
+    )
+    # doubling: anc_{2k}(n) = anc_k(anc_k(n)); depth adds the second hop's
+    # distance. Roots are self-loops with depth 0, so composition is a
+    # no-op once a chain has resolved — the fixed round count only needs to
+    # exceed log2(max depth).
+    for _ in range(_CLOSURE_ROUNDS):
+        hop = state.select(
+            F.col("node").alias("h_node"),
+            F.col("anc").alias("h_anc"),
+            F.col("depth").alias("h_depth"),
+        )
+        state = (
+            state.join(hop, state.anc == hop.h_node)
+            .select(
+                "node",
+                F.col("h_anc").alias("anc"),
+                (F.col("depth") + F.col("h_depth")).alias("depth"),
+            )
+        )
+    w = Window.partitionBy("anc")
+    return state.select(
+        F.col("node").alias("c_custkey"),
+        F.col("anc").alias("root_key"),
+        "depth",
+        F.count(F.lit(1)).over(w).cast("long").alias("root_n"),
+    )
