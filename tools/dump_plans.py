@@ -33,6 +33,7 @@ SHOWCASE = {
     "rollup_daily_to_monthly": "two-level aggregation: daily partials reused for monthly",
     "rollup_incremental_merge": "MV refresh: pushed delta cutoff + stored-partials merge, no history rescan",
     "embedding_pq_codes": "PQ encode: literal codebook, zero-shuffle codegen row work",
+    "transitive_closure_depth": "recursive closure as log-depth pointer-doubling self-joins",
     "skew_join_salted": "hot key fanned over 16 salts; dim replicated; shuffle-hash join",
     "corpus_quality_pipeline": "dedup window + map-side filters + partial-agg audit in one plan",
     "lm_trigram_score": "trigram explode, model join, 1-row total broadcast",
