@@ -133,10 +133,9 @@ def main() -> None:
     try:
         prev = _load_prev(result["sf"])
         prev_q = prev.get("queries", {})
-        # String-compare sf so a "0.1" (str) vs 0.1 (float) sidecar doesn't
-        # silently suppress the whole comparison; membership (not truthiness)
-        # so a recorded 0.0 timing still yields a row.
-        if prev and str(prev.get("sf")) == str(result["sf"]):
+        # _load_prev already filtered to a matching-sf record; membership
+        # (not truthiness) so a recorded 0.0 timing still yields a row.
+        if prev:
             result["vs_prev"] = {
                 name: {
                     "prev": prev_q[name],
@@ -192,13 +191,24 @@ def _load_prev(sf) -> dict:
     recorded round instead of silently emitting no comparison. Records at a
     different sf are skipped rather than returned — otherwise one local run at
     another scale factor would clobber the anchor and silently suppress the
-    driver's whole vs_prev map for the round.
+    driver's whole vs_prev map for the round. The sf compare is by string so
+    a "0.1" (str) vs 0.1 (float) record can't silently mismatch.
     """
     import glob
 
+    import re
+
     repo = os.path.dirname(os.path.abspath(__file__))
+
+    def _round_no(path: str) -> int:
+        # numeric, not lexicographic: 'r100' must outrank 'r99'
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        return int(m.group(1)) if m else -1
+
     candidates = [os.path.join(repo, "bench_result.json")] + sorted(
-        glob.glob(os.path.join(repo, "BENCH_r*.json")), reverse=True
+        glob.glob(os.path.join(repo, "BENCH_r*.json")),
+        key=_round_no,
+        reverse=True,
     )
     for path in candidates:
         try:

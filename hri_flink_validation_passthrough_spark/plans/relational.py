@@ -1156,7 +1156,13 @@ def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # scans — the same O(log d) technique as dedup_clusters' pointer jumping.
 # The forest here is deterministic (parent = custkey div 3, roots are
 # custkey <= 2) so DuckDB's real WITH RECURSIVE is the oracle.
-_CLOSURE_ROUNDS = 6  # covers depth 2^6 = 64 >> log3(max custkey)
+def _closure_rounds(max_key: int) -> int:
+    """ceil(log2(max chain depth)) + 1 margin: parent = key div 3, so depth
+    is bounded by log3(max_key); doubling squares the reach each round."""
+    import math
+
+    depth_bound = max(2, math.ceil(math.log(max_key + 2, 3)) + 1)
+    return max(2, math.ceil(math.log2(depth_bound)) + 1)
 
 
 @register(
@@ -1190,19 +1196,31 @@ _CLOSURE_ROUNDS = 6  # covers depth 2^6 = 64 >> log3(max custkey)
 def transitive_closure_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
     c = load_table(spark, sf_dir, "customer").select("c_custkey")
-    is_root = F.col("c_custkey") <= 2
-    state = c.select(
-        F.col("c_custkey").alias("node"),
-        F.when(is_root, F.col("c_custkey"))
-        .otherwise(F.greatest(F.expr("c_custkey div 3"), F.lit(1)))
+    # The ancestor map is built over the FULL integer key range, not just
+    # the customer rows: the parent function is arithmetic, so a chain may
+    # pass through keys with no customer row (deleted customers, scaled
+    # keyspaces with holes) — an inner self-join restricted to existing
+    # nodes would silently drop those chains while the oracle, which
+    # recurses arithmetically, keeps them.
+    max_key = c.agg(F.max("c_custkey")).collect()[0][0]
+    dom = spark.range(0, int(max_key) + 1).select(F.col("id").alias("node"))
+    is_root = F.col("node") <= 2
+    state = dom.select(
+        "node",
+        F.when(is_root, F.col("node"))
+        .otherwise(F.greatest(F.expr("node div 3"), F.lit(1)))
         .alias("anc"),
         F.when(is_root, F.lit(0)).otherwise(F.lit(1)).cast("long").alias("depth"),
     )
     # doubling: anc_{2k}(n) = anc_k(anc_k(n)); depth adds the second hop's
     # distance. Roots are self-loops with depth 0, so composition is a
     # no-op once a chain has resolved — the fixed round count only needs to
-    # exceed log2(max depth).
-    for _ in range(_CLOSURE_ROUNDS):
+    # exceed log2(max depth). Each round is materialized (localCheckpoint,
+    # the dedup_clusters technique): without it the self-join doubles the
+    # UNMATERIALIZED lineage every round and the physical plan degenerates
+    # to 2^rounds scans — the opposite of the O(log d) claim.
+    state = state.localCheckpoint(eager=True)
+    for _ in range(_closure_rounds(int(max_key))):
         hop = state.select(
             F.col("node").alias("h_node"),
             F.col("anc").alias("h_anc"),
@@ -1215,11 +1233,15 @@ def transitive_closure_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("h_anc").alias("anc"),
                 (F.col("depth") + F.col("h_depth")).alias("depth"),
             )
+            .localCheckpoint(eager=True)
         )
     w = Window.partitionBy("anc")
-    return state.select(
-        F.col("node").alias("c_custkey"),
-        F.col("anc").alias("root_key"),
-        "depth",
-        F.count(F.lit(1)).over(w).cast("long").alias("root_n"),
+    return (
+        c.join(state, c.c_custkey == state.node)
+        .select(
+            "c_custkey",
+            F.col("anc").alias("root_key"),
+            "depth",
+            F.count(F.lit(1)).over(w).cast("long").alias("root_n"),
+        )
     )

@@ -42,6 +42,16 @@ def main() -> int:
     reps = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     dst = sys.argv[3] if len(sys.argv) > 3 else "/tmp/sfgen/sf1"
+    if reps > len(_ALPHA):
+        # the consonant rotation wraps at len(_ALPHA): replica N would carry
+        # byte-identical text to replica N-10, reintroducing the N² duplicate
+        # -pair growth the perturbation exists to prevent
+        print(
+            f"WARNING: reps={reps} > {len(_ALPHA)} distinct text rotations — "
+            "replicas beyond the alphabet repeat earlier texts exactly; "
+            "dedup scaling numbers above 10x are NOT trustworthy",
+            file=sys.stderr,
+        )
     os.makedirs(dst, exist_ok=True)
 
     con = duckdb.connect()
