@@ -1245,3 +1245,62 @@ def transitive_closure_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).over(w).cast("long").alias("root_n"),
         )
     )
+
+
+@register(
+    QUERIES,
+    "scd2_user_state_history",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts,
+             lag(event_type) OVER w AS prev_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), changes AS (
+      SELECT user_id, event_type, ts
+      FROM ordered
+      WHERE prev_type IS NULL OR event_type != prev_type
+    )
+    SELECT user_id,
+           event_type AS state,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           coalesce(
+             strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts),
+                      '%Y-%m-%d %H:%M:%S'),
+             '9999-12-31 00:00:00') AS valid_to,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+             AS is_current
+    FROM changes
+    """,
+    doc="Slowly-changing-dimension type-2 history from a change stream: "
+    "per-user state runs collapsed to change points (lag), each change "
+    "opened as a validity interval closed by the next change (lead) — the "
+    "standard warehouse dimension-history build, two windows on one "
+    "partition key, no self-join. The open interval uses the conventional "
+    "9999-12-31 sentinel so current rows are range-queryable like closed "
+    "ones.",
+)
+def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+        .select("user_id", "event_type", "ts")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts")
+    nxt = F.lead("ts").over(w2)
+    return changes.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.coalesce(
+            F.date_format(nxt, "yyyy-MM-dd HH:mm:ss"),
+            F.lit("9999-12-31 00:00:00"),
+        ).alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
