@@ -1215,26 +1215,27 @@ def transitive_closure_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     # doubling: anc_{2k}(n) = anc_k(anc_k(n)); depth adds the second hop's
     # distance. Roots are self-loops with depth 0, so composition is a
     # no-op once a chain has resolved — the fixed round count only needs to
-    # exceed log2(max depth). Each round is materialized (localCheckpoint,
-    # the dedup_clusters technique): without it the self-join doubles the
+    # exceed log2(max depth). Lineage is cut with localCheckpoint (the
+    # dedup_clusters technique): without it the self-join doubles the
     # UNMATERIALIZED lineage every round and the physical plan degenerates
-    # to 2^rounds scans — the opposite of the O(log d) claim.
+    # to 2^rounds scans — the opposite of the O(log d) claim. Checkpointing
+    # every SECOND round halves the materialization barriers while capping
+    # the uncheckpointed plan at 2 rounds deep (4 scans of stored rows).
     state = state.localCheckpoint(eager=True)
-    for _ in range(_closure_rounds(int(max_key))):
+    rounds = _closure_rounds(int(max_key))
+    for i in range(rounds):
         hop = state.select(
             F.col("node").alias("h_node"),
             F.col("anc").alias("h_anc"),
             F.col("depth").alias("h_depth"),
         )
-        state = (
-            state.join(hop, state.anc == hop.h_node)
-            .select(
-                "node",
-                F.col("h_anc").alias("anc"),
-                (F.col("depth") + F.col("h_depth")).alias("depth"),
-            )
-            .localCheckpoint(eager=True)
+        state = state.join(hop, state.anc == hop.h_node).select(
+            "node",
+            F.col("h_anc").alias("anc"),
+            (F.col("depth") + F.col("h_depth")).alias("depth"),
         )
+        if i % 2 == 1 or i == rounds - 1:
+            state = state.localCheckpoint(eager=True)
     w = Window.partitionBy("anc")
     return (
         c.join(state, c.c_custkey == state.node)
