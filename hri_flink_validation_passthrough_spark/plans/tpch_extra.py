@@ -56,7 +56,7 @@ def _revenue():
       JOIN region   ON r_regionkey = n_regionkey AND r_name = 'EUROPE'
     )
     SELECT DISTINCT p_partkey, p_name, s_name, n_name,
-           round(unit, 4) AS min_price
+           floor(unit * 10000 + 0.5) / 10000 AS min_price
     FROM offers o
     WHERE unit = (SELECT min(unit) FROM offers o2
                   WHERE o2.p_partkey = o.p_partkey)
@@ -92,7 +92,16 @@ def q2_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "p_partkey", "p_name", "s_name", "n_name",
-            F.round("unit", 4).alias("min_price"),
+            # floor-based half-up rounding, NOT round(): a unit price like
+            # 209.93/8 = 26.24125 sits exactly on the 4-decimal half
+            # boundary, and Spark (BigDecimal HALF_UP on the double's exact
+            # binary value) vs DuckDB (scale-multiply rounding) resolve the
+            # boundary differently for the SAME double (observed: 26.2412
+            # vs 26.2413 at sf0.001). floor(x*1e4 + 0.5)/1e4 is the same
+            # IEEE op sequence in both engines — bit-identical output.
+            (F.floor(F.col("unit") * 10000 + F.lit(0.5)) / 10000).alias(
+                "min_price"
+            ),
         )
         .distinct()
     )
