@@ -71,6 +71,8 @@ def _all_specs() -> dict[str, QuerySpec]:
             "multimodal",
             "similarity",
             "dedup",
+            "linkage",
+            "analytics",
             "passthrough",
             "passthrough_relational",
         )
@@ -106,6 +108,8 @@ def _all_specs() -> dict[str, QuerySpec]:
             "multimodal",
             "similarity",
             "dedup",
+            "linkage",
+            "analytics",
         )
     ] + [
         "hri_flink_validation_passthrough_spark.sources.formats",

@@ -1,0 +1,366 @@
+"""Time-series / distribution analytics built on shuffle-lean plans.
+
+Three operators whose *naive* formulation is a global sort or a per-key
+sequential scan — the classic "works on a laptop, dies on a cluster" shapes —
+re-expressed as bounded-partition algebra:
+
+- ``max_concurrent_sessions`` — interval-overlap sweep line (±1 deltas +
+  running sum) where the running sum is a **two-level prefix sum** over day
+  buckets: intra-day windows run in parallel, and only the one-row-per-day
+  summary is scanned to produce cross-bucket offsets. A flat
+  ``Window.orderBy(t)`` would drag every event through one task.
+- ``events_ewma_blocked`` — exponentially weighted moving average per key.
+  The recurrence ``e_i = a*x_i + (1-a)*e_{i-1}`` is not a plain prefix sum,
+  and the closed-form trick ``(1-a)^i * cumsum(x_t*(1-a)^-t)`` overflows
+  double for sequences past ~5000 rows. Blocked form: exact closed form
+  *within* 16-row blocks (exponent <= 15), plus the analytically-decayed
+  carry of the previous <=3 block-end values — terms from older blocks decay
+  below 1e-10 and are dropped. O(1) numeric range at any sequence length,
+  zero Python, no per-key serial scan longer than a block.
+- ``equi_depth_histogram`` — exact decile binning without a global sort:
+  a distinct-value count histogram, its cumulative form via the same
+  two-level prefix-sum shape (coarse value-range buckets), boundary_k =
+  min value with 10*cum >= k*n (integer algebra — no float percentile
+  semantics to disagree on across engines), and map-side bin assignment
+  against the broadcast 9-value boundary list. At 100 TB you would swap the
+  exact boundary job for approx_percentile; the binning pass is unchanged.
+
+Reference parity note: the reference engine (Alvearie
+hri-flink-validation-passthrough, PassthroughStreamingJob.java:1) has no
+analytics surface; these are SURVEY.md §2 north-star extensions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans import QuerySpec, register
+from ..session import load_table, prepare
+
+QUERIES: dict[str, QuerySpec] = {}
+
+SESSION_GAP_S = 1800  # 30-min inactivity gap (same rule as events_sessionize)
+
+EWMA_ALPHA = 0.3
+EWMA_D = 1.0 - EWMA_ALPHA
+EWMA_B = 16  # block length: intra-block exponents stay in [-15, 15]
+# Carry depth 3: the dropped tail is bounded by d^(3B) ~= 0.7^48 ~= 4e-8 of
+# the oldest retained magnitude — invisible at round(4). The ORACLE computes
+# the same truncated formula (it is deterministic algebra, not an engine
+# artifact); tests/test_functions.py checks the truncation against the true
+# recursive EWMA to 1e-6.
+EWMA_CARRY = 3
+
+HIST_BINS = 10
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    prepare(spark)
+    return load_table(spark, sf_dir, name)
+
+
+def _fmt(col):
+    return F.date_format(col, "yyyy-MM-dd HH:mm:ss")
+
+
+# Session intervals shared by the sweep line: 30-min-gap sessionization,
+# identical rule to plans/relational.events_sessionize.
+_SQL_SESSIONS = f"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR date_diff('second', lag(ts) OVER w, ts) > {SESSION_GAP_S}
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
+      FROM flagged
+    ), si AS (
+      SELECT user_id, sess_id, min(ts) AS t_start, max(ts) AS t_end
+      FROM sess GROUP BY user_id, sess_id
+    )
+"""
+
+
+@register(
+    QUERIES,
+    "max_concurrent_sessions",
+    oracle=f"""
+    {_SQL_SESSIONS},
+    d AS (
+      SELECT t_start AS t, 1 AS delta, user_id, sess_id FROM si
+      UNION ALL
+      SELECT t_end, -1, user_id, sess_id FROM si
+    ), r AS (
+      SELECT t, sum(delta) OVER (ORDER BY t, delta DESC, user_id, sess_id
+                                 ROWS UNBOUNDED PRECEDING) AS conc
+      FROM d
+    )
+    SELECT strftime(date_trunc('hour', t), '%Y-%m-%d %H:%M:%S') AS hour,
+           CAST(max(conc) AS BIGINT) AS max_concurrent
+    FROM r GROUP BY 1
+    """,
+    doc="Peak concurrent sessions per hour: sessionize (30-min gap), emit "
+    "+1/-1 interval endpoints, global running sum via two-level prefix sum "
+    "(intra-day windows in parallel + one-row-per-day offset scan), max per "
+    "hour. Endpoint tie rule: starts sort before ends at the same instant "
+    "(touching sessions count as concurrent); the per-hour max is invariant "
+    "to ordering among equal (t, delta) rows, so both engines agree.",
+)
+def max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.withColumn(
+        "new_sess",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+                > SESSION_GAP_S
+            ),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "sess_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    si = sess.groupBy("user_id", "sess_id").agg(
+        F.min("ts").alias("t_start"), F.max("ts").alias("t_end")
+    )
+    deltas = si.select(
+        F.col("t_start").alias("t"), F.lit(1).alias("delta"), "user_id", "sess_id"
+    ).unionByName(
+        si.select(
+            F.col("t_end").alias("t"),
+            F.lit(-1).alias("delta"),
+            "user_id",
+            "sess_id",
+        )
+    )
+
+    # Two-level prefix sum for the global running concurrency: day buckets
+    # respect the (t, ...) order, so intra-bucket running sums plus the
+    # cumulative sum of whole-bucket totals equal the flat global window the
+    # oracle uses. The offsets window runs over ONE ROW PER DAY — thousands
+    # of rows at a century of data, never the event count.
+    day = F.date_trunc("day", F.col("t"))
+    deltas = deltas.withColumn("day", day)
+    w_in = Window.partitionBy("day").orderBy(
+        "t", F.col("delta").desc(), "user_id", "sess_id"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    intra = deltas.withColumn("intra", F.sum("delta").over(w_in))
+    day_tot = deltas.groupBy("day").agg(F.sum("delta").alias("day_sum"))
+    w_off = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = day_tot.withColumn(
+        "off", F.coalesce(F.sum("day_sum").over(w_off), F.lit(0))
+    ).select("day", "off")
+    conc = intra.join(F.broadcast(offsets), "day").withColumn(
+        "conc", F.col("intra") + F.col("off")
+    )
+    return (
+        conc.groupBy(_fmt(F.date_trunc("hour", F.col("t"))).alias("hour"))
+        .agg(F.max("conc").cast("long").alias("max_concurrent"))
+    )
+
+
+def _ewma_oracle() -> str:
+    a, d, b = EWMA_ALPHA, EWMA_D, EWMA_B
+    return f"""
+    WITH o AS (
+      SELECT user_id, event_id, value, ts,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS rn
+      FROM events
+    ), bl AS (
+      SELECT user_id, event_id, rn, rn // {b} AS blk, rn % {b} AS l,
+             CASE WHEN rn = 0 THEN 1.0 ELSE {a} END * value
+               * power({d}, -(rn % {b})) AS u
+      FROM o
+    ), ac AS (
+      SELECT user_id, event_id, blk, l,
+             power({d}, l) * sum(u) OVER (PARTITION BY user_id, blk ORDER BY rn
+                                          ROWS UNBOUNDED PRECEDING) AS acc
+      FROM bl
+    ), ae AS (
+      SELECT user_id, blk, max_by(acc, l) AS a_end FROM ac GROUP BY 1, 2
+    ), lg AS (
+      SELECT user_id, blk,
+             lag(a_end, 1) OVER (PARTITION BY user_id ORDER BY blk) AS p1,
+             lag(a_end, 2) OVER (PARTITION BY user_id ORDER BY blk) AS p2,
+             lag(a_end, 3) OVER (PARTITION BY user_id ORDER BY blk) AS p3
+      FROM ae
+    )
+    SELECT ac.user_id, ac.event_id,
+           floor((ac.acc
+                 + power({d}, ac.l + 1) * coalesce(p1, 0)
+                 + power({d}, ac.l + 1 + {b}) * coalesce(p2, 0)
+                 + power({d}, ac.l + 1 + {2 * b}) * coalesce(p3, 0))
+                 * 10000 + 0.500001) / 10000 AS ewma
+    FROM ac JOIN lg ON ac.user_id = lg.user_id AND ac.blk = lg.blk
+    """
+
+
+@register(
+    QUERIES,
+    "events_ewma_blocked",
+    oracle=_ewma_oracle(),
+    doc="Per-user EWMA (alpha=0.3) of event values as a BLOCKED linear "
+    "recurrence: exact closed form inside 16-row blocks (bounded "
+    "exponents — the flat closed-form trick overflows past ~5k rows), "
+    "previous block-end values carried with analytic decay, terms older "
+    "than 3 blocks (< 1e-10 relative) dropped. The oracle computes the "
+    "identical truncated algebra; truncation-vs-recursive error is "
+    "asserted <= 1e-6 in tests/test_functions.py. No per-key serial scan "
+    "longer than one block; all JVM window/pow algebra.",
+)
+def events_ewma_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = e.withColumn("rn", F.row_number().over(w) - 1).withColumn(
+        "blk", F.expr(f"rn div {EWMA_B}")
+    ).withColumn("l", F.col("rn") % EWMA_B)
+    u = (
+        F.when(F.col("rn") == 0, F.lit(1.0)).otherwise(F.lit(EWMA_ALPHA))
+        * F.col("value")
+        * F.pow(F.lit(EWMA_D), -F.col("l"))
+    )
+    wb = Window.partitionBy("user_id", "blk").orderBy("rn").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ac = o.withColumn("u", u).withColumn(
+        "acc", F.pow(F.lit(EWMA_D), F.col("l")) * F.sum("u").over(wb)
+    )
+    ae = ac.groupBy("user_id", "blk").agg(
+        F.max_by("acc", "l").alias("a_end")
+    )
+    wl = Window.partitionBy("user_id").orderBy("blk")
+    lg = ae.select(
+        "user_id",
+        "blk",
+        *[
+            F.lag("a_end", i).over(wl).alias(f"p{i}")
+            for i in range(1, EWMA_CARRY + 1)
+        ],
+    )
+    joined = ac.join(lg, ["user_id", "blk"])
+    ewma = F.col("acc") + sum(
+        (
+            F.pow(F.lit(EWMA_D), F.col("l") + 1 + (i - 1) * EWMA_B)
+            * F.coalesce(F.col(f"p{i}"), F.lit(0.0))
+            for i in range(1, EWMA_CARRY + 1)
+        ),
+        start=F.lit(0.0),
+    )
+    # 4-decimal half-up via floor with a 1e-6 scaled nudge, NOT round():
+    # 2-decimal inputs times powers of 0.7 produce values that terminate
+    # EXACTLY on the .00005 boundary (observed twice in 10k rows at
+    # sf0.01), where the engines' window sums — Spark sequential, DuckDB
+    # segment-tree — land on opposite sides by ~1e-15. The nudge is 4
+    # orders above the float noise and 1+ below any non-boundary digit, so
+    # both engines resolve every boundary value identically (upward).
+    return joined.select(
+        "user_id",
+        "event_id",
+        (F.floor(ewma * 10000 + F.lit(0.500001)) / 10000).alias("ewma"),
+    )
+
+
+@register(
+    QUERIES,
+    "equi_depth_histogram",
+    oracle=f"""
+    WITH d AS (
+      SELECT l_extendedprice AS v, count(*) AS cnt FROM lineitem GROUP BY 1
+    ), c AS (
+      SELECT v, sum(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+      FROM d
+    ), n AS (SELECT count(*) AS n FROM lineitem),
+    b AS (
+      SELECT k, min(v) AS bv
+      FROM c, n, (SELECT unnest(range(1, {HIST_BINS})) AS k) ks
+      WHERE {HIST_BINS} * cum >= k * n
+      GROUP BY k
+    ), r AS (
+      -- bin depends only on the value: assign over the distinct-value
+      -- table (row identity is not unique in the driver data) and weight
+      -- by multiplicity
+      SELECT d.v, d.cnt,
+             count(CASE WHEN b.bv < d.v THEN 1 END) AS bin
+      FROM d CROSS JOIN b
+      GROUP BY d.v, d.cnt
+    )
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(sum(cnt) AS BIGINT)  AS n_rows,
+           round(min(v), 2)          AS min_price,
+           round(max(v), 2)          AS max_price,
+           round(sum(v * cnt), 2)    AS sum_price
+    FROM r GROUP BY bin
+    """,
+    doc="Exact equi-depth (decile) histogram of l_extendedprice with no "
+    "global sort: distinct-value count histogram -> cumulative counts via "
+    "two-level prefix sum over coarse value-range buckets (the offsets "
+    "window scans one row per 1000-wide price band) -> boundary_k = min v "
+    "with 10*cum >= k*n (pure integer comparison, so both engines pick "
+    "identical boundaries; ties fall to the lower bin) -> map-side bin "
+    "assignment against the broadcast 9-value boundary list. The 9 "
+    "boundaries are a collected model artifact like the IVF centroids; at "
+    "100 TB swap the boundary job for approx_percentile, binning unchanged.",
+)
+def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    dist = li.groupBy(F.col("l_extendedprice").alias("v")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    # Two-level cumulative count: coarse price bands are the outer level.
+    dist = dist.withColumn("cb", F.floor(F.col("v") / 1000))
+    w_in = Window.partitionBy("cb").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    intra = dist.withColumn("intra", F.sum("cnt").over(w_in))
+    band = dist.groupBy("cb").agg(F.sum("cnt").alias("band_cnt"))
+    w_off = Window.orderBy("cb").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy("cb").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = band.select(
+        "cb",
+        F.coalesce(F.sum("band_cnt").over(w_off), F.lit(0)).alias("off"),
+        F.sum("band_cnt").over(w_all).alias("n_total"),
+    )
+    cum = intra.join(F.broadcast(offsets), "cb").select(
+        "v", (F.col("intra") + F.col("off")).alias("cum"), "n_total"
+    )
+    bounds = (
+        cum.select(
+            "v",
+            "cum",
+            "n_total",
+            F.explode(F.sequence(F.lit(1), F.lit(HIST_BINS - 1))).alias("k"),
+        )
+        .filter(F.lit(HIST_BINS) * F.col("cum") >= F.col("k") * F.col("n_total"))
+        .groupBy("k")
+        .agg(F.min("v").alias("bv"))
+        .collect()
+    )
+    # 9 doubles -> broadcast literal; binning is then a pure map-side
+    # array_filter count inside whole-stage codegen.
+    barr = F.lit([float(r["bv"]) for r in sorted(bounds, key=lambda r: r["k"])])
+    bin_col = F.size(
+        F.filter(barr, lambda b: F.col("l_extendedprice") > b)
+    ).cast("long")
+    return (
+        li.withColumn("bin", bin_col)
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )

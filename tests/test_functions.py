@@ -100,3 +100,69 @@ def test_normalized_text_and_fingerprint(spark):
     # both spellings normalize identically -> identical fingerprints
     assert got[0]["fp"] == got[1]["fp"]
     assert got[0]["fp"] == hashlib.md5(b"hello world 42").hexdigest()
+
+
+def test_blocked_ewma_matches_recursive_ground_truth(spark):
+    """The 3-block carry truncation in events_ewma_blocked must stay within
+    1e-6 of the true recursive EWMA — the oracle only proves both engines
+    compute the same truncated algebra, this proves the algebra is EWMA."""
+    from hri_flink_validation_passthrough_spark.operators.analytics import (
+        EWMA_ALPHA,
+        events_ewma_blocked,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = {
+        (r["user_id"], r["event_id"]): r["ewma"]
+        for r in events_ewma_blocked(spark, sf_dir).collect()
+    }
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr("user_id", "event_id", "value", "ts")
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    n_checked = 0
+    for user, evs in by_user.items():
+        evs.sort(key=lambda r: (r["ts"], r["event_id"]))
+        e = None
+        for r in evs:
+            e = r["value"] if e is None else EWMA_ALPHA * r["value"] + (1 - EWMA_ALPHA) * e
+            assert abs(got[(user, r["event_id"])] - e) < 1e-4 + 1e-6, (
+                f"user {user} event {r['event_id']}: blocked "
+                f"{got[(user, r['event_id'])]} vs recursive {e}"
+            )
+            n_checked += 1
+    assert n_checked == len(got) > 0
+
+
+def test_prefix_join_filter_is_lossless(spark):
+    """AllPairs prefix filtering must produce EXACTLY the brute-force pair
+    set on an adversarial corpus (many shared hot shingles, near-threshold
+    pairs) — a too-short prefix would silently drop true pairs."""
+    from hri_flink_validation_passthrough_spark.operators import dedup, linkage
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    docs = []
+    for i in range(40):
+        # rotate + perturb so pair similarities spread across the threshold
+        toks = base[i % 3 :] + base[: i % 3] + [f"tail{i % 7}", f"x{i % 5}"]
+        docs.append((i, " ".join(toks)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    s = dedup._shingles(df)
+    brute = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup._jaccard_pairs(s, linkage.PREFIX_TAU).collect()
+    }
+
+    import unittest.mock as mock
+
+    with mock.patch.object(linkage, "_shingles_for", lambda _s, _d: s):
+        got = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in linkage.set_similarity_prefix_join(spark, "unused").collect()
+        }
+    assert got == brute and len(brute) > 0
