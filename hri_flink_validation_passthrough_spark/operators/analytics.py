@@ -364,3 +364,60 @@ def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
         )
     )
+
+
+MAD_SCALE = 1.4826  # consistency constant: MAD*1.4826 estimates sigma
+MAD_CUT = 3.0
+
+
+@register(
+    QUERIES,
+    "events_mad_outliers",
+    oracle=f"""
+    WITH med AS (
+      SELECT event_type, median(value) AS med FROM events GROUP BY 1
+    ), dev AS (
+      SELECT e.event_id, e.user_id, e.event_type, e.value, m.med,
+             abs(e.value - m.med) AS adev
+      FROM events e JOIN med m USING (event_type)
+    ), mad AS (
+      SELECT event_type, median(adev) AS mad FROM dev GROUP BY 1
+    )
+    SELECT d.event_id, d.user_id, d.event_type,
+           round(d.value, 2) AS value, round(d.med, 4) AS med,
+           round(m.mad, 4) AS mad
+    FROM dev d JOIN mad m USING (event_type)
+    WHERE d.adev > {MAD_CUT} * {MAD_SCALE} * m.mad
+    """,
+    doc="Robust outlier detection per event type via median absolute "
+    "deviation: |x - median| > 3 * 1.4826 * MAD (the robust z-score — "
+    "immune to the outliers it hunts, unlike events_zscore_outliers' "
+    "mean/stddev cut). Two exact-median passes with the per-type stats "
+    "broadcast back; selection compares identically-derived doubles "
+    "(interpolated medians are single (a+b)/2 ops, bit-equal across "
+    "engines), so the row set is deterministic. At 100 TB swap the exact "
+    "median for approx_percentile — the broadcast-back shape is unchanged.",
+)
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("adev") > MAD_CUT * MAD_SCALE * F.col("mad"))
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.round("value", 2).alias("value"),
+            F.round("med", 4).alias("med"),
+            F.round("mad", 4).alias("mad"),
+        )
+    )

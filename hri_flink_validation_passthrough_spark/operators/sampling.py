@@ -435,3 +435,61 @@ def mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").alias("n_tokens"),
         )
     )
+
+
+WSAMPLE_K = 5  # docs kept per source stratum
+# 12 hex chars = 48 bits -> u in [0,1) with 2^-48 resolution; 2^48 is exactly
+# representable, so u is the same double in both engines.
+_WSAMPLE_U = (
+    f"(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '{SAMPLE_SALT}w'), 1, 12))::BIGINT"
+    " + 0.5) / 281474976710656.0"
+)
+
+
+@register(
+    QUERIES,
+    "weighted_sample_per_source",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT source, doc_id, n_chars,
+             ln({_WSAMPLE_U}) / n_chars AS k
+      FROM documents
+    ), ranked AS (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source ORDER BY k DESC, doc_id) AS rn
+      FROM keyed
+    )
+    SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars
+    FROM ranked WHERE rn <= {WSAMPLE_K}
+    """,
+    doc="Weighted sampling WITHOUT replacement per source stratum "
+    "(Efraimidis–Spirakis A-ES): each doc gets key ln(u)/w with u a "
+    "deterministic 48-bit hash uniform and w = n_chars; the top-K keys per "
+    "stratum ARE a weighted sample without replacement. One map-side key "
+    "computation + a per-stratum top-K — mergeable across partitions, no "
+    "rand(), reproducible across engines/runs. The +0.5 offset keeps u "
+    "strictly inside (0,1) so ln(u) is always finite.",
+)
+def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(SAMPLE_SALT + "w"))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + F.lit(0.5)
+    ) / F.lit(281474976710656.0)
+    keyed = d.select(
+        "source", "doc_id", "n_chars", (F.log(u) / F.col("n_chars")).alias("k")
+    )
+    w = Window.partitionBy("source").orderBy(F.col("k").desc(), "doc_id")
+    return (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= WSAMPLE_K)
+        .select("source", "doc_id", F.col("n_chars").cast("long").alias("n_chars"))
+    )
