@@ -421,3 +421,99 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("mad", 4).alias("mad"),
         )
     )
+
+
+# Column profiling (ANALYZE-style stats): per-column row/null/NDV counts and
+# extrema — the numbers a cost-based optimizer's table statistics hold.
+_PROFILE_NUM = ("o_orderkey", "o_custkey", "o_totalprice")
+_PROFILE_TXT = ("o_orderstatus", "o_orderpriority")
+_PROFILE_DT = ("o_orderdate",)
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c in _PROFILE_NUM:
+        parts.append(f"""
+        SELECT '{c}' AS col, count(*) AS n_rows,
+               CAST(count(*) - count({c}) AS BIGINT) AS n_null,
+               CAST(count(DISTINCT {c}) AS BIGINT)   AS ndv,
+               CAST(min({c}) AS DOUBLE) AS min_num,
+               CAST(max({c}) AS DOUBLE) AS max_num,
+               CAST(NULL AS VARCHAR) AS min_txt, CAST(NULL AS VARCHAR) AS max_txt
+        FROM orders""")
+    for c in _PROFILE_TXT:
+        parts.append(f"""
+        SELECT '{c}', count(*), CAST(count(*) - count({c}) AS BIGINT),
+               CAST(count(DISTINCT {c}) AS BIGINT),
+               CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+               min({c}), max({c})
+        FROM orders""")
+    for c in _PROFILE_DT:
+        parts.append(f"""
+        SELECT '{c}', count(*), CAST(count(*) - count({c}) AS BIGINT),
+               CAST(count(DISTINCT {c}) AS BIGINT),
+               CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+               strftime(min({c}), '%Y-%m-%d %H:%M:%S'),
+               strftime(max({c}), '%Y-%m-%d %H:%M:%S')
+        FROM orders""")
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    QUERIES,
+    "column_profile_stats",
+    oracle=_profile_oracle(),
+    doc="ANALYZE-style column profile of the orders table: per-column row "
+    "count, null count, exact NDV, and typed extrema (numeric extrema as "
+    "doubles, string/date extrema as text) — the statistics a CBO keeps. "
+    "ONE scan computes every column's metrics simultaneously (Spark "
+    "rewrites the multi-distinct aggregate with a single Expand); extrema "
+    "are selections, not sums, so values are bit-identical across engines. "
+    "At 100 TB swap exact NDV for approx_count_distinct — the single-pass "
+    "shape is unchanged.",
+)
+def column_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in _PROFILE_NUM + _PROFILE_TXT + _PROFILE_DT:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"nn_{c}"),
+            F.count_distinct(F.col(c)).alias(f"ndv_{c}"),
+            F.min(c).alias(f"mn_{c}"),
+            F.max(c).alias(f"mx_{c}"),
+        ]
+    prof = o.agg(*aggs)
+
+    def _row(c: str, kind: str):
+        num = kind == "num"
+        return F.struct(
+            F.lit(c).alias("col"),
+            F.col("n").alias("n_rows"),
+            F.col(f"nn_{c}").alias("n_null"),
+            F.col(f"ndv_{c}").alias("ndv"),
+            (F.col(f"mn_{c}").cast("double") if num else F.lit(None).cast("double")).alias("min_num"),
+            (F.col(f"mx_{c}").cast("double") if num else F.lit(None).cast("double")).alias("max_num"),
+            (
+                F.lit(None).cast("string")
+                if num
+                else F.date_format(f"mn_{c}", "yyyy-MM-dd HH:mm:ss")
+                if kind == "dt"
+                else F.col(f"mn_{c}")
+            ).alias("min_txt"),
+            (
+                F.lit(None).cast("string")
+                if num
+                else F.date_format(f"mx_{c}", "yyyy-MM-dd HH:mm:ss")
+                if kind == "dt"
+                else F.col(f"mx_{c}")
+            ).alias("max_txt"),
+        )
+
+    rows = (
+        [_row(c, "num") for c in _PROFILE_NUM]
+        + [_row(c, "txt") for c in _PROFILE_TXT]
+        + [_row(c, "dt") for c in _PROFILE_DT]
+    )
+    return prof.select(F.explode(F.array(*rows)).alias("s")).select("s.*")

@@ -22,36 +22,78 @@ from pyspark.sql import functions as F
 _SIDE = "__asof_side"
 
 
+_RT = "__asof_rt"
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
     key: str,
     time: str,
     value_cols: list[str],
+    direction: str = "backward",
+    tolerance_s: float | None = None,
 ) -> DataFrame:
-    """For each ``left`` row, attach the ``value_cols`` of the latest ``right``
-    row with the same ``key`` and ``right.time <= left.time``.
+    """For each ``left`` row, attach the ``value_cols`` of the matching
+    ``right`` row with the same ``key``:
+
+    - ``direction="backward"`` (default): the LATEST right row with
+      ``right.time <= left.time``; among equal-time rows the greatest
+      ``value_cols`` tuple wins.
+    - ``direction="forward"``: the EARLIEST right row with
+      ``right.time >= left.time``; among equal-time rows the smallest
+      ``value_cols`` tuple wins.
+
+    ``tolerance_s`` bounds the match: a backward match older than
+    ``left.time - tolerance_s`` (or a forward match beyond
+    ``left.time + tolerance_s``) is nulled out. Because the unbounded match
+    is the NEAREST one, nulling it exactly equals re-running the join with
+    the time bound in the predicate — no second pass needed.
 
     Both inputs must already expose ``key`` and ``time`` under the same column
-    names (rename upstream). ``value_cols`` must exist only on ``right``; the
-    last of them is used as the deterministic tiebreak among equal-time rows.
+    names (rename upstream). ``value_cols`` must exist only on ``right``.
     Returns all ``left`` columns plus ``value_cols`` (null when no match).
     """
-    l = left.withColumn(_SIDE, F.lit(1))
-    r = right.select(key, time, *value_cols).withColumn(_SIDE, F.lit(0))
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    fwd = direction == "forward"
+
+    # Side ordering makes "<="/">=" inclusive: backward puts right rows
+    # BEFORE left at equal time (side 0 < 1) so the trailing frame sees
+    # them; forward puts them AFTER (side 1 > 0) so the leading frame does.
+    l = left.withColumn(_SIDE, F.lit(0 if fwd else 1))
+    r = (
+        right.select(key, time, *value_cols)
+        .withColumn(_RT, F.col(time))
+        .withColumn(_SIDE, F.lit(1 if fwd else 0))
+    )
     unioned = l.unionByName(r, allowMissingColumns=True)
 
-    # right rows sort before left rows at equal time (side 0 < 1) → inclusive
-    # "<=" semantics; value_cols break ties among equal-time right rows.
-    w = (
-        Window.partitionBy(key)
-        .orderBy(F.col(time), F.col(_SIDE), *[F.col(c) for c in value_cols])
-        .rowsBetween(Window.unboundedPreceding, 0)
+    picked = [*value_cols, _RT]
+    w = Window.partitionBy(key).orderBy(
+        F.col(time), F.col(_SIDE), *[F.col(c) for c in value_cols]
     )
-    # One projection: every last() references the ORIGINAL columns, so all
-    # value_cols resolve against the same window ordering (and therefore the
-    # same winning right-row).
-    out_cols = [F.col(c) for c in left.columns] + [
-        F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols
-    ]
-    return unioned.select(*out_cols, F.col(_SIDE)).filter(F.col(_SIDE) == 1).drop(_SIDE)
+    if fwd:
+        w = w.rowsBetween(0, Window.unboundedFollowing)
+        pick = {c: F.first(c, ignorenulls=True).over(w) for c in picked}
+    else:
+        w = w.rowsBetween(Window.unboundedPreceding, 0)
+        pick = {c: F.last(c, ignorenulls=True).over(w) for c in picked}
+    # Every first()/last() resolves against the same window ordering, and
+    # right rows are non-null in ALL picked columns — so each output column
+    # comes from the same winning right-row.
+
+    if tolerance_s is not None:
+        # seconds-with-fraction timestamp difference: exact micro precision
+        dt = pick[_RT].cast("double") - F.col(time).cast("double")
+        in_tol = (dt <= tolerance_s) if fwd else (-dt <= tolerance_s)
+        vals = [
+            F.when(in_tol, pick[c]).alias(c) for c in value_cols
+        ]
+    else:
+        vals = [pick[c].alias(c) for c in value_cols]
+
+    out_cols = [F.col(c) for c in left.columns] + vals
+    return unioned.select(*out_cols, F.col(_SIDE)).filter(
+        F.col(_SIDE) == (0 if fwd else 1)
+    ).drop(_SIDE)

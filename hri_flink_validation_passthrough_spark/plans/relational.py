@@ -1305,3 +1305,51 @@ def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
+
+
+@register(
+    QUERIES,
+    "asof_next_order_within_7d",
+    oracle="""
+    WITH m AS (
+      SELECT e.event_id, e.user_id, min(o.o_orderdate) AS mdt
+      FROM events e
+      LEFT JOIN orders o
+        ON o.o_custkey = e.user_id AND o.o_orderdate >= e.ts
+       AND o.o_orderdate <= e.ts + INTERVAL 7 DAY
+      GROUP BY e.event_id, e.user_id
+    )
+    SELECT m.event_id, min(o2.o_orderkey) AS next_orderkey
+    FROM m
+    LEFT JOIN orders o2
+      ON o2.o_custkey = m.user_id AND o2.o_orderdate = m.mdt
+    GROUP BY m.event_id
+    """,
+    doc=(
+        "FORWARD as-of join with a 7-day tolerance: each event enriched with "
+        "the user's next order, or null if none lands within a week. Same "
+        "union+window plan as the backward as-of (operators/asof.py) with a "
+        "leading frame; the tolerance is applied by nulling the nearest "
+        "match post-hoc — exactly equal to bounding the join predicate, "
+        "because the nearest match exceeding the bound implies no match "
+        "within it. Still one shuffle, no row explosion."
+    ),
+)
+def asof_next_order_within_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select(
+        F.col("event_id"), F.col("user_id").alias("k"), F.col("ts").alias("t")
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.col("o_orderkey").alias("next_orderkey"),
+    )
+    return asof_join(
+        e,
+        o,
+        key="k",
+        time="t",
+        value_cols=["next_orderkey"],
+        direction="forward",
+        tolerance_s=7 * 86400,
+    ).select("event_id", "next_orderkey")
