@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from ..plans import QuerySpec, register
 from ..session import load_table, prepare
-from .dedup import _shingles
+from .dedup import _shingles_for
 
 QUERIES: dict[str, QuerySpec] = {}
 
@@ -96,8 +96,8 @@ def _tok(d: DataFrame) -> DataFrame:
     "shingle builder so tokenization cannot drift between families.",
 )
 def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
-    sh = _shingles(d, n=DECONTAM_N)
+    prepare(spark)
+    sh = _shingles_for(spark, sf_dir, DECONTAM_N)
     is_eval = (F.col("doc_id") % EVAL_MOD) == EVAL_REM
     ev_grams = (
         sh.filter(is_eval).select(F.explode("sh").alias("g")).distinct()

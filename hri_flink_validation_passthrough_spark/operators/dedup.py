@@ -206,13 +206,22 @@ def _memo_key(spark: SparkSession, sf_dir: str, what: str) -> tuple:
     return (spark.sparkContext.applicationId, sf_dir.rstrip("/"), what)
 
 
-def _shingles_for(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Persisted (doc_id, sh) shingle table, computed once per session."""
-    key = _memo_key(spark, sf_dir, "shingles")
+def _shingles_for(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
+    """Persisted (doc_id, sh) n-gram shingle table, computed once per session.
+
+    Besides sharing work across the dedup/linkage/corpus families, the
+    persist is a PLAN BARRIER: a bare ``_shingles(...)`` followed by a
+    filter + explode lets Catalyst collapse the projection into the
+    generator's implicit ``size(sh) > 0`` filter and push the whole shingle
+    expression below the repartition Exchange — re-evaluating it (with the
+    tokenizing split inlined once per element_at!) on the single
+    pre-repartition input split. Observed 15-20x slowdown at sf0.1.
+    """
+    key = _memo_key(spark, sf_dir, f"shingles_{n}")
     if key not in _MEMO:
         par = spark.sparkContext.defaultParallelism
         docs = load_table(spark, sf_dir, "documents").repartition(par, "doc_id")
-        _MEMO[key] = _shingles(docs).persist()
+        _MEMO[key] = _shingles(docs, n).persist()
     return _MEMO[key]
 
 

@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 from ..plans import QuerySpec, register
 from ..session import load_table, prepare
 from .corpus import _SQL_SHINGLES_5, EVAL_MOD, EVAL_REM
-from .dedup import _JACCARD_ORACLE, _shingles, _shingles_for
+from .dedup import _JACCARD_ORACLE, _shingles_for
 
 QUERIES: dict[str, QuerySpec] = {}
 
@@ -269,8 +269,10 @@ def fuzzy_part_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def decontam_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
-    docs = load_table(spark, sf_dir, "documents")
-    sh5 = _shingles(docs, 5)  # doc_id, distinct 5-gram shingles
+    # Persisted+repartitioned 5-gram stage (shared with corpus decontam):
+    # also a plan barrier — see _shingles_for's docstring for the
+    # filter-pushdown pathology a bare projection hits here.
+    sh5 = _shingles_for(spark, sf_dir, 5)  # doc_id, distinct 5-gram shingles
     is_eval = F.col("doc_id") % EVAL_MOD == EVAL_REM
     ev = sh5.filter(is_eval).select(F.explode("sh").alias("g")).distinct()
     tr = sh5.filter(~is_eval).select("doc_id", F.explode("sh").alias("g"))
