@@ -517,3 +517,94 @@ def column_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         + [_row(c, "dt") for c in _PROFILE_DT]
     )
     return prof.select(F.explode(F.array(*rows)).alias("s")).select("s.*")
+
+
+# Pairwise statistics: one scan computes the full correlation upper triangle.
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+@register(
+    QUERIES,
+    "numeric_corr_matrix",
+    oracle=" UNION ALL ".join(
+        f"""
+        SELECT '{a}' AS col_a, '{b}' AS col_b,
+               round(corr({a}, {b}), 6) AS pearson_r
+        FROM lineitem"""
+        for i, a in enumerate(_CORR_COLS)
+        for b in _CORR_COLS[i + 1 :]
+    ),
+    doc="Pearson correlation matrix (upper triangle) over lineitem's numeric "
+    "measures, all 6 pairs in ONE aggregation pass — the feature-screening "
+    "scan an ML pipeline runs before training. corr is a streaming "
+    "co-moment aggregate (mergeable partials), so the plan is a single "
+    "map-side-combined groupBy at any scale.",
+)
+def numeric_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = [
+        (a, b)
+        for i, a in enumerate(_CORR_COLS)
+        for b in _CORR_COLS[i + 1 :]
+    ]
+    agg = li.agg(
+        *[F.corr(a, b).alias(f"r_{a}_{b}") for a, b in pairs]
+    )
+    rows = [
+        F.struct(
+            F.lit(a).alias("col_a"),
+            F.lit(b).alias("col_b"),
+            F.round(F.col(f"r_{a}_{b}"), 6).alias("pearson_r"),
+        )
+        for a, b in pairs
+    ]
+    return agg.select(F.explode(F.array(*rows)).alias("s")).select("s.*")
+
+
+@register(
+    QUERIES,
+    "ols_price_on_quantity",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             count(*)                        AS n,
+             sum(l_quantity)                 AS sx,
+             sum(l_extendedprice)            AS sy,
+             sum(l_quantity * l_quantity)    AS sxx,
+             sum(l_quantity * l_extendedprice) AS sxy
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 4)
+             AS intercept
+    FROM s
+    """,
+    doc="Grouped ordinary-least-squares fit (price ~ quantity per return "
+    "flag) from raw sufficient statistics: one map-side-combined "
+    "aggregation collects (n, Sx, Sy, Sxx, Sxy), slope/intercept are "
+    "closed-form algebra over the 3-row result — distributed regression "
+    "with zero iterations, the normal-equations shape that scales to any "
+    "row count. Both engines compute the identical formula over the same "
+    "sums, so results agree to float noise, far under round(4).",
+)
+def ols_price_on_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("nn"),
+        F.sum("l_quantity").alias("sx"),
+        F.sum("l_extendedprice").alias("sy"),
+        F.sum(F.col("l_quantity") * F.col("l_quantity")).alias("sxx"),
+        F.sum(F.col("l_quantity") * F.col("l_extendedprice")).alias("sxy"),
+    )
+    slope = (F.col("nn") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("nn") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        "l_returnflag",
+        F.col("nn").cast("long").alias("n"),
+        F.round(slope, 4).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("nn"), 4).alias(
+            "intercept"
+        ),
+    )

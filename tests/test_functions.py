@@ -166,3 +166,64 @@ def test_prefix_join_filter_is_lossless(spark):
             for r in linkage.set_similarity_prefix_join(spark, "unused").collect()
         }
     assert got == brute and len(brute) > 0
+
+
+def test_qgram_count_filter_blocking_is_complete(spark):
+    """The q-gram count bound (common multiset bigrams >= max(L)-1-q*k) must
+    not drop any true edit-distance<=2 pair: compare the blocked Spark query
+    against a brute-force python levenshtein over a randomized dictionary of
+    near-miss strings (substitutions, insertions, deletions, swaps)."""
+    import random
+
+    from hri_flink_validation_passthrough_spark.operators import linkage
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    rng = random.Random(7)
+    alpha = "abcdef"
+    bases = ["".join(rng.choice(alpha) for _ in range(rng.randint(6, 12))) for _ in range(25)]
+    names = set(bases)
+    for s in bases:
+        for _ in range(3):  # perturb within <=2 edits
+            t = list(s)
+            for _ in range(rng.randint(1, 2)):
+                op = rng.choice("sid")
+                p = rng.randrange(len(t))
+                if op == "s":
+                    t[p] = rng.choice(alpha)
+                elif op == "i":
+                    t.insert(p, rng.choice(alpha))
+                elif len(t) > linkage.FUZZY_MIN_LEN:
+                    del t[p]
+            names.add("".join(t))
+    names = sorted(n for n in names if len(n) >= linkage.FUZZY_MIN_LEN)
+
+    # two copies of one name exercise the same-name (distance 0) branch
+    rows = [(i, n) for i, n in enumerate(names)] + [(9999, names[0])]
+    df = spark.createDataFrame(rows, "p_partkey long, p_name string")
+
+    import unittest.mock as mock
+
+    with mock.patch.object(linkage, "_t", lambda _s, _d, _n: df):
+        got = {
+            (r["name_a"], r["name_b"]): (r["edit_distance"], r["n_part_pairs"])
+            for r in linkage.fuzzy_part_match_blocked(spark, "unused").collect()
+        }
+
+    expect = {}
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            d = lev(a, b)
+            if d <= linkage.FUZZY_K:
+                expect[(a, b)] = (d, 1 if a != names[0] and b != names[0] else 2)
+    expect[(names[0], names[0])] = (0, 1)
+    assert got == expect
