@@ -1,0 +1,104 @@
+"""Table-maintenance utilities: compaction, version vacuum, layout report.
+
+The ops side of an engine that maintains parquet tables (the CDC upsert in
+``streaming/windows.py`` writes ``v{N}`` version directories; every long-lived
+streaming sink accretes small files). Three primitives a real deployment runs
+on a schedule:
+
+- ``compact_small_files`` — rewrite a dataset into ~target-sized files with
+  ``coalesce`` (NO shuffle: partitions are concatenated, never repartitioned
+  by key — compaction must not pay a network pass at 100 TB; callers who want
+  clustering on top use the bucketed/Z-order writers in ``plans/bucketing``).
+- ``vacuum_table_versions`` — drop all but the newest K ``v{N}`` directories
+  of a versioned table root, never touching the newest (the reader-visible
+  version is immutable while readers hold it — the swap protocol keeps every
+  version self-contained, so vacuum is pure directory deletion).
+- ``table_layout_report`` — the small-files diagnostic (file count, byte
+  sizes, rows/file) that decides WHEN to compact; pure filesystem metadata +
+  one count, no data scan of column values.
+
+Reference parity note: the reference engine (Alvearie
+hri-flink-validation-passthrough) has no table surface at all — these are
+north-star extensions mandated by the engine's own CDC/table features.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import re
+import shutil
+
+from pyspark.sql import SparkSession
+
+DEFAULT_TARGET_BYTES = 128 * 1024 * 1024  # the classic HDFS/parquet sweet spot
+
+_VER_RE = re.compile(r"^v(\d+)$")
+
+
+def _data_files(path: str) -> list[str]:
+    out = []
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                out.append(os.path.join(root, f))
+    return out
+
+
+def table_layout_report(spark: SparkSession, path: str) -> dict:
+    """File-layout health of a parquet dataset (metadata-only + row count)."""
+    files = _data_files(path)
+    sizes = [os.path.getsize(f) for f in files]
+    n_rows = spark.read.parquet(path).count() if files else 0
+    return {
+        "n_files": len(files),
+        "total_bytes": sum(sizes),
+        "min_bytes": min(sizes) if sizes else 0,
+        "max_bytes": max(sizes) if sizes else 0,
+        "avg_bytes": (sum(sizes) // len(sizes)) if sizes else 0,
+        "n_rows": n_rows,
+    }
+
+
+def compact_small_files(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_bytes: int = DEFAULT_TARGET_BYTES,
+) -> dict:
+    """Rewrite ``src`` into ``dst`` with ~``target_bytes``-sized files.
+
+    The output file count is ``ceil(total_bytes / target_bytes)`` (>=1),
+    reached with ``coalesce`` — a partition-merge with no shuffle, no
+    re-sorting, and no change to row content. Returns a before/after report.
+    """
+    before = table_layout_report(spark, src)
+    n_out = max(1, math.ceil(before["total_bytes"] / target_bytes))
+    df = spark.read.parquet(src)
+    # coalesce can only REDUCE partition count; if the source has fewer
+    # (huge-file) partitions than n_out, leave them — splitting oversized
+    # files is the scan's job (maxPartitionBytes), not the writer's.
+    df.coalesce(n_out).write.mode("overwrite").parquet(dst)
+    after = table_layout_report(spark, dst)
+    assert after["n_rows"] == before["n_rows"], "compaction must not drop rows"
+    return {"before": before, "after": after, "target_files": n_out}
+
+
+def vacuum_table_versions(root: str, keep: int = 2) -> dict:
+    """Delete all but the newest ``keep`` ``v{N}`` version directories.
+
+    Versions are self-contained snapshots (the CDC writer's swap protocol),
+    so deletion is pure directory removal; the newest version is never
+    eligible regardless of ``keep``. Returns kept/removed version numbers.
+    """
+    if keep < 1:
+        raise ValueError("keep must be >= 1 (the current version always stays)")
+    vers = sorted(
+        int(m.group(1))
+        for d in os.listdir(root)
+        if (m := _VER_RE.match(d)) and os.path.isdir(os.path.join(root, d))
+    )
+    drop, hold = vers[:-keep], vers[-keep:]
+    for v in drop:
+        shutil.rmtree(os.path.join(root, f"v{v}"))
+    return {"kept": hold, "removed": drop}

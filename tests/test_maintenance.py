@@ -1,0 +1,73 @@
+"""Table-maintenance utilities: compaction preserves content and hits the
+file-count target; vacuum keeps the newest versions; the layout report
+reflects the filesystem truth."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from hri_flink_validation_passthrough_spark.operators.maintenance import (
+    compact_small_files,
+    table_layout_report,
+    vacuum_table_versions,
+)
+
+
+@pytest.fixture()
+def fragmented(spark, tmp_path):
+    src = str(tmp_path / "frag")
+    df = spark.range(0, 20_000).selectExpr(
+        "id", "id % 7 AS k", "cast(id * 1.5 as double) AS v"
+    )
+    df.repartition(64).write.parquet(src)
+    return src
+
+
+def test_layout_report_counts_files_and_rows(spark, fragmented):
+    rep = table_layout_report(spark, fragmented)
+    assert rep["n_files"] == 64
+    assert rep["n_rows"] == 20_000
+    assert rep["min_bytes"] > 0 and rep["total_bytes"] >= 64 * rep["min_bytes"]
+
+
+def test_compaction_preserves_rows_and_reduces_files(spark, fragmented, tmp_path):
+    dst = str(tmp_path / "compact")
+    rep = compact_small_files(spark, fragmented, dst, target_bytes=1 << 30)
+    assert rep["before"]["n_files"] == 64
+    assert rep["after"]["n_files"] == 1  # everything fits one target file
+    assert rep["after"]["n_rows"] == rep["before"]["n_rows"] == 20_000
+    src_rows = sorted(
+        tuple(r) for r in spark.read.parquet(fragmented).collect()
+    )
+    dst_rows = sorted(tuple(r) for r in spark.read.parquet(dst).collect())
+    assert src_rows == dst_rows
+
+
+def test_compaction_respects_target_size(spark, fragmented, tmp_path):
+    dst = str(tmp_path / "sized")
+    total = table_layout_report(spark, fragmented)["total_bytes"]
+    rep = compact_small_files(spark, fragmented, dst, target_bytes=total // 4 + 1)
+    assert rep["target_files"] == 4
+    assert rep["after"]["n_files"] == 4
+
+
+def test_vacuum_keeps_newest_versions(tmp_path):
+    root = str(tmp_path)
+    for v in (1, 2, 3, 7, 10):
+        os.makedirs(os.path.join(root, f"v{v}"))
+        with open(os.path.join(root, f"v{v}", "part.parquet"), "w") as fh:
+            fh.write("x")
+    os.makedirs(os.path.join(root, "ckpt"))  # non-version dirs untouched
+    out = vacuum_table_versions(root, keep=2)
+    assert out == {"kept": [7, 10], "removed": [1, 2, 3]}
+    assert sorted(d for d in os.listdir(root)) == ["ckpt", "v10", "v7"]
+
+
+def test_vacuum_never_drops_the_only_version(tmp_path):
+    os.makedirs(tmp_path / "v5")
+    out = vacuum_table_versions(str(tmp_path), keep=3)
+    assert out == {"kept": [5], "removed": []}
+    with pytest.raises(ValueError):
+        vacuum_table_versions(str(tmp_path), keep=0)
