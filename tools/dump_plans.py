@@ -46,6 +46,12 @@ SHOWCASE = {
     "bm25_keyword_search": "map-side tf columns; 1-row stats broadcast; TakeOrderedAndProject top-k",
     "quality_repetition_filters": "per-doc n-gram stats as array lambdas — zero shuffle, pure codegen",
     "boilerplate_coverage": "one df aggregation; tiny boilerplate list broadcast back onto the scan",
+    "set_similarity_prefix_join": "prefix-filtered candidate join on rare tokens only; exact array_intersect verify",
+    "decontam_bloom_prefilter": "8 KiB literal bloom bitmap probed in codegen; exact-confirm semi-join after",
+    "max_concurrent_sessions": "sweep line: intra-day running sums + one-row-per-day offset broadcast",
+    "equi_depth_histogram": "two-level cumulative histogram; 9-value boundary literal; map-side binning",
+    "events_ewma_blocked": "blocked linear recurrence: per-block windows + 3-lag carry, bounded exponents",
+    "column_profile_stats": "one multi-distinct scan (Expand) computing every column's stats",
 }
 
 
