@@ -545,6 +545,76 @@ def stream_passthrough_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
+def make_cdc_merger(spark: SparkSession, base: str, state: dict):
+    """foreachBatch merge function maintaining a versioned parquet table.
+
+    ``state``: {"cur": path|None, "ver": int, "last_epoch": int}.
+
+    Exactly-once via epoch-id idempotence: structured streaming replays a
+    failed microbatch under the SAME epoch_id, so a merge whose epoch is
+    <= the last committed one is a no-op — without this, the additive
+    ``n_updates`` column would double on every replay (the replace columns
+    are naturally idempotent, additive ones are not). Each version commits
+    an ``_EPOCH`` marker file inside its directory BEFORE the current
+    pointer moves; ``recover_cdc_state`` restores (cur, ver, last_epoch)
+    from the newest marked version, so a restarted job skips replayed
+    epochs too.
+    """
+    state.setdefault("last_epoch", -1)
+    last_struct = F.max(
+        F.struct(F.col("ts"), F.col("event_id"), F.col("event_type"), F.col("value"))
+    ).alias("last")
+
+    def _merge(batch_df: DataFrame, epoch_id: int) -> None:
+        if epoch_id <= int(state["last_epoch"]):
+            return  # replayed microbatch — its version is already committed
+        b = (
+            batch_df.groupBy("user_id")
+            .agg(last_struct, F.count(F.lit(1)).alias("n_updates"))
+            .select("user_id", "last.*", "n_updates")
+        )
+        if state["cur"] is not None:
+            cur = spark.read.parquet(str(state["cur"]))
+            b = (
+                cur.unionByName(b)
+                .groupBy("user_id")
+                .agg(last_struct, F.sum("n_updates").alias("n_updates"))
+                .select("user_id", "last.*", "n_updates")
+            )
+        state["ver"] = int(state["ver"]) + 1
+        path = f"{base}/v{state['ver']}"
+        b.write.mode("overwrite").parquet(path)
+        with open(f"{path}/_EPOCH", "w") as fh:
+            fh.write(str(int(epoch_id)))
+        state["cur"] = path
+        state["last_epoch"] = int(epoch_id)
+
+    return _merge
+
+
+def recover_cdc_state(base: str) -> dict:
+    """Restore merger state from the newest version with an _EPOCH marker."""
+    import os
+    import re
+
+    best = {"cur": None, "ver": 0, "last_epoch": -1}
+    pat = re.compile(r"^v(\d+)$")
+    for d in os.listdir(base) if os.path.isdir(base) else []:
+        m = pat.match(d)
+        marker = os.path.join(base, d, "_EPOCH")
+        if m and os.path.exists(marker):
+            ver = int(m.group(1))
+            if ver > int(best["ver"]):
+                with open(marker) as fh:
+                    best = {
+                        "cur": os.path.join(base, d),
+                        "ver": ver,
+                        "last_epoch": int(fh.read().strip()),
+                    }
+    return best
+
+
+
 @register(
     QUERIES,
     "stream_cdc_upsert",
@@ -571,9 +641,12 @@ def stream_passthrough_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     "functions are associative and commutative, so the result is invariant "
     "to how availableNow splits the replay. Merge cost is O(batch + "
     "|table|) per trigger, independent of history length — the table IS "
-    "the state, no unbounded stream state. Production adds epoch-id "
-    "idempotence (a replayed microbatch must not double the additive "
-    "column); the oracle recomputes the final table from raw history.",
+    "the state, no unbounded stream state. Epoch-id idempotence is built "
+    "in: a replayed microbatch (same epoch_id after failure recovery) is "
+    "a committed no-op via per-version _EPOCH markers, so the additive "
+    "column never doubles — pinned incl. restart recovery in "
+    "tests/test_streaming_restart.py; the oracle recomputes the final "
+    "table from raw history.",
 )
 def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
@@ -581,29 +654,7 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _events_stream(spark, sf_dir)
     base = tempfile.mkdtemp(prefix="hri_cdc_upsert_")
     state: dict[str, object] = {"cur": None, "ver": 0}
-
-    last_struct = F.max(
-        F.struct(F.col("ts"), F.col("event_id"), F.col("event_type"), F.col("value"))
-    ).alias("last")
-
-    def _merge(batch_df: DataFrame, _epoch_id: int) -> None:
-        b = (
-            batch_df.groupBy("user_id")
-            .agg(last_struct, F.count(F.lit(1)).alias("n_updates"))
-            .select("user_id", "last.*", "n_updates")
-        )
-        if state["cur"] is not None:
-            cur = spark.read.parquet(str(state["cur"]))
-            b = (
-                cur.unionByName(b)
-                .groupBy("user_id")
-                .agg(last_struct, F.sum("n_updates").alias("n_updates"))
-                .select("user_id", "last.*", "n_updates")
-            )
-        state["ver"] = int(state["ver"]) + 1
-        path = f"{base}/v{state['ver']}"
-        b.write.mode("overwrite").parquet(path)
-        state["cur"] = path
+    _merge = make_cdc_merger(spark, base, state)
 
     with _pinned_state(spark):
         q = (

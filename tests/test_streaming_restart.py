@@ -192,3 +192,57 @@ def test_restart_from_checkpoint_no_loss_no_dup(spark, tmp_path, stateful_backen
     notifs = [json.loads(bytes(r.value)) for r in rows if r.dest == "notification"]
     assert [n["status"] for n in notifs] == ["completed"]
     assert notifs[0]["recordCount"] == 15
+
+
+def test_cdc_merger_replayed_epoch_is_idempotent(spark, tmp_path):
+    """A microbatch replayed under the same epoch_id must not re-apply: the
+    additive n_updates column would double (replace columns hide the bug)."""
+    from hri_flink_validation_passthrough_spark.streaming.windows import (
+        make_cdc_merger,
+        recover_cdc_state,
+    )
+
+    base = str(tmp_path / "cdc")
+    import os
+
+    os.makedirs(base)
+    state = {"cur": None, "ver": 0}
+    merge = make_cdc_merger(spark, base, state)
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, "user_id long, event_id long, event_type string, value double, ts timestamp"
+        )
+
+    import datetime as dt
+
+    t = dt.datetime(2024, 1, 1)
+    merge(batch([(1, 1, "a", 1.0, t), (1, 2, "b", 2.0, t)]), 0)
+    merge(batch([(1, 3, "c", 3.0, t), (2, 4, "d", 4.0, t)]), 1)
+
+    def snapshot():
+        return {
+            r["user_id"]: (r["event_type"], r["n_updates"])
+            for r in spark.read.parquet(str(state["cur"])).collect()
+        }
+
+    want = {1: ("c", 3), 2: ("d", 1)}
+    assert snapshot() == want
+
+    # replay epoch 1 (failure recovery resends the same epoch id): no-op
+    merge(batch([(1, 3, "c", 3.0, t), (2, 4, "d", 4.0, t)]), 1)
+    assert snapshot() == want
+    assert state["ver"] == 2  # no new version was committed
+
+    # a restarted job recovers (cur, ver, last_epoch) from the _EPOCH
+    # markers and is immune to the same replay
+    rec = recover_cdc_state(base)
+    assert rec["ver"] == 2 and rec["last_epoch"] == 1
+    merge2 = make_cdc_merger(spark, base, rec)
+    merge2(batch([(2, 5, "e", 5.0, t)]), 1)  # replay again -> skipped
+    assert snapshot() == want
+    merge2(batch([(2, 5, "e", 5.0, t)]), 2)  # genuinely new epoch applies
+    assert {
+        r["user_id"]: (r["event_type"], r["n_updates"])
+        for r in spark.read.parquet(str(rec["cur"])).collect()
+    } == {1: ("c", 3), 2: ("e", 2)}
