@@ -36,6 +36,11 @@ _STATE_PARTITIONS = 8
 
 @contextlib.contextmanager
 def _pinned_state(spark: SparkSession):
+    # Mutates the SESSION-global shuffle-partition conf around query start
+    # and restores it after: safe for this serial harness, but a second
+    # query started concurrently on the same session would observe the
+    # pinned value (round-3 ADVICE). Concurrent runners should set the conf
+    # per-query (own session or writeStream-time sizing) instead.
     prev = None
     try:
         prev = spark.conf.get("spark.sql.shuffle.partitions")
