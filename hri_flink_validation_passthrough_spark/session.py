@@ -130,3 +130,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
             # reinterpretation matching the DuckDB oracle's naive reads.
             df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
     return df
+
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> SparkSession:
+    """Register every driver table as a temp view: the plain-SQL entry point.
+
+    After this, users run ``spark.sql("SELECT ... FROM lineitem ...")``
+    directly — the same catalog names the DuckDB oracles use, with the same
+    timestamp normalization ``load_table`` applies. Views are lazy: no data
+    moves until a query runs, and Catalyst sees straight through them
+    (pushdown/pruning reach the parquet scan exactly as with the DataFrame
+    API).
+    """
+    prepare(spark)
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark
