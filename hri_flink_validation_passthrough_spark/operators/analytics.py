@@ -608,3 +608,85 @@ def ols_price_on_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intercept"
         ),
     )
+
+
+BASKET_MIN_CO = 5  # minimum co-order support
+BASKET_TOP = 20
+
+
+@register(
+    QUERIES,
+    "market_basket_lift",
+    oracle=f"""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM li),
+    item AS (SELECT l_partkey, count(*) AS n_i FROM li GROUP BY 1),
+    pair AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_co
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= {BASKET_MIN_CO}
+    )
+    SELECT part_a, part_b, CAST(n_co AS BIGINT) AS n_co,
+           round(CAST(n_co * n_orders AS DOUBLE) / (ia.n_i * ib.n_i), 4) AS lift
+    FROM pair
+    JOIN item ia ON ia.l_partkey = part_a
+    JOIN item ib ON ib.l_partkey = part_b
+    CROSS JOIN n
+    ORDER BY lift DESC, n_co DESC, part_a, part_b
+    LIMIT {BASKET_TOP}
+    """,
+    doc="Market-basket association mining: top-20 part pairs by LIFT "
+    "(co-order frequency over independence) with support >= 5 co-orders. "
+    "Pair generation is a per-basket self-join — O(sum basket²), bounded "
+    "by basket width (4-7 items), never corpus size; item counts are a "
+    "bounded part dictionary broadcast back, and the final top-k is a "
+    "TakeOrderedAndProject heap, no global sort. Lift divides exact "
+    "integers once, so both engines produce bit-identical doubles.",
+)
+def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = li.select(
+        F.count_distinct("l_orderkey").alias("n_orders")
+    )
+    item = li.groupBy(F.col("l_partkey")).agg(F.count(F.lit(1)).alias("n_i"))
+    a, b = li.alias("a"), li.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_co"))
+        .filter(F.col("n_co") >= BASKET_MIN_CO)
+    )
+    ia = item.select(F.col("l_partkey").alias("part_a"), F.col("n_i").alias("nia"))
+    ib = item.select(F.col("l_partkey").alias("part_b"), F.col("n_i").alias("nib"))
+    lift = (F.col("n_co") * F.col("n_orders")).cast("double") / (
+        F.col("nia") * F.col("nib")
+    )
+    return (
+        pair.join(F.broadcast(ia), "part_a")
+        .join(F.broadcast(ib), "part_b")
+        .join(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("n_co").cast("long").alias("n_co"),
+            F.round(lift, 4).alias("lift"),
+        )
+        .orderBy(
+            F.col("lift").desc(), F.col("n_co").desc(), "part_a", "part_b"
+        )
+        .limit(BASKET_TOP)
+    )
