@@ -690,3 +690,109 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(BASKET_TOP)
     )
+
+
+# Time-series subsequence similarity (UCR-style z-normalized Euclidean):
+# find where the hourly event-count series looks like a query pattern.
+TS_W = 8
+TS_TOP = 5
+TS_QUERY = [1.0, 1.0, 3.0, 9.0, 3.0, 1.0, 1.0, 1.0]  # a spike shape
+
+
+def _ts_query_z() -> list[float]:
+    m = sum(TS_QUERY) / TS_W
+    sd = (sum((x - m) ** 2 for x in TS_QUERY) / TS_W) ** 0.5
+    return [(x - m) / sd for x in TS_QUERY]
+
+
+def _ts_oracle() -> str:
+    qz = "[" + ",".join(repr(v) for v in _ts_query_z()) + "]"
+    return f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(count(*) AS DOUBLE) AS n
+      FROM events GROUP BY 1, 2
+    ), s AS (
+      SELECT event_type, hr,
+             list(n) OVER (PARTITION BY event_type ORDER BY hr
+                           ROWS BETWEEN CURRENT ROW AND {TS_W - 1} FOLLOWING) AS arr
+      FROM hourly
+    ), f AS (
+      SELECT * FROM s WHERE len(arr) = {TS_W}
+    ), z AS (
+      SELECT event_type, hr, arr, list_avg(arr) AS m,
+             sqrt(list_sum(list_transform(arr,
+                 x -> (x - list_avg(arr)) * (x - list_avg(arr)))) / {TS_W}) AS sd
+      FROM f
+    ), d AS (
+      SELECT event_type, hr,
+             sqrt(list_sum(list_transform(list_zip(
+                 list_transform(arr, x -> (x - m) / sd), {qz}),
+               p -> (p[1] - p[2]) * (p[1] - p[2])))) AS dist
+      FROM z WHERE sd > 0
+    ), r AS (
+      SELECT event_type, hr, dist,
+             row_number() OVER (PARTITION BY event_type ORDER BY dist, hr) AS rn
+      FROM d
+    )
+    SELECT event_type, strftime(hr, '%Y-%m-%d %H:%M:%S') AS hour_ts,
+           round(dist, 4) AS dist
+    FROM r WHERE rn <= {TS_TOP}
+    """
+
+
+@register(
+    QUERIES,
+    "ts_subsequence_match",
+    oracle=_ts_oracle(),
+    doc="Time-series subsequence similarity search (the UCR-suite shape): "
+    "slide an 8-hour window over each event type's hourly count series, "
+    "z-normalize every window, and rank by Euclidean distance to a "
+    "z-normalized query pattern (a spike) — top-5 matches per series. "
+    "Windows come from an ordered ROWS frame (O(W) per position, W "
+    "constant), normalization and distance are array lambdas in codegen, "
+    "ranking is a per-key window. Both engines build windows from the same "
+    "ordered frame and evaluate the same left-to-right lambda sums, so "
+    "distances are bit-identical and the top-5 cut is deterministic. At "
+    "100 TB, series are partitioned by key and the frame never crosses "
+    "executors; constant-width flat windows (zero-length runs aside) keep "
+    "state O(W).",
+)
+def ts_subsequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("hr").rowsBetween(0, TS_W - 1)
+    s = hourly.withColumn("arr", F.collect_list("n").over(w)).filter(
+        F.size("arr") == TS_W
+    )
+    zero = F.lit(0.0)
+    mean = F.aggregate("arr", zero, lambda a, x: a + x) / TS_W
+    z = s.withColumn("m", mean).withColumn(
+        "sd",
+        F.sqrt(
+            F.aggregate(
+                "arr", zero, lambda a, x: a + (x - F.col("m")) * (x - F.col("m"))
+            )
+            / TS_W
+        ),
+    )
+    qz = F.lit(_ts_query_z())
+    zarr = F.transform("arr", lambda x: (x - F.col("m")) / F.col("sd"))
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(zarr, qz, lambda a, b: (a - b) * (a - b)), zero, lambda a, x: a + x
+        )
+    )
+    d = z.filter(F.col("sd") > 0).withColumn("dist", dist)
+    rw = Window.partitionBy("event_type").orderBy("dist", "hr")
+    return (
+        d.withColumn("rn", F.row_number().over(rw))
+        .filter(F.col("rn") <= TS_TOP)
+        .select(
+            "event_type",
+            F.date_format("hr", "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),
+            F.round("dist", 4).alias("dist"),
+        )
+    )
