@@ -444,3 +444,63 @@ def cogroup_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id long, n_events long, sum_value double, n_orders long",
         )
     )
+
+
+@register(
+    QUERIES,
+    "map_functions_showcase",
+    oracle="""
+    WITH per_type AS (
+      SELECT user_id, event_type, count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT)                                  AS n_types,
+           CAST(coalesce(sum(CASE WHEN event_type = 'error'
+                                  THEN cnt END), 0) AS BIGINT)       AS error_cnt,
+           CAST(count(CASE WHEN cnt >= 10 THEN 1 END) AS BIGINT)     AS hot_types,
+           CAST(sum(cnt) AS BIGINT)                                  AS total,
+           CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+                                  THEN cnt * 2 END), 0) AS BIGINT)   AS purchase_x2
+    FROM per_type GROUP BY user_id
+    """,
+    doc="MapType surface: per-user event-type histogram built as a MAP "
+    "column (map_from_entries over collect_list(struct)), then read back "
+    "through the map algebra — size, element_at, map_filter, map_values + "
+    "aggregate, transform_values — all JVM higher-order functions in one "
+    "projection. Outputs are scalars, so the oracle is plain conditional "
+    "aggregation: the map is exercised in the plan, not smuggled into the "
+    "compare (cross-engine MAP representations don't hash stably).",
+)
+def map_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    per_type = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    m = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "cnt"))
+        ).alias("m")
+    )
+    zero = F.lit(0).cast("long")
+    return m.select(
+        "user_id",
+        F.size("m").cast("long").alias("n_types"),
+        F.coalesce(F.element_at("m", F.lit("error")), zero)
+        .cast("long")
+        .alias("error_cnt"),
+        F.size(F.map_filter("m", lambda _k, v: v >= 10))
+        .cast("long")
+        .alias("hot_types"),
+        F.aggregate(F.map_values("m"), zero, lambda a, v: a + v)
+        .cast("long")
+        .alias("total"),
+        F.coalesce(
+            F.element_at(
+                F.transform_values("m", lambda _k, v: v * 2), F.lit("purchase")
+            ),
+            zero,
+        )
+        .cast("long")
+        .alias("purchase_x2"),
+    )
