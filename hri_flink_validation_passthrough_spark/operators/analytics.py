@@ -796,3 +796,174 @@ def ts_subsequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("dist", 4).alias("dist"),
         )
     )
+
+
+CONV_TOL_S = 3600  # signup -> purchase conversion window (1 hour)
+
+
+@register(
+    QUERIES,
+    "funnel_conversion_within_1h",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup'
+    )
+    SELECT strftime(date_trunc('hour', s.ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
+           CAST(count(*) AS BIGINT) AS n_signups,
+           CAST(count(CASE WHEN EXISTS (
+             SELECT 1 FROM events p
+             WHERE p.event_type = 'purchase' AND p.user_id = s.user_id
+               AND p.ts >= s.ts
+               AND p.ts <= s.ts + INTERVAL {CONV_TOL_S} SECOND
+           ) THEN 1 END) AS BIGINT) AS n_converted
+    FROM s GROUP BY 1
+    """,
+    doc="Time-constrained funnel conversion: per signup hour, how many "
+    "signups saw a purchase by the same user within 1 hour. Composed from "
+    "the FORWARD as-of join with tolerance (operators/asof.py) — the "
+    "nearest following purchase either lands inside the window or no "
+    "purchase does — so the conversion check is one union+window pass, "
+    "not a per-signup EXISTS probe (which is how the oracle states it).",
+)
+def funnel_conversion_within_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    signups = e.filter(F.col("event_type") == "signup").select(
+        "event_id", F.col("user_id").alias("k"), F.col("ts").alias("t")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.col("event_id").alias("p_event"),
+    )
+    hit = asof_join(
+        signups,
+        purchases,
+        key="k",
+        time="t",
+        value_cols=["p_event"],
+        direction="forward",
+        tolerance_s=CONV_TOL_S,
+    )
+    return hit.groupBy(
+        F.date_format(F.date_trunc("hour", F.col("t")), "yyyy-MM-dd HH:mm:ss").alias(
+            "hour_ts"
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("n_signups"),
+        F.count("p_event").alias("n_converted"),
+    )
+
+
+RFM_BINS = 3  # terciles per dimension
+
+
+def _rfm_oracle() -> str:
+    def b(dim: str) -> str:
+        return f"""
+        SELECT k, min(v) AS bv FROM (
+          SELECT v, sum(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+          FROM (SELECT {dim} AS v, count(*) AS cnt FROM rfm GROUP BY 1)
+        ), n, (SELECT unnest(range(1, {RFM_BINS})) AS k) ks
+        WHERE {RFM_BINS} * cum >= k * n GROUP BY k
+        """
+
+    return f"""
+    WITH cut AS (SELECT max(o_orderdate) AS cutoff FROM orders),
+    rfm AS (
+      SELECT o_custkey AS c,
+             date_diff('day', max(o_orderdate), (SELECT cutoff FROM cut)) AS r,
+             count(*) AS f,
+             round(sum(o_totalprice), 2) AS m
+      FROM orders GROUP BY 1
+    ), n AS (SELECT count(*) AS n FROM rfm),
+    rb AS ({b("r")}), fb AS ({b("f")}), mb AS ({b("m")}),
+    seg AS (
+      SELECT c, m,
+             (SELECT count(*) FROM rb WHERE bv < rfm.r) AS r_bin,
+             (SELECT count(*) FROM fb WHERE bv < rfm.f) AS f_bin,
+             (SELECT count(*) FROM mb WHERE bv < rfm.m) AS m_bin
+      FROM rfm
+    )
+    SELECT CAST(r_bin AS VARCHAR) || CAST(f_bin AS VARCHAR)
+             || CAST(m_bin AS VARCHAR)        AS segment,
+           CAST(count(*) AS BIGINT)           AS n_customers,
+           round(sum(m), 2)                   AS total_monetary
+    FROM seg GROUP BY 1
+    """
+
+
+@register(
+    QUERIES,
+    "rfm_customer_segments",
+    oracle=_rfm_oracle(),
+    doc="RFM customer segmentation (recency/frequency/monetary): one "
+    "aggregation builds the per-customer RFM vector, tercile boundaries per "
+    "dimension come from the integer rule 3*cum >= k*n over distinct "
+    "values (the engine-stable quantile rule equi_depth_histogram uses; "
+    "monetary is rounded to cents first so per-customer sums are "
+    "cross-engine-identical), and the 6 collected boundary values bin every "
+    "customer map-side into 27 segments. At 100 TB the monetary boundary "
+    "job swaps to approx_percentile; R and F live on tiny integer domains "
+    "(days / order counts) at any scale.",
+)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    cut = o.agg(F.max("o_orderdate").alias("cutoff"))
+    rfm = (
+        o.groupBy(F.col("o_custkey").alias("c"))
+        .agg(
+            F.max("o_orderdate").alias("last"),
+            F.count(F.lit(1)).alias("f"),
+            F.round(F.sum("o_totalprice"), 2).alias("m"),
+        )
+        .join(F.broadcast(cut))
+        .withColumn("r", F.datediff("cutoff", "last"))
+        .select("c", "r", "f", "m")
+    )
+    rfm = rfm.persist()
+
+    def bounds(dim: str) -> list[float]:
+        d = rfm.groupBy(F.col(dim).alias("v")).agg(F.count(F.lit(1)).alias("cnt"))
+        # distinct-value domain: days/order-counts are tiny; monetary is
+        # #customers-bounded — the documented approx_percentile swap point
+        w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+        w_all = Window.orderBy("v").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        c = d.select(
+            "v",
+            F.sum("cnt").over(w_cum).alias("cum"),
+            F.sum("cnt").over(w_all).alias("n"),
+        )
+        rows = (
+            c.select(
+                "v",
+                "cum",
+                "n",
+                F.explode(F.sequence(F.lit(1), F.lit(RFM_BINS - 1))).alias("k"),
+            )
+            .filter(F.lit(RFM_BINS) * F.col("cum") >= F.col("k") * F.col("n"))
+            .groupBy("k")
+            .agg(F.min("v").alias("bv"))
+            .collect()
+        )
+        return [float(r["bv"]) for r in sorted(rows, key=lambda r: r["k"])]
+
+    def bin_col(dim: str, bs: list[float]):
+        return F.size(
+            F.filter(F.lit(bs), lambda b: F.col(dim).cast("double") > b)
+        )
+
+    rb, fb, mb = bounds("r"), bounds("f"), bounds("m")
+    seg = F.concat_ws(
+        "",
+        bin_col("r", rb).cast("string"),
+        bin_col("f", fb).cast("string"),
+        bin_col("m", mb).cast("string"),
+    )
+    return rfm.groupBy(seg.alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("m"), 2).alias("total_monetary"),
+    )
