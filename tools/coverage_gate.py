@@ -56,6 +56,8 @@ TEST_SET = [
     "tests/test_streaming_restart.py",
     "tests/test_fixture_source.py",
     "tests/test_functions.py",
+    "tests/test_maintenance.py",
+    "tests/test_observability.py",
 ]
 
 
