@@ -80,6 +80,42 @@ def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_assign_probes(spark: SparkSession, sf_dir: str):
+    """(assign, probes): vectors bucketed to their nearest coarse centroid,
+    queries attached to their NPROBE closest cells. Shared by the pure-IVF
+    ANN and the composed IVF-PQ read path."""
+    v = _emb(spark, sf_dir)
+    cent = (
+        v.filter(F.col("vec_id") < NLIST)
+        .withColumnsRenamed({"vec_id": "cid", "e": "ce"})
+    )
+    sim_vc = F.round(cosine_similarity(F.col("e"), F.col("ce")), 6)
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("sim"), F.asc("cid")
+    )
+    assign = (
+        v.crossJoin(F.broadcast(cent))
+        .select("vec_id", "e", "cid", sim_vc.alias("sim"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "e", F.col("cid").alias("cell"))
+    )
+    q = v.filter(F.col("vec_id") < N_QUERIES).withColumnsRenamed(
+        {"vec_id": "qid", "e": "qe"}
+    )
+    sim_qc = F.round(cosine_similarity(F.col("qe"), F.col("ce")), 6)
+    w_probe = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("cid"))
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .select("qid", "qe", "cid", sim_qc.alias("sim"))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= NPROBE)
+        .select("qid", "qe", F.col("cid").alias("cell"))
+    )
+    return assign, probes
+
+
+
 @register(
     QUERIES,
     "ann_ivf_topk",
@@ -126,34 +162,7 @@ def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cells map to disk buckets for partition pruning.",
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    v = _emb(spark, sf_dir)
-    cent = (
-        v.filter(F.col("vec_id") < NLIST)
-        .withColumnsRenamed({"vec_id": "cid", "e": "ce"})
-    )
-    sim_vc = F.round(cosine_similarity(F.col("e"), F.col("ce")), 6)
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.desc("sim"), F.asc("cid")
-    )
-    assign = (
-        v.crossJoin(F.broadcast(cent))
-        .select("vec_id", "e", "cid", sim_vc.alias("sim"))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "e", F.col("cid").alias("cell"))
-    )
-    q = v.filter(F.col("vec_id") < N_QUERIES).withColumnsRenamed(
-        {"vec_id": "qid", "e": "qe"}
-    )
-    sim_qc = F.round(cosine_similarity(F.col("qe"), F.col("ce")), 6)
-    w_probe = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("cid"))
-    probes = (
-        q.crossJoin(F.broadcast(cent))
-        .select("qid", "qe", "cid", sim_qc.alias("sim"))
-        .withColumn("rn", F.row_number().over(w_probe))
-        .filter(F.col("rn") <= NPROBE)
-        .select("qid", "qe", F.col("cid").alias("cell"))
-    )
+    assign, probes = _ivf_assign_probes(spark, sf_dir)
     pairs = assign.join(
         F.broadcast(probes),
         (assign.cell == probes.cell) & (assign.vec_id != probes.qid),
@@ -566,6 +575,26 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, re): PQ reconstructions — chosen centroids looked up in the
+    literal codebook (array-of-arrays per subspace), no join back to
+    vectors. Shared by the flat ADC scan and the composed IVF-PQ path."""
+    cb = _pq_codebook(spark, sf_dir)
+    enc = _pq_encoded(spark, sf_dir)
+    cb_lits = [
+        F.array(*[F.array(*[F.lit(x) for x in c]) for c in cb[m]])
+        for m in range(PQ_M)
+    ]
+    recon = F.flatten(
+        F.array(*[
+            F.element_at(cb_lits[m], F.col(f"code_{m}") + 1)
+            for m in range(PQ_M)
+        ])
+    )
+    return enc.select("vec_id", recon.alias("re"))
+
+
+
 @register(
     QUERIES,
     "ann_pq_adc_topk",
@@ -607,21 +636,7 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     "per IVF cell and only the shortlist fetches full vectors.",
 )
 def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cb = _pq_codebook(spark, sf_dir)
-    enc = _pq_encoded(spark, sf_dir)
-    # reconstruction = concat of chosen centroids, looked up in the literal
-    # codebook (array-of-arrays per subspace) — no join back to vectors
-    cb_lits = [
-        F.array(*[F.array(*[F.lit(x) for x in c]) for c in cb[m]])
-        for m in range(PQ_M)
-    ]
-    recon = F.flatten(
-        F.array(*[
-            F.element_at(cb_lits[m], F.col(f"code_{m}") + 1)
-            for m in range(PQ_M)
-        ])
-    )
-    cand = enc.select("vec_id", recon.alias("re"))
+    cand = _pq_recon(spark, sf_dir)
     q = (
         _emb(spark, sf_dir)
         .filter(F.col("vec_id") < N_QUERIES)
@@ -639,6 +654,103 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "qe", "nid")
     )
     # exact rerank: only the shortlist fetches full-precision vectors
+    v = _emb(spark, sf_dir)
+    reranked = shortlist.join(v, shortlist.nid == v.vec_id).select(
+        "qid",
+        "nid",
+        F.round(cosine_similarity(F.col("qe"), F.col("e")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("nid"))
+    return (
+        reranked.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= TOP_K)
+    )
+
+
+@register(
+    QUERIES,
+    "ann_ivfpq_topk",
+    oracle=f"""
+    WITH {_pq_oracle_encode_cte()}, recon AS (
+      SELECT vec_id, flatten(list(c ORDER BY m)) AS re
+      FROM enc GROUP BY vec_id
+    ), cent AS (
+      SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < {NLIST}
+    ), asg AS (
+      SELECT vec_id, cell FROM (
+        SELECT v.vec_id, cent.cid AS cell,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY round(list_cosine_similarity(v.e, cent.ce), 6) DESC,
+                          cent.cid) AS rn
+        FROM v, cent
+      ) WHERE rn = 1
+    ), q AS (
+      SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < {N_QUERIES}
+    ), probes AS (
+      SELECT qid, qe, cell FROM (
+        SELECT q.qid, q.qe, cent.cid AS cell,
+               row_number() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY round(list_cosine_similarity(q.qe, cent.ce), 6) DESC,
+                          cent.cid) AS rn
+        FROM q, cent
+      ) WHERE rn <= {NPROBE}
+    ), s AS (
+      SELECT p.qid, p.qe, r.vec_id AS nid,
+             round(sqrt(list_sum(list_transform(range(1, {PQ_M * PQ_DSUB} + 1),
+               i -> (p.qe[i] - r.re[i]) * (p.qe[i] - r.re[i])))), 6) AS adc_dist
+      FROM probes p
+      JOIN asg a ON a.cell = p.cell AND a.vec_id != p.qid
+      JOIN recon r ON r.vec_id = a.vec_id
+    ), shortlist AS (
+      SELECT qid, qe, nid FROM (
+        SELECT qid, qe, nid,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY adc_dist, nid) AS rs
+        FROM s
+      ) WHERE rs <= {PQ_SHORTLIST}
+    ), reranked AS (
+      SELECT sl.qid, sl.nid,
+             round(list_cosine_similarity(sl.qe, v.e), 6) AS cos_sim
+      FROM shortlist sl JOIN v ON v.vec_id = sl.nid
+    )
+    SELECT qid, nid, cos_sim, rnk FROM (
+      SELECT qid, nid, cos_sim,
+             CAST(row_number() OVER (PARTITION BY qid
+                                     ORDER BY cos_sim DESC, nid) AS BIGINT) AS rnk
+      FROM reranked
+    ) WHERE rnk <= {TOP_K}
+    """,
+    doc=f"The COMPOSED trillion-vector read path, IVF-PQ: queries probe "
+    f"{NPROBE} of {NLIST} coarse cells, the asymmetric-distance scan runs "
+    "only over the probed cells' 8-byte PQ codes (never the raw vectors), "
+    f"the {PQ_SHORTLIST}-candidate shortlist is exact-reranked at full "
+    "precision. Every stage is the already-verified building block "
+    "(ann_ivf_topk's cells, ann_pq_adc_topk's ADC) joined on cell — at "
+    "scale the cells are disk partitions, so the ADC pass is a pruned "
+    "scan of an in-RAM code table per cell. Recall vs exact KNN is "
+    "guarded in tests/test_ann_quality.py.",
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assign, probes = _ivf_assign_probes(spark, sf_dir)
+    cand = _pq_recon(spark, sf_dir).join(
+        assign.select("vec_id", "cell"), "vec_id"
+    )
+    pairs = cand.join(
+        F.broadcast(probes),
+        (cand.cell == probes.cell) & (cand.vec_id != probes.qid),
+    )
+    adc = F.round(F.sqrt(_sqdist(F.col("qe"), F.col("re"))), 6)
+    w_short = Window.partitionBy("qid").orderBy(F.asc("adc_dist"), F.asc("nid"))
+    shortlist = (
+        pairs.select(
+            "qid", "qe", F.col("vec_id").alias("nid"), adc.alias("adc_dist")
+        )
+        .withColumn("rs", F.row_number().over(w_short))
+        .filter(F.col("rs") <= PQ_SHORTLIST)
+        .select("qid", "qe", "nid")
+    )
     v = _emb(spark, sf_dir)
     reranked = shortlist.join(v, shortlist.nid == v.vec_id).select(
         "qid",

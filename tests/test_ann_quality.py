@@ -63,3 +63,15 @@ def test_pq_adc_rerank_recall_vs_exact(spark, exact):
         f"PQ shortlist+rerank mean recall@5 dropped to {r:.3f} "
         "(measured 0.82 on this worst-case random corpus)"
     )
+
+
+def test_ivfpq_composed_recall_vs_exact(spark, exact):
+    """The composed IVF-PQ path: probing costs what IVF costs (cells missed),
+    the in-cell ADC shortlist + exact rerank costs almost nothing more —
+    measured 0.90 vs IVF's 0.92 on this worst-case random corpus."""
+    from hri_flink_validation_passthrough_spark.operators.similarity import (
+        ann_ivfpq_topk,
+    )
+
+    r = _mean_recall(exact, _topsets(ann_ivfpq_topk(spark, SF_ORACLE)))
+    assert r >= 0.80, f"IVF-PQ mean recall@5 dropped to {r:.3f} (measured 0.90)"

@@ -21,6 +21,7 @@ ALLOWED_NESTED_LOOP = {
     "knn_brute_force": "exact top-k baseline for ann_ivf_topk",
     # tiny broadcast cross joins by construction (scalar/1-row side):
     "ann_ivf_topk": "crossJoin against the broadcast centroid table (nlist rows)",
+    "ann_ivfpq_topk": "crossJoin against the broadcast centroid table (nlist rows); the ADC/rerank stages are equi-joins on cell/vec_id",
     "ann_pq_adc_topk": "candidate codes × broadcast query set (N_QUERIES rows) — at scale the candidate side is pre-pruned by IVF cells, the query side stays a tiny broadcast",
     "kmeans_one_iteration": "crossJoin against the broadcast centroid table (nlist rows)",
     "dedup_semantic_ivf": "crossJoin against the broadcast centroid table (nlist rows); within-cell pairing itself is an equi-join on cell",
