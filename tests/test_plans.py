@@ -229,3 +229,33 @@ def test_shingle_stage_is_a_plan_barrier(spark):
         if ("FileScan" in line or "Filter" in line) and "concat_ws" in line
     ]
     assert not bad, bad[:2]
+
+
+def test_new_analytics_plans_stay_shuffle_lean(spark):
+    """Shape guards for the round's analytics additions: the equi-depth
+    binning pass must not global-sort, the weighted sample must be
+    rand()-free, and the TS subsequence matcher needs exactly its two
+    shuffles (hourly agg + per-key windows)."""
+    import re
+
+    from hri_flink_validation_passthrough_spark.operators.analytics import (
+        equi_depth_histogram,
+        ts_subsequence_match,
+    )
+    from hri_flink_validation_passthrough_spark.operators.sampling import (
+        weighted_sample_per_source,
+    )
+
+    hist = equi_depth_histogram(spark, SF_ORACLE)
+    hp = hist._jdf.queryExecution().executedPlan().toString()
+    # binning output is a tiny groupBy(bin); no Sort node on the row path
+    assert "TakeOrderedAndProject" in hp or "Sort [" not in hp.split("Exchange")[0]
+
+    ws = weighted_sample_per_source(spark, SF_ORACLE)
+    wp = ws._jdf.queryExecution().executedPlan().toString()
+    assert "rand(" not in wp  # deterministic hash keys, never rand()
+
+    ts = ts_subsequence_match(spark, SF_ORACLE)
+    tp = ts._jdf.queryExecution().executedPlan().toString()
+    n_ex = len(re.findall(r"Exchange hashpartitioning", tp))
+    assert n_ex <= 2, f"ts_subsequence_match grew to {n_ex} shuffles"
