@@ -509,9 +509,16 @@ def _pq_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _emb(spark, sf_dir)
     for m in range(PQ_M):
         sub = F.slice(F.col("e"), m * PQ_DSUB + 1, PQ_DSUB)
-        dists = F.array(
-            *[_sqdist(sub, F.array(*[F.lit(x) for x in c])) for c in cb[m]]
+        # ONE transform lambda over the literal centroid ARRAY, not PQ_K
+        # independent _sqdist expression trees: 16 subspaces x 16 centroids
+        # of unrolled aggregates blew past codegen limits into the
+        # interpreted path (measured 7 s WARM for 2k rows at sf0.01; this
+        # form is ~20x faster). Arithmetic per element is unchanged, so the
+        # oracle still matches bit-for-bit.
+        cb_lit = F.array(
+            *[F.array(*[F.lit(x) for x in c]) for c in cb[m]]
         )
+        dists = F.transform(cb_lit, lambda c: _sqdist(sub, c))
         df = df.withColumn(f"_d{m}", dists)
         rounded = F.transform(F.col(f"_d{m}"), lambda x: F.round(x, 6))
         code = (F.array_position(rounded, F.array_min(rounded)) - 1).cast("int")
