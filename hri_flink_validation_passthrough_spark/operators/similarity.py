@@ -503,8 +503,19 @@ def _sqdist(a, b):
     )
 
 
+_pq_encoded_memo: dict[tuple[str, str], DataFrame] = {}
+
+
 def _pq_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """vec_id, e, code_0..code_{M-1} (int), d_0..d_{M-1} (chosen sq dist)."""
+    """vec_id, e, code_0..code_{M-1} (int), d_0..d_{M-1} (chosen sq dist).
+
+    Session-memoized + persisted: three queries (encode showcase, flat ADC,
+    composed IVF-PQ) read this table — in production it IS a stored table,
+    written once at index-build time.
+    """
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _pq_encoded_memo:
+        return _pq_encoded_memo[key]
     cb = _pq_codebook(spark, sf_dir)
     df = _emb(spark, sf_dir)
     for m in range(PQ_M):
@@ -525,7 +536,9 @@ def _pq_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
         df = df.withColumn(f"code_{m}", code).withColumn(
             f"d_{m}", F.element_at(F.col(f"_d{m}"), F.col(f"code_{m}") + 1)
         )
-    return df.drop(*[f"_d{m}" for m in range(PQ_M)])
+    out = df.drop(*[f"_d{m}" for m in range(PQ_M)]).persist()
+    _pq_encoded_memo[key] = out
+    return out
 
 
 def _pq_oracle_encode_cte() -> str:
