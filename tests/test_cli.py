@@ -106,3 +106,23 @@ def test_main_returns_usage_error_code(capsys):
     captured = capsys.readouterr()
     assert "Missing required option" in captured.err
     assert "Usage: validate" in captured.err
+
+
+def test_run_query_lists_and_runs(capsys):
+    """The analytics runner (separate from the parity CLI): --list prints the
+    registry; running a query emits JSON rows."""
+    import json
+
+    from hri_flink_validation_passthrough_spark.run_query import main
+
+    assert main(["--list"]) == 0
+    listed = capsys.readouterr().out.strip().splitlines()
+    assert len(listed) >= 150 and any(l.startswith("q1_pricing_summary\t") for l in listed)
+
+    assert main(["no_such_query"]) == 2
+
+    # stop_session=False: build_session getOrCreates, so stopping would kill
+    # the suite's shared session
+    assert main(["events_topk_users", "--limit", "3", "--cpus", "4"], stop_session=False) == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert len(rows) == 3 and {"user_id", "n_events", "total_value"} <= set(rows[0])
