@@ -725,10 +725,14 @@ def _ts_oracle() -> str:
                  x -> (x - list_avg(arr)) * (x - list_avg(arr)))) / {TS_W}) AS sd
       FROM f
     ), d AS (
+      -- round BEFORE ranking: distinct windows can have exactly equal true
+      -- distances (identical normalized shapes), where raw-float ordering
+      -- breaks the tie by engine noise; rounded-6 ties fall to the hr
+      -- tiebreak identically in both engines
       SELECT event_type, hr,
-             sqrt(list_sum(list_transform(list_zip(
+             round(sqrt(list_sum(list_transform(list_zip(
                  list_transform(arr, x -> (x - m) / sd), {qz}),
-               p -> (p[1] - p[2]) * (p[1] - p[2])))) AS dist
+               p -> (p[1] - p[2]) * (p[1] - p[2])))), 6) AS dist
       FROM z WHERE sd > 0
     ), r AS (
       SELECT event_type, hr, dist,
@@ -780,10 +784,17 @@ def ts_subsequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qz = F.lit(_ts_query_z())
     zarr = F.transform("arr", lambda x: (x - F.col("m")) / F.col("sd"))
-    dist = F.sqrt(
-        F.aggregate(
-            F.zip_with(zarr, qz, lambda a, b: (a - b) * (a - b)), zero, lambda a, x: a + x
-        )
+    # rounded-6 before ranking — see the oracle's comment on equal-distance
+    # windows; the hr tiebreak then decides identically in both engines
+    dist = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(zarr, qz, lambda a, b: (a - b) * (a - b)),
+                zero,
+                lambda a, x: a + x,
+            )
+        ),
+        6,
     )
     d = z.filter(F.col("sd") > 0).withColumn("dist", dist)
     rw = Window.partitionBy("event_type").orderBy("dist", "hr")
