@@ -915,9 +915,11 @@ def _rfm_oracle() -> str:
     "values (the engine-stable quantile rule equi_depth_histogram uses; "
     "monetary is rounded to cents first so per-customer sums are "
     "cross-engine-identical), and the 6 collected boundary values bin every "
-    "customer map-side into 27 segments. At 100 TB the monetary boundary "
-    "job swaps to approx_percentile; R and F live on tiny integer domains "
-    "(days / order counts) at any scale.",
+    "customer map-side into 27 segments. Cumulative counts use the banded "
+    "two-level prefix sum (no single-task sort over the customer-cardinality "
+    "monetary domain; only the tiny band table sees a global window), so "
+    "the boundary job itself holds at 100 TB — approx_percentile remains an "
+    "optional cheaper swap, no longer a scale necessity.",
 )
 def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
@@ -935,18 +937,30 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rfm = rfm.persist()
 
-    def bounds(dim: str) -> list[float]:
+    def bounds(dim: str, band: float) -> list[float]:
         d = rfm.groupBy(F.col(dim).alias("v")).agg(F.count(F.lit(1)).alias("cnt"))
-        # distinct-value domain: days/order-counts are tiny; monetary is
-        # #customers-bounded — the documented approx_percentile swap point
-        w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-        w_all = Window.orderBy("v").rowsBetween(
+        # Two-level cumulative count (equi_depth_histogram's scheme): the
+        # per-value ranking sort is PARTITIONED by a coarse value band, so
+        # even the customer-cardinality monetary domain never funnels into a
+        # single-task sort; only the band-count table (domain-range/band
+        # rows, data-size-independent) sees a single-partition window.
+        d = d.withColumn("cb", F.floor(F.col("v").cast("double") / band))
+        w_in = Window.partitionBy("cb").orderBy("v").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        intra = d.withColumn("intra", F.sum("cnt").over(w_in))
+        bands = d.groupBy("cb").agg(F.sum("cnt").alias("band_cnt"))
+        w_off = Window.orderBy("cb").rowsBetween(Window.unboundedPreceding, -1)
+        w_all = Window.orderBy("cb").rowsBetween(
             Window.unboundedPreceding, Window.unboundedFollowing
         )
-        c = d.select(
-            "v",
-            F.sum("cnt").over(w_cum).alias("cum"),
-            F.sum("cnt").over(w_all).alias("n"),
+        offsets = bands.select(
+            "cb",
+            F.coalesce(F.sum("band_cnt").over(w_off), F.lit(0)).alias("off"),
+            F.sum("band_cnt").over(w_all).alias("n"),
+        )
+        c = intra.join(F.broadcast(offsets), "cb").select(
+            "v", (F.col("intra") + F.col("off")).alias("cum"), "n"
         )
         rows = (
             c.select(
@@ -967,7 +981,7 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.filter(F.lit(bs), lambda b: F.col(dim).cast("double") > b)
         )
 
-    rb, fb, mb = bounds("r"), bounds("f"), bounds("m")
+    rb, fb, mb = bounds("r", 30.0), bounds("f", 5.0), bounds("m", 1000.0)
     seg = F.concat_ws(
         "",
         bin_col("r", rb).cast("string"),

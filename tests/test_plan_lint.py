@@ -1,17 +1,34 @@
-"""Repo-wide plan lint: no accidental cartesian products.
+"""Repo-wide physical-plan lints over every registered batch query.
 
-Every registered batch query's physical plan is checked for
-CartesianProduct / BroadcastNestedLoopJoin — the operators that turn a
-100 TB join into an O(n*m) scan. Queries that are DOCUMENTED brute-force
-references (the oracle twins of LSH paths) or that intentionally cross-join
-a tiny broadcast side are allowlisted with the reason inline.
+Two scale-hazard classes are checked on each query's formatted plan (one
+plan construction, both rules):
+
+1. **No accidental cartesian products** — CartesianProduct /
+   BroadcastNestedLoopJoin turns a 100 TB join into an O(n*m) scan.
+2. **No single-partition Sort/Window over data-cardinality input**
+   (round-4 verdict ask #4) — an ``Exchange SinglePartition`` feeding a
+   Sort/Window runs the whole input through ONE task. Scalar aggregates
+   (1-row reductions after map-side partials) and rangepartitioning output
+   sorts are structurally excluded by the plan-graph walk in
+   ``tools/plan_graph.py``.
+
+Queries that are DOCUMENTED brute-force references (oracle twins of LSH
+paths), intentionally cross-join a tiny broadcast side, or run their global
+window over a tiny data-size-independent domain (per-block / per-day offset
+tables of a two-level prefix sum) are allowlisted with the reason inline.
 """
 
 from __future__ import annotations
 
+import os
+import sys
+
 import pytest
 
-from tests.conftest import SF_ORACLE
+from tests.conftest import REPO_ROOT, SF_ORACLE
+
+sys.path.insert(0, os.path.join(REPO_ROOT, "tools"))
+from plan_graph import single_partition_sorts  # noqa: E402
 
 # name -> why a nested-loop/cartesian is acceptable there
 ALLOWED_NESTED_LOOP = {
@@ -34,6 +51,14 @@ ALLOWED_NESTED_LOOP = {
     "rfm_customer_segments": "1-row cutoff-date scalar broadcast cross join",
 }
 
+# name -> why a single-partition Sort/Window is acceptable there: the window
+# input is a tiny DATA-SIZE-INDEPENDENT domain (the offset level of a
+# two-level prefix sum), not the record stream.
+ALLOWED_GLOBAL_SORT = {
+    "sequence_packing": "block-total exclusive prefix: one row per PACK_BLOCK docs (N/64 rows), broadcast back; the record-level cumsum is partitioned by blk",
+    "max_concurrent_sessions": "day-total offset window: ONE ROW PER DAY (thousands at a century of data); the event-level running sum is partitioned by day",
+}
+
 # queries that EXECUTE work when constructed (streaming boots a query; these
 # write files/tables) — plan text is still linted, construction is just slower
 _EAGER = ("stream_",)
@@ -50,17 +75,27 @@ def _all_batch_queries():
 
 
 @pytest.mark.parametrize("name", sorted(_all_batch_queries()))
-def test_no_accidental_cartesian(spark, name):
+def test_plan_scale_hazards(spark, name):
     fn = _all_batch_queries()[name]
     df = fn(spark, SF_ORACLE)
     plan = df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
     )
+
     nested = ("CartesianProduct" in plan) or ("BroadcastNestedLoopJoin" in plan)
-    if name in ALLOWED_NESTED_LOOP:
-        return  # documented; presence is allowed (not required)
-    assert not nested, (
-        f"{name}: plan contains a cartesian/nested-loop join — a scale "
-        f"hazard; either fix the join or add an explicit allowlist entry "
-        f"with justification.\n{plan[:2000]}"
-    )
+    if name not in ALLOWED_NESTED_LOOP:
+        assert not nested, (
+            f"{name}: plan contains a cartesian/nested-loop join — a scale "
+            f"hazard; either fix the join or add an explicit allowlist entry "
+            f"with justification.\n{plan[:2000]}"
+        )
+
+    hits = single_partition_sorts(plan)
+    if name not in ALLOWED_GLOBAL_SORT:
+        assert not hits, (
+            f"{name}: plan has single-partition Sort/Window node(s) {hits} — "
+            f"the whole input funnels through ONE task at scale. Partition "
+            f"the window, use the two-level banded prefix-sum scheme "
+            f"(equi_depth_histogram / rfm bounds), or allowlist with a "
+            f"tiny-domain justification.\n{plan[:2000]}"
+        )
