@@ -712,11 +712,21 @@ def _ts_oracle() -> str:
       SELECT event_type, date_trunc('hour', ts) AS hr,
              CAST(count(*) AS DOUBLE) AS n
       FROM events GROUP BY 1, 2
+    ), span AS (
+      SELECT event_type, min(hr) AS mn, max(hr) AS mx FROM hourly GROUP BY 1
+    ), grid AS (
+      -- densify: a window is 8 consecutive CLOCK hours, so zero-event
+      -- hours are materialized as 0 instead of silently stitched across
+      SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hr
+      FROM span
+    ), dense AS (
+      SELECT g.event_type, g.hr, coalesce(h.n, 0.0) AS n
+      FROM grid g LEFT JOIN hourly h ON g.event_type = h.event_type AND g.hr = h.hr
     ), s AS (
       SELECT event_type, hr,
              list(n) OVER (PARTITION BY event_type ORDER BY hr
                            ROWS BETWEEN CURRENT ROW AND {TS_W - 1} FOLLOWING) AS arr
-      FROM hourly
+      FROM dense
     ), f AS (
       SELECT * FROM s WHERE len(arr) = {TS_W}
     ), z AS (
@@ -750,9 +760,11 @@ def _ts_oracle() -> str:
     "ts_subsequence_match",
     oracle=_ts_oracle(),
     doc="Time-series subsequence similarity search (the UCR-suite shape): "
-    "slide an 8-hour window over each event type's hourly count series, "
-    "z-normalize every window, and rank by Euclidean distance to a "
-    "z-normalized query pattern (a spike) — top-5 matches per series. "
+    "slide an 8-hour window over each event type's DENSIFIED hourly count "
+    "series (zero-event hours zero-filled via sequence(min,max,1h), so a "
+    "window is 8 clock hours, never stitched across gaps), z-normalize "
+    "every window, and rank by Euclidean distance to a z-normalized query "
+    "pattern (a spike) — top-5 matches per series. "
     "Windows come from an ordered ROWS frame (O(W) per position, W "
     "constant), normalization and distance are array lambdas in codegen, "
     "ranking is a per-key window. Both engines build windows from the same "
@@ -767,8 +779,22 @@ def ts_subsequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = e.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
     ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    # densify per event_type (round-4 ADVICE): a window is 8 consecutive
+    # CLOCK hours; zero-event hours become 0 rather than being stitched
+    # across. The grid is hourly-aggregate-sized (span hours x types),
+    # data-size-independent after the first groupBy.
+    span = hourly.groupBy("event_type").agg(
+        F.min("hr").alias("mn"), F.max("hr").alias("mx")
+    )
+    grid = span.select(
+        "event_type",
+        F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))).alias("hr"),
+    )
+    dense = grid.join(hourly, ["event_type", "hr"], "left").withColumn(
+        "n", F.coalesce("n", F.lit(0.0))
+    )
     w = Window.partitionBy("event_type").orderBy("hr").rowsBetween(0, TS_W - 1)
-    s = hourly.withColumn("arr", F.collect_list("n").over(w)).filter(
+    s = dense.withColumn("arr", F.collect_list("n").over(w)).filter(
         F.size("arr") == TS_W
     )
     zero = F.lit(0.0)

@@ -9,10 +9,11 @@ on a schedule:
   ``coalesce`` (NO shuffle: partitions are concatenated, never repartitioned
   by key — compaction must not pay a network pass at 100 TB; callers who want
   clustering on top use the bucketed/Z-order writers in ``plans/bucketing``).
-- ``vacuum_table_versions`` — drop all but the newest K ``v{N}`` directories
-  of a versioned table root, never touching the newest (the reader-visible
-  version is immutable while readers hold it — the swap protocol keeps every
-  version self-contained, so vacuum is pure directory deletion).
+- ``vacuum_table_versions`` — drop all but K ``v{N}`` directories of a
+  versioned table root, ranking keep-priority by ``(_EPOCH marker, version)``
+  so uncommitted partial writes go first and the newest *committed* version
+  (the ``recover_cdc_state`` anchor) is never deleted (the swap protocol
+  keeps every version self-contained, so vacuum is pure directory deletion).
 - ``table_layout_report`` — the small-files diagnostic (file count, byte
   sizes, rows/file) that decides WHEN to compact; pure filesystem metadata +
   one count, no data scan of column values.
@@ -80,16 +81,34 @@ def compact_small_files(
     # files is the scan's job (maxPartitionBytes), not the writer's.
     df.coalesce(n_out).write.mode("overwrite").parquet(dst)
     after = table_layout_report(spark, dst)
-    assert after["n_rows"] == before["n_rows"], "compaction must not drop rows"
+    # a plain assert is compiled out under `python -O` — exactly where an
+    # unattended maintenance job would run; keep the invariant unconditional
+    if after["n_rows"] != before["n_rows"]:
+        raise RuntimeError(
+            f"compaction must not drop rows: {before['n_rows']} -> "
+            f"{after['n_rows']} ({src} -> {dst})"
+        )
     return {"before": before, "after": after, "target_files": n_out}
 
 
 def vacuum_table_versions(root: str, keep: int = 2) -> dict:
-    """Delete all but the newest ``keep`` ``v{N}`` version directories.
+    """Delete all but ``keep`` ``v{N}`` version directories, marker-aware.
 
     Versions are self-contained snapshots (the CDC writer's swap protocol),
-    so deletion is pure directory removal; the newest version is never
-    eligible regardless of ``keep``. Returns kept/removed version numbers.
+    so deletion is pure directory removal — but COMMIT ORDER is defined by
+    the ``_EPOCH`` marker the CDC writer drops after a successful parquet
+    write, not by the version number alone. A crash between the parquet
+    write and the marker write leaves the numerically-newest ``v{N}``
+    uncommitted; ranking purely by number would then keep the partial
+    version and delete the last committed one, leaving
+    ``recover_cdc_state`` (which only restores MARKED versions) with
+    nothing. Hence:
+
+    - keep-priority ranks by ``(has _EPOCH marker, version)`` — uncommitted
+      partial versions are vacuumed first, regardless of number;
+    - the newest *marked* version is never deleted, regardless of ``keep``.
+
+    Returns kept/removed version numbers.
     """
     if keep < 1:
         raise ValueError("keep must be >= 1 (the current version always stays)")
@@ -98,7 +117,16 @@ def vacuum_table_versions(root: str, keep: int = 2) -> dict:
         for d in os.listdir(root)
         if (m := _VER_RE.match(d)) and os.path.isdir(os.path.join(root, d))
     )
-    drop, hold = vers[:-keep], vers[-keep:]
+
+    def _committed(v: int) -> bool:
+        return os.path.exists(os.path.join(root, f"v{v}", "_EPOCH"))
+
+    by_keep_priority = sorted(vers, key=lambda v: (_committed(v), v), reverse=True)
+    hold = set(by_keep_priority[:keep])
+    marked = [v for v in vers if _committed(v)]
+    if marked:
+        hold.add(max(marked))  # the recovery anchor survives any keep
+    drop = [v for v in vers if v not in hold]
     for v in drop:
         shutil.rmtree(os.path.join(root, f"v{v}"))
-    return {"kept": hold, "removed": drop}
+    return {"kept": sorted(hold), "removed": drop}

@@ -513,7 +513,8 @@ def _pq_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
     composed IVF-PQ) read this table — in production it IS a stored table,
     written once at index-build time.
     """
-    key = (spark.sparkContext.applicationId, sf_dir)
+    # normalize like dedup._memo_key: 'sf0.1' and 'sf0.1/' are one dataset
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
     if key in _pq_encoded_memo:
         return _pq_encoded_memo[key]
     cb = _pq_codebook(spark, sf_dir)

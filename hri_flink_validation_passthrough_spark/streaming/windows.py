@@ -550,10 +550,21 @@ def stream_passthrough_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
-def make_cdc_merger(spark: SparkSession, base: str, state: dict):
+def make_cdc_merger(
+    spark: SparkSession, base: str, state: dict, run_id: str | None = None
+):
     """foreachBatch merge function maintaining a versioned parquet table.
 
-    ``state``: {"cur": path|None, "ver": int, "last_epoch": int}.
+    ``state``: {"cur": path|None, "ver": int, "last_epoch": int,
+    "run_id": str|None}.
+
+    ``run_id`` is the CHECKPOINT IDENTITY (pass the checkpointLocation
+    path): structured streaming epoch ids are monotone only within one
+    checkpoint's lifetime and restart at 0 under a fresh checkpoint dir, so
+    a recovered ``last_epoch`` from a previous checkpoint would silently
+    no-op every microbatch until epoch_id catches up. The marker stores the
+    run identity next to the epoch; when the identity changes, the epoch
+    guard resets instead of swallowing the new run's batches.
 
     Exactly-once via epoch-id idempotence: structured streaming replays a
     failed microbatch under the SAME epoch_id, so a merge whose epoch is
@@ -566,6 +577,10 @@ def make_cdc_merger(spark: SparkSession, base: str, state: dict):
     epochs too.
     """
     state.setdefault("last_epoch", -1)
+    if run_id is not None:
+        if state.get("run_id") not in (None, run_id):
+            state["last_epoch"] = -1  # new checkpoint lifetime: epochs restart at 0
+        state["run_id"] = run_id
     last_struct = F.max(
         F.struct(F.col("ts"), F.col("event_id"), F.col("event_type"), F.col("value"))
     ).alias("last")
@@ -590,7 +605,7 @@ def make_cdc_merger(spark: SparkSession, base: str, state: dict):
         path = f"{base}/v{state['ver']}"
         b.write.mode("overwrite").parquet(path)
         with open(f"{path}/_EPOCH", "w") as fh:
-            fh.write(str(int(epoch_id)))
+            fh.write(f"{int(epoch_id)}\n{state.get('run_id') or ''}")
         state["cur"] = path
         state["last_epoch"] = int(epoch_id)
 
@@ -598,11 +613,17 @@ def make_cdc_merger(spark: SparkSession, base: str, state: dict):
 
 
 def recover_cdc_state(base: str) -> dict:
-    """Restore merger state from the newest version with an _EPOCH marker."""
+    """Restore merger state from the newest version with an _EPOCH marker.
+
+    The marker's second line (when present) is the checkpoint identity the
+    epoch was committed under; ``make_cdc_merger`` resets the epoch guard
+    when the current run's identity differs (epoch ids restart at 0 with a
+    fresh checkpoint location).
+    """
     import os
     import re
 
-    best = {"cur": None, "ver": 0, "last_epoch": -1}
+    best = {"cur": None, "ver": 0, "last_epoch": -1, "run_id": None}
     pat = re.compile(r"^v(\d+)$")
     for d in os.listdir(base) if os.path.isdir(base) else []:
         m = pat.match(d)
@@ -611,11 +632,13 @@ def recover_cdc_state(base: str) -> dict:
             ver = int(m.group(1))
             if ver > int(best["ver"]):
                 with open(marker) as fh:
-                    best = {
-                        "cur": os.path.join(base, d),
-                        "ver": ver,
-                        "last_epoch": int(fh.read().strip()),
-                    }
+                    lines = fh.read().splitlines()
+                best = {
+                    "cur": os.path.join(base, d),
+                    "ver": ver,
+                    "last_epoch": int(lines[0].strip()),
+                    "run_id": (lines[1] or None) if len(lines) > 1 else None,
+                }
     return best
 
 
@@ -659,7 +682,7 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _events_stream(spark, sf_dir)
     base = tempfile.mkdtemp(prefix="hri_cdc_upsert_")
     state: dict[str, object] = {"cur": None, "ver": 0}
-    _merge = make_cdc_merger(spark, base, state)
+    _merge = make_cdc_merger(spark, base, state, run_id=f"{base}/ckpt")
 
     with _pinned_state(spark):
         q = (

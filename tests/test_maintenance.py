@@ -71,3 +71,43 @@ def test_vacuum_never_drops_the_only_version(tmp_path):
     assert out == {"kept": [5], "removed": []}
     with pytest.raises(ValueError):
         vacuum_table_versions(str(tmp_path), keep=0)
+
+
+def _mk_version(root, v, marked):
+    os.makedirs(os.path.join(root, f"v{v}"))
+    with open(os.path.join(root, f"v{v}", "part.parquet"), "w") as fh:
+        fh.write("x")
+    if marked:
+        with open(os.path.join(root, f"v{v}", "_EPOCH"), "w") as fh:
+            fh.write(f"{v}\nckpt-a")
+
+
+def test_vacuum_prefers_dropping_uncommitted_partial_versions(tmp_path):
+    """Crash between parquet write and _EPOCH marker write leaves the
+    numerically-newest version uncommitted; vacuum must drop THAT one and
+    keep the committed versions recover_cdc_state can actually restore."""
+    root = str(tmp_path)
+    for v, marked in ((1, True), (2, True), (3, False)):
+        _mk_version(root, v, marked)
+    out = vacuum_table_versions(root, keep=2)
+    assert out == {"kept": [1, 2], "removed": [3]}
+
+    from hri_flink_validation_passthrough_spark.streaming.windows import (
+        recover_cdc_state,
+    )
+
+    rec = recover_cdc_state(root)
+    assert rec["ver"] == 2 and rec["last_epoch"] == 2 and rec["run_id"] == "ckpt-a"
+
+
+def test_vacuum_newest_marked_version_survives_any_keep(tmp_path):
+    """keep=1 with an uncommitted newest version: the marker-ranked top pick
+    is the partial v4 under pure-number ranking — the newest MARKED version
+    must survive regardless so recovery never loses its anchor."""
+    root = str(tmp_path)
+    for v, marked in ((1, True), (2, True), (3, True), (4, False)):
+        _mk_version(root, v, marked)
+    out = vacuum_table_versions(root, keep=1)
+    assert 3 in out["kept"]  # the recovery anchor
+    assert 4 in out["removed"]  # the uncommitted partial goes first
+    assert out["removed"] == [1, 2, 4]

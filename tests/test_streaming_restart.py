@@ -246,3 +246,53 @@ def test_cdc_merger_replayed_epoch_is_idempotent(spark, tmp_path):
         r["user_id"]: (r["event_type"], r["n_updates"])
         for r in spark.read.parquet(str(rec["cur"])).collect()
     } == {1: ("c", 3), 2: ("e", 2)}
+
+
+def test_cdc_epoch_guard_resets_on_new_checkpoint_identity(spark, tmp_path):
+    """Epoch ids are monotone only within ONE checkpoint lifetime — they
+    restart at 0 under a fresh checkpointLocation. Recovering table state
+    and then pointing the stream at a new checkpoint must NOT swallow the
+    new run's microbatches until epoch_id exceeds the recovered last_epoch;
+    the run-identity line in the _EPOCH marker resets the guard."""
+    import datetime as dt
+    import os
+
+    from hri_flink_validation_passthrough_spark.streaming.windows import (
+        make_cdc_merger,
+        recover_cdc_state,
+    )
+
+    base = str(tmp_path / "cdc")
+    os.makedirs(base)
+    state = {"cur": None, "ver": 0}
+    merge = make_cdc_merger(spark, base, state, run_id="ckpt-old")
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows,
+            "user_id long, event_id long, event_type string, value double, ts timestamp",
+        )
+
+    t = dt.datetime(2024, 1, 1)
+    merge(batch([(1, 1, "a", 1.0, t)]), 0)
+    merge(batch([(1, 2, "b", 2.0, t)]), 1)
+
+    rec = recover_cdc_state(base)
+    assert rec["run_id"] == "ckpt-old" and rec["last_epoch"] == 1
+
+    # restart against a FRESH checkpoint: the engine reissues epoch 0
+    merge2 = make_cdc_merger(spark, base, rec, run_id="ckpt-new")
+    merge2(batch([(1, 3, "c", 3.0, t)]), 0)  # must apply, not no-op
+
+    def snapshot():
+        return {
+            r["user_id"]: (r["event_type"], r["n_updates"])
+            for r in spark.read.parquet(str(rec["cur"])).collect()
+        }
+
+    assert snapshot() == {1: ("c", 3)}
+    # same-run replay still no-ops
+    merge2(batch([(1, 3, "c", 3.0, t)]), 0)
+    assert snapshot() == {1: ("c", 3)} and rec["ver"] == 3
+    # and the new identity is now the committed one
+    assert recover_cdc_state(base)["run_id"] == "ckpt-new"

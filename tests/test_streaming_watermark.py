@@ -114,3 +114,56 @@ def test_drop_duplicates_within_watermark_bounds_state(spark, tmp_path):
     q.awaitTermination()
     got = spark.sql("SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM ddww").collect()[0]
     assert got.n == 50 and got.d == 50
+
+
+def test_dedup_within_watermark_multibatch_replay_matches_oracle(spark, tmp_path):
+    """Round-4 verdict ask #8: stream_dedup_within_watermark's oracle parity
+    rests on the watermark delay EXCEEDING the replay's event-time span, so
+    state is never evicted mid-replay. Pin that guarantee under the exact
+    failure mode it protects against — a MULTI-microbatch replay (one file
+    per trigger, duplicates split across batches): the dedup must still be
+    exact, and the run must genuinely have used several microbatches."""
+    import uuid
+    from datetime import datetime, timedelta
+
+    src = tmp_path / "mbfeed"
+    src.mkdir()
+    base = datetime(2026, 1, 1)
+    # 3 files; every event_id appears in TWO different files so cross-batch
+    # state is what dedups them (intra-batch dedup alone would fail)
+    for part in range(3):
+        rows = [
+            (i, base + timedelta(hours=i))
+            for i in range(100)
+            if i % 3 != part  # id i is present in exactly 2 of the 3 files
+        ]
+        spark.createDataFrame(rows, "event_id long, ts timestamp").coalesce(
+            1
+        ).write.parquet(str(src / f"part{part}"))
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    # same shape as stream_dedup_within_watermark: delay >> event-time span
+    deduped = stream.withWatermark("ts", "3650 days").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    name = f"ddmb_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_batches = sum(
+        1 for p in q.recentProgress if p["numInputRows"] and int(p["numInputRows"]) > 0
+    )
+    assert n_batches >= 3, f"replay must span multiple microbatches, got {n_batches}"
+    got = spark.sql(
+        f"SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM {name}"
+    ).collect()[0]
+    assert got.n == 100 and got.d == 100, "multi-batch replay diverged from exact dedup"
