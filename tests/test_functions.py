@@ -336,3 +336,65 @@ def test_equi_depth_bins_are_balanced(spark):
         assert abs(r["n_rows"] - n / 10) <= 5  # near-unique prices -> tiny slack
     for lo, hi in zip(rows, rows[1:]):
         assert lo["max_price"] <= hi["min_price"]
+
+
+def test_holt_winters_matches_exact_recurrence(spark):
+    """The 4-block matrix-carry truncation in holt_winters_level_trend must
+    stay within 1e-6 of the TRUE sequential Holt-Winters recurrence
+    (l_t = a*y + (1-a)(l+b); b_t = g*(l_t - l_prev) + (1-g)*b), computed
+    here row-by-row in Python over the same densified hourly series."""
+    from datetime import timedelta
+
+    from hri_flink_validation_passthrough_spark.operators.analytics import (
+        HW_ALPHA,
+        HW_BETA,
+        holt_winters_level_trend,
+    )
+    from hri_flink_validation_passthrough_spark.session import load_table, prepare
+
+    sf_dir = "/root/testdata/sf0.001"
+    prepare(spark)
+    e = load_table(spark, sf_dir, "events")
+    from pyspark.sql import functions as F
+
+    hourly = {
+        (r["event_type"], r["hr"]): float(r["n"])
+        for r in e.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+        .collect()
+    }
+    # densify + exact recurrence per type
+    want: dict[tuple[str, object], tuple[float, float]] = {}
+    types = sorted({k[0] for k in hourly})
+    for t in types:
+        hrs = sorted(h for (tt, h) in hourly if tt == t)
+        lo, hi = hrs[0], hrs[-1]
+        lvl = trd = None
+        h = lo
+        while h <= hi:
+            y = hourly.get((t, h), 0.0)
+            if lvl is None:
+                lvl, trd = y, 0.0
+            else:
+                prev = lvl
+                lvl = HW_ALPHA * y + (1 - HW_ALPHA) * (lvl + trd)
+                trd = HW_BETA * (lvl - prev) + (1 - HW_BETA) * trd
+            want[(t, h)] = (lvl, trd)
+            h += timedelta(hours=1)
+
+    got = holt_winters_level_trend(spark, sf_dir).collect()
+    assert len(got) > 0
+    import datetime as dt
+
+    for r in got:
+        key = (
+            r["event_type"],
+            dt.datetime.strptime(r["block_end"], "%Y-%m-%d %H:%M:%S"),
+        )
+        wl, wt = want[key]
+        scale = max(1.0, abs(wl), abs(wt))
+        assert abs(r["level"] - wl) <= 1e-6 * scale + 1e-4, (key, r["level"], wl)
+        assert abs(r["trend"] - wt) <= 1e-6 * scale + 1e-4, (key, r["trend"], wt)
+        assert abs(r["forecast_1h"] - (wl + wt)) <= 1e-6 * scale + 2e-4
