@@ -40,6 +40,19 @@ HEADLINE = [
     "text_quality_score",
 ]
 
+# Second headline set (round-4 verdict ask #6): the expensive families added
+# in rounds 3-4 that the pinned 17-query set never covered. Kept as a
+# SEPARATE metric (metric2/value2/queries2 inside the same JSON line) so the
+# original headline total — and every historical vs_prev row — stays
+# comparable across rounds.
+HEADLINE2 = [
+    "ann_ivfpq_topk",
+    "set_similarity_prefix_join",
+    "decontam_bloom_prefilter",
+    "column_profile_stats",
+    "transitive_closure_depth",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -82,25 +95,30 @@ def main() -> None:
     # the per-round regression signal needs to reflect the plan, not the
     # neighbor's compile job. First pass also warms per-query state
     # (broadcasts, shingle memo) exactly as a repeated production query would.
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = queries[name]
-        reps: list[float] = []
-        for _rep in range(2):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            reps.append(time.perf_counter() - t0)
-        # Adaptive third pass: when the two timings disagree by >25% a
-        # transient hiccup (GC storm, disk stall during localCheckpoint —
-        # observed inflating one query 3.8× for a single run) may span both;
-        # one more sample keeps an outlier from poisoning the round's delta.
-        if min(reps) > 0 and (max(reps) - min(reps)) / min(reps) > 0.25:
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            reps.append(time.perf_counter() - t0)
-        best = min(reps)
-        timings[name] = round(best, 3)
-        print(f"{name}: {best:.3f}s ({len(reps)} reps)", file=sys.stderr)
+    def time_set(names: list[str]) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for name in names:
+            fn = queries[name]
+            reps: list[float] = []
+            for _rep in range(2):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+                reps.append(time.perf_counter() - t0)
+            # Adaptive third pass: when the two timings disagree by >25% a
+            # transient hiccup (GC storm, disk stall during localCheckpoint —
+            # observed inflating one query 3.8× for a single run) may span
+            # both; one more sample keeps an outlier from poisoning the
+            # round's delta.
+            if min(reps) > 0 and (max(reps) - min(reps)) / min(reps) > 0.25:
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+                reps.append(time.perf_counter() - t0)
+            best = min(reps)
+            out[name] = round(best, 3)
+            print(f"{name}: {best:.3f}s ({len(reps)} reps)", file=sys.stderr)
+        return out
+
+    timings = time_set(HEADLINE)
 
     # Reference-parity micro-bench: records/s through the REAL streaming
     # topology (file source → keyed state machine → memory sink). The
@@ -114,12 +132,20 @@ def main() -> None:
     except Exception as e:  # never fail the bench line on the extra metric
         print(f"stream_passthrough failed: {e}", file=sys.stderr)
 
+    timings2 = time_set(HEADLINE2)
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "headline_queries_total_runtime",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        # second metric INSIDE the same JSON line (the driver records one
+        # line): the rounds-3/4 heavy families, totalled separately so the
+        # original headline total stays round-over-round comparable.
+        "metric2": "headline2_queries_total_runtime",
+        "value2": round(sum(timings2.values()), 3),
+        "queries2": timings2,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
 
@@ -150,6 +176,18 @@ def main() -> None:
                 result["vs_prev_total_pct"] = round(
                     100.0 * (total / prev["value"] - 1.0), 1
                 )
+        prev_q2 = prev.get("queries2", {})
+        if prev_q2:
+            result["vs_prev2"] = {
+                name: {
+                    "prev": prev_q2[name],
+                    "delta_pct": round(100.0 * (t / prev_q2[name] - 1.0), 1)
+                    if prev_q2[name]
+                    else None,
+                }
+                for name, t in timings2.items()
+                if name in prev_q2
+            }
     except (OSError, ValueError):
         pass  # first run or unreadable sidecar — no comparison to make
 

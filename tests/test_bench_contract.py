@@ -15,8 +15,21 @@ REPO = os.path.dirname(os.path.abspath(bench.__file__))
 
 def test_headline_names_are_registered_queries():
     registered = set(entrymod._all_specs())
-    missing = [n for n in bench.HEADLINE if n not in registered]
+    missing = [n for n in bench.HEADLINE + bench.HEADLINE2 if n not in registered]
     assert not missing, f"headline queries not registered: {missing}"
+
+
+def test_headline2_key_set_is_pinned():
+    """The second metric's key set (round-4 verdict ask #6) — editing it
+    breaks queries2's round-over-round comparability just like HEADLINE's."""
+    assert bench.HEADLINE2 == [
+        "ann_ivfpq_topk",
+        "set_similarity_prefix_join",
+        "decontam_bloom_prefilter",
+        "column_profile_stats",
+        "transitive_closure_depth",
+    ]
+    assert not set(bench.HEADLINE2) & set(bench.HEADLINE)
 
 
 def test_headline_matches_prev_record_keys():
