@@ -34,7 +34,7 @@ from ..model import COMPLETED, FAILED, SEND_COMPLETED, STARTED, TERMINATED, UNKN
 from ..plans import QuerySpec, register
 from ..session import load_table, prepare
 from ..sources.envelope import events_as_records
-from .passthrough import _derive_control, _summarize
+from .passthrough import _derive_control, _derive_control_agg, _summarize
 
 QUERIES: dict[str, QuerySpec] = {}
 
@@ -50,28 +50,44 @@ def _big():
 _BUCKET_MS = 3_600_000
 
 
-def _outcomes(records: DataFrame, controls: DataFrame, delay_ms: int) -> DataFrame:
+def _outcomes(
+    records: DataFrame,
+    controls: DataFrame | None,
+    delay_ms: int,
+    ctrl_agg: DataFrame | None = None,
+) -> DataFrame:
     """Per-batch outcome table: (batch_id, term_t, completed_t,
     final_status). ``records``: envelope rows with batch_id/time_ms/seq;
-    ``controls``: notification columns + time_ms/seq."""
-    ctrl = controls.groupBy(F.col("id").alias("batch_id")).agg(
-        F.min(F.when(F.col("status") == STARTED, F.col("time_ms"))).alias("started_t"),
-        F.min(F.when(F.col("status") == SEND_COMPLETED, F.col("time_ms"))).alias("sc_t_raw"),
-        F.max(
-            F.when(F.col("status") == SEND_COMPLETED, F.col("expectedRecordCount"))
-        ).alias("expected_raw"),
-        F.min(F.when(F.col("status") == TERMINATED, F.col("time_ms"))).alias("term_t"),
-    )
-    ctrl = ctrl.withColumn(
-        "sc_t",
-        F.when(
-            F.col("term_t").isNotNull() & (F.col("sc_t_raw") >= F.col("term_t")),
-            F.lit(None),
-        ).otherwise(F.col("sc_t_raw")),
-    ).withColumn(
-        "expected",
-        F.when(F.col("sc_t").isNull(), F.lit(None)).otherwise(F.col("expected_raw")),
-    ).select("batch_id", "started_t", "sc_t", "expected", "term_t")
+    ``controls``: notification columns + time_ms/seq. ``ctrl_agg``: the
+    already-aggregated (batch_id, started_t, sc_t, expected, term_t) table
+    (e.g. ``_derive_control_agg``) — skips the control aggregation pass."""
+    if ctrl_agg is not None:
+        ctrl = ctrl_agg
+    else:
+        ctrl = controls.groupBy(F.col("id").alias("batch_id")).agg(
+            F.min(F.when(F.col("status") == STARTED, F.col("time_ms"))).alias("started_t"),
+            F.min(F.when(F.col("status") == SEND_COMPLETED, F.col("time_ms"))).alias("sc_t_raw"),
+            F.max(
+                F.when(F.col("status") == SEND_COMPLETED, F.col("expectedRecordCount"))
+            ).alias("expected_raw"),
+            F.min(F.when(F.col("status") == TERMINATED, F.col("time_ms"))).alias("term_t"),
+        )
+        ctrl = ctrl.withColumn(
+            "sc_t",
+            F.when(
+                F.col("term_t").isNotNull() & (F.col("sc_t_raw") >= F.col("term_t")),
+                F.lit(None),
+            ).otherwise(F.col("sc_t_raw")),
+        ).withColumn(
+            "expected",
+            F.when(F.col("sc_t").isNull(), F.lit(None)).otherwise(F.col("expected_raw")),
+        ).select("batch_id", "started_t", "sc_t", "expected", "term_t")
+
+    # ctrl (per-batch cardinality, tiny) is consumed twice — the broadcast
+    # join into the record stream and the final outcome join. Materialize it
+    # once or each consumer re-runs the control subtree, which is itself a
+    # full events-table aggregation (measured ~0.4 s per extra run at sf0.1).
+    ctrl = ctrl.localCheckpoint(eager=True)
 
     r = records.select("batch_id", "time_ms", "seq").join(
         F.broadcast(ctrl), "batch_id", "left"
@@ -155,12 +171,16 @@ def _outcomes(records: DataFrame, controls: DataFrame, delay_ms: int) -> DataFra
 
 
 def route_records_relational(
-    records: DataFrame, controls: DataFrame, delay_ms: int = 5000
+    records: DataFrame,
+    controls: DataFrame | None,
+    delay_ms: int = 5000,
+    ctrl_agg: DataFrame | None = None,
 ) -> DataFrame:
     """records: envelope-shaped (batch_id, time_ms, seq, key, value, headers)
     where batch_id may be null/unknown; controls: notification columns +
-    time_ms/seq. Returns ROUTED_SCHEMA-shaped rows (data + one notification
-    row per terminal batch) — all JVM-side."""
+    time_ms/seq (or ``ctrl_agg``: the pre-aggregated per-batch control
+    table — one less pass). Returns ROUTED_SCHEMA-shaped rows (data + one
+    notification row per terminal batch) — all JVM-side."""
     # outcomes is consumed TWICE (the broadcast join below and the
     # notifications branch) — without materialization each consumer re-runs
     # the whole _outcomes subtree (two aggregations + two windows over the
@@ -168,7 +188,9 @@ def route_records_relational(
     # per-batch cardinality — tiny at any scale — so an eager localCheckpoint
     # (the same lineage-control trade as dedup_clusters) materializes it once
     # and both consumers read the stored rows.
-    outcomes = _outcomes(records, controls, delay_ms).localCheckpoint(eager=True)
+    outcomes = _outcomes(records, controls, delay_ms, ctrl_agg).localCheckpoint(
+        eager=True
+    )
     # outcomes carries exactly one row per batch_id seen in `controls`, so a
     # single broadcast join both marks known batches and attaches their
     # terminal times — no separate known-ids join over the record stream.
@@ -222,8 +244,12 @@ def _routed_events(spark: SparkSession, sf_dir: str, **ctrl_kw) -> DataFrame:
     from ..sources.envelope import batch_id_from_headers
 
     recs = recs.withColumn("batch_id", batch_id_from_headers())
-    ctrl = _derive_control(e, **ctrl_kw)
-    return route_records_relational(recs, ctrl, delay_ms=5000)
+    # canonical derived controls → the folded one-pass aggregate (ask #7);
+    # scenario queries that splice custom control rows (terminate) build
+    # generic `controls` themselves and skip this helper
+    return route_records_relational(
+        recs, None, delay_ms=5000, ctrl_agg=_derive_control_agg(e, **ctrl_kw)
+    )
 
 
 @register(
