@@ -73,6 +73,7 @@ def _all_specs() -> dict[str, QuerySpec]:
             "dedup",
             "linkage",
             "analytics",
+            "graph",
             "passthrough",
             "passthrough_relational",
         )
@@ -110,6 +111,7 @@ def _all_specs() -> dict[str, QuerySpec]:
             "dedup",
             "linkage",
             "analytics",
+            "graph",
         )
     ] + [
         "hri_flink_validation_passthrough_spark.sources.formats",

@@ -755,6 +755,27 @@ def _ts_oracle() -> str:
     """
 
 
+def _dense_hourly(e: DataFrame) -> DataFrame:
+    """Per-type hourly count series, DENSIFIED: zero-event hours are
+    materialized as 0.0 via a per-type sequence(min,max,1h) grid, so ordered
+    frames over the series cover clock hours, never stitched across gaps.
+    The grid is hourly-aggregate-sized (span hours x types) —
+    data-size-independent after the first groupBy."""
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    span = hourly.groupBy("event_type").agg(
+        F.min("hr").alias("mn"), F.max("hr").alias("mx")
+    )
+    grid = span.select(
+        "event_type",
+        F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))).alias("hr"),
+    )
+    return grid.join(hourly, ["event_type", "hr"], "left").withColumn(
+        "n", F.coalesce("n", F.lit(0.0))
+    )
+
+
 @register(
     QUERIES,
     "ts_subsequence_match",
@@ -775,24 +796,7 @@ def _ts_oracle() -> str:
     "state O(W).",
 )
 def ts_subsequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "events")
-    hourly = e.groupBy(
-        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
-    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
-    # densify per event_type (round-4 ADVICE): a window is 8 consecutive
-    # CLOCK hours; zero-event hours become 0 rather than being stitched
-    # across. The grid is hourly-aggregate-sized (span hours x types),
-    # data-size-independent after the first groupBy.
-    span = hourly.groupBy("event_type").agg(
-        F.min("hr").alias("mn"), F.max("hr").alias("mx")
-    )
-    grid = span.select(
-        "event_type",
-        F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))).alias("hr"),
-    )
-    dense = grid.join(hourly, ["event_type", "hr"], "left").withColumn(
-        "n", F.coalesce("n", F.lit(0.0))
-    )
+    dense = _dense_hourly(_t(spark, sf_dir, "events"))
     w = Window.partitionBy("event_type").orderBy("hr").rowsBetween(0, TS_W - 1)
     s = dense.withColumn("arr", F.collect_list("n").over(w)).filter(
         F.size("arr") == TS_W
@@ -1164,20 +1168,7 @@ def _hw_oracle() -> str:
     "at any series length.",
 )
 def holt_winters_level_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "events")
-    hourly = e.groupBy(
-        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
-    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
-    span = hourly.groupBy("event_type").agg(
-        F.min("hr").alias("mn"), F.max("hr").alias("mx")
-    )
-    grid = span.select(
-        "event_type",
-        F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))).alias("hr"),
-    )
-    dense = grid.join(hourly, ["event_type", "hr"], "left").withColumn(
-        "n", F.coalesce("n", F.lit(0.0))
-    )
+    dense = _dense_hourly(_t(spark, sf_dir, "events"))
     w = Window.partitionBy("event_type").orderBy("hr")
     o = dense.withColumn("rn", F.row_number().over(w) - 1)
     bl = o.select(
@@ -1251,4 +1242,163 @@ def holt_winters_level_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(level).alias("level"),
         rnd(trend).alias("trend"),
         rnd(level + trend).alias("forecast_1h"),
+    )
+
+
+# ---- Additive seasonal decomposition: n = trend + seasonal + residual ----
+SEAS_P = 24  # hour-of-day period
+
+
+def _seasonal_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, hr, n, seasonal, trend, residual) over the densified
+    hourly series — shared by the decomposition and anomaly queries."""
+    dense = _dense_hourly(_t(spark, sf_dir, "events"))
+    # seasonal index: hour-of-day mean minus the series mean (additive,
+    # zero-mean); both are per-type aggregates over the dense grid — 120 and
+    # 5 rows, broadcast back
+    typ = dense.groupBy("event_type").agg(F.avg("n").alias("type_mean"))
+    hod = dense.groupBy(
+        "event_type", F.hour("hr").alias("hod")
+    ).agg(F.avg("n").alias("hod_mean"))
+    # centered moving average over one full period: trend only where the
+    # window is complete so boundary rows don't fake a trend out of a
+    # truncated frame (same ROWS semantics both engines)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(-(SEAS_P // 2 - 1), SEAS_P // 2)
+    )
+    d = (
+        dense.withColumn("hod", F.hour("hr"))
+        .join(F.broadcast(hod), ["event_type", "hod"])
+        .join(F.broadcast(typ), "event_type")
+        .withColumn(
+            "trend",
+            F.when(
+                F.count(F.lit(1)).over(w) == SEAS_P, F.sum("n").over(w) / SEAS_P
+            ),
+        )
+        .withColumn("seasonal", F.col("hod_mean") - F.col("type_mean"))
+        .withColumn("residual", F.col("n") - F.col("trend") - F.col("seasonal"))
+    )
+    return d.select("event_type", "hr", "n", "seasonal", "trend", "residual")
+
+
+_SEAS_ORACLE_BASE = f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(count(*) AS DOUBLE) AS n
+      FROM events GROUP BY 1, 2
+    ), span AS (
+      SELECT event_type, min(hr) AS mn, max(hr) AS mx FROM hourly GROUP BY 1
+    ), grid AS (
+      SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hr
+      FROM span
+    ), dense AS (
+      SELECT g.event_type, g.hr, coalesce(h.n, 0.0) AS n
+      FROM grid g LEFT JOIN hourly h ON g.event_type = h.event_type AND g.hr = h.hr
+    ), typ AS (
+      SELECT event_type, avg(n) AS type_mean FROM dense GROUP BY 1
+    ), hod AS (
+      SELECT event_type, EXTRACT(hour FROM hr) AS hod, avg(n) AS hod_mean
+      FROM dense GROUP BY 1, 2
+    ), d AS (
+      SELECT dense.event_type, dense.hr, dense.n,
+             hod_mean - type_mean AS seasonal,
+             CASE WHEN count(*) OVER win = {SEAS_P}
+                  THEN sum(dense.n) OVER win / {SEAS_P} END AS trend
+      FROM dense
+      JOIN hod ON dense.event_type = hod.event_type
+              AND EXTRACT(hour FROM dense.hr) = hod.hod
+      JOIN typ ON dense.event_type = typ.event_type
+      WINDOW win AS (PARTITION BY dense.event_type ORDER BY hr
+                     ROWS BETWEEN {SEAS_P // 2 - 1} PRECEDING
+                              AND {SEAS_P // 2} FOLLOWING)
+    ), parts AS (
+      SELECT event_type, hr, n, seasonal, trend,
+             n - trend - seasonal AS residual
+      FROM d
+    )
+"""
+
+
+@register(
+    QUERIES,
+    "seasonal_decompose_additive",
+    oracle=_SEAS_ORACLE_BASE
+    + """
+    SELECT event_type,
+           strftime(hr, '%Y-%m-%d %H:%M:%S') AS hour_ts,
+           CAST(n AS BIGINT) AS n,
+           floor(seasonal * 10000 + 0.500001) / 10000 AS seasonal,
+           floor(trend * 10000 + 0.500001) / 10000 AS trend,
+           floor(residual * 10000 + 0.500001) / 10000 AS residual
+    FROM parts
+    """,
+    doc="Classical additive seasonal decomposition of each event type's "
+    "densified hourly series: seasonal = hour-of-day mean minus series mean "
+    "(two tiny per-type aggregates broadcast back), trend = centered "
+    "24-hour moving average (per-key ROWS frame, null where the frame is "
+    "incomplete so boundaries don't fake a trend), residual = n - trend - "
+    "seasonal. All JVM window/agg algebra; at 100 TB the series length is "
+    "time-bounded (~10^4 rows/key/year) regardless of record volume, so "
+    "per-key frames stay trivially small.",
+)
+def seasonal_decompose_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def rnd(c):
+        return F.floor(c * 10000 + F.lit(0.500001)) / 10000
+
+    return _seasonal_parts(spark, sf_dir).select(
+        "event_type",
+        F.date_format("hr", "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),
+        F.col("n").cast("long").alias("n"),
+        rnd(F.col("seasonal")).alias("seasonal"),
+        rnd(F.col("trend")).alias("trend"),
+        rnd(F.col("residual")).alias("residual"),
+    )
+
+
+SEAS_TOP = 5
+
+
+@register(
+    QUERIES,
+    "seasonal_anomaly_topk",
+    oracle=_SEAS_ORACLE_BASE
+    + f"""
+    , ranked AS (
+      SELECT event_type, hr,
+             floor(residual * 10000 + 0.500001) / 10000 AS residual,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY abs(floor(residual * 10000 + 0.500001) / 10000) DESC, hr
+             ) AS rn
+      FROM parts WHERE residual IS NOT NULL
+    )
+    SELECT event_type, strftime(hr, '%Y-%m-%d %H:%M:%S') AS hour_ts, residual
+    FROM ranked WHERE rn <= {SEAS_TOP}
+    """,
+    doc="Seasonality-adjusted anomaly detection: the top-5 hours per event "
+    "type by |residual| of the additive decomposition — spikes that are NOT "
+    "explained by the hour-of-day profile or the local trend. Residuals are "
+    "rounded BEFORE ranking with an hr tiebreak (the engine-noise-at-the-"
+    "rank-boundary rule ts_subsequence_match established).",
+)
+def seasonal_anomaly_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def rnd(c):
+        return F.floor(c * 10000 + F.lit(0.500001)) / 10000
+
+    parts = _seasonal_parts(spark, sf_dir).filter(F.col("residual").isNotNull())
+    parts = parts.withColumn("residual", rnd(F.col("residual")))
+    w = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("residual")).desc(), "hr"
+    )
+    return (
+        parts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= SEAS_TOP)
+        .select(
+            "event_type",
+            F.date_format("hr", "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),
+            "residual",
+        )
     )

@@ -295,3 +295,161 @@ def chunk_overlap_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).cast("long").alias("n_chunk_tokens"),
         F.md5(F.concat_ws(" ", chunk).cast("binary")).alias("chunk_md5"),
     )
+
+
+# ---- Tokenizer-training statistics -----------------------------------------
+BPE_TOP = 30  # merge candidates kept
+
+
+@register(
+    QUERIES,
+    "bpe_pair_merge_stats",
+    oracle=f"""
+    WITH t AS (
+      SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+      FROM documents
+    ), p AS (
+      SELECT unnest(list_transform(range(1, len(toks)),
+                    i -> toks[i] || ' ' || toks[i+1])) AS pair
+      FROM t
+    )
+    SELECT pair, CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM p GROUP BY 1
+    ORDER BY n_occurrences DESC, pair
+    LIMIT {BPE_TOP}
+    """,
+    doc="The statistics pass of one BPE merge step (tokenizer training over "
+    "a corpus): count every ADJACENT symbol pair corpus-wide and rank the "
+    "top merge candidates — here at the whitespace-word level the synthetic "
+    "corpus supports; byte/char level is the same plan with a different "
+    "splitter. zip_with over two shifted slices builds pairs in-row "
+    "(codegen, zero shuffle until the count), one groupBy, "
+    "TakeOrderedAndProject for the top-K. Integer counts with a pair "
+    "tiebreak — no float compare surface at all.",
+)
+def bpe_pair_merge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n = F.size("toks")
+    pairs = F.zip_with(
+        F.slice(F.col("toks"), 1, n - 1),
+        F.slice(F.col("toks"), 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return (
+        d.select(toks.alias("toks"))
+        .select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "pair")
+        .limit(BPE_TOP)
+    )
+
+
+PMI_W = 3  # skip-gram window: pairs (tok_i, tok_{i+k}) for k = 1..3
+PMI_MIN = 5  # minimum pair count to score
+PMI_TOP = 25
+
+
+@register(
+    QUERIES,
+    "pmi_cooccurrence_topk",
+    oracle=f"""
+    WITH t AS (
+      SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+      FROM documents
+    ), pr AS (
+      SELECT unnest(
+               list_transform(range(1, len(toks)),
+                              i -> toks[i] || ' ' || toks[i+1])
+            || list_transform(range(1, len(toks) - 1),
+                              i -> toks[i] || ' ' || toks[i+2])
+            || list_transform(range(1, len(toks) - 2),
+                              i -> toks[i] || ' ' || toks[i+3])) AS pair
+      FROM t
+    ), pc AS (
+      SELECT pair, count(*) AS c FROM pr GROUP BY 1
+    ), u AS (SELECT unnest(toks) AS w FROM t),
+    uc AS (SELECT w, count(*) AS c FROM u GROUP BY 1),
+    tots AS (
+      SELECT (SELECT count(*) FROM pr) AS tp, (SELECT count(*) FROM u) AS tu
+    ), scored AS (
+      SELECT pc.pair, pc.c AS n_pair,
+             ln((pc.c * 1.0 * tu * tu) / (tp * 1.0 * ca.c * cb.c)) AS pmi
+      FROM pc CROSS JOIN tots
+      JOIN uc ca ON ca.w = split_part(pc.pair, ' ', 1)
+      JOIN uc cb ON cb.w = split_part(pc.pair, ' ', 2)
+      WHERE pc.c >= {PMI_MIN}
+    )
+    SELECT pair, CAST(n_pair AS BIGINT) AS n_pair,
+           floor(pmi * 1000000 + 0.500001) / 1000000 AS pmi
+    FROM scored
+    ORDER BY pmi DESC, pair
+    LIMIT {PMI_TOP}
+    """,
+    doc="Pointwise mutual information over skip-gram co-occurrences (the "
+    "word2vec-SGNS / GloVe preprocessing statistic): pairs (tok_i, "
+    "tok_(i+k)) for k<=3 built in-row from shifted slices, pair + unigram "
+    "count tables, PMI = ln(c_ab*Tu^2 / (Tp*c_a*c_b)) with the two corpus "
+    "totals as a 1-row broadcast. Unigram counts join back via the pair's "
+    "two words (broadcast — vocabulary-sized). Rounded-6 PMI before the "
+    "top-K with pair tiebreak. Linear output amplification W per token; "
+    "at 100 TB the only non-linear object is the vocabulary-sized count "
+    "table, which stays broadcastable by Zipf's law (or hash-joins if not).",
+)
+def pmi_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    t = d.select(toks.alias("toks"))
+    n = F.size("toks")
+
+    def shifted_pairs(k: int):
+        return F.zip_with(
+            F.slice(F.col("toks"), 1, n - k),
+            F.slice(F.col("toks"), 1 + k, n - k),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+
+    pr = t.select(
+        F.explode(
+            F.concat(*[shifted_pairs(k) for k in range(1, PMI_W + 1)])
+        ).alias("pair")
+    )
+    pc = pr.groupBy("pair").agg(F.count(F.lit(1)).alias("n_pair"))
+    u = t.select(F.explode("toks").alias("w"))
+    uc = u.groupBy("w").agg(F.count(F.lit(1)).alias("c")).persist()
+    tots = pr.groupBy().agg(F.count(F.lit(1)).alias("tp")).crossJoin(
+        u.groupBy().agg(F.count(F.lit(1)).alias("tu"))
+    )
+    ca = uc.select(F.col("w").alias("wa"), F.col("c").alias("ca"))
+    cb = uc.select(F.col("w").alias("wb"), F.col("c").alias("cb"))
+    scored = (
+        pc.filter(F.col("n_pair") >= PMI_MIN)
+        .crossJoin(F.broadcast(tots))
+        .join(
+            F.broadcast(ca),
+            F.substring_index("pair", " ", 1) == F.col("wa"),
+        )
+        .join(
+            F.broadcast(cb),
+            F.substring_index("pair", " ", -1) == F.col("wb"),
+        )
+        .withColumn(
+            "pmi",
+            F.log(
+                (F.col("n_pair") * 1.0 * F.col("tu") * F.col("tu"))
+                / (F.col("tp") * 1.0 * F.col("ca") * F.col("cb"))
+            ),
+        )
+    )
+    return (
+        scored.select(
+            "pair",
+            F.col("n_pair").cast("long").alias("n_pair"),
+            (F.floor(F.col("pmi") * 1000000 + F.lit(0.500001)) / 1000000).alias(
+                "pmi"
+            ),
+        )
+        .orderBy(F.col("pmi").desc(), "pair")
+        .limit(PMI_TOP)
+    )

@@ -48,6 +48,7 @@ ALLOWED_NESTED_LOOP = {
     "bm25_keyword_search": "1-row corpus-stats (N, avgdl, df) broadcast cross join",
     "tfidf_top_terms": "1-row corpus-size (N) broadcast cross join",
     "market_basket_lift": "1-row basket-count (N) scalar broadcast cross join",
+    "pmi_cooccurrence_topk": "1-row corpus-totals (Tp, Tu) scalar broadcast cross join",
     "rfm_customer_segments": "1-row cutoff-date scalar broadcast cross join",
 }
 
