@@ -1402,3 +1402,152 @@ def seasonal_anomaly_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "residual",
         )
     )
+
+
+# ---- Cohort retention + session transition matrix ------------------------
+
+
+@register(
+    QUERIES,
+    "cohort_retention_weekly",
+    oracle="""
+    WITH first AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort
+      FROM events GROUP BY 1
+    ), size_ AS (
+      SELECT cohort, count(*) AS cohort_size FROM first GROUP BY 1
+    ), act AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+    )
+    SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', f.cohort, a.wk) // 7 AS BIGINT) AS weeks_since,
+           CAST(count(*) AS BIGINT) AS n_active,
+           CAST(any_value(s.cohort_size) AS BIGINT) AS cohort_size,
+           floor(count(*) * 1.0 / any_value(s.cohort_size) * 10000 + 0.500001)
+             / 10000 AS retention_pct
+    FROM act a
+    JOIN first f ON a.user_id = f.user_id
+    JOIN size_ s ON f.cohort = s.cohort
+    GROUP BY f.cohort, weeks_since
+    """,
+    doc="Weekly cohort retention matrix (the classic growth-analytics "
+    "triangle): cohort = week of first activity per user, n_active = "
+    "distinct users of that cohort active k weeks later, retention = "
+    "n_active / cohort_size. Two aggregations + one join; the cohort-size "
+    "table is week-cardinality (broadcast at any data size). Integer week "
+    "arithmetic (day-diff // 7), floor-nudge on the single ratio.",
+)
+def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    first = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    size_ = first.groupBy("cohort").agg(F.count(F.lit(1)).alias("cohort_size"))
+    act = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    ).distinct()
+    joined = (
+        act.join(first, "user_id")
+        .join(F.broadcast(size_), "cohort")
+        .withColumn(
+            "weeks_since",
+            F.floor(F.datediff("wk", "cohort") / 7).cast("long"),
+        )
+    )
+    return joined.groupBy("cohort", "weeks_since").agg(
+        F.count(F.lit(1)).alias("n_active"),
+        F.any_value("cohort_size").cast("long").alias("cohort_size"),
+        (
+            F.floor(
+                F.count(F.lit(1)) * 1.0 / F.any_value("cohort_size") * 10000
+                + F.lit(0.500001)
+            )
+            / 10000
+        ).alias("retention_pct"),
+    ).select(
+        F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+        "weeks_since",
+        "n_active",
+        "cohort_size",
+        "retention_pct",
+    )
+
+
+@register(
+    QUERIES,
+    "session_transition_matrix",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR date_diff('second', lag(ts) OVER w, ts) > {SESSION_GAP_S}
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM flagged
+    ), trans AS (
+      SELECT event_type AS src,
+             lead(event_type) OVER (PARTITION BY user_id, sess_id
+                                    ORDER BY ts, event_id) AS dst
+      FROM sess
+    ), c AS (
+      SELECT src, dst, count(*) AS n_transitions
+      FROM trans WHERE dst IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT src, dst, CAST(n_transitions AS BIGINT) AS n_transitions,
+           floor(n_transitions * 1.0 / sum(n_transitions) OVER (PARTITION BY src)
+                 * 1000000 + 0.500001) / 1000000 AS prob
+    FROM c
+    """,
+    doc="First-order Markov transition matrix over within-session event "
+    "sequences (user-journey analytics): sessionize with the 30-min gap "
+    "rule (lag + running sum, per-user windows), pair consecutive events "
+    "via lead within (user, session), count src->dst transitions, row-"
+    "normalize into probabilities (the per-src normalizing window runs over "
+    "the TYPE-PAIR table — 25 rows — not the event stream). Floor-nudged "
+    "ratio; all integer counts otherwise.",
+)
+def session_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.withColumn(
+        "new_sess",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+                > SESSION_GAP_S
+            ),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "sess_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    ws = Window.partitionBy("user_id", "sess_id").orderBy("ts", "event_id")
+    trans = sess.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(ws).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    c = trans.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n_transitions"))
+    wnorm = Window.partitionBy("src")
+    return c.select(
+        "src",
+        "dst",
+        F.col("n_transitions").cast("long").alias("n_transitions"),
+        (
+            F.floor(
+                F.col("n_transitions")
+                * 1.0
+                / F.sum("n_transitions").over(wnorm)
+                * 1000000
+                + F.lit(0.500001)
+            )
+            / 1000000
+        ).alias("prob"),
+    )

@@ -227,6 +227,16 @@ BM25_TOP_K = 20
     "final k-row merge.",
 )
 def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _bm25_scored(spark, sf_dir)
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(BM25_TOP_K)
+    )
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, score): the rounded BM25 score for every document — shared
+    by the pure keyword search and the RRF hybrid fusion."""
     prepare(spark)
     d = load_table(spark, sf_dir, "documents")
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
@@ -260,11 +270,8 @@ def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (tf + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")))
         )
         score = term if score is None else score + term
-    return (
-        per_doc.join(F.broadcast(stats))
-        .select("doc_id", F.round(score, 6).alias("score"))
-        .orderBy(F.col("score").desc(), "doc_id")
-        .limit(BM25_TOP_K)
+    return per_doc.join(F.broadcast(stats)).select(
+        "doc_id", F.round(score, 6).alias("score")
     )
 
 
@@ -782,4 +789,137 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         reranked.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= TOP_K)
+    )
+
+
+# ---- Hybrid retrieval: reciprocal-rank fusion of dense + sparse channels --
+RRF_K = 60  # the standard RRF smoothing constant
+RRF_DEPTH = 50  # per-channel candidate depth
+RRF_TOP = 15
+RRF_QID = 0  # the query: embedding vec_id 0 / its 1:1 document
+
+
+def _rrf_oracle() -> str:
+    tf_cols = ", ".join(
+        f"len(list_filter(toks, x -> x = '{w}')) AS tf_{i}"
+        for i, w in enumerate(BM25_TERMS)
+    )
+    df_cols = ", ".join(
+        f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(BM25_TERMS))
+    )
+    score = " + ".join(
+        f"ln(1 + (n_docs - df_{i} + 0.5) / (df_{i} + 0.5))"
+        f" * tf_{i} * ({BM25_K1} + 1)"
+        f" / (tf_{i} + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / avgdl))"
+        for i in range(len(BM25_TERMS))
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+      FROM documents
+    ), per_doc AS (
+      SELECT doc_id, len(toks) AS dl, {tf_cols} FROM t
+    ), stats AS (
+      SELECT count(*) AS n_docs, avg(dl) AS avgdl, {df_cols} FROM per_doc
+    ), sparse_scored AS (
+      SELECT doc_id, round({score}, 6) AS score FROM per_doc CROSS JOIN stats
+    ), sparse AS (
+      SELECT doc_id, rs FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY score DESC, doc_id) AS rs
+        FROM sparse_scored
+      ) WHERE rs <= {RRF_DEPTH}
+    ), v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), dense_scored AS (
+      SELECT vec_id AS doc_id,
+             round(list_cosine_similarity(
+               e, (SELECT e FROM v WHERE vec_id = {RRF_QID})), 6) AS sim
+      FROM v WHERE vec_id != {RRF_QID}
+    ), dense AS (
+      SELECT doc_id, rd FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY sim DESC, doc_id) AS rd
+        FROM dense_scored
+      ) WHERE rd <= {RRF_DEPTH}
+    ), fused AS (
+      SELECT coalesce(d.doc_id, s.doc_id) AS doc_id, d.rd, s.rs
+      FROM dense d FULL OUTER JOIN sparse s ON d.doc_id = s.doc_id
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST((CASE WHEN rd IS NOT NULL THEN 1 ELSE 0 END)
+                + (CASE WHEN rs IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_channels,
+           floor((coalesce(1.0 / ({RRF_K} + rd), 0)
+                  + coalesce(1.0 / ({RRF_K} + rs), 0)) * 1000000 + 0.500001)
+             / 1000000 AS rrf_score
+    FROM fused
+    ORDER BY rrf_score DESC, doc_id
+    LIMIT {RRF_TOP}
+    """
+
+
+@register(
+    QUERIES,
+    "hybrid_search_rrf",
+    oracle=_rrf_oracle(),
+    doc="Hybrid retrieval via reciprocal-rank fusion (the RAG-stack "
+    "standard): a dense channel (cosine against query vector vec_id=0 over "
+    "the 1:1 doc-aligned embeddings) and a sparse channel (BM25 over the "
+    "fixed term set, shared scorer with bm25_keyword_search) each produce a "
+    "depth-50 ranking via TakeOrderedAndProject — parallel partial top-k, "
+    "never a full sort; rank assignment then runs over the 50-row channel "
+    "results only. Fused score = sum of 1/(60+rank) across channels "
+    "(missing channel contributes 0), top-15 with doc_id tiebreak. Both "
+    "channel rankings cut on rounded scores with id tiebreaks, so ranks "
+    "are engine-deterministic before fusion.",
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sparse channel: shared BM25 scorer -> top-DEPTH -> rank the 50 rows
+    sparse_top = (
+        _bm25_scored(spark, sf_dir)
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(RRF_DEPTH)
+    )
+    w_s = Window.orderBy(F.col("score").desc(), "doc_id")
+    sparse = sparse_top.select(
+        "doc_id", F.row_number().over(w_s).alias("rs")
+    )
+
+    # dense channel: 1-row query broadcast x candidate scan -> top-DEPTH
+    v = _emb(spark, sf_dir)
+    qe = v.filter(F.col("vec_id") == RRF_QID).select(F.col("e").alias("qe"))
+    dense_top = (
+        v.filter(F.col("vec_id") != RRF_QID)
+        .crossJoin(F.broadcast(qe))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine_similarity(F.col("qe"), F.col("e")), 6).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), "doc_id")
+        .limit(RRF_DEPTH)
+    )
+    w_d = Window.orderBy(F.col("sim").desc(), "doc_id")
+    dense = dense_top.select("doc_id", F.row_number().over(w_d).alias("rd"))
+
+    fused = dense.join(sparse, "doc_id", "full_outer")
+    rrf = F.coalesce(1.0 / (RRF_K + F.col("rd")), F.lit(0.0)) + F.coalesce(
+        1.0 / (RRF_K + F.col("rs")), F.lit(0.0)
+    )
+    return (
+        fused.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            (
+                F.col("rd").isNotNull().cast("int")
+                + F.col("rs").isNotNull().cast("int")
+            )
+            .cast("long")
+            .alias("n_channels"),
+            (F.floor(rrf * 1000000 + F.lit(0.500001)) / 1000000).alias(
+                "rrf_score"
+            ),
+        )
+        .orderBy(F.col("rrf_score").desc(), "doc_id")
+        .limit(RRF_TOP)
     )

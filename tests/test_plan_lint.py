@@ -49,6 +49,7 @@ ALLOWED_NESTED_LOOP = {
     "tfidf_top_terms": "1-row corpus-size (N) broadcast cross join",
     "market_basket_lift": "1-row basket-count (N) scalar broadcast cross join",
     "pmi_cooccurrence_topk": "1-row corpus-totals (Tp, Tu) scalar broadcast cross join",
+    "hybrid_search_rrf": "1-row query-vector broadcast cross join (dense channel)",
     "rfm_customer_segments": "1-row cutoff-date scalar broadcast cross join",
 }
 
@@ -58,6 +59,7 @@ ALLOWED_NESTED_LOOP = {
 ALLOWED_GLOBAL_SORT = {
     "sequence_packing": "block-total exclusive prefix: one row per PACK_BLOCK docs (N/64 rows), broadcast back; the record-level cumsum is partitioned by blk",
     "max_concurrent_sessions": "day-total offset window: ONE ROW PER DAY (thousands at a century of data); the event-level running sum is partitioned by day",
+    "hybrid_search_rrf": "rank assignment over the two depth-50 TakeOrderedAndProject channel outputs — k rows by construction, data-size-independent; the corpus-wide cut itself is the parallel partial top-k",
 }
 
 # queries that EXECUTE work when constructed (streaming boots a query; these
