@@ -1404,73 +1404,7 @@ def seasonal_anomaly_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---- Cohort retention + session transition matrix ------------------------
-
-
-@register(
-    QUERIES,
-    "cohort_retention_weekly",
-    oracle="""
-    WITH first AS (
-      SELECT user_id, date_trunc('week', min(ts)) AS cohort
-      FROM events GROUP BY 1
-    ), size_ AS (
-      SELECT cohort, count(*) AS cohort_size FROM first GROUP BY 1
-    ), act AS (
-      SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
-    )
-    SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_week,
-           CAST(date_diff('day', f.cohort, a.wk) // 7 AS BIGINT) AS weeks_since,
-           CAST(count(*) AS BIGINT) AS n_active,
-           CAST(any_value(s.cohort_size) AS BIGINT) AS cohort_size,
-           floor(count(*) * 1.0 / any_value(s.cohort_size) * 10000 + 0.500001)
-             / 10000 AS retention_pct
-    FROM act a
-    JOIN first f ON a.user_id = f.user_id
-    JOIN size_ s ON f.cohort = s.cohort
-    GROUP BY f.cohort, weeks_since
-    """,
-    doc="Weekly cohort retention matrix (the classic growth-analytics "
-    "triangle): cohort = week of first activity per user, n_active = "
-    "distinct users of that cohort active k weeks later, retention = "
-    "n_active / cohort_size. Two aggregations + one join; the cohort-size "
-    "table is week-cardinality (broadcast at any data size). Integer week "
-    "arithmetic (day-diff // 7), floor-nudge on the single ratio.",
-)
-def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "events")
-    first = e.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).alias("cohort")
-    )
-    size_ = first.groupBy("cohort").agg(F.count(F.lit(1)).alias("cohort_size"))
-    act = e.select(
-        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
-    ).distinct()
-    joined = (
-        act.join(first, "user_id")
-        .join(F.broadcast(size_), "cohort")
-        .withColumn(
-            "weeks_since",
-            F.floor(F.datediff("wk", "cohort") / 7).cast("long"),
-        )
-    )
-    return joined.groupBy("cohort", "weeks_since").agg(
-        F.count(F.lit(1)).alias("n_active"),
-        F.any_value("cohort_size").cast("long").alias("cohort_size"),
-        (
-            F.floor(
-                F.count(F.lit(1)) * 1.0 / F.any_value("cohort_size") * 10000
-                + F.lit(0.500001)
-            )
-            / 10000
-        ).alias("retention_pct"),
-    ).select(
-        F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
-        "weeks_since",
-        "n_active",
-        "cohort_size",
-        "retention_pct",
-    )
+# ---- Session transition matrix (user-journey Markov chain) ---------------
 
 
 @register(

@@ -386,3 +386,56 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "content")
     )
     return resize_blobs(blobs)
+
+
+# ---- Arrow-level batch processing (mapInArrow) ---------------------------
+
+
+def arrow_byte_stats(blobs: DataFrame) -> DataFrame:
+    """Per-blob byte statistics computed at the Arrow RecordBatch level via
+    ``mapInArrow`` — no pandas materialization at all: columns stay Arrow
+    buffers end-to-end, which is the right execution tier for bulk
+    binary-payload work (pandas would copy every blob into Python objects).
+    Complements the mapInPandas operators above: together the module
+    exercises both Python batch APIs against the same blob table."""
+    import pyarrow as pa
+
+    schema = "doc_id long, n_bytes long, n_spaces long"
+
+    def op(batches):
+        import pyarrow.compute as pc
+
+        for b in batches:
+            content = b.column(b.schema.get_field_index("content"))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(b.schema.get_field_index("doc_id")),
+                    pc.cast(pc.binary_length(content), pa.int64()),
+                    pc.cast(
+                        pc.count_substring(pc.cast(content, pa.string()), " "),
+                        pa.int64(),
+                    ),
+                ],
+                ["doc_id", "n_bytes", "n_spaces"],
+            )
+
+    return blobs.select("doc_id", "content").mapInArrow(op, schema)
+
+
+@register(
+    QUERIES,
+    "multimodal_arrow_byte_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(len(text) - len(replace(text, ' ', '')) AS BIGINT) AS n_spaces
+    FROM documents
+    """,
+    doc="Blob byte statistics through mapInArrow (RecordBatch in, "
+    "RecordBatch out — zero pandas conversion, the bulk-binary execution "
+    "tier): byte length + ASCII-space count per blob via pyarrow.compute "
+    "kernels. Oracle recomputes both from the text column. Pure map-side; "
+    "Arrow buffers never copy into Python objects.",
+)
+def multimodal_arrow_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return arrow_byte_stats(documents_as_blobs(spark, sf_dir))

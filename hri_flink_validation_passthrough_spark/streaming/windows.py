@@ -16,7 +16,7 @@ from __future__ import annotations
 import contextlib
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans import QuerySpec, register
@@ -700,4 +700,59 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 2).alias("last_value"),
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
         F.col("n_updates").cast("long").alias("n_updates"),
+    )
+
+
+STREAM_TOPK = 3
+
+
+@register(
+    QUERIES,
+    "stream_windowed_topk_users",
+    oracle=f"""
+    WITH w AS (
+      SELECT time_bucket(INTERVAL '6 hours', ts) AS ws, user_id,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), r AS (
+      SELECT ws, user_id, n,
+             row_number() OVER (PARTITION BY ws
+                                ORDER BY n DESC, user_id) AS rnk
+      FROM w
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           user_id,
+           CAST(n AS BIGINT) AS n,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= {STREAM_TOPK}
+    """,
+    doc="Streaming windowed top-k: per-user counts in 6h tumbling windows "
+    "maintained by the REAL streaming engine (stateful windowed "
+    "aggregation, complete mode), then the top-3 users per window ranked "
+    "on the materialized per-(window,user) table — window-cardinality, "
+    "data-size-independent after the stream reduces it. Ranking inside the "
+    "stream itself is not expressible (no windows-over-aggregates in "
+    "streaming); this aggregate-then-rank split IS the production shape "
+    "(e.g. a dashboard ranking a live counter table). Integer counts + id "
+    "tiebreak, epoch-aligned buckets both engines.",
+)
+def stream_windowed_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events_stream(spark, sf_dir)
+    agg = (
+        e.groupBy(F.window("ts", "6 hours"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "user_id",
+            "n",
+        )
+    )
+    rows = _run_to_table(agg, "topkwin")
+    w = Window.partitionBy("window_start").orderBy(F.desc("n"), "user_id")
+    return (
+        rows.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= STREAM_TOPK)
+        .select("window_start", "user_id", F.col("n").cast("long").alias("n"), "rnk")
     )
