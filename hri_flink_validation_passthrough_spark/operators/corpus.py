@@ -453,3 +453,127 @@ def pmi_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi").desc(), "pair")
         .limit(PMI_TOP)
     )
+
+
+# ---- Train/val/test split + length-bucketed batching ----------------------
+SPLIT_TEST_PCT = 5
+SPLIT_VAL_PCT = 5  # val occupies [test, test+val)
+
+
+@register(
+    QUERIES,
+    "corpus_train_val_test_split",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, source, n_chars,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|split-v1'), 1, 8))::BIGINT
+               % 100 AS b
+      FROM documents
+    ), s AS (
+      SELECT source,
+             CASE WHEN b < {SPLIT_TEST_PCT} THEN 'test'
+                  WHEN b < {SPLIT_TEST_PCT + SPLIT_VAL_PCT} THEN 'val'
+                  ELSE 'train' END AS split,
+             n_chars
+      FROM h
+    )
+    SELECT source, split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars
+    FROM s GROUP BY 1, 2
+    """,
+    doc="Deterministic content-independent train/val/test split (5/5/90) "
+    "via salted md5(doc_id) buckets — the split every training corpus "
+    "needs, reproducible across engines, runs, and data relocations "
+    "because it depends on the id alone (no rand(), no ordering). "
+    "Per-(source, split) doc/char totals audit stratification drift. "
+    "Pure map-side expression + one aggregation.",
+)
+def corpus_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    b = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|split-v1"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    split = (
+        F.when(b < SPLIT_TEST_PCT, "test")
+        .when(b < SPLIT_TEST_PCT + SPLIT_VAL_PCT, "val")
+        .otherwise("train")
+    )
+    return d.groupBy("source", split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+    )
+
+
+LB_WIDTH = 32  # token-length bucket width
+LB_BATCH = 16  # sequences per batch
+
+
+@register(
+    QUERIES,
+    "length_bucket_batching",
+    oracle=f"""
+    WITH t AS (
+      SELECT len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_tokens
+      FROM documents
+    ), b AS (
+      SELECT n_tokens // {LB_WIDTH} AS bucket, n_tokens FROM t
+    ), g AS (
+      SELECT bucket, count(*) AS n_docs, max(n_tokens) AS max_tokens,
+             sum(n_tokens) AS total_tokens,
+             (count(*) + {LB_BATCH} - 1) // {LB_BATCH} AS n_batches
+      FROM b GROUP BY 1
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_batches AS BIGINT) AS n_batches,
+           CAST(max_tokens AS BIGINT) AS max_tokens,
+           floor((1.0 - total_tokens * 1.0 / (n_batches * {LB_BATCH} * max_tokens))
+                 * 10000 + 0.500001) / 10000 AS pad_waste_pct
+    FROM g
+    """,
+    doc="Length-bucketed batch packing audit (the dynamic-batching "
+    "preprocessing every trainer does to cut padding): docs bucketed by "
+    "token length / 32, per-bucket batch count at 16 sequences/batch, and "
+    "the padding-waste fraction if each batch pads to the bucket's max "
+    "length. Pure integer bucket algebra + one aggregation; the single "
+    "ratio is floor-nudged. Complements sequence_packing (which packs "
+    "WITHOUT padding) by quantifying what padding costs instead.",
+)
+def length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    b = d.select(
+        F.floor(n_tokens / LB_WIDTH).cast("long").alias("bucket"),
+        n_tokens.alias("n_tokens"),
+    )
+    g = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("n_tokens").alias("max_tokens"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+    n_batches = F.floor((F.col("n_docs") + LB_BATCH - 1) / LB_BATCH).cast("long")
+    waste = 1.0 - F.col("total_tokens") * 1.0 / (
+        F.col("n_batches") * LB_BATCH * F.col("max_tokens")
+    )
+    return (
+        g.withColumn("n_batches", n_batches)
+        .select(
+            "bucket",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            "n_batches",
+            F.col("max_tokens").cast("long").alias("max_tokens"),
+            (F.floor(waste * 10000 + F.lit(0.500001)) / 10000).alias(
+                "pad_waste_pct"
+            ),
+        )
+    )
