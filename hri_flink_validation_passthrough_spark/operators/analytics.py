@@ -945,11 +945,13 @@ def _rfm_oracle() -> str:
     "values (the engine-stable quantile rule equi_depth_histogram uses; "
     "monetary is rounded to cents first so per-customer sums are "
     "cross-engine-identical), and the 6 collected boundary values bin every "
-    "customer map-side into 27 segments. Cumulative counts use the banded "
-    "two-level prefix sum (no single-task sort over the customer-cardinality "
-    "monetary domain; only the tiny band table sees a global window), so "
-    "the boundary job itself holds at 100 TB — approx_percentile remains an "
-    "optional cheaper swap, no longer a scale necessity.",
+    "customer map-side into 27 segments. All THREE dimensions' boundaries "
+    "come from ONE melted job (explode r/f/m into (dim, v) rows — was three "
+    "sequential collects, 3x the wall time), using the banded two-level "
+    "prefix sum with dim in every partition key: no single-task sort "
+    "anywhere, even the band-offset windows are dim-partitioned. "
+    "approx_percentile remains an optional cheaper swap, no longer a scale "
+    "necessity.",
 )
 def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
@@ -967,51 +969,77 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rfm = rfm.persist()
 
-    def bounds(dim: str, band: float) -> list[float]:
-        d = rfm.groupBy(F.col(dim).alias("v")).agg(F.count(F.lit(1)).alias("cnt"))
-        # Two-level cumulative count (equi_depth_histogram's scheme): the
-        # per-value ranking sort is PARTITIONED by a coarse value band, so
-        # even the customer-cardinality monetary domain never funnels into a
-        # single-task sort; only the band-count table (domain-range/band
-        # rows, data-size-independent) sees a single-partition window.
-        d = d.withColumn("cb", F.floor(F.col("v").cast("double") / band))
-        w_in = Window.partitionBy("cb").orderBy("v").rowsBetween(
-            Window.unboundedPreceding, 0
-        )
-        intra = d.withColumn("intra", F.sum("cnt").over(w_in))
-        bands = d.groupBy("cb").agg(F.sum("cnt").alias("band_cnt"))
-        w_off = Window.orderBy("cb").rowsBetween(Window.unboundedPreceding, -1)
-        w_all = Window.orderBy("cb").rowsBetween(
-            Window.unboundedPreceding, Window.unboundedFollowing
-        )
-        offsets = bands.select(
-            "cb",
-            F.coalesce(F.sum("band_cnt").over(w_off), F.lit(0)).alias("off"),
-            F.sum("band_cnt").over(w_all).alias("n"),
-        )
-        c = intra.join(F.broadcast(offsets), "cb").select(
-            "v", (F.col("intra") + F.col("off")).alias("cum"), "n"
-        )
-        rows = (
-            c.select(
-                "v",
-                "cum",
-                "n",
-                F.explode(F.sequence(F.lit(1), F.lit(RFM_BINS - 1))).alias("k"),
+    # ONE boundary job for all three dimensions (was three sequential
+    # collect jobs, each re-reading the persisted rfm table): melt (r, f, m)
+    # into (dim, v) rows and run the banded two-level cumulative-count
+    # scheme (equi_depth_histogram's) with dim in every partition key — so
+    # even the band-offset windows are dim-partitioned, and the per-value
+    # ranking sort is further split by a coarse value band, never a single
+    # task on the customer-cardinality monetary domain.
+    bands_by_dim = {"r": 30.0, "f": 5.0, "m": 1000.0}
+    melted = rfm.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(dim).alias("dim"),
+                        F.col(dim).cast("double").alias("v"),
+                        F.lit(band).alias("band"),
+                    )
+                    for dim, band in bands_by_dim.items()
+                ]
             )
-            .filter(F.lit(RFM_BINS) * F.col("cum") >= F.col("k") * F.col("n"))
-            .groupBy("k")
-            .agg(F.min("v").alias("bv"))
-            .collect()
+        ).alias("x")
+    ).select("x.dim", "x.v", "x.band")
+    d = melted.groupBy("dim", "v", "band").agg(F.count(F.lit(1)).alias("cnt"))
+    d = d.withColumn("cb", F.floor(F.col("v") / F.col("band")))
+    w_in = Window.partitionBy("dim", "cb").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    intra = d.withColumn("intra", F.sum("cnt").over(w_in))
+    bands_t = d.groupBy("dim", "cb").agg(F.sum("cnt").alias("band_cnt"))
+    w_off = (
+        Window.partitionBy("dim")
+        .orderBy("cb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = (
+        Window.partitionBy("dim")
+        .orderBy("cb")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    offsets = bands_t.select(
+        "dim",
+        "cb",
+        F.coalesce(F.sum("band_cnt").over(w_off), F.lit(0)).alias("off"),
+        F.sum("band_cnt").over(w_all).alias("n"),
+    )
+    c = intra.join(F.broadcast(offsets), ["dim", "cb"]).select(
+        "dim", "v", (F.col("intra") + F.col("off")).alias("cum"), "n"
+    )
+    brows = (
+        c.select(
+            "dim",
+            "v",
+            "cum",
+            "n",
+            F.explode(F.sequence(F.lit(1), F.lit(RFM_BINS - 1))).alias("k"),
         )
-        return [float(r["bv"]) for r in sorted(rows, key=lambda r: r["k"])]
+        .filter(F.lit(RFM_BINS) * F.col("cum") >= F.col("k") * F.col("n"))
+        .groupBy("dim", "k")
+        .agg(F.min("v").alias("bv"))
+        .collect()  # 2 boundaries x 3 dims = 6 rows, one job
+    )
+    bvs: dict[str, list[float]] = {dim: [] for dim in bands_by_dim}
+    for row in sorted(brows, key=lambda r: (r["dim"], r["k"])):
+        bvs[row["dim"]].append(float(row["bv"]))
 
     def bin_col(dim: str, bs: list[float]):
         return F.size(
             F.filter(F.lit(bs), lambda b: F.col(dim).cast("double") > b)
         )
 
-    rb, fb, mb = bounds("r", 30.0), bounds("f", 5.0), bounds("m", 1000.0)
+    rb, fb, mb = bvs["r"], bvs["f"], bvs["m"]
     seg = F.concat_ws(
         "",
         bin_col("r", rb).cast("string"),
