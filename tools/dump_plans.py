@@ -52,6 +52,13 @@ SHOWCASE = {
     "equi_depth_histogram": "two-level cumulative histogram; 9-value boundary literal; map-side binning",
     "events_ewma_blocked": "blocked linear recurrence: per-block windows + 3-lag carry, bounded exponents",
     "column_profile_stats": "one multi-distinct scan (Expand) computing every column's stats",
+    "holt_winters_level_trend": "blocked 2x2 matrix recurrence: literal A-power weight arrays, plain groupBy block sums, 4-lag carry window per key",
+    "rfm_customer_segments": "melted single boundary job: dim in every partition key, banded two-level prefix sums, literal boundary binning",
+    "pagerank_supplier_coparts": "3 unrolled join+aggregate power iterations; broadcast degrees; persisted edge list",
+    "hybrid_search_rrf": "two TakeOrderedAndProject channel cuts; rank windows only over the 50-row results; full-outer fusion join",
+    "pmi_cooccurrence_topk": "in-row skip-gram pair construction; broadcast vocabulary joins; 1-row corpus-totals broadcast",
+    "seasonal_decompose_additive": "per-key centered 24h frame; broadcast hour-of-day/series means; densified grid join",
+    "multimodal_arrow_byte_stats": "MapInArrow node — Arrow-tier Python, no pandas conversion, pure map",
 }
 
 
