@@ -74,6 +74,7 @@ def _all_specs() -> dict[str, QuerySpec]:
             "linkage",
             "analytics",
             "graph",
+            "ml",
             "passthrough",
             "passthrough_relational",
         )
@@ -112,6 +113,7 @@ def _all_specs() -> dict[str, QuerySpec]:
             "linkage",
             "analytics",
             "graph",
+            "ml",
         )
     ] + [
         "hri_flink_validation_passthrough_spark.sources.formats",

@@ -577,3 +577,118 @@ def length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+KL_VOCAB = 100  # shared vocabulary size for the divergence
+
+
+@register(
+    QUERIES,
+    "corpus_split_kl_divergence",
+    oracle=f"""
+    WITH h AS (
+      SELECT source, text,
+             CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|split-v1'), 1, 8))::BIGINT
+                       % 100 < {SPLIT_TEST_PCT + SPLIT_VAL_PCT} THEN 'heldout'
+                  ELSE 'train' END AS split
+      FROM documents
+    ), u AS (
+      SELECT source, split,
+             unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+      FROM h
+    ), vocab AS (
+      SELECT w FROM (
+        SELECT w, count(*) AS c,
+               row_number() OVER (ORDER BY count(*) DESC, w) AS rn
+        FROM u GROUP BY w
+      ) WHERE rn <= {KL_VOCAB}
+    ), grid AS (
+      SELECT DISTINCT u.source, vocab.w FROM u CROSS JOIN vocab
+    ), c AS (
+      SELECT u.source, u.w,
+             sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS ct,
+             sum(CASE WHEN split = 'heldout' THEN 1 ELSE 0 END) AS ch
+      FROM u JOIN vocab ON u.w = vocab.w
+      GROUP BY 1, 2
+    ), dense AS (
+      SELECT g.source, g.w, coalesce(c.ct, 0) AS ct, coalesce(c.ch, 0) AS ch
+      FROM grid g LEFT JOIN c ON g.source = c.source AND g.w = c.w
+    ), tot AS (
+      SELECT source, sum(ct) AS tt, sum(ch) AS th FROM dense GROUP BY 1
+    ), terms AS (
+      SELECT dense.source,
+             ((ct + 1.0) / (tt + {KL_VOCAB})) *
+               ln(((ct + 1.0) / (tt + {KL_VOCAB}))
+                  / ((ch + 1.0) / (th + {KL_VOCAB}))) AS term,
+             ct, ch
+      FROM dense JOIN tot ON dense.source = tot.source
+    )
+    SELECT source,
+           CAST(sum(ct) AS BIGINT) AS n_train_tokens,
+           CAST(sum(ch) AS BIGINT) AS n_heldout_tokens,
+           floor(sum(term) * 1000000 + 0.500001) / 1000000 AS kl_train_heldout
+    FROM terms GROUP BY source
+    """,
+    doc="Distribution drift between the train split and the heldout "
+    "(val+test) split, per source: add-one-smoothed KL divergence over the "
+    "global top-100 vocabulary (dense source x vocab grid so zero-count "
+    "words contribute their smoothed mass — the drift signal a mixture "
+    "pipeline monitors before a training run). Vocabulary cut is "
+    "count-with-word-tiebreak (deterministic); the grid is n_sources x 100 "
+    "rows regardless of data size; single KL aggregate floor-nudged at 6.",
+)
+def corpus_split_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    b = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|split-v1"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    split = F.when(b < SPLIT_TEST_PCT + SPLIT_VAL_PCT, "heldout").otherwise("train")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    u = d.select("source", split.alias("split"), F.explode(toks).alias("w"))
+    u = u.persist()  # consumed three times: vocab cut, counts, grid sources
+    vocab = (
+        u.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "w")
+        .limit(KL_VOCAB)
+        .select("w")
+    )
+    sources = u.select("source").distinct()
+    grid = sources.crossJoin(F.broadcast(vocab))
+    c = (
+        u.join(F.broadcast(vocab), "w")
+        .groupBy("source", "w")
+        .agg(
+            F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias("ct"),
+            F.sum(F.when(F.col("split") == "heldout", 1).otherwise(0)).alias("ch"),
+        )
+    )
+    dense = grid.join(c, ["source", "w"], "left").select(
+        "source",
+        "w",
+        F.coalesce("ct", F.lit(0)).alias("ct"),
+        F.coalesce("ch", F.lit(0)).alias("ch"),
+    )
+    tot = dense.groupBy("source").agg(
+        F.sum("ct").alias("tt"), F.sum("ch").alias("th")
+    )
+    joined = dense.join(F.broadcast(tot), "source")
+    p = (F.col("ct") + 1.0) / (F.col("tt") + KL_VOCAB)
+    q = (F.col("ch") + 1.0) / (F.col("th") + KL_VOCAB)
+    term = p * F.log(p / q)
+    return joined.groupBy("source").agg(
+        F.sum("ct").cast("long").alias("n_train_tokens"),
+        F.sum("ch").cast("long").alias("n_heldout_tokens"),
+        (F.floor(F.sum(term) * 1000000 + F.lit(0.500001)) / 1000000).alias(
+            "kl_train_heldout"
+        ),
+    )

@@ -50,6 +50,7 @@ ALLOWED_NESTED_LOOP = {
     "market_basket_lift": "1-row basket-count (N) scalar broadcast cross join",
     "pmi_cooccurrence_topk": "1-row corpus-totals (Tp, Tu) scalar broadcast cross join",
     "hybrid_search_rrf": "1-row query-vector broadcast cross join (dense channel)",
+    "corpus_split_kl_divergence": "dense source x top-100-vocab grid cross join — n_sources x 100 rows, data-size-independent (zero-count words must contribute smoothed KL mass)",
     "rfm_customer_segments": "1-row cutoff-date scalar broadcast cross join",
 }
 
