@@ -1,33 +1,41 @@
-"""Iterative graph algorithms as unrolled relational dataflow.
+"""Graph algorithms as unrolled relational dataflow.
 
-PageRank over the supplier co-part graph (suppliers are adjacent when they
-supply at least one common part — the TPC-H-shaped stand-in for any
-entity-affinity graph). The power iteration is expressed as a STATIC chain
-of join→aggregate stages: each iteration is
+The graph itself is BUILT by an operator: the mutual top-K affinity graph
+over supplier co-order counts — supplier pairs weighted by how many orders
+they co-supply, each node keeping its 5 strongest neighbors (deterministic
+(weight DESC, id) cut), an edge surviving only when BOTH endpoints keep it.
+Mutual-kNN sparsification is the standard way to turn a dense affinity
+matrix into a usable graph (the naive co-occurrence graph here is complete
+— every supplier meets every other, which would make any graph metric
+degenerate); it is also exactly the construction an embedding-similarity
+graph uses at 100 TB, where the affinity source would be ANN results
+instead of co-order counts.
 
-    new_rank(v) = (1-d)/N + d * SUM over in-neighbors u of rank(u)/deg(u)
+On that graph:
 
-— an equi-join of the rank table with the edge list on src, then a groupBy
-on dst. No driver-side loop state, no collect of per-node data (the single
-driver scalar is N, the node count); edges + degrees are computed once and
-persisted because every iteration re-reads them (the standard iterative-
-graph trade — at 100 TB this is the edge-partitioned layout GraphX/Pregel
-use, with rank exchange hashed on the join key each round).
-
-Dangling nodes (no out-edges) keep receiving the (1-d)/N teleport term and
-simply leak their mass (the common practical simplification — documented,
-deterministic, identical in the oracle).
+- ``pagerank_supplier_coparts`` — PageRank as a STATIC chain of
+  join→aggregate stages (rank ⨝ edges on src, groupBy dst, teleport term).
+  No driver-side per-node state (the single driver scalar is N); edges and
+  degrees are persisted once and re-read by every iteration — the
+  edge-partitioned layout GraphX/Pregel use, with the rank exchange hashed
+  on the join key each round. Dangling nodes keep the teleport term and
+  leak their mass (the common practical simplification, identical in the
+  oracle).
+- ``triangle_count_suppliers`` — triangles by ORIENTED wedge closure:
+  orient each undirected edge low->high so every triangle is found exactly
+  once as (a<b<c); two equi-joins, no permutation dedup, no cartesian.
+  Join skew is governed by max degree — bounded at K by construction.
 
 Reference parity note: the reference engine (Alvearie
 hri-flink-validation-passthrough, PassthroughStreamingJob.java:1) has no
-graph surface; this is a SURVEY.md §2 north-star extension next to
+graph surface; these are SURVEY.md §2 north-star extensions next to
 ``transitive_closure_depth`` (plans/relational.py) and ``dedup_clusters``
 (pointer-jumping connected components, operators/dedup.py).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans import QuerySpec, register
@@ -38,6 +46,66 @@ QUERIES: dict[str, QuerySpec] = {}
 PR_DAMP = 0.85
 PR_ITERS = 3
 PR_TOP = 20
+KNN_K = 5  # neighbors kept per node in the mutual-kNN sparsification
+
+# shared SQL prefix: the mutual top-K co-order graph (directed both ways)
+_GRAPH_SQL = f"""
+    WITH c AS (
+      SELECT a.l_suppkey AS s1, b.l_suppkey AS s2, count(*) AS w
+      FROM lineitem a
+      JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_suppkey <> b.l_suppkey
+      GROUP BY 1, 2
+    ), topk AS (
+      SELECT s1, s2 FROM (
+        SELECT s1, s2,
+               row_number() OVER (PARTITION BY s1 ORDER BY w DESC, s2) AS rn
+        FROM c
+      ) WHERE rn <= {KNN_K}
+    ), e AS (  -- mutual edges, both directions
+      SELECT t1.s1 AS src, t1.s2 AS dst
+      FROM topk t1 JOIN topk t2 ON t1.s1 = t2.s2 AND t1.s2 = t2.s1
+    ), nodes AS (
+      SELECT DISTINCT l_suppkey AS s FROM lineitem
+    )
+"""
+
+
+def _mutual_knn_edges(spark: SparkSession, sf_dir: str):
+    """(edges, nodes): the mutual top-K co-order graph. Edges directed both
+    ways (mutuality makes it symmetric); both persisted — every consumer
+    re-reads them."""
+    prepare(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    a, b = li.alias("a"), li.alias("b")
+    c = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") != F.col("b.l_suppkey")),
+        )
+        .groupBy(
+            F.col("a.l_suppkey").alias("s1"), F.col("b.l_suppkey").alias("s2")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    wk = Window.partitionBy("s1").orderBy(F.desc("w"), "s2")
+    topk = (
+        c.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= KNN_K)
+        .select("s1", "s2")
+    )
+    t1, t2 = topk.alias("t1"), topk.alias("t2")
+    edges = (
+        t1.join(
+            t2,
+            (F.col("t1.s1") == F.col("t2.s2")) & (F.col("t1.s2") == F.col("t2.s1")),
+        )
+        .select(F.col("t1.s1").alias("src"), F.col("t1.s2").alias("dst"))
+        .persist()
+    )
+    nodes = li.select(F.col("l_suppkey").alias("s")).distinct().persist()
+    return edges, nodes
 
 
 def _pr_oracle() -> str:
@@ -59,14 +127,8 @@ def _pr_oracle() -> str:
         )
     chain = ",\n    ".join(its)
     return f"""
-    WITH ps AS (
-      SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
-    ), e AS (
-      SELECT DISTINCT a.s AS src, b.s AS dst
-      FROM ps a JOIN ps b ON a.p = b.p AND a.s <> b.s
-    ), nodes AS (
-      SELECT DISTINCT s FROM ps
-    ), deg AS (
+    {_GRAPH_SQL},
+    deg AS (
       SELECT src AS s, count(*) AS deg FROM e GROUP BY 1
     ), nn AS (SELECT count(*) AS n FROM nodes),
     r0 AS (SELECT s, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn),
@@ -86,31 +148,21 @@ def _pr_oracle() -> str:
     QUERIES,
     "pagerank_supplier_coparts",
     oracle=_pr_oracle(),
-    doc="PageRank (d=0.85, 3 power iterations) over the supplier co-part "
-    "graph, unrolled as join->aggregate stages: rank ⨝ edges on src, "
-    "groupBy dst, teleport term (1-d)/N with N the one driver scalar. "
-    "Edges + degrees persisted once for the three iterations (the "
-    "edge-partitioned iterative layout); dangling mass leaks by design, "
-    "identically in both engines. Output: top-20 by 8-dp-rounded rank with "
-    "suppkey tiebreak.",
+    doc="PageRank (d=0.85, 3 power iterations) over the mutual top-5 "
+    "co-order affinity graph (the kNN-sparsified graph — the naive "
+    "co-occurrence graph is complete and would rank every node equally), "
+    "unrolled as join->aggregate stages: rank ⨝ edges on src, groupBy dst, "
+    "teleport term (1-d)/N with N the one driver scalar. Edges + degrees "
+    "persisted once for the three iterations; dangling mass leaks by "
+    "design, identically in both engines. Output: top-20 by 8-dp-rounded "
+    "rank with suppkey tiebreak.",
 )
 def pagerank_supplier_coparts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    prepare(spark)
-    li = load_table(spark, sf_dir, "lineitem")
+    edges, nodes = _mutual_knn_edges(spark, sf_dir)
     sup = load_table(spark, sf_dir, "supplier")
-
-    ps = li.select(
-        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
-    ).distinct()
-    a, b = ps.alias("a"), ps.alias("b")
-    edges = (
-        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") != F.col("b.s")))
-        .select(F.col("a.s").alias("src"), F.col("b.s").alias("dst"))
-        .distinct()
-        .persist()
+    deg = edges.groupBy(F.col("src").alias("s")).agg(
+        F.count(F.lit(1)).alias("deg")
     )
-    nodes = ps.select("s").distinct().persist()
-    deg = edges.groupBy(F.col("src").alias("s")).agg(F.count(F.lit(1)).alias("deg"))
     deg = deg.persist()
     n = nodes.count()  # the single driver scalar (node count)
 
@@ -140,4 +192,46 @@ def pagerank_supplier_coparts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("s").cast("long").alias("s_suppkey"), "s_name", "pagerank")
         .orderBy(F.col("pagerank").desc(), "s_suppkey")
         .limit(PR_TOP)
+    )
+
+
+@register(
+    QUERIES,
+    "triangle_count_suppliers",
+    oracle=f"""
+    {_GRAPH_SQL},
+    eo AS (  -- orient: each undirected mutual edge once, low -> high
+      SELECT src, dst FROM e WHERE src < dst
+    ), tri AS (
+      SELECT e1.src AS a
+      FROM eo e1
+      JOIN eo e2 ON e1.dst = e2.src
+      JOIN eo e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles,
+           CAST((SELECT count(*) FROM eo) AS BIGINT) AS n_edges,
+           CAST((SELECT count(*) FROM nodes) AS BIGINT) AS n_nodes
+    FROM tri
+    """,
+    doc="Global triangle count over the mutual top-5 co-order graph by "
+    "oriented wedge closure: orient every undirected edge low->high id so "
+    "each triangle is found EXACTLY once as (a<b<c) — two equi-joins on "
+    "the oriented edge list, no permutation dedup, no cartesian. The "
+    "clustering-coefficient numerator; per-node degree is bounded at K=5 "
+    "by the sparsification, so the wedge join cannot skew.",
+)
+def triangle_count_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark_edges, nodes = _mutual_knn_edges(spark, sf_dir)
+    eo = spark_edges.filter(F.col("src") < F.col("dst")).persist()
+    e1, e2, e3 = eo.alias("e1"), eo.alias("e2"), eo.alias("e3")
+    tri = e1.join(e2, F.col("e1.dst") == F.col("e2.src")).join(
+        e3,
+        (F.col("e3.src") == F.col("e1.src")) & (F.col("e3.dst") == F.col("e2.dst")),
+    )
+    n_tri = tri.count()
+    n_edges = eo.count()
+    n_nodes = nodes.count()
+    return spark.createDataFrame(
+        [(n_tri, n_edges, n_nodes)],
+        "n_triangles long, n_edges long, n_nodes long",
     )
