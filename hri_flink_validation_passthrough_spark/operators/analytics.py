@@ -1513,3 +1513,75 @@ def session_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000
         ).alias("prob"),
     )
+
+
+# ---- Join-key skew diagnostic (shuffle planning) -------------------------
+SKEW_KEYS = (
+    ("orders", "o_custkey"),
+    ("lineitem", "l_orderkey"),
+    ("lineitem", "l_suppkey"),
+    ("events", "user_id"),
+)
+
+
+def _skew_oracle() -> str:
+    parts = []
+    for table, key in SKEW_KEYS:
+        parts.append(
+            f"""
+    SELECT '{table}.{key}' AS key_col,
+           CAST(sum(c) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           floor(max(c) * 1.0 / sum(c) * 1000000 + 0.500001) / 1000000
+             AS max_key_share,
+           floor((ln(sum(c)) - sum(c * ln(c)) / sum(c)) * 1000000 + 0.500001)
+             / 1000000 AS entropy,
+           floor(sqrt(avg(c * c) - avg(c) * avg(c)) / avg(c) * 1000000
+                 + 0.500001) / 1000000 AS cv
+    FROM (SELECT {key}, count(*) AS c FROM {table} GROUP BY 1)"""
+        )
+    return "\n    UNION ALL\n".join(parts)
+
+
+@register(
+    QUERIES,
+    "join_key_skew_report",
+    oracle=_skew_oracle(),
+    doc="Shuffle-planning skew diagnostic over the four natural join/"
+    "aggregation keys: per key column, the row/key counts, the hottest "
+    "key's share, the Shannon entropy of the key distribution (nats — low "
+    "entropy = concentrated keys = a salting candidate), and the "
+    "coefficient of variation of per-key counts. Exactly the statistics "
+    "that decide broadcast-vs-shuffle, salting, and AQE skew thresholds "
+    "BEFORE running the expensive join. One groupBy + one aggregate per "
+    "key column (entropy via ln(T) - sum(c ln c)/T — no per-row "
+    "probabilities materialized); identical closed forms both engines, "
+    "floor-nudged at 6.",
+)
+def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def rnd(c):
+        return F.floor(c * 1000000 + F.lit(0.500001)) / 1000000
+
+    outs = []
+    for table, key in SKEW_KEYS:
+        t = _t(spark, sf_dir, table)
+        c = t.groupBy(key).agg(F.count(F.lit(1)).alias("c"))
+        cd = F.col("c").cast("double")
+        outs.append(
+            c.agg(
+                F.lit(f"{table}.{key}").alias("key_col"),
+                F.sum("c").cast("long").alias("n_rows"),
+                F.count(F.lit(1)).cast("long").alias("n_keys"),
+                rnd(F.max("c") * 1.0 / F.sum("c")).alias("max_key_share"),
+                rnd(
+                    F.log(F.sum("c")) - F.sum(cd * F.log(cd)) / F.sum("c")
+                ).alias("entropy"),
+                rnd(
+                    F.sqrt(F.avg(cd * cd) - F.avg(cd) * F.avg(cd)) / F.avg(cd)
+                ).alias("cv"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
