@@ -923,3 +923,118 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rrf_score").desc(), "doc_id")
         .limit(RRF_TOP)
     )
+
+
+# ---- Embedding-training data ops: hard negatives + index self-eval -------
+HN_K = 3  # positives / hard negatives kept per query
+
+
+@register(
+    QUERIES,
+    "hard_negative_mining",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings
+    ), q AS (
+      SELECT vec_id AS qid, e AS qe, label AS ql FROM v
+      WHERE vec_id < {N_QUERIES}
+    ), s AS (
+      SELECT qid, v.vec_id AS nid,
+             CASE WHEN v.label = ql THEN 'positive' ELSE 'hard_negative' END
+               AS kind,
+             round(list_cosine_similarity(qe, v.e), 6) AS cos_sim
+      FROM q, v WHERE v.vec_id != qid
+    )
+    SELECT qid, kind, nid, cos_sim, rnk FROM (
+      SELECT qid, kind, nid, cos_sim,
+             CAST(row_number() OVER (PARTITION BY qid, kind
+                                     ORDER BY cos_sim DESC, nid) AS BIGINT)
+               AS rnk
+      FROM s
+    ) WHERE rnk <= {HN_K}
+    """,
+    doc="Contrastive-training pair mining: per query vector, the top-3 "
+    "most-similar SAME-label vectors (positives) and the top-3 "
+    "most-similar DIFFERENT-label vectors (hard negatives — the pairs "
+    "that actually move an embedding model). Same broadcast-queries x "
+    "parallel-candidate-scan shape as knn_brute_force with a (qid, kind) "
+    "ranking window; at scale the candidate scan is the IVF-pruned set, "
+    "not the full corpus.",
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e"), "label"
+    )
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("e").alias("qe"),
+        F.col("label").alias("ql"),
+    )
+    pairs = v.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+    kind = F.when(F.col("label") == F.col("ql"), "positive").otherwise(
+        "hard_negative"
+    )
+    sim = F.round(cosine_similarity(F.col("qe"), F.col("e")), 6)
+    w = Window.partitionBy("qid", "kind").orderBy(F.desc("cos_sim"), "nid")
+    return (
+        pairs.select(
+            "qid",
+            kind.alias("kind"),
+            F.col("vec_id").alias("nid"),
+            sim.alias("cos_sim"),
+        )
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= HN_K)
+    )
+
+
+def _recall_oracle() -> str:
+    exact = QUERIES["knn_brute_force"].oracle
+    approx = QUERIES["ann_ivf_topk"].oracle
+    return f"""
+    WITH exact AS ({exact}),
+    approx AS ({approx}),
+    hits AS (
+      SELECT exact.qid, count(approx.nid) AS n_hits
+      FROM exact LEFT JOIN approx
+        ON exact.qid = approx.qid AND exact.nid = approx.nid
+      GROUP BY exact.qid
+    )
+    SELECT CAST(qid AS BIGINT) AS qid,
+           CAST(n_hits AS BIGINT) AS n_hits,
+           n_hits * 1.0 / {TOP_K} AS recall_at_k
+    FROM hits
+    """
+
+
+@register(
+    QUERIES,
+    "ann_recall_at_k",
+    oracle=_recall_oracle(),
+    doc="ANN index self-evaluation: per-query recall@5 of the IVF index "
+    "against the exact brute-force ranking — the metric that decides "
+    "nlist/nprobe BEFORE committing an index layout to a trillion-vector "
+    "corpus. Composes the two registered pipelines (their oracles compose "
+    "the same way, verbatim) with one left join + count; the division by "
+    "the constant k is bit-identical across engines.",
+)
+def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = knn_brute_force(spark, sf_dir).select("qid", "nid")
+    approx = ann_ivf_topk(spark, sf_dir).select(
+        F.col("qid").alias("aqid"), F.col("nid").alias("anid")
+    )
+    hits = (
+        exact.join(
+            approx,
+            (F.col("qid") == F.col("aqid")) & (F.col("nid") == F.col("anid")),
+            "left",
+        )
+        .groupBy("qid")
+        .agg(F.count("anid").alias("n_hits"))
+    )
+    return hits.select(
+        F.col("qid").cast("long").alias("qid"),
+        F.col("n_hits").cast("long").alias("n_hits"),
+        (F.col("n_hits") * 1.0 / TOP_K).alias("recall_at_k"),
+    )
