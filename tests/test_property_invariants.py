@@ -1,0 +1,161 @@
+"""Hypothesis property tests for pure-Python invariants (no SparkSession).
+
+These pin the algebra that the distributed plans AND their oracles share —
+the layer where a bug would be invisible to cross-engine parity checks.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+# ---- floor-nudge rounding: the repo-wide cross-engine rounding rule ------
+
+
+def _nudge4(x: float) -> float:
+    return math.floor(x * 10000 + 0.500001) / 10000
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.floats(min_value=-1e6, max_value=1e6, allow_nan=False))
+def test_floor_nudge_is_monotone_and_close(x):
+    r = _nudge4(x)
+    assert abs(r - x) <= 0.00005 + 1e-9
+    # monotone: a strictly larger input can't round lower
+    assert _nudge4(x + 0.001) >= r
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.integers(min_value=-10**7, max_value=10**7))
+def test_floor_nudge_exact_half_boundaries_round_up(n):
+    # x = n/2 * 1e-4 puts odd n EXACTLY on the .00005 boundary — the case
+    # engines disagree on with round(); the nudge must resolve upward.
+    x = (n / 2) / 10000
+    assert _nudge4(x) == math.floor(n / 2 + 0.500001) / 10000
+
+
+def test_floor_nudge_matches_duckdb_exactly():
+    """The same expression evaluated by DuckDB must agree bit-for-bit —
+    this IS the assumption every oracle in the repo makes."""
+    import duckdb
+
+    vals = [i / 3.0 for i in range(-500, 500)] + [
+        (n / 2) / 10000 for n in range(-99, 100)
+    ]
+    con = duckdb.connect()
+    got = con.execute(
+        "SELECT floor(v * 10000 + 0.500001) / 10000 FROM (SELECT unnest(?) AS v)",
+        [vals],
+    ).fetchall()
+    for v, (d,) in zip(vals, got):
+        assert _nudge4(v) == d, v
+
+
+# ---- vacuum ranking: marker-aware keep policy ----------------------------
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.dictionaries(
+        st.integers(min_value=1, max_value=30),  # version -> marked?
+        st.booleans(),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(min_value=1, max_value=5),
+)
+def test_vacuum_policy_invariants(tmp_path_factory, versions, keep):
+    from hri_flink_validation_passthrough_spark.operators.maintenance import (
+        vacuum_table_versions,
+    )
+
+    root = str(tmp_path_factory.mktemp("vac"))
+    for v, marked in versions.items():
+        os.makedirs(os.path.join(root, f"v{v}"))
+        if marked:
+            with open(os.path.join(root, f"v{v}", "_EPOCH"), "w") as fh:
+                fh.write(f"{v}\nrun")
+    out = vacuum_table_versions(root, keep=keep)
+    kept = set(out["kept"])
+    marked_set = {v for v, m in versions.items() if m}
+    # 1) the newest marked version (the recovery anchor) always survives
+    if marked_set:
+        assert max(marked_set) in kept
+    # 2) never keep more than keep (+1 for the anchor)
+    assert len(kept) <= keep + 1
+    # 3) keep-priority: an unmarked version may only be kept if every
+    #    marked version is also kept (uncommitted partials vacuum first)
+    unmarked_kept = kept - marked_set
+    if unmarked_kept:
+        assert marked_set <= kept
+    # 4) kept + removed partitions the input
+    assert kept | set(out["removed"]) == set(versions)
+    assert not kept & set(out["removed"])
+
+
+# ---- Holt-Winters blocked algebra vs exact recurrence --------------------
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=0.0, max_value=1000.0, allow_nan=False),
+        min_size=1,
+        max_size=400,
+    )
+)
+def test_hw_blocked_algebra_matches_recurrence(ys):
+    """Replicate the Spark plan's blocked algebra in pure Python (same
+    literal weight arrays _HW_D/_HW_M) and compare the final block-end
+    state against the exact sequential recurrence: the truncation bound
+    must hold for ARBITRARY series, not just the test fixture."""
+    from hri_flink_validation_passthrough_spark.operators.analytics import (
+        HW_ALPHA,
+        HW_B,
+        HW_BETA,
+        HW_CARRY,
+        _HW_D,
+        _HW_M,
+    )
+
+    # exact recurrence
+    lvl, trd = ys[0], 0.0
+    for y in ys[1:]:
+        prev = lvl
+        lvl = HW_ALPHA * y + (1 - HW_ALPHA) * (lvl + trd)
+        trd = HW_BETA * (lvl - prev) + (1 - HW_BETA) * trd
+
+    # blocked algebra (the plan's computation, scalarized)
+    def u(i, y):
+        return (y, 0.0) if i == 0 else (HW_ALPHA * y, HW_ALPHA * HW_BETA * y)
+
+    n_blocks = (len(ys) + HW_B - 1) // HW_B
+    w = []  # per-block (w0, w1)
+    lmaxs = []
+    for blk in range(n_blocks):
+        rows = list(enumerate(ys))[blk * HW_B : (blk + 1) * HW_B]
+        lmax = len(rows) - 1
+        lmaxs.append(lmax)
+        w0 = w1 = 0.0
+        for pos, (i, y) in enumerate(rows):
+            d = lmax - pos
+            u0, u1 = u(i, y)
+            w0 += _HW_D[0][d] * u0 + _HW_D[1][d] * u1
+            w1 += _HW_D[2][d] * u0 + _HW_D[3][d] * u1
+        w.append((w0, w1))
+    k = n_blocks - 1
+    lmax = lmaxs[k]
+    lvl_b, trd_b = w[k]
+    for i in range(1, HW_CARRY + 1):
+        if k - i < 0:
+            break
+        p0, p1 = w[k - i]
+        lvl_b += _HW_M[i][0][lmax] * p0 + _HW_M[i][1][lmax] * p1
+        trd_b += _HW_M[i][2][lmax] * p0 + _HW_M[i][3][lmax] * p1
+
+    scale = max(1.0, abs(lvl), abs(trd))
+    assert abs(lvl_b - lvl) <= 1e-6 * scale
+    assert abs(trd_b - trd) <= 1e-6 * scale
