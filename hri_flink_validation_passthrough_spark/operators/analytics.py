@@ -760,10 +760,17 @@ def _dense_hourly(e: DataFrame) -> DataFrame:
     materialized as 0.0 via a per-type sequence(min,max,1h) grid, so ordered
     frames over the series cover clock hours, never stitched across gaps.
     The grid is hourly-aggregate-sized (span hours x types) —
-    data-size-independent after the first groupBy."""
+    data-size-independent after the first groupBy.
+
+    PERSISTED twice over: ``hourly`` because the grid construction (span)
+    and the grid join both consume it, and the dense result because every
+    caller fans out into several consumers (window + per-type aggregates).
+    Without the persists each consumer re-runs the full events scan —
+    8-12 base-table scans per query in the un-persisted plan, which at
+    100 TB is the whole cost. The cached tables are hours x types rows."""
     hourly = e.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
-    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    ).agg(F.count(F.lit(1)).cast("double").alias("n")).persist()
     span = hourly.groupBy("event_type").agg(
         F.min("hr").alias("mn"), F.max("hr").alias("mx")
     )
@@ -771,8 +778,10 @@ def _dense_hourly(e: DataFrame) -> DataFrame:
         "event_type",
         F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))).alias("hr"),
     )
-    return grid.join(hourly, ["event_type", "hr"], "left").withColumn(
-        "n", F.coalesce("n", F.lit(0.0))
+    return (
+        grid.join(hourly, ["event_type", "hr"], "left")
+        .withColumn("n", F.coalesce("n", F.lit(0.0)))
+        .persist()
     )
 
 
