@@ -415,11 +415,14 @@ def pmi_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(*[shifted_pairs(k) for k in range(1, PMI_W + 1)])
         ).alias("pair")
     )
-    pc = pr.groupBy("pair").agg(F.count(F.lit(1)).alias("n_pair"))
+    pc = pr.groupBy("pair").agg(F.count(F.lit(1)).alias("n_pair")).persist()
     u = t.select(F.explode("toks").alias("w"))
     uc = u.groupBy("w").agg(F.count(F.lit(1)).alias("c")).persist()
-    tots = pr.groupBy().agg(F.count(F.lit(1)).alias("tp")).crossJoin(
-        u.groupBy().agg(F.count(F.lit(1)).alias("tu"))
+    # corpus totals from the AGGREGATED tables (sum of counts == row count
+    # of the exploded stream) — re-counting pr/u directly would re-run the
+    # two explode scans just for two scalars
+    tots = pc.agg(F.sum("n_pair").alias("tp")).crossJoin(
+        uc.agg(F.sum("c").alias("tu"))
     )
     ca = uc.select(F.col("w").alias("wa"), F.col("c").alias("ca"))
     cb = uc.select(F.col("w").alias("wb"), F.col("c").alias("cb"))

@@ -94,6 +94,7 @@ def _mutual_knn_edges(spark: SparkSession, sf_dir: str):
         c.withColumn("rn", F.row_number().over(wk))
         .filter(F.col("rn") <= KNN_K)
         .select("s1", "s2")
+        .persist()  # the mutuality self-join consumes it twice; node x K rows
     )
     t1, t2 = topk.alias("t1"), topk.alias("t2")
     edges = (
