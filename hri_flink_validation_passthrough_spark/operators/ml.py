@@ -102,10 +102,13 @@ def _snap9(v: float) -> float:
 def logistic_gd_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
     li = load_table(spark, sf_dir, "lineitem")
+    # persisted: every GD step re-reads the (x, y) projection — 16 bytes/row,
+    # the standard cache-the-training-set trade (MLlib does the same); the
+    # alternative is one full lineitem scan per step
     d = li.select(
         (F.col("l_quantity") / LR_XSCALE).alias("x"),
         F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0).alias("y"),
-    )
+    ).persist()
     w0, w1 = 0.0, 0.0
     rows = []
     for step in range(1, LR_STEPS + 1):

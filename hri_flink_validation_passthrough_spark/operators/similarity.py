@@ -249,7 +249,7 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(toks).alias("dl"),
         *[tf_col(w).alias(f"tf_{i}") for i, w in enumerate(BM25_TERMS)],
-    )
+    ).persist()  # consumed by the corpus-stats aggregate AND the score join
     stats = per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.avg("dl").alias("avgdl"),

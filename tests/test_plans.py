@@ -258,4 +258,8 @@ def test_new_analytics_plans_stay_shuffle_lean(spark):
     ts = ts_subsequence_match(spark, SF_ORACLE)
     tp = ts._jdf.queryExecution().executedPlan().toString()
     n_ex = len(re.findall(r"Exchange hashpartitioning", tp))
-    assert n_ex <= 2, f"ts_subsequence_match grew to {n_ex} shuffles"
+    # r5 densification added two shuffles — but only the FIRST (the hourly
+    # aggregation) touches data cardinality; span/grid-join/window all run
+    # on the persisted hours-x-types series (data-size-independent, see
+    # _dense_hourly). 4 = hourly agg + span agg + grid join + per-key window.
+    assert n_ex <= 4, f"ts_subsequence_match grew to {n_ex} shuffles"
