@@ -257,9 +257,15 @@ def test_new_analytics_plans_stay_shuffle_lean(spark):
 
     ts = ts_subsequence_match(spark, SF_ORACLE)
     tp = ts._jdf.queryExecution().executedPlan().toString()
-    n_ex = len(re.findall(r"Exchange hashpartitioning", tp))
-    # r5 densification added two shuffles — but only the FIRST (the hourly
-    # aggregation) touches data cardinality; span/grid-join/window all run
-    # on the persisted hours-x-types series (data-size-independent, see
-    # _dense_hourly). 4 = hourly agg + span agg + grid join + per-key window.
-    assert n_ex <= 4, f"ts_subsequence_match grew to {n_ex} shuffles"
+    # Count only the ROW-PATH exchanges: once another test has materialized
+    # the _dense_hourly cache, the plan text embeds InMemoryRelation blocks
+    # that REPRINT the cached lineage's exchanges (observed 4 -> 10 purely
+    # from cache state). The tree prints top-down, so everything above the
+    # first InMemoryRelation is the live row path.
+    n_ex = len(re.findall(r"Exchange hashpartitioning", tp.split("InMemoryRelation")[0]))
+    # r5 densification added shuffles — but only the hourly aggregation
+    # touches data cardinality; span/grid-join/window all run on the
+    # persisted hours-x-types series (data-size-independent, _dense_hourly).
+    # Fresh session: 4 = hourly agg + span agg + grid join + per-key window;
+    # warm cache: the windows over the cached series only.
+    assert n_ex <= 4, f"ts_subsequence_match grew to {n_ex} row-path shuffles"
