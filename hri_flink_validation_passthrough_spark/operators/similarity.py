@@ -1038,3 +1038,135 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_hits").cast("long").alias("n_hits"),
         (F.col("n_hits") * 1.0 / TOP_K).alias("recall_at_k"),
     )
+
+
+# ---- Multi-iteration Lloyd k-means (the unsupervised iterative trainer) --
+LLOYD_ITERS = 3
+
+
+def _lloyd_oracle() -> str:
+    snap = "floor(avg(x) * 1000000000 + 0.500001) / 1000000000"
+    ctes = [
+        "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)",
+        f"cent0 AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < {NLIST})",
+    ]
+    for k in range(1, LLOYD_ITERS + 1):
+        p = f"cent{k - 1}"
+        ctes.append(
+            f"""a{k} AS (
+      SELECT vec_id, e, cid AS cluster, sim FROM (
+        SELECT v.vec_id, v.e, {p}.cid,
+               round(list_cosine_similarity(v.e, {p}.ce), 6) AS sim,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY round(list_cosine_similarity(v.e, {p}.ce), 6) DESC,
+                          {p}.cid) AS rn
+        FROM v, {p}
+      ) WHERE rn = 1
+    ), s{k} AS (
+      SELECT cluster, count(*) AS n_members,
+             floor(avg(sim) * 1000000 + 0.500001) / 1000000 AS avg_sim
+      FROM a{k} GROUP BY cluster
+    ), m{k} AS (
+      SELECT cluster, CAST(generate_subscripts(e, 1) - 1 AS INTEGER) AS dim,
+             unnest(e) AS x
+      FROM a{k}
+    ), mm{k} AS (
+      SELECT cluster, dim, {snap} AS c FROM m{k} GROUP BY cluster, dim
+    ), cent{k} AS (
+      -- rebuilt centroid arrays; empty clusters keep their previous centroid
+      SELECT {p}.cid,
+             coalesce(nc.ce, {p}.ce) AS ce
+      FROM {p} LEFT JOIN (
+        SELECT cluster AS cid, list(c ORDER BY dim) AS ce FROM mm{k} GROUP BY cluster
+      ) nc ON {p}.cid = nc.cid
+    )"""
+        )
+    union = "\n      UNION ALL\n      ".join(
+        f"SELECT {k} AS iteration, cluster, n_members, avg_sim FROM s{k}"
+        for k in range(1, LLOYD_ITERS + 1)
+    )
+    return (
+        "\n    WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT CAST(iteration AS BIGINT) AS iteration,
+           CAST(cluster AS BIGINT) AS cluster,
+           CAST(n_members AS BIGINT) AS n_members,
+           avg_sim
+    FROM ({union})
+    """
+    )
+
+
+@register(
+    QUERIES,
+    "kmeans_lloyd_convergence",
+    oracle=_lloyd_oracle(),
+    doc=f"Three full Lloyd iterations of k-means over the embeddings "
+    f"(k={NLIST}, deterministic init = first {NLIST} vectors): per "
+    "iteration the E-step assigns every vector against the LITERAL centroid "
+    "array — transform + array_position argmax inside codegen, ZERO shuffle "
+    "for assignment (vs the crossJoin+window of kmeans_one_iteration; both "
+    "tiebreak to the lowest centroid id) — and the M-step is one "
+    "posexplode groupBy whose shuffle carries only (k x dim) partials. "
+    "Centroids are collected (k x dim floats — the model artifact), "
+    "snapped to the 1e-9 grid, and re-broadcast as literals; empty "
+    "clusters keep their previous centroid. Output: the convergence "
+    "trajectory (iteration, cluster, size, avg assigned similarity). Data "
+    "is re-scanned once per iteration from the persisted projection — the "
+    "MLlib iteration shape.",
+)
+def kmeans_lloyd_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    v = _emb(spark, sf_dir).persist()
+    cents = [
+        [float(x) for x in r["e"]]
+        for r in v.filter(F.col("vec_id") < NLIST).orderBy("vec_id").collect()
+    ]
+    traj = []
+    for it in range(1, LLOYD_ITERS + 1):
+        carr = F.lit(cents)  # k x dim literal — the broadcast model
+        sims = F.transform(carr, lambda c: F.round(cosine_similarity(F.col("e"), c), 6))
+        assigned = (
+            v.withColumn("sims", sims)
+            .select(
+                "e",
+                (F.array_position(F.col("sims"), F.array_max("sims")) - 1)
+                .cast("int")
+                .alias("cluster"),
+                F.array_max("sims").alias("sim"),
+            )
+        ).persist()
+        stats = assigned.groupBy("cluster").agg(
+            F.count(F.lit(1)).alias("n_members"),
+            (F.floor(F.avg("sim") * 1000000 + F.lit(0.500001)) / 1000000).alias(
+                "avg_sim"
+            ),
+        )
+        traj.extend(
+            (it, int(r["cluster"]), int(r["n_members"]), float(r["avg_sim"]))
+            for r in stats.collect()
+        )
+        means = (
+            assigned.select("cluster", F.posexplode("e").alias("dim", "x"))
+            .groupBy("cluster", "dim")
+            .agg(F.avg("x").alias("c"))
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cluster.setdefault(int(r["cluster"]), {})[int(r["dim"])] = float(r["c"])
+        for cid in range(NLIST):
+            if cid in by_cluster:
+                dims = by_cluster[cid]
+                cents[cid] = [
+                    math.floor(dims[d] * 1e9 + 0.500001) / 1e9
+                    for d in range(len(cents[cid]))
+                ]
+            # else: empty cluster keeps its previous centroid
+        assigned.unpersist()
+    return spark.createDataFrame(
+        traj, "iteration long, cluster long, n_members long, avg_sim double"
+    )
