@@ -156,3 +156,31 @@ def test_arrow_byte_stats_is_arrow_eval(spark):
         df._jdf.queryExecution(), "formatted"
     )
     assert "MapInArrow" in plan or "ArrowEval" in plan, plan[:1500]
+
+
+def test_kmeans_lloyd_improves_assignment_quality(spark):
+    """Across Lloyd iterations the size-weighted mean assigned similarity
+    must not degrade (cosine-space Lloyd improves the E-step objective in
+    practice; a sign/indexing bug in the centroid rebuild would show as a
+    drop), and cluster sizes must sum to the corpus each iteration."""
+    from hri_flink_validation_passthrough_spark.operators.similarity import (
+        LLOYD_ITERS,
+        kmeans_lloyd_convergence,
+    )
+
+    rows = kmeans_lloyd_convergence(spark, SF).collect()
+    by_iter: dict[int, list] = {}
+    for r in rows:
+        by_iter.setdefault(r["iteration"], []).append(r)
+    assert sorted(by_iter) == list(range(1, LLOYD_ITERS + 1))
+    totals = {
+        it: sum(r["n_members"] for r in rs) for it, rs in by_iter.items()
+    }
+    assert len(set(totals.values())) == 1, totals  # conservation of vectors
+
+    def weighted(it):
+        rs = by_iter[it]
+        return sum(r["avg_sim"] * r["n_members"] for r in rs) / totals[it]
+
+    w = [weighted(it) for it in sorted(by_iter)]
+    assert all(b >= a - 1e-6 for a, b in zip(w, w[1:])), w
