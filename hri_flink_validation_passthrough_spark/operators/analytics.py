@@ -132,16 +132,20 @@ def max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     si = sess.groupBy("user_id", "sess_id").agg(
         F.min("ts").alias("t_start"), F.max("ts").alias("t_end")
     )
+    # one sessionize pass: each interval explodes into its +1/-1 endpoint
+    # rows in-row (a union of two selects over `si` would re-run the whole
+    # per-user window computation once per branch — found by the r5 scan
+    # sweep: 4 events scans, now 1)
     deltas = si.select(
-        F.col("t_start").alias("t"), F.lit(1).alias("delta"), "user_id", "sess_id"
-    ).unionByName(
-        si.select(
-            F.col("t_end").alias("t"),
-            F.lit(-1).alias("delta"),
-            "user_id",
-            "sess_id",
-        )
-    )
+        "user_id",
+        "sess_id",
+        F.explode(
+            F.array(
+                F.struct(F.col("t_start").alias("t"), F.lit(1).alias("delta")),
+                F.struct(F.col("t_end").alias("t"), F.lit(-1).alias("delta")),
+            )
+        ).alias("x"),
+    ).select(F.col("x.t").alias("t"), F.col("x.delta").alias("delta"), "user_id", "sess_id")
 
     # Two-level prefix sum for the global running concurrency: day buckets
     # respect the (t, ...) order, so intra-bucket running sums plus the
@@ -402,7 +406,7 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     med = e.groupBy("event_type").agg(
         F.percentile("value", F.lit(0.5)).alias("med")
-    )
+    ).persist()  # 5 rows; its lineage is a full percentile pass and dev is consumed twice
     dev = e.join(F.broadcast(med), "event_type").withColumn(
         "adev", F.abs(F.col("value") - F.col("med"))
     )
@@ -647,10 +651,14 @@ BASKET_TOP = 20
     "integers once, so both engines produce bit-identical doubles.",
 )
 def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the deduped basket table is consumed FOUR times (order count, item
+    # counts, both self-join sides) — persist it so the scan+distinct runs
+    # once (r5 scan sweep: 5 lineitem scans, now 1)
     li = (
         _t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
+        .persist()
     )
     n_orders = li.select(
         F.count_distinct("l_orderkey").alias("n_orders")

@@ -213,9 +213,12 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     tok = _tok(d)
-    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    # tf is the aggregated (doc, token) table reused by THREE consumers
+    # (df, n_docs, scoring join) — persisted so the tokenize+explode scan
+    # runs once; n_docs derives from tf (every doc has >= 1 token row)
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf")).persist()
     df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("dfreq"))
-    n = tok.agg(F.countDistinct("doc_id").alias("n_docs"))
+    n = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
     scored = (
         tf.join(df_, "token")
         .crossJoin(F.broadcast(n))

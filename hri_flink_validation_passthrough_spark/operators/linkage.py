@@ -199,7 +199,7 @@ def fuzzy_part_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(
             Window.partitionBy("name", "gram").orderBy("pos")
         ),
-    )
+    ).persist()  # dictionary-sized index; the self-join consumes it twice
 
     a, b = grams.alias("a"), grams.alias("b")
     cand = (

@@ -279,13 +279,16 @@ def rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
              unnest(list_transform(range(1, strlen(t) - 1),
                                    i -> substr(t, CAST(i AS INTEGER), 3))) AS g
       FROM docs
+    ), tfg AS (  -- per-doc trigram multiset, aggregated ONCE
+      SELECT doc_id, g, count(*) AS k FROM tri GROUP BY doc_id, g
     ), model AS (  -- corpus trigram relative frequencies
-      SELECT g, count(*) AS c FROM tri GROUP BY g
+      SELECT g, sum(k) AS c FROM tfg GROUP BY g
     ), total AS (SELECT sum(c) AS n FROM model)
     SELECT doc_id,
-           CAST(count(*) AS BIGINT) AS n_trigrams,
-           round(avg(-log2(CAST(c AS DOUBLE) / n)), 4) AS bits_per_trigram
-    FROM tri JOIN model USING (g) CROSS JOIN total
+           CAST(sum(k) AS BIGINT) AS n_trigrams,
+           round(sum(k * -log2(CAST(c AS DOUBLE) / n)) / sum(k), 4)
+             AS bits_per_trigram
+    FROM tfg JOIN model USING (g) CROSS JOIN total
     GROUP BY doc_id
     """,
     doc="Language-model quality scoring (KenLM-filter shape): corpus char-"
@@ -308,16 +311,27 @@ def lm_trigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("transform(sequence(1, length(t) - 2), i -> substr(t, i, 3))")
         ).alias("g"),
     )
-    model = tri.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+    # ONE explode pass: the per-doc trigram multiset is aggregated to
+    # (doc, gram, k) first, the model and the scoring both read THAT —
+    # previously model-build and scoring each re-ran the 3-chars-per-char
+    # explode over the corpus (18 s at sf1, found by the r5 scan sweep).
+    # The per-doc mean is the k-weighted sum over distinct grams — same
+    # value, and the oracle computes the identical weighted form.
+    tfg = tri.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("k")).persist()
+    model = tfg.groupBy("g").agg(F.sum("k").alias("c"))
     total = model.agg(F.sum("c").alias("n"))
     scored = (
-        tri.join(model, "g")
+        tfg.join(F.broadcast(model), "g")
         .join(F.broadcast(total))
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_trigrams"),
+            F.sum("k").cast("long").alias("n_trigrams"),
             F.round(
-                F.avg(-F.log2(F.col("c").cast("double") / F.col("n"))), 4
+                F.sum(
+                    F.col("k") * -F.log2(F.col("c").cast("double") / F.col("n"))
+                )
+                / F.sum("k"),
+                4,
             ).alias("bits_per_trigram"),
         )
     )
