@@ -91,6 +91,38 @@ def compact_small_files(
     return {"before": before, "after": after, "target_files": n_out}
 
 
+def list_table_versions(root: str) -> list[int]:
+    """Committed (``_EPOCH``-marked) version numbers of a versioned table,
+    ascending. Uncommitted partial writes (crash between parquet write and
+    marker write) are excluded — they are not readable history."""
+    out = []
+    for d in os.listdir(root) if os.path.isdir(root) else []:
+        m = _VER_RE.match(d)
+        if m and os.path.exists(os.path.join(root, d, "_EPOCH")):
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def read_table_version(spark: SparkSession, root: str, version: int):
+    """Time-travel read: the table AS OF committed version ``version``.
+
+    Every ``v{N}`` directory the CDC writer produces is a SELF-CONTAINED
+    snapshot (full-table merge per microbatch, not a delta log), so time
+    travel is a plain parquet read of that directory — no log replay, no
+    reconstruction. Only ``_EPOCH``-marked versions are readable: an
+    unmarked directory is a torn write whose contents are undefined.
+    Raises ``ValueError`` for unknown/uncommitted versions (listing the
+    committed ones, so callers can bisect history).
+    """
+    path = os.path.join(root, f"v{version}")
+    if not os.path.isdir(path) or not os.path.exists(os.path.join(path, "_EPOCH")):
+        raise ValueError(
+            f"no committed version v{version} under {root}; "
+            f"committed versions: {list_table_versions(root)}"
+        )
+    return spark.read.parquet(path)
+
+
 def vacuum_table_versions(root: str, keep: int = 2) -> dict:
     """Delete all but ``keep`` ``v{N}`` version directories, marker-aware.
 

@@ -756,3 +756,192 @@ def stream_windowed_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= STREAM_TOPK)
         .select("window_start", "user_id", F.col("n").cast("long").alias("n"), "rnk")
     )
+
+
+# Token-bucket rate limiter: hourly service capacity per event_type. With a
+# constant cap the queue recurrence backlog_t = max(0, backlog_{t-1} + a_t - c)
+# is a LINDLEY recursion, whose closed form is a reflected prefix sum:
+# backlog_t = P_t - min(0, min_{j<=t} P_j) with P_t = cumsum(a - c). So the
+# sequential-looking limiter is two ordered-window scans — no recursion, no
+# stateful UDF.
+RATE_CAP = 4  # records served per hour per event_type
+
+
+@register(
+    QUERIES,
+    "stream_rate_limiter_backlog",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), span AS (
+      SELECT event_type, min(hr) AS mn, max(hr) AS mx FROM hourly GROUP BY 1
+    ), grid AS (
+      -- densify: an idle hour still drains the queue, so zero-arrival hours
+      -- must exist as rows
+      SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hr
+      FROM span
+    ), dense AS (
+      SELECT g.event_type, g.hr, coalesce(h.n, 0) AS a
+      FROM grid g LEFT JOIN hourly h
+        ON g.event_type = h.event_type AND g.hr = h.hr
+    ), p AS (
+      SELECT event_type, hr, a,
+             sum(a - {RATE_CAP}) OVER (PARTITION BY event_type ORDER BY hr
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt
+      FROM dense
+    ), b AS (
+      SELECT event_type, hr, a,
+             pt - least(0, min(pt) OVER (PARTITION BY event_type ORDER BY hr
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS backlog
+      FROM p
+    )
+    SELECT strftime(hr, '%Y-%m-%d %H:%M:%S') AS hour_ts,
+           event_type,
+           CAST(a AS BIGINT) AS arrivals,
+           CAST(a + lag(backlog, 1, 0) OVER (PARTITION BY event_type
+                                             ORDER BY hr) - backlog
+                AS BIGINT) AS served,
+           CAST(backlog AS BIGINT) AS backlog
+    FROM b
+    """,
+    doc="Rate limiter / admission queue: per event_type, arrivals counted in "
+    "1h tumbling windows by the REAL streaming engine, then served at a "
+    "constant cap of 4/hour with overflow queued. The per-hour queue "
+    "recurrence backlog_t = max(0, backlog_{t-1} + arrivals_t - cap) is a "
+    "Lindley recursion whose closed form is a reflected prefix sum "
+    "(P_t - min(0, running-min P)), so the whole limiter is two ordered "
+    "window scans over the HOURLY table — window-cardinality work, "
+    "data-size-independent after the stream reduces it, same shape as the "
+    "blocked EWMA/Holt-Winters recurrences. Hours are densified per type "
+    "(idle hours drain the queue) from the streamed table's own span. "
+    "All-integer output; both engines evaluate identical prefix sums.",
+)
+def stream_rate_limiter_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events_stream(spark, sf_dir)
+    agg = (
+        e.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("hr"), "event_type", "n")
+    )
+    # localCheckpoint: the memory-sink leaf (MemoryPlan) is not a
+    # MultiInstanceRelation, so the grid-vs-hourly self-join below cannot
+    # deduplicate its attribute ids; checkpointing the (hours x types)-sized
+    # table swaps in a LogicalRDD leaf that can.
+    hourly = _run_to_table(agg, "ratelim").localCheckpoint()
+    span = hourly.groupBy("event_type").agg(
+        F.min("hr").alias("mn"), F.max("hr").alias("mx")
+    )
+    grid = span.select(
+        "event_type",
+        F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))).alias("hr"),
+    )
+    dense = grid.join(hourly, ["event_type", "hr"], "left").withColumn(
+        "a", F.coalesce("n", F.lit(0))
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wlag = Window.partitionBy("event_type").orderBy("hr")
+    b = (
+        dense.withColumn("pt", F.sum(F.col("a") - RATE_CAP).over(wcum))
+        .withColumn("mn", F.min("pt").over(wcum))
+        .withColumn("backlog", F.col("pt") - F.least(F.lit(0), F.col("mn")))
+    )
+    return b.select(
+        F.date_format("hr", "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),
+        "event_type",
+        F.col("a").cast("long").alias("arrivals"),
+        (
+            F.col("a") + F.lag("backlog", 1, 0).over(wlag) - F.col("backlog")
+        ).cast("long").alias("served"),
+        F.col("backlog").cast("long").alias("backlog"),
+    )
+
+
+# CDC history: the versioned table the merger maintains is readable AS OF any
+# committed version (time travel), and two versions diff relationally.
+# Cutoff near the START of the event range so v1 misses many users and the
+# diff exercises both 'insert' (key absent at v1) and 'update' classes.
+CDC_CUTOFF = "2024-01-02 00:00:00"
+
+
+@register(
+    QUERIES,
+    "cdc_time_travel_diff",
+    oracle=f"""
+    WITH s_old AS (
+      SELECT user_id, count(*) AS n_updates FROM events
+      WHERE ts < TIMESTAMP '{CDC_CUTOFF}' GROUP BY 1
+    ), s_new AS (
+      SELECT user_id, count(*) AS n_updates FROM events GROUP BY 1
+    ), d AS (
+      SELECT CASE WHEN o.user_id IS NULL THEN 'insert'
+                  WHEN n.n_updates <> o.n_updates THEN 'update'
+                  ELSE 'unchanged' END AS change_type,
+             n.n_updates - coalesce(o.n_updates, 0) AS delta
+      FROM s_new n LEFT JOIN s_old o ON n.user_id = o.user_id
+    )
+    SELECT change_type,
+           CAST(count(*) AS BIGINT)    AS n_keys,
+           CAST(sum(delta) AS BIGINT)  AS updates_delta,
+           CAST(1 AS BIGINT) AS from_version,
+           CAST(2 AS BIGINT) AS to_version
+    FROM d GROUP BY change_type
+    """,
+    doc="Time travel + snapshot diff over the CDC-maintained table: the "
+    "merger (make_cdc_merger — same code path as stream_cdc_upsert) is "
+    "driven with two batches split at a cutoff timestamp, producing "
+    "committed versions v1/v2; read_table_version "
+    "(operators/maintenance.py) reads each AS OF its version — a plain "
+    "parquet read, since every version is a self-contained snapshot, with "
+    "uncommitted (unmarked) directories rejected — and the diff is one "
+    "left join on the key classifying insert/update/unchanged (deletes "
+    "cannot occur in an upsert-only feed). Aggregated to per-change-type "
+    "key counts + additive-column delta; the oracle reconstructs both "
+    "snapshots from raw history with the cutoff predicate. At 100 TB the "
+    "diff is a co-partitioned key join of two table versions — no history "
+    "replay.",
+)
+def cdc_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.maintenance import list_table_versions, read_table_version
+    from ..session import load_table
+
+    prepare(spark)
+    e = load_table(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="hri_cdc_travel_")
+    state: dict[str, object] = {"cur": None, "ver": 0}
+    merge = make_cdc_merger(spark, base, state, run_id=f"{base}/batch")
+    cutoff = F.lit(CDC_CUTOFF).cast("timestamp")
+    merge(e.filter(F.col("ts") < cutoff), 0)
+    merge(e.filter(F.col("ts") >= cutoff), 1)
+
+    vers = list_table_versions(base)
+    v_old = read_table_version(spark, base, vers[0]).select(
+        "user_id", F.col("n_updates").alias("old_updates")
+    )
+    v_new = read_table_version(spark, base, vers[-1]).select(
+        "user_id", F.col("n_updates").alias("new_updates")
+    )
+    d = v_new.join(v_old, "user_id", "left").select(
+        F.when(F.col("old_updates").isNull(), "insert")
+        .when(F.col("new_updates") != F.col("old_updates"), "update")
+        .otherwise("unchanged")
+        .alias("change_type"),
+        (F.col("new_updates") - F.coalesce("old_updates", F.lit(0))).alias(
+            "delta"
+        ),
+    )
+    return (
+        d.groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum("delta").cast("long").alias("updates_delta"),
+        )
+        .withColumn("from_version", F.lit(int(vers[0])).cast("long"))
+        .withColumn("to_version", F.lit(int(vers[-1])).cast("long"))
+    )

@@ -111,3 +111,42 @@ def test_vacuum_newest_marked_version_survives_any_keep(tmp_path):
     assert 3 in out["kept"]  # the recovery anchor
     assert 4 in out["removed"]  # the uncommitted partial goes first
     assert out["removed"] == [1, 2, 4]
+
+
+def test_list_table_versions_excludes_unmarked(tmp_path):
+    root = str(tmp_path)
+    for v, marked in ((1, True), (2, False), (5, True)):
+        _mk_version(root, v, marked)
+    from hri_flink_validation_passthrough_spark.operators.maintenance import (
+        list_table_versions,
+    )
+
+    assert list_table_versions(root) == [1, 5]
+    assert list_table_versions(str(tmp_path / "nope")) == []
+
+
+def test_read_table_version_time_travel(spark, tmp_path):
+    """Each committed v{N} is a self-contained snapshot: time travel is a
+    plain read of that directory; unknown/uncommitted versions raise with
+    the committed list in the message."""
+    import pytest as _pytest
+
+    from hri_flink_validation_passthrough_spark.operators.maintenance import (
+        read_table_version,
+    )
+
+    root = str(tmp_path / "tbl")
+    for v, n in ((1, 3), (2, 5)):
+        path = os.path.join(root, f"v{v}")
+        spark.range(0, n).write.parquet(path)
+        with open(os.path.join(path, "_EPOCH"), "w") as fh:
+            fh.write(f"{v}\nckpt-a")
+    # v3: torn write — parquet landed, marker didn't
+    spark.range(0, 9).write.parquet(os.path.join(root, "v3"))
+
+    assert read_table_version(spark, root, 1).count() == 3
+    assert read_table_version(spark, root, 2).count() == 5
+    with _pytest.raises(ValueError, match=r"\[1, 2\]"):
+        read_table_version(spark, root, 3)  # uncommitted: not readable history
+    with _pytest.raises(ValueError, match="v7"):
+        read_table_version(spark, root, 7)

@@ -159,3 +159,33 @@ def test_hw_blocked_algebra_matches_recurrence(ys):
     scale = max(1.0, abs(lvl), abs(trd))
     assert abs(lvl_b - lvl) <= 1e-6 * scale
     assert abs(trd_b - trd) <= 1e-6 * scale
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=20), min_size=1, max_size=60),
+    st.integers(min_value=1, max_value=10),
+)
+def test_lindley_closed_form_matches_recurrence(arrivals, cap):
+    """stream_rate_limiter_backlog's reflected-prefix-sum closed form
+    (backlog_t = P_t - min(0, running-min P), P = cumsum(a - cap)) must equal
+    the sequential queue recurrence backlog_t = max(0, backlog_{t-1} + a - cap)
+    for every arrival sequence, and the derived served column must conserve
+    records (sum served + final backlog == sum arrivals)."""
+    # ground truth: the sequential recurrence
+    b, truth = 0, []
+    for a in arrivals:
+        b = max(0, b + a - cap)
+        truth.append(b)
+    # closed form, exactly as both engines compute it
+    pt, mn, prev_b, closed, served = 0, 0, 0, [], []
+    for a in arrivals:
+        pt += a - cap
+        mn = min(mn, pt)
+        bb = pt - min(0, mn)
+        closed.append(bb)
+        served.append(a + prev_b - bb)
+        prev_b = bb
+    assert closed == truth
+    assert all(0 <= s <= cap for s in served)
+    assert sum(served) + closed[-1] == sum(arrivals)
