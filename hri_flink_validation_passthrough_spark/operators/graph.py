@@ -236,3 +236,87 @@ def triangle_count_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_tri, n_edges, n_nodes)],
         "n_triangles long, n_edges long, n_nodes long",
     )
+
+
+def _lpa_oracle() -> str:
+    its = []
+    for k in range(1, LPA_ITERS + 1):
+        p = f"l{k - 1}"
+        its.append(
+            f"""c{k} AS (
+      SELECT e.dst AS s, p.lbl, count(*) AS n
+      FROM e JOIN {p} p ON p.s = e.src GROUP BY 1, 2
+    ), w{k} AS (
+      SELECT s, lbl FROM (
+        SELECT s, lbl, row_number() OVER (PARTITION BY s
+                                          ORDER BY n DESC, lbl) AS rn
+        FROM c{k}
+      ) WHERE rn = 1
+    ), l{k} AS (
+      SELECT n.s, coalesce(w.lbl, p.lbl) AS lbl
+      FROM nodes n LEFT JOIN w{k} w ON w.s = n.s
+      JOIN {p} p ON p.s = n.s
+    )"""
+        )
+    chain = ",\n    ".join(its)
+    return f"""
+    {_GRAPH_SQL},
+    l0 AS (SELECT s, s AS lbl FROM nodes),
+    {chain}
+    SELECT CAST(lbl AS BIGINT)      AS community,
+           CAST(count(*) AS BIGINT) AS n_members
+    FROM l{LPA_ITERS}
+    GROUP BY lbl
+    ORDER BY n_members DESC, community
+    LIMIT {LPA_TOP}
+    """
+
+
+LPA_ITERS = 2
+LPA_TOP = 20
+
+
+@register(
+    QUERIES,
+    "community_label_propagation",
+    oracle=_lpa_oracle(),
+    doc="Community detection by SYNCHRONOUS label propagation over the "
+    "mutual top-5 co-order graph, 2 unrolled iterations: each node adopts "
+    "the most frequent label among its neighbors (ties to the smallest "
+    "label — the deterministic variant; async LPA is order-dependent and "
+    "cannot be oracle-checked), isolated nodes keep their own. One "
+    "iteration = labels ⨝ edges on src, count per (dst,label), per-node "
+    "rank — two key-hashed shuffles, no driver state; per-node candidate "
+    "labels are bounded by degree <= K=5 from the sparsification, so the "
+    "rank window cannot skew. Completes the graph family next to "
+    "pagerank / triangle count / connected components (dedup_clusters): "
+    "unlike components, mode-propagation can SPLIT a connected graph into "
+    "communities. Output: top-20 communities by size.",
+)
+def community_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges, nodes = _mutual_knn_edges(spark, sf_dir)
+    labels = nodes.withColumn("lbl", F.col("s"))
+    wrank = Window.partitionBy("s").orderBy(F.desc("n"), "lbl")
+    for _ in range(LPA_ITERS):
+        counts = (
+            edges.join(
+                labels.select(F.col("s").alias("src"), "lbl"), "src"
+            )
+            .groupBy(F.col("dst").alias("s"), "lbl")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        winner = (
+            counts.withColumn("rn", F.row_number().over(wrank))
+            .filter(F.col("rn") == 1)
+            .select("s", F.col("lbl").alias("new_lbl"))
+        )
+        labels = (
+            labels.join(winner, "s", "left")
+            .select("s", F.coalesce("new_lbl", "lbl").alias("lbl"))
+        )
+    return (
+        labels.groupBy(F.col("lbl").cast("long").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+        .orderBy(F.desc("n_members"), "community")
+        .limit(LPA_TOP)
+    )
