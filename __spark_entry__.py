@@ -75,6 +75,7 @@ def _all_specs() -> dict[str, QuerySpec]:
             "analytics",
             "graph",
             "ml",
+            "maintenance",
             "passthrough",
             "passthrough_relational",
         )
@@ -114,6 +115,7 @@ def _all_specs() -> dict[str, QuerySpec]:
             "analytics",
             "graph",
             "ml",
+            "maintenance",
         )
     ] + [
         "hri_flink_validation_passthrough_spark.sources.formats",

@@ -2,7 +2,7 @@
 
 The ops side of an engine that maintains parquet tables (the CDC upsert in
 ``streaming/windows.py`` writes ``v{N}`` version directories; every long-lived
-streaming sink accretes small files). Three primitives a real deployment runs
+streaming sink accretes small files). The primitives a real deployment runs
 on a schedule:
 
 - ``compact_small_files`` — rewrite a dataset into ~target-sized files with
@@ -17,6 +17,11 @@ on a schedule:
 - ``table_layout_report`` — the small-files diagnostic (file count, byte
   sizes, rows/file) that decides WHEN to compact; pure filesystem metadata +
   one count, no data scan of column values.
+- ``list_table_versions`` / ``read_table_version`` — time travel: AS-OF
+  reads of the committed (``_EPOCH``-marked) version snapshots.
+- ``checksum_by_bucket`` + the ``table_checksum_integrity`` query —
+  anti-entropy replica-divergence detection via per-bucket BIT_XOR'd
+  portable row hashes.
 
 Reference parity note: the reference engine (Alvearie
 hri-flink-validation-passthrough) has no table surface at all — these are
@@ -30,7 +35,13 @@ import os
 import re
 import shutil
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans import QuerySpec, register
+from ..session import load_table, prepare
+
+QUERIES: dict[str, QuerySpec] = {}
 
 DEFAULT_TARGET_BYTES = 128 * 1024 * 1024  # the classic HDFS/parquet sweet spot
 
@@ -162,3 +173,119 @@ def vacuum_table_versions(root: str, keep: int = 2) -> dict:
     for v in drop:
         shutil.rmtree(os.path.join(root, f"v{v}"))
     return {"kept": sorted(hold), "removed": drop}
+
+
+# --- content checksums: anti-entropy / replica-divergence detection -------
+
+CS_BUCKETS = 16
+CS_TAMPER_BUCKET = 3  # the query's injected corruption, for a visible diff
+
+
+def checksum_by_bucket(df: DataFrame, cols: list[str], key: str) -> DataFrame:
+    """Per-bucket content checksum: (bucket, n_rows, checksum).
+
+    Each row is canonicalized to a '|'-joined string of ``cols`` (caller
+    formats timestamps/doubles into stable strings first), md5-hashed to a
+    60-bit integer (first 15 hex chars — the repo's portable md5->int
+    construction, same as dedup_simhash_md5), and the per-bucket checksum is
+    the BIT_XOR of row hashes: order-independent, overflow-free at any row
+    count, and one map-side-combinable aggregation — comparing two 100 TB
+    replicas costs one scan each plus a 16-row exchange, no data movement.
+    A divergent row flips its bucket's checksum with probability 1-2^-60.
+    """
+    s = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+    row_cs = F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+    return (
+        df.withColumn("bucket", F.col(key) % CS_BUCKETS)
+        .withColumn("row_cs", row_cs)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.expr("bit_xor(row_cs)").alias("checksum"),
+        )
+    )
+
+
+# canonical column expressions for the orders table, shared by query+oracle:
+# integer/string columns verbatim; the timestamp formatted; the DOUBLE
+# column excluded (float-to-string canonicalization is engine-specific —
+# a production checksum would use the stored binary, not a decimal render)
+_CS_COLS_SPARK = [
+    "ck_orderkey",
+    "ck_custkey",
+    "o_orderstatus",
+    "o_orderpriority",
+    "ck_date",
+]
+
+
+@register(
+    QUERIES,
+    "table_checksum_integrity",
+    oracle=f"""
+    WITH canon AS (
+      SELECT o_orderkey % {CS_BUCKETS} AS bucket,
+             concat_ws('|', CAST(o_orderkey AS VARCHAR),
+                       CAST(o_custkey AS VARCHAR), o_orderstatus,
+                       o_orderpriority,
+                       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')) AS s,
+             concat_ws('|', CAST(o_orderkey AS VARCHAR),
+                       CAST(o_custkey AS VARCHAR),
+                       CASE WHEN o_orderkey % {CS_BUCKETS} = {CS_TAMPER_BUCKET}
+                            THEN 'X' ELSE o_orderstatus END,
+                       o_orderpriority,
+                       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')) AS s2
+      FROM orders
+    ), cs AS (
+      SELECT bucket,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             bit_xor(('0x' || substr(md5(s), 1, 15))::BIGINT)  AS cs_primary,
+             bit_xor(('0x' || substr(md5(s2), 1, 15))::BIGINT) AS cs_replica
+      FROM canon GROUP BY bucket
+    )
+    SELECT bucket, n_rows, cs_primary, cs_replica,
+           cs_primary = cs_replica AS is_consistent
+    FROM cs
+    """,
+    doc="Anti-entropy integrity check: per-bucket (key mod 16) content "
+    "checksums of the orders table vs a 'replica' with one corrupted "
+    "bucket (status flipped where bucket=3 — injected so the diff is "
+    "visible). Row canonical form is a '|'-joined string of the stable "
+    "columns; row hash is the portable 60-bit md5 prefix (same "
+    "construction as dedup_simhash_md5, so checksum VALUES hash-match "
+    "across engines); bucket checksum is BIT_XOR of row hashes — "
+    "order-independent, overflow-free, map-side combinable. Detecting "
+    "replica divergence at 100 TB costs one scan per side + a 16-row "
+    "compare; only mismatched buckets need row-level repair reads.",
+)
+def table_checksum_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey"),
+        F.col("o_orderkey").cast("string").alias("ck_orderkey"),
+        F.col("o_custkey").cast("string").alias("ck_custkey"),
+        "o_orderstatus",
+        "o_orderpriority",
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("ck_date"),
+    )
+    tampered = o.withColumn(
+        "o_orderstatus",
+        F.when(
+            F.col("o_orderkey") % CS_BUCKETS == CS_TAMPER_BUCKET, F.lit("X")
+        ).otherwise(F.col("o_orderstatus")),
+    )
+    a = checksum_by_bucket(o, _CS_COLS_SPARK, "o_orderkey").withColumnRenamed(
+        "checksum", "cs_primary"
+    )
+    b = (
+        checksum_by_bucket(tampered, _CS_COLS_SPARK, "o_orderkey")
+        .withColumnRenamed("checksum", "cs_replica")
+        .drop("n_rows")
+    )
+    return a.join(b, "bucket").select(
+        "bucket",
+        "n_rows",
+        "cs_primary",
+        "cs_replica",
+        (F.col("cs_primary") == F.col("cs_replica")).alias("is_consistent"),
+    )
