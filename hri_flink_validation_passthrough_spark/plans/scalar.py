@@ -504,3 +504,54 @@ def map_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("purchase_x2"),
     )
+
+
+@register(
+    QUERIES,
+    "window_navigation_showcase",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           floor(percent_rank() OVER w * 1000000 + 0.500001) / 1000000
+             AS pct_rank,
+           floor(cume_dist() OVER w * 1000000 + 0.500001) / 1000000
+             AS cume_d,
+           nth_value(o_orderkey, 2) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS second_key,
+           last_value(CASE WHEN o_totalprice > 400000
+                           THEN o_orderkey END IGNORE NULLS) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS last_big_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    doc="Navigation/distribution window functions over each customer's "
+    "order sequence: ntile quartiles, percent_rank, cume_dist "
+    "(floor-nudge-rounded — exact k/n rationals can land on decimal half "
+    "boundaries), nth_value in a running frame, and last_value IGNORE "
+    "NULLS over a sparse column (running 'most recent order above 400k') "
+    "— the SQL:2003 navigation set not exercised by the rank/frame "
+    "queries. Ordering key (o_orderdate, o_orderkey) is unique, so "
+    "ntile's bucket assignment is deterministic in both engines. "
+    "Per-customer partitions hash across executors; no global sort.",
+)
+def window_navigation_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    nudge = lambda c: F.floor(c * 1000000 + F.lit(0.500001)) / 1000000
+    big = F.when(F.col("o_totalprice") > 400000, F.col("o_orderkey"))
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        nudge(F.percent_rank().over(w)).alias("pct_rank"),
+        nudge(F.cume_dist().over(w)).alias("cume_d"),
+        F.nth_value("o_orderkey", 2).over(wrun).alias("second_key"),
+        F.last(big, ignorenulls=True).over(wrun).alias("last_big_key"),
+    )
