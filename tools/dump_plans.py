@@ -59,6 +59,10 @@ SHOWCASE = {
     "pmi_cooccurrence_topk": "in-row skip-gram pair construction; broadcast vocabulary joins; 1-row corpus-totals broadcast",
     "seasonal_decompose_additive": "per-key centered 24h frame; broadcast hour-of-day/series means; densified grid join",
     "multimodal_arrow_byte_stats": "MapInArrow node — Arrow-tier Python, no pandas conversion, pure map",
+    "stream_rate_limiter_backlog": "Lindley queue as reflected prefix sums: two ordered windows over the (hours x types) streamed table, densified grid join",
+    "community_label_propagation": "2 unrolled mode-propagation rounds: labels-join-edges + per-node rank; persisted mutual-kNN edge subtree shared with pagerank",
+    "table_checksum_integrity": "md5-prefix row hashes in codegen; BIT_XOR partial-agg per bucket (map-side combine); 16-row join",
+    "window_navigation_showcase": "single Window node computing the whole navigation set per customer partition — one shuffle, no global sort",
 }
 
 
