@@ -379,3 +379,98 @@ def token_count_bpe_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(bpe).cast("double") / F.sum(ws), 6
         ).alias("bpe_per_ws"),
     )
+
+
+# Count-min sketch: the frequency counterpart of the HLL cardinality sketch
+# (sketch_cardinalities). Built from PORTABLE md5-prefix hashes, so unlike
+# HLL the sketch cells — and therefore the estimates — hash-match across
+# engines and the query is fully oracle-checked.
+CMS_D = 4  # hash rows
+CMS_W = 32  # buckets per row (deliberately small vs the synthetic vocab so
+#             collisions actually occur and the min-over-rows bound shows)
+CMS_TOP = 15
+
+
+def _cms_bucket(i_col, tok_col):
+    """Row-``i`` CMS bucket of a token: 60-bit md5 prefix of 'i:tok' mod W
+    (the repo's portable cross-engine hash construction)."""
+    h = F.md5(F.concat(i_col.cast("string"), F.lit(":"), tok_col))
+    return (F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % CMS_W).alias("b")
+
+
+@register(
+    QUERIES,
+    "cms_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+      FROM documents
+    ), exact AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS exact_n FROM toks GROUP BY tok
+    ), rows_ AS (SELECT unnest(range(0, {CMS_D})) AS i
+    ), cells AS (
+      -- sketch built FROM the exact-count aggregate (same cells as counting
+      -- the raw stream: addition is associative), one base scan total
+      SELECT i,
+             ('0x' || substr(md5(i::VARCHAR || ':' || tok), 1, 15))::BIGINT
+               % {CMS_W} AS b,
+             sum(exact_n) AS c
+      FROM exact CROSS JOIN rows_ GROUP BY 1, 2
+    ), top AS (
+      SELECT tok, exact_n FROM exact ORDER BY exact_n DESC, tok LIMIT {CMS_TOP}
+    ), est AS (
+      SELECT t.tok, t.exact_n, CAST(min(c.c) AS BIGINT) AS cms_n
+      FROM top t CROSS JOIN rows_ r
+      JOIN cells c
+        ON c.i = r.i
+       AND c.b = ('0x' || substr(md5(r.i::VARCHAR || ':' || t.tok), 1, 15))
+                    ::BIGINT % {CMS_W}
+      GROUP BY 1, 2
+    )
+    SELECT tok, exact_n, cms_n, cms_n - exact_n AS overcount
+    FROM est
+    """,
+    doc=f"Count-min sketch heavy hitters: {CMS_D}x{CMS_W} CMS over the "
+    "document token stream, estimates (min over rows of the token's cells) "
+    "reported against exact counts for the top-15 tokens — overcount >= 0 "
+    "by construction, and nonzero here because W is deliberately smaller "
+    "than the vocabulary. Cells are derived FROM the vocab-sized exact-"
+    "count aggregate (count addition is associative), so the whole query "
+    "is ONE base-table scan + vocab-sized work; at 100 TB the sketch is "
+    f"{CMS_D}x{CMS_W} integers — mergeable across partitions/days by "
+    "cell-wise addition, the standard streaming-frequency structure. "
+    "Portable md5-prefix hashing makes the cells engine-identical, so "
+    "this sketch IS hash-checked (unlike the HLL family, rows-only by "
+    "nature).",
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    d = load_table(spark, sf_dir, "documents")
+    exact = (
+        d.select(F.explode(_tokens_col()).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_n"))
+        .persist()  # vocab-cardinality; consumed by cells AND the top-k cut
+    )
+    rows_ = F.array([F.lit(i) for i in range(CMS_D)])
+    cells = (
+        exact.select("tok", "exact_n", F.explode(rows_).alias("i"))
+        .select("i", _cms_bucket(F.col("i"), F.col("tok")), "exact_n")
+        .groupBy("i", "b")
+        .agg(F.sum("exact_n").alias("c"))
+    )
+    top = exact.orderBy(F.desc("exact_n"), "tok").limit(CMS_TOP)
+    probes = top.select(
+        "tok", "exact_n", F.explode(rows_).alias("i")
+    ).select("tok", "exact_n", "i", _cms_bucket(F.col("i"), F.col("tok")))
+    est = (
+        probes.join(F.broadcast(cells), ["i", "b"])
+        .groupBy("tok", "exact_n")
+        .agg(F.min("c").cast("long").alias("cms_n"))
+    )
+    return est.select(
+        "tok",
+        "exact_n",
+        "cms_n",
+        (F.col("cms_n") - F.col("exact_n")).alias("overcount"),
+    )
