@@ -474,3 +474,61 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cms_n",
         (F.col("cms_n") - F.col("exact_n")).alias("overcount"),
     )
+
+
+# Positional inverted index: the IR-native phrase-query plan. The index is
+# only ever materialized for the QUERY TERMS (filter before the explode's
+# shuffle), so index cost is O(occurrences of the queried words), not
+# O(corpus) — the pushdown an inverted-index store gives you for free, here
+# expressed relationally.
+PHRASE = ("table", "hash")  # present at every SF in the synthetic corpus
+
+
+@register(
+    QUERIES,
+    "inverted_index_phrase_query",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(list_filter(range(1, len(toks)),
+                i -> toks[i] = '{PHRASE[0]}' AND toks[i+1] = '{PHRASE[1]}'))
+                AS BIGINT) AS n_occ
+    FROM t
+    WHERE len(list_filter(range(1, len(toks)),
+          i -> toks[i] = '{PHRASE[0]}' AND toks[i+1] = '{PHRASE[1]}')) > 0
+    """,
+    doc=f"Exact phrase search '{PHRASE[0]} {PHRASE[1]}' via a POSITIONAL "
+    "inverted index: posexplode tokens to (doc, pos, term) postings "
+    "FILTERED to the two query terms before any shuffle (so the index "
+    "built is query-term-sized, not corpus-sized), then a self-join on "
+    "(doc_id, pos+1 = pos) — the classic posting-list intersection with "
+    "position adjacency, as an equi-join. The oracle counts in-row "
+    "bigram matches instead (different algorithm, same answer — a real "
+    "cross-check, not an echo). At 100 TB the postings join is "
+    "co-partitioned on doc_id and each side is term-frequency-sized; "
+    "longer phrases chain one join per extra term.",
+)
+def inverted_index_phrase_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    d = load_table(spark, sf_dir, "documents")
+    postings = (
+        d.select("doc_id", F.posexplode(_tokens_col()).alias("pos", "term"))
+        .filter(F.col("term").isin(*PHRASE))
+        .persist()  # both posting lists cut from one explode pass
+    )
+    # adjacency as an equi-join KEY (pos+1 on the left, pos on the right),
+    # not a post-join filter: a document with tf1/tf2 occurrences of the
+    # terms then costs tf1+tf2 hash probes, never tf1 x tf2 pairs
+    p1 = postings.filter(F.col("term") == PHRASE[0]).select(
+        "doc_id", (F.col("pos") + 1).alias("pos")
+    )
+    p2 = postings.filter(F.col("term") == PHRASE[1]).select("doc_id", "pos")
+    return (
+        p1.join(p2, ["doc_id", "pos"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occ"))
+    )
