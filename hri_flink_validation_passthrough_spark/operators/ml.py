@@ -145,3 +145,164 @@ def logistic_gd_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(s, r6(a), r6(b), r6(loss)) for s, a, b, loss in out],
         "step long, w0 double, w1 double, log_loss double",
     )
+
+
+# ---- PCA by matrix-free power iteration (the spectral member of the
+# iterative-trainer family: PageRank / GD / Lloyd / now PCA) --------------
+PCA_ITERS = 3
+PCA_DIM = 64  # embeddings table vector width
+
+
+def _pca_oracle() -> str:
+    s9 = "floor({x} * 1000000000 + 0.500001) / 1000000000"
+    s6 = "floor({x} * 1000000 + 0.500001) / 1000000"
+    ctes = [
+        "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM v)",
+        """mx AS (
+      SELECT CAST(generate_subscripts(e, 1) AS INTEGER) AS dim, unnest(e) AS x
+      FROM v
+    )""",
+        f"""mu AS (
+      SELECT dim, {s9.format(x='avg(x)')} AS m FROM mx GROUP BY dim
+    )""",
+        "mul AS (SELECT list(m ORDER BY dim) AS mu FROM mu)",
+        f"""c AS (
+      SELECT vec_id,
+             list_transform(range(1, {PCA_DIM + 1}), i -> e[i] - mu[i]) AS e
+      FROM v CROSS JOIN mul
+    )""",
+        f"w0 AS (SELECT list_transform(range(1, {PCA_DIM + 1}), i -> 0.125) AS w)",
+    ]
+    rng = f"range(1, {PCA_DIM + 1})"
+    for k in range(1, PCA_ITERS + 1):
+        p = f"w{k - 1}"
+        ctes.append(
+            f"""s{k} AS (
+      SELECT c.e,
+             list_aggregate(list_transform({rng}, i -> c.e[i] * p.w[i]),
+                            'sum') AS s
+      FROM c CROSS JOIN {p} p
+    ), gr{k} AS (
+      SELECT CAST(generate_subscripts(e, 1) AS INTEGER) AS dim,
+             unnest(e) AS x, s
+      FROM s{k}
+    ), g{k} AS (
+      SELECT dim, {s9.format(x='sum(s * x) / any_value(nn.n)')} AS g
+      FROM gr{k} CROSS JOIN nn GROUP BY dim
+    ), gl{k} AS (SELECT list(g ORDER BY dim) AS g FROM g{k}
+    ), nrm{k} AS (
+      SELECT sqrt(list_aggregate(list_transform(g, x -> x * x), 'sum')) AS nrm
+      FROM gl{k}
+    ), w{k} AS (
+      SELECT list_transform(g.g,
+               x -> floor(x / n.nrm * 1000000000 + 0.500001) / 1000000000) AS w
+      FROM gl{k} g CROSS JOIN nrm{k} n
+    ), out{k} AS (
+      SELECT {k} AS iteration,
+             (SELECT {s6.format(x=f"list_aggregate(list_transform({rng}, "
+                                 "i -> p.w[i] * g.g[i]), 'sum')")}
+              FROM {p} p CROSS JOIN gl{k} g) AS eigenvalue,
+             (SELECT {s6.format(x=f"list_aggregate(list_transform({rng}, "
+                                 "i -> abs(cur.w[i] - p.w[i])), 'sum')")}
+              FROM w{k} cur CROSS JOIN {p} p) AS delta,
+             (SELECT CAST(dim AS BIGINT) FROM (
+                SELECT CAST(generate_subscripts(w, 1) AS INTEGER) - 1 AS dim,
+                       unnest(w) AS wv FROM w{k})
+              ORDER BY abs(wv) DESC, dim LIMIT 1) AS leading_dim,
+             (SELECT {s6.format(x='wv')} FROM (
+                SELECT CAST(generate_subscripts(w, 1) AS INTEGER) - 1 AS dim,
+                       unnest(w) AS wv FROM w{k})
+              ORDER BY abs(wv) DESC, dim LIMIT 1) AS leading_loading
+    )"""
+        )
+    union = "\n      UNION ALL\n      ".join(
+        f"SELECT * FROM out{k}" for k in range(1, PCA_ITERS + 1)
+    )
+    return (
+        "\n    WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT CAST(iteration AS BIGINT) AS iteration, eigenvalue, delta,
+           leading_dim, leading_loading
+    FROM ({union})
+    """
+    )
+
+
+@register(
+    QUERIES,
+    "pca_power_iteration",
+    oracle=_pca_oracle(),
+    doc=f"Top principal component of the {PCA_DIM}-dim embeddings by "
+    f"MATRIX-FREE power iteration, {PCA_ITERS} unrolled rounds: per round, "
+    "G*w is computed as sum_rows(x * (x . w)) / n — the in-row dot against "
+    "the LITERAL broadcast w in codegen (zero shuffle), then ONE "
+    "posexplode groupBy whose shuffle carries only dim-cardinality "
+    "partials; the 64x64 Gram matrix is never materialized (at 100 TB it "
+    "never could be per-row). Vectors are mean-centered once against the "
+    "snapped literal mean and PERSISTED; each round re-scans only that "
+    "projection. The 64-float iterate is collected, normalized, snapped "
+    "to the 1e-9 grid, and re-broadcast — the GD/Lloyd model-artifact "
+    "loop. Output: convergence trajectory (Rayleigh eigenvalue, L1 step "
+    "delta, leading dimension) per iteration; deltas shrink as w aligns "
+    "with the top eigenvector.",
+)
+def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    prepare(spark)
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    n = v.count()
+    mu_rows = (
+        v.select(F.posexplode("e").alias("dim", "x"))
+        .groupBy("dim")
+        .agg(F.avg("x").alias("m"))
+        .collect()
+    )
+    mu = [0.0] * PCA_DIM
+    for r in mu_rows:
+        mu[int(r["dim"])] = _snap9(float(r["m"]))
+    lit_mu = F.array(*[F.lit(m) for m in mu])
+    centered = v.select(
+        "vec_id", F.zip_with("e", lit_mu, lambda x, m: x - m).alias("e")
+    ).persist()  # one mu pass + one scan per iteration, nothing else
+
+    w = [0.125] * PCA_DIM  # deterministic init: normalized all-ones (1/sqrt(64))
+    rows = []
+    for k in range(1, PCA_ITERS + 1):
+        lit_w = F.array(*[F.lit(x) for x in w])
+        s = F.aggregate(
+            F.zip_with("e", lit_w, lambda x, wi: x * wi),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        g_rows = (
+            centered.select(s.alias("s"), F.posexplode("e").alias("dim", "x"))
+            .groupBy("dim")
+            .agg((F.sum(F.col("s") * F.col("x")) / F.lit(float(n))).alias("g"))
+            .collect()
+        )
+        g = [0.0] * PCA_DIM
+        for r in g_rows:
+            g[int(r["dim"])] = _snap9(float(r["g"]))
+        lam = _snap6(sum(w[i] * g[i] for i in range(PCA_DIM)))
+        nrm = math.sqrt(sum(x * x for x in g))
+        w_new = [_snap9(x / nrm) for x in g]
+        delta = _snap6(sum(abs(w_new[i] - w[i]) for i in range(PCA_DIM)))
+        lead = min(range(PCA_DIM), key=lambda i: (-abs(w_new[i]), i))
+        rows.append((k, lam, delta, lead, _snap6(w_new[lead])))
+        w = w_new
+    return spark.createDataFrame(
+        rows,
+        "iteration long, eigenvalue double, delta double, "
+        "leading_dim long, leading_loading double",
+    )
+
+
+def _snap6(v: float) -> float:
+    import math
+
+    return math.floor(v * 1e6 + 0.500001) / 1e6
