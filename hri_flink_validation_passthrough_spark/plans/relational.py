@@ -1307,6 +1307,83 @@ def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# lifecycle event types that DEFINE the SCD2 dimension; everything else is
+# fact traffic enriched against it
+SCD2_STATE_TYPES = ("signup", "purchase")
+_SCD2_STATE_SQL = ", ".join(f"'{t}'" for t in SCD2_STATE_TYPES)
+
+
+@register(
+    QUERIES,
+    "scd2_temporal_fact_join",
+    oracle=f"""
+    WITH chg AS (
+      SELECT user_id, event_type AS state, ts,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to
+      FROM events WHERE event_type IN ({_SCD2_STATE_SQL})
+    ), facts AS (
+      SELECT user_id, event_type AS fact_type, ts
+      FROM events WHERE event_type NOT IN ({_SCD2_STATE_SQL})
+    ), joined AS (
+      SELECT f.fact_type, coalesce(c.state, 'none') AS state, f.user_id
+      FROM facts f
+      LEFT JOIN chg c
+        ON c.user_id = f.user_id
+       AND f.ts >= c.ts AND (c.valid_to IS NULL OR f.ts < c.valid_to)
+    )
+    SELECT state, fact_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM joined GROUP BY state, fact_type
+    """,
+    doc="Temporal dimension join (the warehouse SCD2-enrichment shape): "
+    "lifecycle events (signup/purchase) define per-user validity "
+    "intervals [change_ts, next_change_ts); the remaining event traffic "
+    "is the fact side, each fact joined to the interval containing its "
+    "timestamp — equi-join on user_id with the interval as residual, "
+    "which cannot explode because a fact matches at most ONE version and "
+    "versions-per-key is bounded by the user's lifecycle-change count. "
+    "Facts before any change get state 'none' (left join). Aggregated to "
+    "state x fact_type counts + distinct users. At 100 TB both sides "
+    "co-partition on the user key; no range-bucketing needed when the "
+    "dimension is versions-per-key-small (contrast range_join_event_pairs "
+    "for the dense-interval case).",
+)
+def scd2_temporal_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    e = load_table(spark, sf_dir, "events")
+    chg = (
+        e.filter(F.col("event_type").isin(*SCD2_STATE_TYPES))
+        .select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.col("ts").alias("vf"),
+            F.lead("ts").over(
+                Window.partitionBy("user_id").orderBy("ts", "event_id")
+            ).alias("vt"),
+        )
+    )
+    facts = e.filter(~F.col("event_type").isin(*SCD2_STATE_TYPES)).select(
+        F.col("user_id").alias("f_user"),
+        F.col("event_type").alias("fact_type"),
+        F.col("ts").alias("f_ts"),
+    )
+    joined = facts.join(
+        chg,
+        (F.col("f_user") == F.col("user_id"))
+        & (F.col("f_ts") >= F.col("vf"))
+        & (F.col("vt").isNull() | (F.col("f_ts") < F.col("vt"))),
+        "left",
+    ).select(
+        F.coalesce("state", F.lit("none")).alias("state"), "fact_type", "f_user"
+    )
+    return joined.groupBy("state", "fact_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("f_user").cast("long").alias("n_users"),
+    )
+
+
 @register(
     QUERIES,
     "asof_next_order_within_7d",
