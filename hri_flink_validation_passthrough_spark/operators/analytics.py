@@ -1602,3 +1602,180 @@ def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+# Rolling-window distinct cardinality: the DAU/WAU/stickiness board metric.
+WAU_DAYS = 7
+
+
+@register(
+    QUERIES,
+    "rolling_7d_distinct_users",
+    oracle=f"""
+    WITH p AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+    ), span AS (
+      SELECT min(day) AS mn, max(day) AS mx FROM p
+    ), grid AS (
+      SELECT unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS day FROM span
+    ), contrib AS (
+      -- a user present on day d is 'weekly active' on d .. d+6: the
+      -- bounded 7x explosion that turns rolling DISTINCT into a plain
+      -- per-day distinct count (cardinality does not sum across days)
+      SELECT DISTINCT
+             unnest(generate_series(day, day + INTERVAL {WAU_DAYS - 1} DAY,
+                                    INTERVAL 1 DAY)) AS wday,
+             user_id
+      FROM p
+    ), wau AS (
+      SELECT wday AS day, count(*) AS wau FROM contrib GROUP BY 1
+    ), dau AS (
+      SELECT day, count(*) AS dau FROM p GROUP BY 1
+    )
+    SELECT strftime(g.day, '%Y-%m-%d') AS day,
+           CAST(coalesce(d.dau, 0) AS BIGINT) AS dau,
+           CAST(coalesce(w.wau, 0) AS BIGINT) AS wau,
+           CASE WHEN coalesce(w.wau, 0) = 0 THEN 0.0
+                ELSE floor(CAST(d.dau AS DOUBLE) / w.wau * 10000 + 0.500001)
+                     / 10000 END AS stickiness
+    FROM grid g
+    LEFT JOIN dau d ON d.day = g.day
+    LEFT JOIN wau w ON w.day = g.day
+    """,
+    doc=f"Rolling {WAU_DAYS}-day distinct users (DAU / WAU / stickiness): "
+    "distinct cardinality cannot be summed across a sliding window, so "
+    "each (user, active-day) pair is exploded to the 7 window days it "
+    "contributes to — a BOUNDED w-fold expansion of the (user x day) "
+    "presence table (already reduced from raw events), then one distinct "
+    "count per day. This is the exact-form counterpart of the mergeable-"
+    "sketch approach (HLL per day, union over the window — "
+    "sketch_cardinalities is the sketch side); at 100 TB the presence "
+    "table is the small aggregate and the 7x explode stays presence-"
+    "sized. Day grid densified over the span so inactive days report 0.",
+)
+def rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    p = (
+        e.select("user_id", F.date_trunc("day", F.col("ts")).alias("day"))
+        .distinct()
+        .persist()  # consumed by span/grid, dau, and the window explosion
+    )
+    span = p.agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+    grid = span.select(
+        F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    contrib = p.select(
+        F.explode(
+            F.sequence(
+                "day",
+                F.col("day") + F.expr(f"INTERVAL {WAU_DAYS - 1} DAY"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day"),
+        "user_id",
+    ).distinct()
+    wau = contrib.groupBy("day").agg(F.count(F.lit(1)).alias("wau"))
+    dau = p.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    out = (
+        grid.join(dau, "day", "left")
+        .join(wau, "day", "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("dau", F.lit(0)).cast("long").alias("dau"),
+            F.coalesce("wau", F.lit(0)).cast("long").alias("wau"),
+            F.when(F.coalesce("wau", F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(
+                F.floor(
+                    F.col("dau").cast("double") / F.col("wau") * 10000
+                    + F.lit(0.500001)
+                )
+                / 10000
+            )
+            .alias("stickiness"),
+        )
+    )
+    return out
+
+
+# k-anonymity release: publish at fine granularity where the group is big
+# enough, generalize up one level where not, suppress the rest.
+KANON_K = 5
+KANON_FINE = 5  # value bucket width at the fine level
+KANON_COARSE = 50  # one step up the generalization hierarchy
+
+
+@register(
+    QUERIES,
+    "k_anonymity_release",
+    oracle=f"""
+    WITH r AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             floor(value / {KANON_FINE}) AS bf,
+             floor(value / {KANON_COARSE}) AS bc
+      FROM events
+    ), fine AS (
+      SELECT event_type, day, bf, count(*) AS n FROM r GROUP BY 1, 2, 3
+    ), tagged AS (
+      SELECT r.event_type, r.day, r.bc, f.n >= {KANON_K} AS fine_ok
+      FROM r JOIN fine f
+        ON f.event_type = r.event_type AND f.day = r.day AND f.bf = r.bf
+    ), coarse AS (
+      -- generalization pool: only rows that FAILED the fine test,
+      -- re-evaluated at the coarser bucket
+      SELECT event_type, day, bc, count(*) AS n
+      FROM tagged WHERE NOT fine_ok GROUP BY 1, 2, 3
+    ), final AS (
+      SELECT t.event_type,
+             CASE WHEN t.fine_ok THEN 'fine'
+                  WHEN c.n >= {KANON_K} THEN 'coarse'
+                  ELSE 'suppressed' END AS release_level
+      FROM tagged t
+      LEFT JOIN coarse c
+        ON c.event_type = t.event_type AND c.day = t.day AND c.bc = t.bc
+    )
+    SELECT event_type, release_level,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM final GROUP BY event_type, release_level
+    """,
+    doc=f"k-anonymity release audit (k={KANON_K}) over quasi-identifier "
+    f"(event_type, day, value bucket): rows in fine-bucket (width "
+    f"{KANON_FINE}) groups of size >= k publish as-is; rows that fail are "
+    f"re-evaluated one step up the generalization hierarchy (width "
+    f"{KANON_COARSE}) over the FAILED pool only; still-small groups are "
+    "suppressed — the standard generalize-then-suppress ladder. Two "
+    "grouped counts + two broadcast-joins of group-size tables back onto "
+    "the rows; the QI-group tables are the small aggregates, so at "
+    "100 TB this is two scans + aggregate-sized joins. All-integer "
+    "output: rows per (event_type, release level).",
+)
+def k_anonymity_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    r = e.select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.floor(F.col("value") / KANON_FINE).alias("bf"),
+        F.floor(F.col("value") / KANON_COARSE).alias("bc"),
+    ).persist()  # base projection consumed by both group-size passes
+    fine = r.groupBy("event_type", "day", "bf").agg(
+        F.count(F.lit(1)).alias("nf")
+    )
+    tagged = r.join(F.broadcast(fine), ["event_type", "day", "bf"]).select(
+        "event_type", "day", "bc", (F.col("nf") >= KANON_K).alias("fine_ok")
+    )
+    coarse = (
+        tagged.filter(~F.col("fine_ok"))
+        .groupBy("event_type", "day", "bc")
+        .agg(F.count(F.lit(1)).alias("nc"))
+    )
+    final = tagged.join(
+        F.broadcast(coarse), ["event_type", "day", "bc"], "left"
+    ).select(
+        "event_type",
+        F.when(F.col("fine_ok"), "fine")
+        .when(F.col("nc") >= KANON_K, "coarse")
+        .otherwise("suppressed")
+        .alias("release_level"),
+    )
+    return final.groupBy("event_type", "release_level").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
