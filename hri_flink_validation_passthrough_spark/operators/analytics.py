@@ -1779,3 +1779,165 @@ def k_anonymity_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.groupBy("event_type", "release_level").agg(
         F.count(F.lit(1)).cast("long").alias("n_rows")
     )
+
+
+@register(
+    QUERIES,
+    "chi_square_type_by_dow",
+    oracle="""
+    WITH c AS (
+      -- day-of-week as plain modular arithmetic on days-since-epoch:
+      -- Spark and DuckDB NUMBER weekdays differently (the repo's noted
+      -- cross-engine gotcha), integer math is engine-proof
+      SELECT event_type,
+             CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7
+                  AS BIGINT) AS dow,
+             count(*) AS o
+      FROM events GROUP BY 1, 2
+    ), tot AS (
+      SELECT CAST(sum(o) AS DOUBLE) AS n FROM c
+    ), rt AS (SELECT event_type, CAST(sum(o) AS DOUBLE) AS r FROM c GROUP BY 1
+    ), ct AS (SELECT dow, CAST(sum(o) AS DOUBLE) AS cl FROM c GROUP BY 1
+    ), cells AS (
+      SELECT c.event_type, c.o, rt.r * ct.cl / tot.n AS e
+      FROM c JOIN rt ON rt.event_type = c.event_type
+             JOIN ct ON ct.dow = c.dow
+             CROSS JOIN tot
+    )
+    SELECT event_type,
+           CAST(sum(o) AS BIGINT) AS n_events,
+           floor(sum((o - e) * (o - e) / e) * 1000000 + 0.500001) / 1000000
+             AS chi2_contrib
+    FROM cells GROUP BY event_type
+    """,
+    doc="Chi-square independence test of event_type vs day-of-week: the "
+    "contingency table is one groupBy (35 cells), expected counts come "
+    "from broadcast row/column marginals, and each type's chi-square "
+    "contribution is a 7-term aggregate — everything after the first "
+    "groupBy is cell-cardinality work. Day-of-week is computed as "
+    "days-since-epoch mod 7 (engines NUMBER weekdays differently; "
+    "modular integer arithmetic is engine-proof). Completes the "
+    "statistical-tests corner next to corr / OLS / MAD: categorical "
+    "association. Contributions floor-nudged at 1e-6.",
+)
+def chi_square_type_by_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    c = (
+        e.select(
+            "event_type",
+            (F.expr("datediff(cast(ts as date), date'1970-01-01')") % 7)
+            .cast("long")
+            .alias("dow"),
+        )
+        .groupBy("event_type", "dow")
+        .agg(F.count(F.lit(1)).alias("o"))
+        .persist()  # 35 cells feeding three marginal consumers
+    )
+    tot = c.agg(F.sum("o").cast("double").alias("n"))
+    rt = c.groupBy("event_type").agg(F.sum("o").cast("double").alias("r"))
+    ct = c.groupBy("dow").agg(F.sum("o").cast("double").alias("cl"))
+    cells = (
+        c.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "dow")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "o",
+            (F.col("r") * F.col("cl") / F.col("n")).alias("e"),
+        )
+    )
+    return cells.groupBy("event_type").agg(
+        F.sum("o").cast("long").alias("n_events"),
+        (
+            F.floor(
+                F.sum((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e"))
+                * 1000000
+                + F.lit(0.500001)
+            )
+            / 1000000
+        ).alias("chi2_contrib"),
+    )
+
+
+# Last-touch attribution: every purchase credited to the user's most recent
+# preceding touch (click/view) within the window, else unattributed.
+ATTR_WINDOW_H = 24
+
+
+@register(
+    QUERIES,
+    "attribution_last_touch",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id, ts, event_id, event_type,
+             last_value(CASE WHEN event_type IN ('click', 'view')
+                             THEN {{'tts': ts, 'tt': event_type}} END
+                        IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS touch
+      FROM events
+      WHERE event_type IN ('click', 'view', 'purchase')
+    ), p AS (
+      SELECT CASE WHEN touch IS NULL THEN 'none'
+                  WHEN date_diff('microsecond', touch.tts, ts)
+                       > {ATTR_WINDOW_H * 3600 * 1000000} THEN 'none'
+                  ELSE touch.tt END AS channel,
+             CASE WHEN touch IS NOT NULL
+                   AND date_diff('microsecond', touch.tts, ts)
+                       <= {ATTR_WINDOW_H * 3600 * 1000000}
+                  THEN date_diff('microsecond', touch.tts, ts) / 60000000.0
+             END AS mins
+      FROM s WHERE event_type = 'purchase'
+    )
+    SELECT channel,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           floor(coalesce(avg(mins), 0.0) * 10000 + 0.500001) / 10000
+             AS avg_mins_to_convert
+    FROM p GROUP BY channel
+    """,
+    doc=f"Last-touch attribution: each purchase credited to the user's "
+    f"most recent preceding click/view within {ATTR_WINDOW_H}h, else "
+    "'none' — the union + last_value(struct) IGNORE NULLS running window "
+    "(same one-shuffle shape as the as-of join family: no purchase-touch "
+    "self-join, no per-purchase scan-back). Time-to-convert is an exact "
+    "integer microsecond diff scaled to minutes, averaged per channel "
+    "and floor-nudged. Ties at identical timestamps break on event_id "
+    "identically in both engines.",
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view", "purchase")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    touch = F.last(
+        F.when(
+            F.col("event_type").isin("click", "view"),
+            F.struct(F.col("ts").alias("tts"), F.col("event_type").alias("tt")),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    s = e.select("ts", "event_type", touch.alias("touch"))
+    lim = ATTR_WINDOW_H * 3600 * 1000000
+    dmicros = F.unix_micros("ts") - F.unix_micros("touch.tts")
+    p = s.filter(F.col("event_type") == "purchase").select(
+        F.when(F.col("touch").isNull(), "none")
+        .when(dmicros > lim, "none")
+        .otherwise(F.col("touch.tt"))
+        .alias("channel"),
+        F.when(
+            F.col("touch").isNotNull() & (dmicros <= lim), dmicros / 60000000.0
+        ).alias("mins"),
+    )
+    return p.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        (
+            F.floor(
+                F.coalesce(F.avg("mins"), F.lit(0.0)) * 10000 + F.lit(0.500001)
+            )
+            / 10000
+        ).alias("avg_mins_to_convert"),
+    )

@@ -54,6 +54,7 @@ ALLOWED_NESTED_LOOP = {
     "hybrid_search_rrf": "1-row query-vector broadcast cross join (dense channel)",
     "corpus_split_kl_divergence": "dense source x top-100-vocab grid cross join — n_sources x 100 rows, data-size-independent (zero-count words must contribute smoothed KL mass)",
     "rfm_customer_segments": "1-row cutoff-date scalar broadcast cross join",
+    "chi_square_type_by_dow": "1-row grand-total (n) scalar broadcast cross join onto the 35-cell contingency table",
 }
 
 # name -> why a single-partition Sort/Window is acceptable there: the window
