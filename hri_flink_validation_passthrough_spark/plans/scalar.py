@@ -555,3 +555,75 @@ def window_navigation_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("o_orderkey", 2).over(wrun).alias("second_key"),
         F.last(big, ignorenulls=True).over(wrun).alias("last_big_key"),
     )
+
+
+@register(
+    QUERIES,
+    "null_semantics_showcase",
+    oracle="""
+    WITH o AS (
+      SELECT nullif(o_orderstatus, 'P') AS st, o_custkey FROM orders
+    ), keys AS (
+      -- a key set POISONED with one NULL: ANSI NOT IN over it can never
+      -- be TRUE (x <> NULL is UNKNOWN), so the count below must be 0
+      SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+      UNION ALL SELECT NULL
+    ), ns AS (
+      SELECT count(*) AS n_pairs
+      FROM (SELECT nullif(n_regionkey, 0) AS rk FROM nation) a
+      JOIN (SELECT nullif(n_regionkey, 0) AS rk FROM nation) b
+        ON a.rk IS NOT DISTINCT FROM b.rk
+    )
+    SELECT CAST(count(*) AS BIGINT)            AS n_rows,
+           CAST(count(st) AS BIGINT)           AS n_nonnull,
+           CAST(count(DISTINCT st) AS BIGINT)  AS n_distinct_nonnull,
+           CAST((SELECT count(*) FROM o o2
+                 WHERE o2.o_custkey NOT IN (SELECT k FROM keys))
+                AS BIGINT)                     AS n_not_in_poisoned,
+           CAST((SELECT n_pairs FROM ns) AS BIGINT) AS n_nullsafe_pairs
+    FROM o
+    """,
+    doc="ANSI NULL semantics pinned as one row: count(col) skips NULLs, "
+    "DISTINCT excludes them, NOT IN over a NULL-poisoned key set returns "
+    "ZERO rows (x <> NULL is UNKNOWN — Spark plans this as a null-aware "
+    "anti join, the classic silent-empty-result production bug), and "
+    "null-safe equality (<=> / IS NOT DISTINCT FROM) where NULL matches "
+    "NULL, demonstrated by a self-join pair count over a small nullable "
+    "dim. All five numbers are computed, not literals — either engine "
+    "deviating from ANSI breaks the hash.",
+)
+def null_semantics_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        F.nullif("o_orderstatus", F.lit("P")).alias("st"), "o_custkey"
+    )
+    o.createOrReplaceTempView("o_null_demo")
+    n = _t(spark, sf_dir, "nation").select(
+        F.nullif("n_regionkey", F.lit(0)).alias("rk")
+    )
+    a, b = n.alias("a"), n.alias("b")
+    n_pairs = (
+        a.join(b, F.col("a.rk").eqNullSafe(F.col("b.rk"))).count()
+    )
+    fkeys = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("k"))
+        .unionByName(
+            o.sparkSession.range(1).select(F.lit(None).cast("long").alias("k"))
+        )
+    )
+    fkeys.createOrReplaceTempView("keys_null_demo")
+    # NOT IN over the poisoned set: Spark's null-aware anti join
+    n_not_in = o.sparkSession.sql(
+        "SELECT count(*) AS c FROM o_null_demo "
+        "WHERE o_custkey NOT IN (SELECT k FROM keys_null_demo)"
+    ).collect()[0]["c"]
+    return o.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count("st").cast("long").alias("n_nonnull"),
+        F.countDistinct("st").cast("long").alias("n_distinct_nonnull"),
+    ).select(
+        "*",
+        F.lit(int(n_not_in)).cast("long").alias("n_not_in_poisoned"),
+        F.lit(int(n_pairs)).cast("long").alias("n_nullsafe_pairs"),
+    )
