@@ -252,42 +252,51 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
     prepare(spark)
+    # ONE base scan total: the raw projection is cached, the mean pass and
+    # every iteration read the cache, and centering is a cheap in-row
+    # zip_with against the literal snapped mean (recomputing 64
+    # subtractions per row per pass beats a second cached copy)
     v = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
-    )
-    n = v.count()
+    ).persist()
     mu_rows = (
         v.select(F.posexplode("e").alias("dim", "x"))
         .groupBy("dim")
-        .agg(F.avg("x").alias("m"))
+        .agg(F.avg("x").alias("m"), F.count(F.lit(1)).alias("n"))
         .collect()
     )
+    n = int(mu_rows[0]["n"])  # every dim counts all rows
     mu = [0.0] * PCA_DIM
     for r in mu_rows:
         mu[int(r["dim"])] = _snap9(float(r["m"]))
-    lit_mu = F.array(*[F.lit(m) for m in mu])
-    centered = v.select(
-        "vec_id", F.zip_with("e", lit_mu, lambda x, m: x - m).alias("e")
-    ).persist()  # one mu pass + one scan per iteration, nothing else
-
     w = [0.125] * PCA_DIM  # deterministic init: normalized all-ones (1/sqrt(64))
     rows = []
     for k in range(1, PCA_ITERS + 1):
-        lit_w = F.array(*[F.lit(x) for x in w])
-        s = F.aggregate(
-            F.zip_with("e", lit_w, lambda x, wi: x * wi),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        )
+        # centering is algebra, not per-element work: the centered dot is
+        # s = sum_i e[i]*w[i] - c0 with c0 = mu . w a Python constant, and
+        # the centered co-moment is g[d] = (sum_rows s*e[d] - mu[d]*sum_rows
+        # s)/n — so the per-row expression is an UNROLLED 64-term dot
+        # (whole-stage codegen) and the pass needs no zip_with/aggregate
+        # lambdas (higher-order fns evaluate interpreted per element: the
+        # original formulation was ~12M lambda evals per pass at sf1)
+        c0 = sum(mu[i] * w[i] for i in range(PCA_DIM))
+        s = F.lit(0.0)
+        for i in range(PCA_DIM):
+            s = s + F.col("e")[i] * float(w[i])
+        s = s - F.lit(c0)
         g_rows = (
-            centered.select(s.alias("s"), F.posexplode("e").alias("dim", "x"))
+            v.select(s.alias("s"), F.posexplode("e").alias("dim", "x"))
             .groupBy("dim")
-            .agg((F.sum(F.col("s") * F.col("x")) / F.lit(float(n))).alias("g"))
+            .agg(
+                F.sum(F.col("s") * F.col("x")).alias("a"),
+                F.sum("s").alias("ssum"),
+            )
             .collect()
         )
         g = [0.0] * PCA_DIM
         for r in g_rows:
-            g[int(r["dim"])] = _snap9(float(r["g"]))
+            d = int(r["dim"])
+            g[d] = _snap9((float(r["a"]) - mu[d] * float(r["ssum"])) / n)
         lam = _snap6(sum(w[i] * g[i] for i in range(PCA_DIM)))
         nrm = math.sqrt(sum(x * x for x in g))
         w_new = [_snap9(x / nrm) for x in g]
