@@ -1,9 +1,16 @@
 """JVM-side column helpers — vector math and text metrics.
 
 Everything here returns a ``Column`` built from ``pyspark.sql.functions``
-primitives, so the hot path stays inside whole-stage codegen (no Python UDFs).
-Vector ops use ``zip_with``/``aggregate`` over ``array<float/double>`` —
-the Tungsten-friendly way to do per-row linear algebra without Arrow hops.
+primitives — no Python UDFs, no Arrow hops. Vector ops come in two forms:
+
+- the ``zip_with``/``aggregate`` lambda fold for arbitrary-width arrays —
+  JVM-side but INTERPRETED per element (higher-order functions are not
+  compiled by whole-stage codegen; measured 6x slower than the unrolled
+  form on the PCA pass at sf1, BASELINE.md "PCA rework");
+- an UNROLLED flat expression tree when the static width ``dim`` is known
+  (embeddings are fixed-width) — fully codegen'd. The addition order is the
+  same left-to-right sequence as the fold, so the two forms are
+  bit-identical; callers pass ``dim`` on hot paths.
 """
 
 from __future__ import annotations
@@ -11,10 +18,24 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+# width of the embeddings table's vectors (TESTDATA.md); the static-unroll
+# `dim` argument call sites pass on embedding hot paths
+EMB_DIM = 64
 
-def dot(a, b) -> Column:
-    """Dot product of two array<numeric> columns (codegen'd, no UDF)."""
+
+def dot(a, b, dim: int | None = None) -> Column:
+    """Dot product of two array<numeric> columns (no UDF).
+
+    With ``dim`` the sum is unrolled into a flat codegen'd tree; without,
+    it falls back to the interpreted lambda fold. NB: unrolling a too-large
+    ``dim`` yields NULL (out-of-range getItem), never a wrong number.
+    """
     a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
+    if dim is not None:
+        s = F.lit(0.0).cast("double")
+        for i in range(dim):
+            s = s + a[i] * b[i]
+        return s
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0).cast("double"),
@@ -22,17 +43,22 @@ def dot(a, b) -> Column:
     )
 
 
-def norm(a) -> Column:
-    """L2 norm of an array<numeric> column."""
+def norm(a, dim: int | None = None) -> Column:
+    """L2 norm of an array<numeric> column (see ``dot`` re: ``dim``)."""
     a = F.col(a) if isinstance(a, str) else a
+    if dim is not None:
+        s = F.lit(0.0).cast("double")
+        for i in range(dim):
+            s = s + a[i] * a[i]
+        return F.sqrt(s)
     return F.sqrt(
         F.aggregate(a, F.lit(0.0).cast("double"), lambda acc, v: acc + v * v)
     )
 
 
-def cosine_similarity(a, b) -> Column:
-    """Cosine similarity of two array<numeric> columns (codegen'd)."""
-    return dot(a, b) / (norm(a) * norm(b))
+def cosine_similarity(a, b, dim: int | None = None) -> Column:
+    """Cosine similarity of two array<numeric> columns (see ``dot``)."""
+    return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
 
 
 # ---------------------------------------------------------------------------

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import dot as fdot
 from ..plans import QuerySpec, register
 from ..session import load_table, prepare
 
@@ -280,10 +281,8 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         # lambdas (higher-order fns evaluate interpreted per element: the
         # original formulation was ~12M lambda evals per pass at sf1)
         c0 = sum(mu[i] * w[i] for i in range(PCA_DIM))
-        s = F.lit(0.0)
-        for i in range(PCA_DIM):
-            s = s + F.col("e")[i] * float(w[i])
-        s = s - F.lit(c0)
+        lit_w = F.array(*[F.lit(x) for x in w])
+        s = fdot(F.col("e"), lit_w, dim=PCA_DIM) - F.lit(c0)
         g_rows = (
             v.select(s.alias("s"), F.posexplode("e").alias("dim", "x"))
             .groupBy("dim")

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions import cosine_similarity
+from ..functions import EMB_DIM, cosine_similarity
 from ..plans import QuerySpec, register
 from ..session import load_table, prepare
 
@@ -500,9 +500,17 @@ def _pq_codebook(spark: SparkSession, sf_dir: str) -> list[list[list[float]]]:
     return _pq_codebook_memo[key]
 
 
-def _sqdist(a, b):
-    """Sequential-fold squared L2 — term order and arithmetic chosen to be
-    bit-identical to the oracle's list_sum(list_transform(range ...)) form."""
+def _sqdist(a, b, dim: int | None = None):
+    """Squared L2 — term order and arithmetic chosen to be bit-identical
+    to the oracle's list_sum(list_transform(range ...)) form. With a
+    static ``dim`` the sum is unrolled into a flat codegen'd tree
+    (identical addition order); the lambda-fold fallback evaluates
+    interpreted per element."""
+    if dim is not None:
+        s = F.lit(0.0)
+        for i in range(dim):
+            s = s + (a[i] - b[i]) * (a[i] - b[i])
+        return s
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),

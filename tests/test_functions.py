@@ -398,3 +398,31 @@ def test_holt_winters_matches_exact_recurrence(spark):
         assert abs(r["level"] - wl) <= 1e-6 * scale + 1e-4, (key, r["level"], wl)
         assert abs(r["trend"] - wt) <= 1e-6 * scale + 1e-4, (key, r["trend"], wt)
         assert abs(r["forecast_1h"] - (wl + wt)) <= 1e-6 * scale + 2e-4
+
+
+def test_dot_norm_unrolled_bit_identical_to_fold(spark):
+    """The static-dim unrolled forms of dot/norm/cosine must be BIT-identical
+    to the lambda-fold forms (same left-to-right addition order) — the PCA
+    hot path relies on swapping one for the other without moving any oracle
+    value. Checked over awkward floats (denormal-ish, huge, negative)."""
+    from hri_flink_validation_passthrough_spark.functions import (
+        cosine_similarity,
+        dot,
+        norm,
+    )
+
+    rows = [
+        ([0.1, -2.5, 3.25, 1e-7], [7.0, 0.3, -1.125, 1e7]),
+        ([1e100, 1.0, -1e100, 2.0], [1.0, 1e-3, 1.0, 0.5]),
+        ([0.0, 0.0, 0.1, 0.2], [5.0, -5.0, 0.333333, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "a array<double>, b array<double>")
+    got = df.select(
+        (dot("a", "b") == dot("a", "b", dim=4)).alias("d"),
+        (norm("a") == norm("a", dim=4)).alias("n"),
+        (
+            cosine_similarity("a", "b") == cosine_similarity("a", "b", dim=4)
+        ).alias("c"),
+    ).collect()
+    for r in got:
+        assert r["d"] and r["n"] and r["c"]
