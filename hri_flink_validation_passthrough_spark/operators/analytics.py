@@ -1941,3 +1941,116 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("avg_mins_to_convert"),
     )
+
+
+# Deterministic bootstrap: hash-seeded Poisson(1) resampling weights make
+# the classically-random procedure exactly reproducible AND cross-engine
+# checkable — the multiplier trick ("Poissonization") is the standard way
+# to bootstrap a distributed dataset without materializing resamples.
+BOOT_B = 32  # replicas
+# Poisson(1) inverse-CDF ladder: u < cum[k] -> weight k (else 7)
+_BOOT_CUM = [
+    (0, 0.36787944117144233),
+    (1, 0.7357588823428847),
+    (2, 0.9196986029286058),
+    (3, 0.9810118431238463),
+    (4, 0.9963401531726563),
+    (5, 0.9994058151824183),
+    (6, 0.999916758850712),
+]
+_BOOT_SCALE = float(1 << 60)  # md5 60-bit prefix -> uniform [0,1)
+
+
+@register(
+    QUERIES,
+    "bootstrap_ci_event_values",
+    oracle=f"""
+    WITH reps AS (SELECT unnest(range(0, {BOOT_B})) AS b
+    ), wtab AS (
+      SELECT e.event_type, r.b, e.value,
+             CASE {' '.join(f"WHEN ('0x' || substr(md5(r.b::VARCHAR || ':' || e.event_id::VARCHAR), 1, 15))::BIGINT / {_BOOT_SCALE} < {c} THEN {k}" for k, c in _BOOT_CUM)}
+                  ELSE 7 END AS w
+      FROM events e CROSS JOIN reps r
+    ), m AS (
+      SELECT event_type, b,
+             floor(sum(w * value) / sum(w) * 1000000 + 0.500001) / 1000000
+               AS mb
+      FROM wtab GROUP BY event_type, b
+    ), r AS (
+      SELECT event_type, mb,
+             row_number() OVER (PARTITION BY event_type ORDER BY mb, b) AS rn
+      FROM m
+    )
+    SELECT r.event_type,
+           (SELECT floor(avg(value) * 1000000 + 0.500001) / 1000000
+            FROM events e2 WHERE e2.event_type = r.event_type) AS mean_value,
+           max(CASE WHEN rn = 2 THEN mb END)            AS ci_lo,
+           max(CASE WHEN rn = {BOOT_B - 1} THEN mb END) AS ci_hi
+    FROM r GROUP BY r.event_type
+    """,
+    doc=f"Bootstrap confidence interval for avg(value) per event_type, "
+    f"fully deterministic: {BOOT_B} replicas weight each row by a "
+    "Poisson(1) multiplier drawn from the portable 60-bit md5 of "
+    "(replica, event_id) through the inverse-CDF ladder — the "
+    "multiplier bootstrap, which needs NO resample materialization and "
+    "map-reduces as one weighted aggregate per replica (all replicas in "
+    "ONE pass via a bounded 32x explode). CI bounds are ORDER STATISTICS "
+    "of the rounded replica means (2nd smallest / 2nd largest ~ 93.75% "
+    "interval) — rank-based, so no cross-engine quantile-interpolation "
+    "drift. The hash-seeded variant of what random bootstrap cannot "
+    "offer: bit-reproducibility across engines and runs.",
+)
+def bootstrap_ci_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("b").cast("string"),
+                        F.lit(":"),
+                        F.col("event_id").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(_BOOT_SCALE)
+    )
+    w = F.lit(7)
+    for k, c in reversed(_BOOT_CUM):
+        w = F.when(u < c, k).otherwise(w)
+    wtab = e.select(
+        "event_type",
+        "value",
+        "event_id",
+        F.explode(F.array(*[F.lit(b) for b in range(BOOT_B)])).alias("b"),
+    ).select("event_type", "b", "value", w.alias("w"))
+    m = wtab.groupBy("event_type", "b").agg(
+        (
+            F.floor(
+                F.sum(F.col("w") * F.col("value")) / F.sum("w") * 1000000
+                + F.lit(0.500001)
+            )
+            / 1000000
+        ).alias("mb")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("event_type").orderBy("mb", "b")
+    )
+    r = m.withColumn("rn", rn)
+    ci = r.groupBy("event_type").agg(
+        F.max(F.when(F.col("rn") == 2, F.col("mb"))).alias("ci_lo"),
+        F.max(F.when(F.col("rn") == BOOT_B - 1, F.col("mb"))).alias("ci_hi"),
+    )
+    mean = e.groupBy("event_type").agg(
+        (F.floor(F.avg("value") * 1000000 + F.lit(0.500001)) / 1000000).alias(
+            "mean_value"
+        )
+    )
+    return mean.join(ci, "event_type").select(
+        "event_type", "mean_value", "ci_lo", "ci_hi"
+    )
