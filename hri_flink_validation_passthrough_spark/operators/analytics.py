@@ -2054,3 +2054,128 @@ def bootstrap_ci_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mean.join(ci, "event_type").select(
         "event_type", "mean_value", "ci_lo", "ci_hi"
     )
+
+
+@register(
+    QUERIES,
+    "ohlc_hourly_bars",
+    oracle="""
+    SELECT event_type,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
+           round(min({'ts': ts, 'eid': event_id, 'v': value}).v, 2) AS open,
+           round(max(value), 2)                                      AS high,
+           round(min(value), 2)                                      AS low,
+           round(max({'ts': ts, 'eid': event_id, 'v': value}).v, 2) AS close,
+           CAST(count(*) AS BIGINT)                   AS volume,
+           round(sum(value), 2)                       AS notional
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="OHLC candlestick bars per (event_type, hour) — the financial "
+    "downsampling staple: open/close are argmin/argmax by (ts, event_id) "
+    "as min(struct(ts, event_id, value)).value / max(...) — lexicographic "
+    "struct comparison, so ts ties break on event_id identically in both "
+    "engines (the CDC merger's argmax construction), "
+    "high/low/volume/notional are plain aggregates. ONE partial-"
+    "aggregated groupBy, no window, no sort: at 100 TB this is the "
+    "map-side-combine shape, bar cardinality (hours x types) output.",
+)
+def ohlc_hourly_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    key = F.struct(
+        F.col("ts"), F.col("event_id").alias("eid"), F.col("value").alias("v")
+    )
+    return (
+        e.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+        )
+        .agg(
+            F.round(F.min(key)["v"], 2).alias("open"),
+            F.round(F.max("value"), 2).alias("high"),
+            F.round(F.min("value"), 2).alias("low"),
+            F.round(F.max(key)["v"], 2).alias("close"),
+            F.count(F.lit(1)).cast("long").alias("volume"),
+            F.round(F.sum("value"), 2).alias("notional"),
+        )
+        .select(
+            "event_type",
+            F.date_format("hr", "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+            "notional",
+        )
+    )
+
+
+@register(
+    QUERIES,
+    "time_weighted_avg_daily",
+    oracle="""
+    WITH o AS (
+      SELECT event_type, ts, value, date_trunc('day', ts) AS day,
+             lead(ts) OVER w AS nts,
+             lead(date_trunc('day', ts)) OVER w AS nday
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    ), seg AS (
+      -- LOCF segments clipped at the day boundary: a sample holds its
+      -- value until the next sample or midnight, whichever is first
+      SELECT event_type, day, value,
+             CAST(date_diff('microsecond', ts,
+                  CASE WHEN nts IS NULL OR nday <> day
+                       THEN day + INTERVAL 1 DAY ELSE nts END)
+                  AS DOUBLE) AS dur
+      FROM o
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+           floor(sum(value * dur) / sum(dur) * 10000 + 0.500001) / 10000
+             AS twa,
+           CAST(count(*) AS BIGINT) AS n_samples
+    FROM seg GROUP BY event_type, day
+    """,
+    doc="Time-weighted average (the TSDB staple for irregular samples): "
+    "LOCF segments — each sample holds its value until the next sample "
+    "or midnight, whichever is first — weighted by exact integer-"
+    "microsecond durations, aggregated per (event_type, day). One "
+    "per-key ordered window (lead) + one groupBy; segment durations "
+    "clip at day boundaries so daily averages don't leak across days. "
+    "The plain avg() over-weights bursts; this is the correct "
+    "irregular-sampling mean.",
+)
+def time_weighted_avg_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    day = F.date_trunc("day", F.col("ts"))
+    o = e.select(
+        "event_type",
+        "ts",
+        "value",
+        day.alias("day"),
+        F.lead("ts").over(w).alias("nts"),
+        F.lead(day).over(w).alias("nday"),
+    )
+    end = F.when(
+        F.col("nts").isNull() | (F.col("nday") != F.col("day")),
+        F.col("day") + F.expr("INTERVAL 1 DAY"),
+    ).otherwise(F.col("nts"))
+    seg = o.select(
+        "event_type",
+        "day",
+        "value",
+        (F.unix_micros(end) - F.unix_micros("ts")).cast("double").alias("dur"),
+    )
+    return seg.groupBy(
+        "event_type", F.date_format("day", "yyyy-MM-dd").alias("day")
+    ).agg(
+        (
+            F.floor(
+                F.sum(F.col("value") * F.col("dur")) / F.sum("dur") * 10000
+                + F.lit(0.500001)
+            )
+            / 10000
+        ).alias("twa"),
+        F.count(F.lit(1)).cast("long").alias("n_samples"),
+    )
