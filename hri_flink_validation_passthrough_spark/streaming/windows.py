@@ -945,3 +945,56 @@ def cdc_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("from_version", F.lit(int(vers[0])).cast("long"))
         .withColumn("to_version", F.lit(int(vers[-1])).cast("long"))
     )
+
+
+@register(
+    QUERIES,
+    "stream_ohlc_hourly",
+    oracle="""
+    SELECT event_type,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
+           round(min({'ts': ts, 'eid': event_id, 'v': value}).v, 2) AS open,
+           round(max(value), 2)                                      AS high,
+           round(min(value), 2)                                      AS low,
+           round(max({'ts': ts, 'eid': event_id, 'v': value}).v, 2) AS close,
+           CAST(count(*) AS BIGINT)                                  AS volume
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="OHLC bars maintained by the REAL streaming engine: open/close as "
+    "stateful min/max of struct(ts, event_id, value) — the streaming "
+    "argmin/argmax, whose per-window state is two structs + three "
+    "scalars regardless of event volume (contrast collecting events per "
+    "window). Same bars as the batch ohlc_hourly_bars; the oracle "
+    "recomputes from raw history. Demonstrates that composite-key "
+    "extremum aggregation is incremental-merge-safe (struct comparison "
+    "is associative), so bars stream correctly under any microbatch "
+    "split.",
+)
+def stream_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events_stream(spark, sf_dir)
+    key = F.struct(
+        F.col("ts"), F.col("event_id").alias("eid"), F.col("value").alias("v")
+    )
+    agg = (
+        e.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.round(F.min(key)["v"], 2).alias("open"),
+            F.round(F.max("value"), 2).alias("high"),
+            F.round(F.min("value"), 2).alias("low"),
+            F.round(F.max(key)["v"], 2).alias("close"),
+            F.count(F.lit(1)).cast("long").alias("volume"),
+        )
+        .select(
+            "event_type",
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "hour_ts"
+            ),
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+        )
+    )
+    return _run_to_table(agg, "ohlc")
