@@ -63,6 +63,10 @@ SHOWCASE = {
     "community_label_propagation": "2 unrolled mode-propagation rounds: labels-join-edges + per-node rank; persisted mutual-kNN edge subtree shared with pagerank",
     "table_checksum_integrity": "md5-prefix row hashes in codegen; BIT_XOR partial-agg per bucket (map-side combine); 16-row join",
     "window_navigation_showcase": "single Window node computing the whole navigation set per customer partition — one shuffle, no global sort",
+    "pca_power_iteration": "unrolled 64-term dot in whole-stage codegen (no array lambdas); one posexplode groupBy carrying dim-cardinality partials",
+    "bootstrap_ci_event_values": "32-replica multiplier bootstrap in ONE pass: bounded explode, partial-agg per (type, replica), rank-based CI",
+    "ohlc_hourly_bars": "single partial-aggregated groupBy; open/close as struct min/max with field extraction — no window, no sort",
+    "attribution_last_touch": "union + last_value(struct) IGNORE NULLS running window — one shuffle, no purchase-touch self-join",
 }
 
 
