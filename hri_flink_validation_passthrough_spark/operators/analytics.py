@@ -2179,3 +2179,167 @@ def time_weighted_avg_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("twa"),
         F.count(F.lit(1)).cast("long").alias("n_samples"),
     )
+
+
+# User-journey mining: the most common session-opening event paths.
+PATH_LEN = 4
+PATH_TOP = 10
+PATH_GAP_S = 1800  # same 30-min session gap as events_sessionize
+
+
+@register(
+    QUERIES,
+    "session_path_topk",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR date_diff('second', lag(ts) OVER w, ts)
+                          > {PATH_GAP_S}
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM flagged
+    ), ranked AS (
+      SELECT user_id, sess_id, event_type,
+             row_number() OVER (PARTITION BY user_id, sess_id
+                                ORDER BY ts, event_id) AS rn
+      FROM sess
+    ), paths AS (
+      SELECT user_id, sess_id,
+             string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM ranked WHERE rn <= {PATH_LEN}
+      GROUP BY user_id, sess_id
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(row_number() OVER (ORDER BY count(*) DESC, path) AS BIGINT)
+             AS rnk
+    FROM paths GROUP BY path
+    ORDER BY rnk LIMIT {PATH_TOP}
+    """,
+    doc=f"Top-{PATH_TOP} session-opening journeys: 30-min-gap sessionization "
+    "(same two-window construction as events_sessionize), each session "
+    f"reduced to its first {PATH_LEN} event types joined '>' — "
+    "deterministic ordered string_agg / ordered collect_list — then a "
+    "global path frequency top-k. The user-journey complement of "
+    "session_transition_matrix (full prefixes vs Markov pairs). Per-user "
+    "windows hash-partition; path table is path-cardinality; top-k is "
+    "TakeOrdered, no global sort of the session table.",
+)
+def session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    flagged = e.withColumn(
+        "new_sess",
+        F.when(
+            F.lag("ts").over(w).isNull() | (gap > PATH_GAP_S), 1
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "sess_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    ws = Window.partitionBy("user_id", "sess_id").orderBy("ts", "event_id")
+    ranked = sess.withColumn("rn", F.row_number().over(ws)).filter(
+        F.col("rn") <= PATH_LEN
+    )
+    paths = (
+        ranked.groupBy("user_id", "sess_id")
+        .agg(
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(F.struct("rn", "event_type"))
+                ).getField("event_type"),
+                ">",
+            ).alias("path")
+        )
+    )
+    counts = paths.groupBy("path").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions")
+    )
+    wr = Window.orderBy(F.desc("n_sessions"), "path")
+    return (
+        counts.withColumn("rnk", F.row_number().over(wr).cast("long"))
+        .orderBy("rnk")
+        .limit(PATH_TOP)
+    )
+
+
+@register(
+    QUERIES,
+    "max_drawdown_hourly_close",
+    oracle="""
+    WITH bars AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             max({'ts': ts, 'eid': event_id, 'v': value}).v AS close
+      FROM events GROUP BY 1, 2
+    ), dd AS (
+      SELECT event_type, hr, close,
+             max(close) OVER (PARTITION BY event_type ORDER BY hr
+                              ROWS UNBOUNDED PRECEDING) AS peak
+      FROM bars
+    ), rel AS (
+      SELECT event_type, hr,
+             floor((peak - close) / peak * 1000000 + 0.500001) / 1000000
+               AS drawdown
+      FROM dd
+    )
+    SELECT event_type,
+           max(drawdown) AS max_drawdown,
+           min(CASE WHEN drawdown = (SELECT max(r2.drawdown) FROM rel r2
+                                     WHERE r2.event_type = rel.event_type)
+                    THEN strftime(hr, '%Y-%m-%d %H:%M:%S') END)
+             AS trough_hour
+    FROM rel GROUP BY event_type
+    """,
+    doc="Maximum drawdown of each type's hourly closing value: running "
+    "peak via an ordered cummax window over the BAR table (hours x "
+    "types — data-size-independent after the first groupBy), relative "
+    "drop floor-nudged, then the per-type max with the earliest trough "
+    "hour as deterministic argmax. The running-peak/relative-gap window "
+    "pattern (risk metrics, SLA burn-down) not covered elsewhere; close "
+    "uses the same struct-argmax as the OHLC bars.",
+)
+def max_drawdown_hourly_close(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    key = F.struct(
+        F.col("ts"), F.col("event_id").alias("eid"), F.col("value").alias("v")
+    )
+    bars = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.max(key)["v"].alias("close"))
+    wpeak = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    rel = bars.withColumn("peak", F.max("close").over(wpeak)).select(
+        "event_type",
+        "hr",
+        (
+            F.floor(
+                (F.col("peak") - F.col("close")) / F.col("peak") * 1000000
+                + F.lit(0.500001)
+            )
+            / 1000000
+        ).alias("drawdown"),
+    )
+    wmax = Window.partitionBy("event_type")
+    return (
+        rel.withColumn("mx", F.max("drawdown").over(wmax))
+        .groupBy("event_type")
+        .agg(
+            F.max("drawdown").alias("max_drawdown"),
+            F.min(
+                F.when(
+                    F.col("drawdown") == F.col("mx"),
+                    F.date_format("hr", "yyyy-MM-dd HH:mm:ss"),
+                )
+            ).alias("trough_hour"),
+        )
+    )
