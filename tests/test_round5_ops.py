@@ -184,3 +184,19 @@ def test_kmeans_lloyd_improves_assignment_quality(spark):
 
     w = [weighted(it) for it in sorted(by_iter)]
     assert all(b >= a - 1e-6 for a, b in zip(w, w[1:])), w
+
+
+def test_mutual_knn_graph_memo_keys_by_dataset(spark):
+    """The graph memo must key on (app, normalized sf_dir): different
+    datasets get different graphs, trailing slashes don't double-build,
+    and the memoized result is the same object the first call produced —
+    the PQ-memo rstrip bug class (round-5 ADVICE), pinned here for the
+    graph build."""
+    from hri_flink_validation_passthrough_spark.operators import graph
+
+    e1, n1 = graph._mutual_knn_edges(spark, "/root/testdata/sf0.001")
+    e1b, n1b = graph._mutual_knn_edges(spark, "/root/testdata/sf0.001/")
+    assert e1 is e1b and n1 is n1b  # normalized: no duplicate build
+    e2, n2 = graph._mutual_knn_edges(spark, "/root/testdata/sf0.01")
+    assert e2 is not e1  # different dataset, different graph
+    assert n1.count() != n2.count()  # and genuinely different contents
