@@ -333,3 +333,95 @@ def community_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_members"), "community")
         .limit(LPA_TOP)
     )
+
+
+CC_TOP = 20
+
+
+@register(
+    QUERIES,
+    "clustering_coefficient_topk",
+    oracle=f"""
+    {_GRAPH_SQL},
+    deg AS (
+      SELECT src AS s, count(*) AS deg FROM e GROUP BY 1
+    ), eo AS (
+      SELECT src, dst FROM e WHERE src < dst
+    ), tri AS (
+      SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      FROM eo e1
+      JOIN eo e2 ON e1.dst = e2.src
+      JOIN eo e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    ), pern AS (
+      SELECT s, count(*) AS n_tri FROM (
+        SELECT a AS s FROM tri UNION ALL
+        SELECT b FROM tri UNION ALL
+        SELECT c FROM tri
+      ) GROUP BY s
+    )
+    SELECT CAST(d.s AS BIGINT) AS s_suppkey,
+           CAST(d.deg AS BIGINT) AS degree,
+           CAST(coalesce(p.n_tri, 0) AS BIGINT) AS n_triangles,
+           floor(2.0 * coalesce(p.n_tri, 0) / (d.deg * (d.deg - 1))
+                 * 1000000 + 0.500001) / 1000000 AS coeff
+    FROM deg d LEFT JOIN pern p ON p.s = d.s
+    WHERE d.deg >= 2
+    ORDER BY coeff DESC, s_suppkey
+    LIMIT {CC_TOP}
+    """,
+    doc="Per-node clustering coefficient on the mutual top-5 co-order "
+    "graph: triangles found once via the oriented wedge closure (same "
+    "construction as triangle_count_suppliers), each credited to its "
+    "three corners by a 3-way unpivot, divided by C(deg,2) from the "
+    "degree table. Local transitivity — the node-level refinement of "
+    "the global triangle count; top-20 by coefficient. Degree is capped "
+    "at K=5 by the sparsification so both the wedge join and the "
+    "denominator are bounded; the graph build is session-memoized and "
+    "shared with PageRank/triangles/LPA.",
+)
+def clustering_coefficient_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges, _nodes = _mutual_knn_edges(spark, sf_dir)
+    deg = edges.groupBy(F.col("src").alias("s")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    eo = edges.filter(F.col("src") < F.col("dst")).persist()
+    e1, e2, e3 = eo.alias("e1"), eo.alias("e2"), eo.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
+        .join(
+            e3,
+            (F.col("e3.src") == F.col("e1.src"))
+            & (F.col("e3.dst") == F.col("e2.dst")),
+        )
+        .select(
+            F.col("e1.src").alias("a"),
+            F.col("e1.dst").alias("b"),
+            F.col("e2.dst").alias("c"),
+        )
+    )
+    corners = (
+        tri.select(F.col("a").alias("s"))
+        .unionAll(tri.select(F.col("b").alias("s")))
+        .unionAll(tri.select(F.col("c").alias("s")))
+    )
+    pern = corners.groupBy("s").agg(F.count(F.lit(1)).alias("n_tri"))
+    out = (
+        deg.join(pern, "s", "left")
+        .filter(F.col("deg") >= 2)
+        .select(
+            F.col("s").cast("long").alias("s_suppkey"),
+            F.col("deg").cast("long").alias("degree"),
+            F.coalesce("n_tri", F.lit(0)).cast("long").alias("n_triangles"),
+            (
+                F.floor(
+                    2.0
+                    * F.coalesce("n_tri", F.lit(0))
+                    / (F.col("deg") * (F.col("deg") - 1))
+                    * 1000000
+                    + F.lit(0.500001)
+                )
+                / 1000000
+            ).alias("coeff"),
+        )
+    )
+    return out.orderBy(F.desc("coeff"), "s_suppkey").limit(CC_TOP)
