@@ -45,6 +45,25 @@ def _driver_verified_names() -> set[str]:
     return verified
 
 
+def _latest_round_failures() -> list[str]:
+    """Names whose row in the NEWEST CORRECTNESS file failed the hash
+    compare (rows/schema present but hash_match false) — the fixed-oracle
+    retries that must lead the next window."""
+    paths = sorted(glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json")))
+    if not paths:
+        return []
+    try:
+        with open(paths[-1]) as fh:
+            rows = json.load(fh)
+    except (OSError, ValueError):
+        return []
+    return [
+        name
+        for name, row in rows.items()
+        if isinstance(row, dict) and row.get("hash_match") is False
+    ]
+
+
 def _all_specs() -> dict[str, QuerySpec]:
     from hri_flink_validation_passthrough_spark.plans import (
         bucketing,
@@ -96,6 +115,14 @@ def _all_specs() -> dict[str, QuerySpec]:
 
     verified = _driver_verified_names()
     specs: dict[str, QuerySpec] = {}
+    # 0) RETRY-FIRST: queries whose LATEST driver row hash-failed register
+    # before everything else — a fix must land its green row in the very
+    # next window, not queue behind this round's new queries (r4's q12:
+    # oracle fixed in r5, but 40 new registrations would otherwise push the
+    # retry toward the window's edge).
+    for name in _latest_round_failures():
+        if name in ordered and name not in verified:
+            specs[name] = ordered[name]
     # Within each partition, module-priority order above is preserved — so the
     # unverified tail of the LLM-pipeline modules (text/quality/sampling/
     # corpus/multimodal/similarity/dedup), file formats, and the streaming
