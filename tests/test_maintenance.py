@@ -7,6 +7,7 @@ from __future__ import annotations
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from hri_flink_validation_passthrough_spark.operators.maintenance import (
     compact_small_files,
@@ -150,3 +151,55 @@ def test_read_table_version_time_travel(spark, tmp_path):
         read_table_version(spark, root, 3)  # uncommitted: not readable history
     with _pytest.raises(ValueError, match="v7"):
         read_table_version(spark, root, 7)
+
+
+def test_checksum_flips_exactly_the_tampered_bucket(spark):
+    """Any single-row corruption must flip its own bucket's checksum and
+    no other's (md5 avalanche + XOR locality) — the property that makes
+    bucket checksums a repair-scoping tool, not just a boolean."""
+    from hri_flink_validation_passthrough_spark.operators.maintenance import (
+        CS_BUCKETS,
+        checksum_by_bucket,
+    )
+
+    df = spark.range(0, 2000).selectExpr(
+        "id AS k", "CAST(id AS STRING) AS a", "CAST(id % 13 AS STRING) AS b"
+    )
+    base = {
+        r["bucket"]: r["checksum"]
+        for r in checksum_by_bucket(df, ["a", "b"], "k").collect()
+    }
+    tampered = df.withColumn(
+        "b", F.when(F.col("k") == 777, F.lit("CORRUPT")).otherwise(F.col("b"))
+    )
+    after = {
+        r["bucket"]: r["checksum"]
+        for r in checksum_by_bucket(tampered, ["a", "b"], "k").collect()
+    }
+    hot = 777 % CS_BUCKETS
+    assert base[hot] != after[hot]
+    for bkt in base:
+        if bkt != hot:
+            assert base[bkt] == after[bkt]
+
+
+def test_vacuum_then_time_travel_interplay(spark, tmp_path):
+    """After vacuum keep=1, removed versions are no longer time-travelable
+    (and say so, listing survivors), while the newest committed version
+    still reads — retention policy and the read path must agree."""
+    from hri_flink_validation_passthrough_spark.operators.maintenance import (
+        read_table_version,
+        vacuum_table_versions,
+    )
+
+    root = str(tmp_path / "tbl")
+    for v, n in ((1, 2), (2, 4), (3, 6)):
+        path = os.path.join(root, f"v{v}")
+        spark.range(0, n).write.parquet(path)
+        with open(os.path.join(path, "_EPOCH"), "w") as fh:
+            fh.write(f"{v}\nckpt-a")
+    out = vacuum_table_versions(root, keep=1)
+    assert out["kept"] == [3] and out["removed"] == [1, 2]
+    assert read_table_version(spark, root, 3).count() == 6
+    with pytest.raises(ValueError, match=r"\[3\]"):
+        read_table_version(spark, root, 2)
