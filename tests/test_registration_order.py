@@ -61,3 +61,23 @@ def test_oracle_and_query_keys_align():
     rows_only = {n for n, s in specs.items() if not s.oracle}
     assert rows_only == set(queries) - set(oracles)
     assert len(rows_only) <= 3
+
+
+def test_latest_round_hash_failures_register_at_position_zero(tmp_path, monkeypatch):
+    """A query whose newest CORRECTNESS row hash-failed must lead the
+    registry: its oracle fix has to land a green row in the very next
+    driver window, ahead of every new registration. Simulated by writing a
+    synthetic newest round that fails one otherwise-early query."""
+    import json
+
+    specs_now = list(entrymod._all_specs())
+    victim = specs_now[10]  # an ordinary unverified/early query
+
+    (tmp_path / "CORRECTNESS_r99.json").write_text(
+        json.dumps(
+            {victim: {"rows_match": True, "schema_match": True, "hash_match": False}}
+        )
+    )
+    monkeypatch.setattr(entrymod, "_REPO_ROOT", str(tmp_path))
+    assert entrymod._latest_round_failures() == [victim]
+    assert list(entrymod._all_specs())[0] == victim
