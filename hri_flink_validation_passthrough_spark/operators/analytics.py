@@ -2343,3 +2343,88 @@ def max_drawdown_hourly_close(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("trough_hour"),
         )
     )
+
+
+# Skyline / Pareto frontier (the VLDB preference-query classic): points not
+# dominated in (minimize price, maximize quantity).
+SKY_BUCKETS = 32
+
+
+def _frontier(df, part_cols):
+    """Non-dominated rows of (price ASC, qty DESC)-sorted partitions.
+
+    Over DISTINCT points, a row is dominated iff the running max of qty
+    over STRICTLY PRECEDING rows in that order >= its qty: every preceding
+    row has (price < p) or (price == p AND qty > q), so a preceding row
+    with qty >= q dominates, and every dominator sorts earlier. One
+    ordered window per partition, no pair join.
+    """
+    w = (
+        Window.partitionBy(*part_cols)
+        .orderBy(F.asc("price"), F.desc("qty"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        df.withColumn("mx", F.max("qty").over(w))
+        .filter(F.col("mx").isNull() | (F.col("mx") < F.col("qty")))
+        .drop("mx")
+    )
+
+
+@register(
+    QUERIES,
+    "skyline_price_quantity",
+    oracle="""
+    WITH pts AS (
+      SELECT DISTINCT l_returnflag AS rf,
+             l_extendedprice AS price, l_quantity AS qty
+      FROM lineitem
+    ), marked AS (
+      SELECT rf, price, qty,
+             max(qty) OVER (PARTITION BY rf
+                            ORDER BY price ASC, qty DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) AS mx
+      FROM pts
+    ), f AS (
+      SELECT rf, price, qty FROM marked WHERE mx IS NULL OR mx < qty
+    )
+    SELECT rf,
+           CAST(count(*) AS BIGINT) AS n_frontier,
+           round(min(price), 2)     AS cheapest_price,
+           round(max(qty), 2)       AS best_qty
+    FROM f GROUP BY rf
+    """,
+    doc="Skyline (Pareto frontier) per returnflag over (minimize "
+    "l_extendedprice, maximize l_quantity): the preference-query classic, "
+    "as the TWO-PHASE distributed algorithm — distinct points are hashed "
+    "into 32 buckets, each bucket computes its LOCAL frontier with one "
+    "ordered window (a locally dominated point is globally dominated, so "
+    "pruning is lossless), and the global frontier re-applies the same "
+    "rule to the union of local frontiers, which is frontier-sized, not "
+    "data-sized. Dominance via sort order: over distinct points sorted "
+    "(price ASC, qty DESC), a row is dominated iff the strictly-preceding "
+    "running max of qty >= its qty — no pair join anywhere. The oracle "
+    "computes the frontier directly (bucketing is an optimization, not a "
+    "semantic): identical results by construction.",
+)
+def skyline_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    pts = (
+        li.select(
+            F.col("l_returnflag").alias("rf"),
+            F.col("l_extendedprice").alias("price"),
+            F.col("l_quantity").alias("qty"),
+        )
+        .distinct()
+    )
+    bucketed = pts.withColumn(
+        "b", F.pmod(F.hash("price", "qty"), F.lit(SKY_BUCKETS))
+    )
+    local = _frontier(bucketed, ["rf", "b"]).drop("b")
+    glob = _frontier(local, ["rf"])
+    return glob.groupBy("rf").agg(
+        F.count(F.lit(1)).cast("long").alias("n_frontier"),
+        F.round(F.min("price"), 2).alias("cheapest_price"),
+        F.round(F.max("qty"), 2).alias("best_qty"),
+    )
