@@ -119,9 +119,12 @@ def _all_specs() -> dict[str, QuerySpec]:
     # before everything else — a fix must land its green row in the very
     # next window, not queue behind this round's new queries (r4's q12:
     # oracle fixed in r5, but 40 new registrations would otherwise push the
-    # retry toward the window's edge).
+    # retry toward the window's edge). Deliberately NOT gated on verified:
+    # a query green in a past round but red in the newest one is a
+    # REGRESSION, which must resurface immediately, not wait for the
+    # verified-tail rotation to cycle back around.
     for name in _latest_round_failures():
-        if name in ordered and name not in verified:
+        if name in ordered:
             specs[name] = ordered[name]
     # Within each partition, module-priority order above is preserved — so the
     # unverified tail of the LLM-pipeline modules (text/quality/sampling/

@@ -10,7 +10,12 @@ primitives — no Python UDFs, no Arrow hops. Vector ops come in two forms:
 - an UNROLLED flat expression tree when the static width ``dim`` is known
   (embeddings are fixed-width) — fully codegen'd. The addition order is the
   same left-to-right sequence as the fold, so the two forms are
-  bit-identical; callers pass ``dim`` on hot paths.
+  bit-identical. The winner depends on SHAPE, both directions measured
+  (BASELINE.md "PCA rework"): unroll wins for a once-per-row aggregate
+  pass (PCA, the current sole ``dim`` caller); the compact fold wins when
+  the expression sits inside a join pair-loop duplicated across plan
+  operators (the ANN cosine sites — unrolling them regressed 2-3x and was
+  reverted).
 """
 
 from __future__ import annotations
@@ -18,8 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# width of the embeddings table's vectors (TESTDATA.md); the static-unroll
-# `dim` argument call sites pass on embedding hot paths
+# width of the embeddings table's vectors (TESTDATA.md), for callers that
+# opt into the static unroll
 EMB_DIM = 64
 
 

@@ -1636,8 +1636,8 @@ WAU_DAYS = 7
            CAST(coalesce(d.dau, 0) AS BIGINT) AS dau,
            CAST(coalesce(w.wau, 0) AS BIGINT) AS wau,
            CASE WHEN coalesce(w.wau, 0) = 0 THEN 0.0
-                ELSE floor(CAST(d.dau AS DOUBLE) / w.wau * 10000 + 0.500001)
-                     / 10000 END AS stickiness
+                ELSE floor(CAST(coalesce(d.dau, 0) AS DOUBLE) / w.wau
+                           * 10000 + 0.500001) / 10000 END AS stickiness
     FROM grid g
     LEFT JOIN dau d ON d.day = g.day
     LEFT JOIN wau w ON w.day = g.day
@@ -1685,8 +1685,13 @@ def rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("wau", F.lit(0)).cast("long").alias("wau"),
             F.when(F.coalesce("wau", F.lit(0)) == 0, F.lit(0.0))
             .otherwise(
+                # coalesce the numerator too: a zero-DAU day inside another
+                # day's trailing window has wau > 0, and a NULL dau would
+                # otherwise propagate NULL where the metric is 0/wau = 0.0
                 F.floor(
-                    F.col("dau").cast("double") / F.col("wau") * 10000
+                    F.coalesce("dau", F.lit(0)).cast("double")
+                    / F.col("wau")
+                    * 10000
                     + F.lit(0.500001)
                 )
                 / 10000

@@ -29,7 +29,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions import EMB_DIM, cosine_similarity, fingerprint_md5
+from ..functions import cosine_similarity, fingerprint_md5
 from ..plans import QuerySpec, register
 from ..session import load_table, prepare
 

@@ -168,29 +168,37 @@ def _pca_oracle() -> str:
       SELECT dim, {s9.format(x='avg(x)')} AS m FROM mx GROUP BY dim
     )""",
         "mul AS (SELECT list(m ORDER BY dim) AS mu FROM mu)",
-        f"""c AS (
-      SELECT vec_id,
-             list_transform(range(1, {PCA_DIM + 1}), i -> e[i] - mu[i]) AS e
-      FROM v CROSS JOIN mul
-    )""",
         f"w0 AS (SELECT list_transform(range(1, {PCA_DIM + 1}), i -> 0.125) AS w)",
     ]
     rng = f"range(1, {PCA_DIM + 1})"
+    # MIRROR the Spark side's algebra exactly (not just its mathematics):
+    # s = e_raw . w - c0 with c0 = mu . w a scalar, and the centered
+    # co-moment g[d] = (sum s*e_raw[d] - mu[d]*sum s)/n over RAW vectors —
+    # centering a row per element and centering by scalar algebra differ in
+    # IEEE754, and a reformulation gap on top of the accepted engine-order
+    # drift would double this query's exposure to the 1e-9 snap-boundary
+    # pitfall class.
     for k in range(1, PCA_ITERS + 1):
         p = f"w{k - 1}"
         ctes.append(
-            f"""s{k} AS (
-      SELECT c.e,
-             list_aggregate(list_transform({rng}, i -> c.e[i] * p.w[i]),
-                            'sum') AS s
-      FROM c CROSS JOIN {p} p
+            f"""c0_{k} AS (
+      SELECT list_aggregate(list_transform({rng}, i -> mul.mu[i] * p.w[i]),
+                            'sum') AS c0
+      FROM mul CROSS JOIN {p} p
+    ), s{k} AS (
+      SELECT v.e,
+             list_aggregate(list_transform({rng}, i -> v.e[i] * p.w[i]),
+                            'sum') - c0_{k}.c0 AS s
+      FROM v CROSS JOIN {p} p CROSS JOIN c0_{k}
     ), gr{k} AS (
       SELECT CAST(generate_subscripts(e, 1) AS INTEGER) AS dim,
              unnest(e) AS x, s
       FROM s{k}
     ), g{k} AS (
-      SELECT dim, {s9.format(x='sum(s * x) / any_value(nn.n)')} AS g
-      FROM gr{k} CROSS JOIN nn GROUP BY dim
+      SELECT gr{k}.dim,
+             {s9.format(x='(sum(s * x) - any_value(mu.m) * sum(s)) / any_value(nn.n)')} AS g
+      FROM gr{k} JOIN mu ON mu.dim = gr{k}.dim CROSS JOIN nn
+      GROUP BY gr{k}.dim
     ), gl{k} AS (SELECT list(g ORDER BY dim) AS g FROM g{k}
     ), nrm{k} AS (
       SELECT sqrt(list_aggregate(list_transform(g, x -> x * x), 'sum')) AS nrm

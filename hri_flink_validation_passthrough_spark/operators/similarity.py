@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions import EMB_DIM, cosine_similarity
+from ..functions import cosine_similarity
 from ..plans import QuerySpec, register
 from ..session import load_table, prepare
 

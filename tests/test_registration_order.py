@@ -81,3 +81,30 @@ def test_latest_round_hash_failures_register_at_position_zero(tmp_path, monkeypa
     monkeypatch.setattr(entrymod, "_REPO_ROOT", str(tmp_path))
     assert entrymod._latest_round_failures() == [victim]
     assert list(entrymod._all_specs())[0] == victim
+
+
+def test_regressed_previously_verified_query_also_leads(tmp_path, monkeypatch):
+    """A query green in a PAST round but hash-failed in the newest one is a
+    regression — it must lead the registry too, not wait for the verified-
+    tail rotation to cycle back (review finding: the retry-first rule must
+    not be gated on never-verified status)."""
+    import json
+
+    specs_now = list(entrymod._all_specs())
+    verified_now = entrymod._driver_verified_names()
+    victim = next(n for n in specs_now if n in verified_now)
+
+    (tmp_path / "CORRECTNESS_r00.json").write_text(
+        json.dumps(
+            {victim: {"rows_match": True, "schema_match": True, "hash_match": True}}
+        )
+    )
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps(
+            {victim: {"rows_match": True, "schema_match": True, "hash_match": False}}
+        )
+    )
+    monkeypatch.setattr(entrymod, "_REPO_ROOT", str(tmp_path))
+    assert victim in entrymod._driver_verified_names()  # green row exists
+    assert entrymod._latest_round_failures() == [victim]  # but newest is red
+    assert list(entrymod._all_specs())[0] == victim
