@@ -20,6 +20,21 @@ from hri_flink_validation_passthrough_spark.plans import QuerySpec
 _REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
 
 
+def _correctness_paths() -> list[str]:
+    """CORRECTNESS_r*.json oldest-first by the PARSED round number — a
+    lexicographic sort would put r100 before r99 and make the retry-first
+    rule read the wrong round (ADVICE r5)."""
+    import re
+
+    def _round_no(path: str) -> int:
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        return int(m.group(1)) if m else -1
+
+    return sorted(
+        glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json")), key=_round_no
+    )
+
+
 def _driver_verified_names() -> set[str]:
     """Names that already have a green driver CORRECTNESS row in any past round.
 
@@ -28,7 +43,7 @@ def _driver_verified_names() -> set[str]:
     is the strongest evidence the driver can ever record for it.
     """
     verified: set[str] = set()
-    for path in sorted(glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json"))):
+    for path in _correctness_paths():
         try:
             with open(path) as fh:
                 rows = json.load(fh)
@@ -49,7 +64,7 @@ def _latest_round_failures() -> list[str]:
     """Names whose row in the NEWEST CORRECTNESS file failed the hash
     compare (rows/schema present but hash_match false) — the fixed-oracle
     retries that must lead the next window."""
-    paths = sorted(glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json")))
+    paths = _correctness_paths()
     if not paths:
         return []
     try:

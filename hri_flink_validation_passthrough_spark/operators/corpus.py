@@ -407,9 +407,15 @@ def pmi_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.size("toks")
 
     def shifted_pairs(k: int):
+        # clamp: a document with <= k tokens contributes no pairs at gap k.
+        # Without the clamp the slice length goes NEGATIVE and Spark's slice
+        # throws at runtime, while the oracle's range() just yields empty —
+        # latent under the current 10-token-minimum fixtures, fatal on real
+        # corpora with short documents.
+        ln = F.greatest(n - k, F.lit(0))
         return F.zip_with(
-            F.slice(F.col("toks"), 1, n - k),
-            F.slice(F.col("toks"), 1 + k, n - k),
+            F.slice(F.col("toks"), 1, ln),
+            F.slice(F.col("toks"), 1 + k, ln),
             lambda a, b: F.concat(a, F.lit(" "), b),
         )
 

@@ -122,6 +122,22 @@ def _mutual_knn_edges(spark: SparkSession, sf_dir: str):
     return edges, nodes
 
 
+_oriented_memo: dict[tuple[str, str], DataFrame] = {}
+
+
+def _oriented_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The low->high oriented edge list (src < dst), session-memoized.
+
+    Triangle counting and the clustering coefficient both orient the mutual
+    graph the same way; previously each call persisted its own copy,
+    accumulating executor cache across a multi-query run (ADVICE r5)."""
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    if key not in _oriented_memo:
+        edges, _ = _mutual_knn_edges(spark, sf_dir)
+        _oriented_memo[key] = edges.filter(F.col("src") < F.col("dst")).persist()
+    return _oriented_memo[key]
+
+
 def _pr_oracle() -> str:
     d = PR_DAMP
     its = []
@@ -235,8 +251,8 @@ def pagerank_supplier_coparts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "by the sparsification, so the wedge join cannot skew.",
 )
 def triangle_count_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark_edges, nodes = _mutual_knn_edges(spark, sf_dir)
-    eo = spark_edges.filter(F.col("src") < F.col("dst")).persist()
+    _spark_edges, nodes = _mutual_knn_edges(spark, sf_dir)
+    eo = _oriented_edges(spark, sf_dir)
     e1, e2, e3 = eo.alias("e1"), eo.alias("e2"), eo.alias("e3")
     tri = e1.join(e2, F.col("e1.dst") == F.col("e2.src")).join(
         e3,
@@ -384,7 +400,7 @@ def clustering_coefficient_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = edges.groupBy(F.col("src").alias("s")).agg(
         F.count(F.lit(1)).alias("deg")
     )
-    eo = edges.filter(F.col("src") < F.col("dst")).persist()
+    eo = _oriented_edges(spark, sf_dir)
     e1, e2, e3 = eo.alias("e1"), eo.alias("e2"), eo.alias("e3")
     tri = (
         e1.join(e2, F.col("e1.dst") == F.col("e2.src"))

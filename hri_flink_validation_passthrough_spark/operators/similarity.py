@@ -234,9 +234,20 @@ def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_bm25_scored_memo: dict[tuple[str, str], DataFrame] = {}
+
+
 def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, score): the rounded BM25 score for every document — shared
-    by the pure keyword search and the RRF hybrid fusion."""
+    by the pure keyword search and the RRF hybrid fusion.
+
+    Session-memoized like ``_pq_encoded``/``_mutual_knn_edges``: the two
+    consumers invoked in one session previously each built and persisted an
+    independent per_doc copy, accumulating executor cache across a
+    multi-query run (ADVICE r5)."""
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    if key in _bm25_scored_memo:
+        return _bm25_scored_memo[key]
     prepare(spark)
     d = load_table(spark, sf_dir, "documents")
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
@@ -270,9 +281,11 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (tf + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")))
         )
         score = term if score is None else score + term
-    return per_doc.join(F.broadcast(stats)).select(
+    scored = per_doc.join(F.broadcast(stats)).select(
         "doc_id", F.round(score, 6).alias("score")
     )
+    _bm25_scored_memo[key] = scored
+    return scored
 
 
 @register(

@@ -578,8 +578,14 @@ def make_cdc_merger(
     """
     state.setdefault("last_epoch", -1)
     if run_id is not None:
-        if state.get("run_id") not in (None, run_id):
-            state["last_epoch"] = -1  # new checkpoint lifetime: epochs restart at 0
+        # Reset whenever the recovered identity differs — INCLUDING when it
+        # is None (legacy single-line _EPOCH marker: identity unknowable, so
+        # trusting the stale epoch would silently no-op every microbatch of
+        # a fresh checkpoint until epoch_id catches up — the exact bug the
+        # guard exists to fix). A fresh state dict has last_epoch=-1 already,
+        # so the reset is a no-op there.
+        if state.get("run_id") != run_id:
+            state["last_epoch"] = -1  # new/unknown checkpoint lifetime
         state["run_id"] = run_id
     last_struct = F.max(
         F.struct(F.col("ts"), F.col("event_id"), F.col("event_type"), F.col("value"))

@@ -47,6 +47,75 @@ def test_headline_matches_prev_record_keys():
     )
 
 
+def test_stdout_line_fits_driver_tail_window():
+    """Round-5 regression (VERDICT r5 #1): the driver records only the LAST
+    2000 chars of stdout; the bench line grew to ~2.9k with both vs_prev maps
+    and BENCH_r05.json came back parsed:null. Pin the compact line under 1800
+    via the real _compact_line path, with worst-plausible-width timings
+    (hundreds of seconds, 3 decimals) for every key main() emits."""
+    worst = 999.999
+    result = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(worst * (len(bench.HEADLINE) + 1), 3),
+        "unit": "sec",
+        "queries": {n: worst for n in bench.HEADLINE + ["stream_passthrough"]},
+        "metric2": "headline2_queries_total_runtime",
+        "value2": round(worst * len(bench.HEADLINE2), 3),
+        "queries2": {n: worst for n in bench.HEADLINE2},
+        "sf": 0.1,
+        # vs_prev detail must NOT leak into the stdout line
+        "vs_prev": {n: {"prev": worst, "delta_pct": -99.9} for n in bench.HEADLINE},
+        "vs_prev2": {n: {"prev": worst, "delta_pct": -99.9} for n in bench.HEADLINE2},
+        "vs_prev_total_pct": -99.9,
+    }
+    line = bench._compact_line(result)
+    assert len(line) < 1800, f"bench stdout line too long: {len(line)} chars"
+    parsed = json.loads(line)
+    assert "vs_prev" not in parsed and "vs_prev2" not in parsed
+    # both metric totals must survive compaction — the driver's record for the
+    # round is exactly this line
+    assert parsed["metric"] == "headline_queries_total_runtime"
+    assert parsed["metric2"] == "headline2_queries_total_runtime"
+    assert set(parsed["queries"]) == set(bench.HEADLINE) | {"stream_passthrough"}
+
+
+def test_compact_line_sheds_queries2_before_breaching():
+    """Defensive path: if headline growth ever pushes the line toward the
+    cliff, queries2 detail is dropped (value2 survives) rather than losing
+    the whole record to the driver's tail window."""
+    result = {
+        "metric": "m",
+        "value": 1.0,
+        "unit": "sec",
+        "queries": {f"q{i:04d}_{'x' * 40}": 999.999 for i in range(30)},
+        "metric2": "m2",
+        "value2": 2.0,
+        "queries2": {f"h2_{i}": 1.0 for i in range(5)},
+        "sf": 0.1,
+    }
+    line = bench._compact_line(result)
+    parsed = json.loads(line)
+    assert "queries2" not in parsed
+    assert parsed["value2"] == 2.0
+
+
+def test_sidecar_carries_vs_prev2_anchor():
+    """Round-5 verdict ask #6: headline2 is anchored (driver 10.08 s in r5) —
+    the sidecar written by the last bench run must carry queries2 so the next
+    run can compute vs_prev2. Skipped only if no local sidecar exists yet
+    (fresh checkout before any bench run)."""
+    side = os.path.join(REPO, "bench_result.json")
+    if not os.path.exists(side):
+        import pytest
+
+        pytest.skip("no local bench sidecar yet")
+    with open(side) as fh:
+        rec = json.load(fh)
+    assert set(rec.get("queries2", {})) == set(bench.HEADLINE2), (
+        "sidecar lost queries2 — vs_prev2 would be empty next round"
+    )
+
+
 def test_prev_record_skips_mismatched_sf():
     """A local bench run at another sf must not clobber the driver's sf0.1
     anchor: _load_prev skips mismatched-sf records and falls back to the

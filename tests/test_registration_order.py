@@ -21,6 +21,24 @@ def test_never_driver_verified_queries_register_first():
             )
 
 
+def test_correctness_paths_sort_numerically(tmp_path, monkeypatch):
+    """ADVICE r5: lexicographic path sort puts CORRECTNESS_r100 before r99,
+    making the retry-first rule read the wrong round. Paths must sort by the
+    parsed round integer."""
+    import json
+    import os
+
+    for n in (9, 10, 100, 99, 2):
+        with open(tmp_path / f"CORRECTNESS_r{n:02d}.json", "w") as fh:
+            json.dump({}, fh)
+    monkeypatch.setattr(entrymod, "_REPO_ROOT", str(tmp_path))
+    rounds = [
+        int(os.path.basename(p).split("_r")[1].split(".")[0])
+        for p in entrymod._correctness_paths()
+    ]
+    assert rounds == [2, 9, 10, 99, 100]
+
+
 def test_verified_tail_rotates_with_round_count(tmp_path, monkeypatch):
     """The verified partition's order must depend on the number of recorded
     rounds, so each round's window tail re-checks a different verified slice

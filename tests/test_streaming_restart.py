@@ -296,3 +296,46 @@ def test_cdc_epoch_guard_resets_on_new_checkpoint_identity(spark, tmp_path):
     assert snapshot() == {1: ("c", 3)} and rec["ver"] == 3
     # and the new identity is now the committed one
     assert recover_cdc_state(base)["run_id"] == "ckpt-new"
+
+
+def test_cdc_epoch_guard_resets_on_legacy_marker_without_run_id(spark, tmp_path):
+    """ADVICE r5: a legacy single-line _EPOCH marker recovers run_id=None —
+    identity unknowable. Starting a fresh checkpoint against such a table
+    must RESET the guard (treat as new lifetime), not trust the stale epoch
+    and silently no-op microbatches until epoch_id catches up."""
+    import datetime as dt
+    import os
+
+    from hri_flink_validation_passthrough_spark.streaming.windows import (
+        make_cdc_merger,
+    )
+
+    base = str(tmp_path / "cdc")
+    os.makedirs(base)
+    t = dt.datetime(2024, 1, 1)
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows,
+            "user_id long, event_id long, event_type string, value double, ts timestamp",
+        )
+
+    # seed a table so recovery has something to point at
+    seed_state = {"cur": None, "ver": 0}
+    seed = make_cdc_merger(spark, base, seed_state, run_id="ckpt-old")
+    seed(batch([(1, 1, "a", 1.0, t)]), 0)
+    seed(batch([(1, 2, "b", 2.0, t)]), 1)
+
+    # legacy recovery: epoch known, identity NOT (old single-line marker)
+    legacy = {
+        "cur": seed_state["cur"],
+        "ver": seed_state["ver"],
+        "last_epoch": 1,
+        "run_id": None,
+    }
+    merge = make_cdc_merger(spark, base, legacy, run_id="ckpt-new")
+    merge(batch([(1, 3, "c", 3.0, t)]), 0)  # fresh checkpoint: must apply
+    assert {
+        r["user_id"]: (r["event_type"], r["n_updates"])
+        for r in spark.read.parquet(str(legacy["cur"])).collect()
+    } == {1: ("c", 3)}
