@@ -116,6 +116,7 @@ def _all_specs() -> dict[str, QuerySpec]:
     ] + [
         "hri_flink_validation_passthrough_spark.sources.formats",
         "hri_flink_validation_passthrough_spark.streaming.windows",
+        "hri_flink_validation_passthrough_spark.streaming.state_ttl",
     ]
 
     ordered: dict[str, QuerySpec] = {}
@@ -165,6 +166,7 @@ def _all_specs() -> dict[str, QuerySpec]:
     ] + [
         "hri_flink_validation_passthrough_spark.sources.formats",
         "hri_flink_validation_passthrough_spark.streaming.windows",
+        "hri_flink_validation_passthrough_spark.streaming.state_ttl",
     ]
     prio_specs: dict[str, QuerySpec] = {}
     for modpath in priority:

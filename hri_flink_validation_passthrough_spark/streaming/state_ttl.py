@@ -1,0 +1,548 @@
+"""Keyed-state TTL metrics and streaming top-k with eviction.
+
+Round-6 verdict ask #4: make registered timers / state TTL a first-class
+VERIFIED operator beyond the passthrough batch lifecycle (reference contract:
+the completion-delay timer in hri-flink-validation's batch notification flow,
+``PassthroughStreamingJob.java`` wiring at reference
+``src/main/java/.../PassthroughStreamingJob.java:110-117``; its spec drives
+the timer at ``flink_validation_passthrough_spec.rb:202``). Two operators,
+each implemented on BOTH stateful backends:
+
+- ``stream_state_ttl_metrics`` — per-key aggregate state with an idle-TTL
+  eviction timer: every arriving row re-arms the key's timer; when a key
+  goes idle for ``ttl_ms`` the timer fires, the key EMITS its aggregate and
+  its state is evicted (``state.clear()`` / ``state.remove()``). This is the
+  sessionization-by-inactivity shape (user session rollups, connection
+  accounting) — emit-on-eviction, exactly one output row per key per idle
+  period. The transformWithState path ALSO passes ``ttlDurationMs`` to the
+  value state (engine-side TTL, set far above the flush timer) so the Spark 4
+  TTL-config surface is exercised; the flush itself must be timer-driven
+  because engine TTL eviction is silent — there is no on-evict callback to
+  emit from.
+- ``stream_windowed_topk_eviction`` — per-key bounded top-k list state with
+  CAPACITY eviction: each batch merges arrivals into the key's ListState,
+  sorts, and truncates to K (evicting dominated rows from state — state size
+  is O(K) per key no matter how much data streams through); an idle timer
+  flushes the surviving K rows with ranks and evicts the key.
+
+Determinism contract (the driver hash-compares against a DuckDB batch
+recompute): every EMITTED value is order-independent — counts, integer cent
+sums (``floor(value*100 + 0.5)`` per row, summed exactly in int64), min/max
+timestamps, and sort-merged top-k lists — so WHEN timers fire and how rows
+batch cannot change the output, only when it appears. The finite replay
+arrives in microbatch 0 (file source, no maxFilesPerTrigger cap), the idle
+timers fire in a later no-data batch, and the harness polls the sink until
+every key has flushed — same protocol as ``stream_passthrough_route``.
+
+At 100 TB: keys are the unit of state; both operators keep O(1)/O(K) state
+per key and emit once per idle period, so state size tracks LIVE key
+cardinality, not stream volume. The users set kept per bucket for the
+n_users metric is the one component that grows with key fanout — the
+docstring'd scale path swaps it for MapState (per-user subkeys) or an HLL
+register when per-key user cardinality is unbounded.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import tempfile
+import time
+import uuid
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans import QuerySpec, register
+from ..session import prepare
+
+QUERIES: dict[str, QuerySpec] = {}
+
+TTL_MS = 1500  # idle-flush timer: fires after the finite replay drains
+ENGINE_TTL_MS = 3_600_000  # Spark 4 state TTL (exercised, never fires here)
+TOPK_K = 8
+N_BUCKETS = 10
+
+_METRICS_STATE_SCHEMA = (
+    "n_events long, sum_cents long, min_ts long, max_ts long, "
+    "users_json string, deadline long"
+)
+_METRICS_OUT_SCHEMA = (
+    "bucket long, n_events long, n_users long, sum_cents long, "
+    "min_ts long, max_ts long"
+)
+_TOPK_STATE_ROW = "event_id long, value double, ts long"
+_TOPK_GS_STATE_SCHEMA = "items_json string, deadline long"
+_TOPK_OUT_SCHEMA = "event_type string, rank int, event_id long, value double, ts long"
+
+
+def _merge_metrics(st: dict, pdf: pd.DataFrame) -> None:
+    """Fold a batch of rows into the aggregate dict — every field is
+    order-independent (int sums, min/max, set union)."""
+    st["n_events"] += int(len(pdf))
+    # exact integer cents: floor(v*100 + 0.5) is identical in Python, Spark
+    # and DuckDB on the same input double (banker's-rounding-free)
+    st["sum_cents"] += int(
+        sum(int(math.floor(v * 100.0 + 0.5)) for v in pdf["value"])
+    )
+    ts_min, ts_max = int(pdf["ts_us"].min()), int(pdf["ts_us"].max())
+    st["min_ts"] = ts_min if st["min_ts"] is None else min(st["min_ts"], ts_min)
+    st["max_ts"] = ts_max if st["max_ts"] is None else max(st["max_ts"], ts_max)
+    st["users"].update(int(u) for u in pdf["user_id"].unique())
+
+
+def _metrics_row(key, st: dict) -> pd.DataFrame:
+    return pd.DataFrame(
+        [
+            (
+                int(key),
+                st["n_events"],
+                len(st["users"]),
+                st["sum_cents"],
+                st["min_ts"],
+                st["max_ts"],
+            )
+        ],
+        columns=["bucket", "n_events", "n_users", "sum_cents", "min_ts", "max_ts"],
+    )
+
+
+def _empty_metrics() -> dict:
+    return {
+        "n_events": 0,
+        "sum_cents": 0,
+        "min_ts": None,
+        "max_ts": None,
+        "users": set(),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Backend A: applyInPandasWithState (GroupState + ProcessingTimeTimeout)
+# ---------------------------------------------------------------------------
+def metrics_with_group_state(ttl_ms: int = TTL_MS):
+    """(key, pdf_iter, state) fn: idle-TTL aggregate with emit-on-eviction."""
+
+    def fn(key, pdf_iter, state) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            stored = state.getOption
+            if stored is not None:
+                st = _decode_metrics(stored)
+                state.remove()  # EVICTION: key's state is gone after emit
+                yield _metrics_row(key[0], st)
+            return
+        stored = state.getOption
+        st = _decode_metrics(stored) if stored is not None else _empty_metrics()
+        for pdf in pdf_iter:
+            if len(pdf):
+                _merge_metrics(st, pdf)
+        state.update(_encode_metrics(st))
+        # every arrival re-arms the idle timer (Spark clears the timeout on
+        # each invocation — set it unconditionally)
+        state.setTimeoutDuration(ttl_ms)
+
+    return fn
+
+
+def _encode_metrics(st: dict) -> tuple:
+    return (
+        st["n_events"],
+        st["sum_cents"],
+        st["min_ts"],
+        st["max_ts"],
+        json.dumps(sorted(st["users"])),
+        None,
+    )
+
+
+def _decode_metrics(stored: tuple) -> dict:
+    return {
+        "n_events": int(stored[0]),
+        "sum_cents": int(stored[1]),
+        "min_ts": None if stored[2] is None else int(stored[2]),
+        "max_ts": None if stored[3] is None else int(stored[3]),
+        "users": set(json.loads(stored[4])),
+    }
+
+
+def topk_with_group_state(k: int = TOPK_K, ttl_ms: int = TTL_MS):
+    """(key, pdf_iter, state) fn: capacity-evicting top-k + idle flush."""
+
+    def fn(key, pdf_iter, state) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            stored = state.getOption
+            if stored is not None:
+                items = json.loads(stored[0])
+                state.remove()
+                yield _topk_rows(key[0], items)
+            return
+        stored = state.getOption
+        items = json.loads(stored[0]) if stored is not None else []
+        for pdf in pdf_iter:
+            items.extend(
+                [int(e), float(v), int(t)]
+                for e, v, t in zip(pdf["event_id"], pdf["value"], pdf["ts_us"])
+            )
+        items = _truncate_topk(items, k)
+        state.update((json.dumps(items), None))
+        state.setTimeoutDuration(ttl_ms)
+
+    return fn
+
+
+def _truncate_topk(items: list, k: int) -> list:
+    # capacity eviction: value DESC, event_id ASC tiebreak; state stays O(K)
+    items.sort(key=lambda r: (-r[1], r[0]))
+    return items[:k]
+
+
+def _topk_rows(key, items: list) -> pd.DataFrame:
+    return pd.DataFrame(
+        [
+            (str(key), rank + 1, int(e), float(v), int(t))
+            for rank, (e, v, t) in enumerate(items)
+        ],
+        columns=["event_type", "rank", "event_id", "value", "ts"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Backend B: transformWithStateInPandas (Spark 4 — ValueState/ListState with
+# ttlDurationMs + registered timers)
+# ---------------------------------------------------------------------------
+try:
+    from pyspark.sql.streaming.stateful_processor import (
+        ExpiredTimerInfo,
+        StatefulProcessor,
+        StatefulProcessorHandle,
+        TimerValues,
+    )
+
+    class TtlMetricsProcessor(StatefulProcessor):
+        """ValueState (with engine ttlDurationMs) + an idle-flush timer that
+        emits the key's aggregate and clears its state."""
+
+        def __init__(self, ttl_ms: int = TTL_MS):
+            self.ttl_ms = ttl_ms
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.handle = handle
+            self.state = handle.getValueState(
+                "ttl_metrics", _METRICS_STATE_SCHEMA, ttlDurationMs=ENGINE_TTL_MS
+            )
+
+        def handleInputRows(
+            self, key, rows: Iterator[pd.DataFrame], timerValues: TimerValues
+        ) -> Iterator[pd.DataFrame]:
+            stored = self.state.get()
+            st = _decode_metrics(stored) if stored is not None else _empty_metrics()
+            old_deadline = stored[5] if stored is not None else None
+            for pdf in rows:
+                if len(pdf):
+                    _merge_metrics(st, pdf)
+            deadline = timerValues.getCurrentProcessingTimeInMs() + self.ttl_ms
+            if old_deadline is not None:
+                self.handle.deleteTimer(old_deadline)
+            self.handle.registerTimer(deadline)
+            enc = _encode_metrics(st)
+            self.state.update(enc[:5] + (deadline,))
+            return iter(())
+
+        def handleExpiredTimer(
+            self, key, timerValues: TimerValues, expiredTimerInfo: ExpiredTimerInfo
+        ) -> Iterator[pd.DataFrame]:
+            stored = self.state.get()
+            if stored is None:  # stale timer after eviction: no-op
+                return
+            st = _decode_metrics(stored)
+            self.state.clear()  # EVICTION
+            yield _metrics_row(key[0], st)
+
+        def close(self) -> None:
+            pass
+
+    class TopKEvictionProcessor(StatefulProcessor):
+        """ListState bounded at K rows (capacity eviction on every merge) +
+        an idle-flush timer; the flush deadline rides in a ValueState."""
+
+        def __init__(self, k: int = TOPK_K, ttl_ms: int = TTL_MS):
+            self.k = k
+            self.ttl_ms = ttl_ms
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.handle = handle
+            self.items = handle.getListState(
+                "topk_items", _TOPK_STATE_ROW, ttlDurationMs=ENGINE_TTL_MS
+            )
+            self.deadline = handle.getValueState("topk_deadline", "deadline long")
+
+        def handleInputRows(
+            self, key, rows: Iterator[pd.DataFrame], timerValues: TimerValues
+        ) -> Iterator[pd.DataFrame]:
+            items = [
+                [int(e), float(v), int(t)] for e, v, t in self.items.get()
+            ]
+            for pdf in rows:
+                items.extend(
+                    [int(e), float(v), int(t)]
+                    for e, v, t in zip(pdf["event_id"], pdf["value"], pdf["ts_us"])
+                )
+            items = _truncate_topk(items, self.k)
+            self.items.put([tuple(r) for r in items])
+            old = self.deadline.get()
+            if old is not None:
+                self.handle.deleteTimer(old[0])
+            deadline = timerValues.getCurrentProcessingTimeInMs() + self.ttl_ms
+            self.handle.registerTimer(deadline)
+            self.deadline.update((deadline,))
+            return iter(())
+
+        def handleExpiredTimer(
+            self, key, timerValues: TimerValues, expiredTimerInfo: ExpiredTimerInfo
+        ) -> Iterator[pd.DataFrame]:
+            items = [[int(e), float(v), int(t)] for e, v, t in self.items.get()]
+            if not items:
+                return
+            self.items.clear()
+            self.deadline.clear()
+            yield _topk_rows(key[0], items)
+
+        def close(self) -> None:
+            pass
+
+except ImportError:  # pragma: no cover - older Spark
+    TtlMetricsProcessor = None  # type: ignore[assignment]
+    TopKEvictionProcessor = None  # type: ignore[assignment]
+
+
+# ---------------------------------------------------------------------------
+# Stream builders (backend dispatch — same seam as topology.build_routed_stream)
+# ---------------------------------------------------------------------------
+def _use_tws(prefer: bool | None) -> bool:
+    from .topology import _protobuf_available
+
+    if prefer is None:
+        return _protobuf_available() and TtlMetricsProcessor is not None
+    return prefer
+
+
+def _tws_session(spark: SparkSession) -> None:
+    from ..protobuf_shim import ensure_protobuf
+
+    if not ensure_protobuf(spark) or TtlMetricsProcessor is None:
+        raise RuntimeError(
+            "transformWithStateInPandas requested but no google.protobuf "
+            "runtime reaches this session's Python workers"
+        )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+
+
+def build_ttl_metrics_stream(
+    keyed: DataFrame,
+    ttl_ms: int = TTL_MS,
+    prefer_transform_with_state: bool | None = None,
+) -> DataFrame:
+    """keyed: streaming DF with (bucket, user_id, value, ts_us)."""
+    grouped = keyed.groupBy("bucket")
+    if _use_tws(prefer_transform_with_state):
+        _tws_session(keyed.sparkSession)
+        return grouped.transformWithStateInPandas(
+            TtlMetricsProcessor(ttl_ms),
+            outputStructType=_METRICS_OUT_SCHEMA,
+            outputMode="append",
+            timeMode="processingTime",
+        )
+    return grouped.applyInPandasWithState(
+        metrics_with_group_state(ttl_ms),
+        outputStructType=_METRICS_OUT_SCHEMA,
+        stateStructType=_METRICS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="ProcessingTimeTimeout",
+    )
+
+
+def build_topk_eviction_stream(
+    keyed: DataFrame,
+    k: int = TOPK_K,
+    ttl_ms: int = TTL_MS,
+    prefer_transform_with_state: bool | None = None,
+) -> DataFrame:
+    """keyed: streaming DF with (event_type, event_id, value, ts_us)."""
+    grouped = keyed.groupBy("event_type")
+    if _use_tws(prefer_transform_with_state):
+        _tws_session(keyed.sparkSession)
+        return grouped.transformWithStateInPandas(
+            TopKEvictionProcessor(k, ttl_ms),
+            outputStructType=_TOPK_OUT_SCHEMA,
+            outputMode="append",
+            timeMode="processingTime",
+        )
+    return grouped.applyInPandasWithState(
+        topk_with_group_state(k, ttl_ms),
+        outputStructType=_TOPK_OUT_SCHEMA,
+        stateStructType=_TOPK_GS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="ProcessingTimeTimeout",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registered queries (finite replay + poll-until-flushed harness)
+# ---------------------------------------------------------------------------
+def _events_keyed_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .windows import _events_stream
+
+    e = _events_stream(spark, sf_dir)
+    return e.select(
+        (F.col("user_id") % N_BUCKETS).alias("bucket"),
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        (F.unix_micros(F.col("ts"))).alias("ts_us"),
+    )
+
+
+def _run_until_rows(
+    spark: SparkSession, stream: DataFrame, expected_rows: int, prefix: str
+) -> DataFrame:
+    """Start the stream on the default (continuous-microbatch) trigger —
+    availableNow would stop before the idle timers ever fire — and poll the
+    memory sink until every key has flushed."""
+    from .windows import _pinned_state
+
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix=f"hri_{prefix}_")
+    with _pinned_state(spark):
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+    try:
+        t0 = time.time()
+        while time.time() - t0 < 300:
+            if spark.table(name).count() >= expected_rows:
+                break
+            time.sleep(0.3)
+        # localCheckpoint: detach the result from the (stopped) memory sink
+        return spark.table(name).localCheckpoint()
+    finally:
+        q.stop()
+
+
+@register(
+    QUERIES,
+    "stream_state_ttl_metrics",
+    oracle=f"""
+    SELECT user_id % {N_BUCKETS} AS bucket,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS DOUBLE)/100
+             AS sum_value,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+    FROM events
+    GROUP BY 1
+    """,
+    doc="Keyed aggregate state with IDLE-TTL EVICTION through the real "
+    "streaming engine, on whichever stateful backend the session supports "
+    "(both are tested): every arrival re-arms the key's processing-time "
+    "timer; after ttl_ms of silence the timer fires, the key emits its "
+    "rollup and its state is cleared. The emitted values are all "
+    "order-independent (counts, exact int64 cent sums, min/max ts, user "
+    "sets), so the oracle is a plain batch GROUP BY. Emit-on-eviction "
+    "session accounting; state is O(live keys), not O(stream).",
+)
+def stream_state_ttl_metrics(
+    spark: SparkSession,
+    sf_dir: str,
+    prefer_transform_with_state: bool | None = None,
+) -> DataFrame:
+    prepare(spark)
+    n_keys = N_BUCKETS  # user_id % N_BUCKETS covers all residues at every sf
+    keyed = _events_keyed_stream(spark, sf_dir).select(
+        "bucket", "user_id", "value", "ts_us"
+    )
+    out = _run_until_rows(
+        spark,
+        build_ttl_metrics_stream(
+            keyed, prefer_transform_with_state=prefer_transform_with_state
+        ),
+        n_keys,
+        "ttlmet",
+    )
+    return out.select(
+        "bucket",
+        "n_events",
+        "n_users",
+        (F.col("sum_cents") / F.lit(100.0)).alias("sum_value"),
+        F.date_format(F.expr("timestamp_micros(min_ts)"), "yyyy-MM-dd HH:mm:ss").alias(
+            "first_ts"
+        ),
+        F.date_format(F.expr("timestamp_micros(max_ts)"), "yyyy-MM-dd HH:mm:ss").alias(
+            "last_ts"
+        ),
+    )
+
+
+@register(
+    QUERIES,
+    "stream_windowed_topk_eviction",
+    oracle=f"""
+    SELECT event_type, CAST(rn AS INT) AS rank, event_id, value,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts
+    FROM (
+      SELECT event_type, event_id, value, ts,
+             row_number() OVER (
+               PARTITION BY event_type ORDER BY value DESC, event_id
+             ) AS rn
+      FROM events
+    )
+    WHERE rn <= {TOPK_K}
+    """,
+    doc="Streaming top-k with CAPACITY EVICTION in list state: each "
+    "microbatch merges arrivals into the key's ListState, sorts (value "
+    "DESC, event_id tiebreak) and truncates to K — dominated rows are "
+    "evicted from state immediately, so state is O(K) per key regardless "
+    "of stream volume; an idle timer flushes the survivors with ranks and "
+    "clears the key. Sort-merge is order-independent, so the oracle is "
+    "the batch row_number() top-k.",
+)
+def stream_windowed_topk_eviction(
+    spark: SparkSession,
+    sf_dir: str,
+    prefer_transform_with_state: bool | None = None,
+) -> DataFrame:
+    prepare(spark)
+    from ..session import load_table
+
+    n_keys = load_table(spark, sf_dir, "events").select("event_type").distinct().count()
+    keyed = _events_keyed_stream(spark, sf_dir).select(
+        "event_type", "event_id", "value", "ts_us"
+    )
+    out = _run_until_rows(
+        spark,
+        build_topk_eviction_stream(
+            keyed, prefer_transform_with_state=prefer_transform_with_state
+        ),
+        n_keys * TOPK_K,
+        "topkev",
+    )
+    return out.select(
+        "event_type",
+        "rank",
+        "event_id",
+        "value",
+        F.date_format(F.expr("timestamp_micros(ts)"), "yyyy-MM-dd HH:mm:ss").alias(
+            "ts"
+        ),
+    )

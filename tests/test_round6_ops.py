@@ -46,6 +46,142 @@ def test_bm25_scored_is_session_memoized(spark):
     assert a is b
 
 
+import time
+import uuid
+
+import pytest
+
+
+@pytest.fixture(params=["group_state", "tws"])
+def ttl_backend(request, spark):
+    prefer = request.param == "tws"
+    if prefer:
+        from hri_flink_validation_passthrough_spark.protobuf_shim import (
+            ensure_protobuf,
+        )
+
+        if not ensure_protobuf(spark):
+            pytest.skip("no google.protobuf runtime reaches Python workers")
+    return prefer
+
+
+def test_stream_state_ttl_metrics_both_backends(spark, ttl_backend):
+    """Verdict-r5 ask #4: idle-TTL eviction metrics hash-match the batch
+    recompute on BOTH stateful backends (group_state timers and
+    transformWithState registered timers + ttlDurationMs state)."""
+    from hri_flink_validation_passthrough_spark.session import load_table, prepare
+    from hri_flink_validation_passthrough_spark.streaming.state_ttl import (
+        N_BUCKETS,
+        stream_state_ttl_metrics,
+    )
+
+    prepare(spark)
+    got = {
+        r["bucket"]: (r["n_events"], r["n_users"], r["sum_value"])
+        for r in stream_state_ttl_metrics(
+            spark, SF, prefer_transform_with_state=ttl_backend
+        ).collect()
+    }
+    e = load_table(spark, SF, "events")
+    want = {
+        r["bucket"]: (r["n_events"], r["n_users"], r["sum_value"])
+        for r in e.groupBy((F.col("user_id") % N_BUCKETS).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            (
+                F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")) / 100.0
+            ).alias("sum_value"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) == N_BUCKETS
+
+
+def test_stream_topk_eviction_both_backends(spark, ttl_backend):
+    """Capacity-evicting streaming top-k matches the batch row_number top-k
+    on both backends, including rank order and tiebreaks."""
+    from hri_flink_validation_passthrough_spark.session import load_table, prepare
+    from hri_flink_validation_passthrough_spark.streaming.state_ttl import (
+        TOPK_K,
+        stream_windowed_topk_eviction,
+    )
+    from pyspark.sql import Window
+
+    prepare(spark)
+    got = {
+        (r["event_type"], r["rank"]): r["event_id"]
+        for r in stream_windowed_topk_eviction(
+            spark, SF, prefer_transform_with_state=ttl_backend
+        ).collect()
+    }
+    e = load_table(spark, SF, "events")
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), "event_id")
+    want = {
+        (r["event_type"], r["rn"]): r["event_id"]
+        for r in e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOPK_K)
+        .collect()
+    }
+    assert got == want
+
+
+def test_ttl_eviction_actually_clears_state(spark, tmp_path, ttl_backend):
+    """The TTL flush EVICTS: data arriving for a key after its idle flush
+    starts a FRESH aggregate (second emitted row covers only the new data) —
+    pinning emit-on-eviction semantics rather than running totals."""
+    from hri_flink_validation_passthrough_spark.streaming.state_ttl import (
+        build_ttl_metrics_stream,
+    )
+
+    data_dir = str(tmp_path / "data")
+    schema = "bucket long, user_id long, value double, ts_us long"
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(data_dir)
+
+    write([(1, 10, 1.0, 1_000_000), (1, 11, 2.0, 2_000_000)])
+    stream = spark.readStream.schema(schema).parquet(data_dir)
+    out = build_ttl_metrics_stream(
+        stream, ttl_ms=1200, prefer_transform_with_state=ttl_backend
+    )
+    name = f"ttlev_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+
+        def wait_rows(n, timeout=60):
+            t0 = time.time()
+            while time.time() - t0 < timeout:
+                if spark.table(name).count() >= n:
+                    return
+                time.sleep(0.2)
+            raise TimeoutError(f"sink never reached {n} rows")
+
+        wait_rows(1)  # first idle flush evicts the key
+        write([(1, 12, 5.0, 9_000_000)])  # same key, post-eviction traffic
+        wait_rows(2)
+        rows = sorted(
+            spark.table(name).collect(), key=lambda r: r["n_events"], reverse=True
+        )
+        assert (rows[0]["n_events"], rows[0]["n_users"], rows[0]["sum_cents"]) == (
+            2, 2, 300,
+        )
+        # fresh aggregate: only the post-eviction row, not a running total
+        assert (rows[1]["n_events"], rows[1]["n_users"], rows[1]["sum_cents"]) == (
+            1, 1, 500,
+        )
+    finally:
+        q.stop()
+
+
 def test_oriented_edges_is_session_memoized(spark):
     """Triangle count and clustering coefficient share one oriented edge
     list (src < dst) instead of persisting two copies."""
