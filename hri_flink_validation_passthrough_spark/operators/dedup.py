@@ -26,7 +26,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import cosine_similarity, fingerprint_md5
@@ -107,13 +107,13 @@ def _jaccard_pairs(s: DataFrame, threshold: float) -> DataFrame:
 DF_CAP = 256
 
 
-def _jaccard_pairs_capped(s: DataFrame, threshold: float, df_cap: int = DF_CAP) -> DataFrame:
-    """Jaccard pairs with a df-capped inverted index: candidate pairs come from
-    shingles with document frequency ≤ df_cap (kills the O(postings²) blowup on
-    hot shingles — `postings² ≤ df_cap²` per shingle); candidates are then
-    verified EXACTLY against the full shingle arrays. This is the production
-    path for clusters/removal; `_jaccard_pairs` stays as the uncapped exact
-    reference."""
+def _capped_shared_rare(s: DataFrame, df_cap: int) -> tuple[DataFrame, DataFrame]:
+    """(shared_rare, stats) from the df-capped inverted index:
+    ``shared_rare(doc_a, doc_b, shared_rare)`` counts the rare (df ≤ cap)
+    shingles each candidate pair shares; ``stats(doc_id, n, hot)`` carries
+    each doc's total shingle count and its count of hot (df > cap) shingles.
+    Shared by the Jaccard and the containment candidate paths — both prune
+    with a bound built from exactly these two tables."""
     e = s.select("doc_id", F.explode("sh").alias("g"))
     # One groupBy builds the posting list AND applies the df cap (size ≤ cap);
     # pairs come from in-array combination expansion, not a self-join — the
@@ -166,6 +166,17 @@ def _jaccard_pairs_capped(s: DataFrame, threshold: float, df_cap: int = DF_CAP) 
             (F.col("n") - F.coalesce(F.col("n_rare"), F.lit(0))).alias("hot"),
         )
     )
+    return shared_rare, stats
+
+
+def _jaccard_pairs_capped(s: DataFrame, threshold: float, df_cap: int = DF_CAP) -> DataFrame:
+    """Jaccard pairs with a df-capped inverted index: candidate pairs come from
+    shingles with document frequency ≤ df_cap (kills the O(postings²) blowup on
+    hot shingles — `postings² ≤ df_cap²` per shingle); candidates are then
+    verified EXACTLY against the full shingle arrays. This is the production
+    path for clusters/removal; `_jaccard_pairs` stays as the uncapped exact
+    reference."""
+    shared_rare, stats = _capped_shared_rare(s, df_cap)
     st_a = stats.select(
         F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), F.col("hot").alias("hot_a")
     )
@@ -609,6 +620,153 @@ def dedup_removal_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
     pairs = _capped_pairs_for(spark, sf_dir, 0.5)
     return pairs.select(F.col("doc_b").alias("removed_doc_id")).distinct()
+
+
+# Containment threshold: doc X is removed when >= this fraction of X's
+# shingles also appear in some strictly-larger doc (or an equal-sized doc
+# with a smaller id — the exact-twin tiebreak).
+CONTAIN_TAU = 0.8
+
+
+@register(
+    QUERIES,
+    "dedup_containment_removal",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      FROM t WHERE len(toks) >= 3
+    ), e AS (
+      SELECT doc_id, unnest(sh) AS g FROM s
+    ), rare AS (
+      SELECT g FROM e GROUP BY g HAVING count(*) <= {DF_CAP}
+    ), ec AS (
+      SELECT e.doc_id, e.g FROM e JOIN rare USING (g)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM ec a JOIN ec b ON a.g = b.g AND a.doc_id < b.doc_id
+    ), v AS (
+      SELECT doc_a, doc_b,
+             len(list_intersect(sa.sh, sb.sh)) AS shared,
+             len(sa.sh) AS na, len(sb.sh) AS nb
+      FROM cand
+      JOIN s sa ON sa.doc_id = doc_a
+      JOIN s sb ON sb.doc_id = doc_b
+    ), directed AS (
+      SELECT doc_a AS removed_doc_id, doc_b AS kept_doc_id,
+             CAST(shared AS DOUBLE) / na AS containment, nb AS keeper_n
+      FROM v
+      WHERE CAST(shared AS DOUBLE) / na >= {CONTAIN_TAU}
+        AND (nb > na OR (nb = na AND doc_b < doc_a))
+      UNION ALL
+      SELECT doc_b, doc_a, CAST(shared AS DOUBLE) / nb, na
+      FROM v
+      WHERE CAST(shared AS DOUBLE) / nb >= {CONTAIN_TAU}
+        AND (na > nb OR (na = nb AND doc_a < doc_b))
+    ), ranked AS (
+      SELECT removed_doc_id, kept_doc_id,
+             round(containment, 6) AS containment,
+             row_number() OVER (
+               PARTITION BY removed_doc_id
+               ORDER BY round(containment, 6) DESC, keeper_n DESC, kept_doc_id
+             ) AS rn
+      FROM directed
+    )
+    SELECT removed_doc_id, kept_doc_id, containment FROM ranked WHERE rn = 1
+    """,
+    doc="CONTAINMENT dedup (r5 verdict ask #5 — the removal decision "
+    "dedup_passage_shingles' stats never made): doc X is removed when "
+    ">= tau of X's 3-gram shingles appear in a strictly-larger doc "
+    "(equal size -> smaller id keeps), the asymmetric relation Jaccard "
+    "misses when a snippet is embedded in a much longer doc. Candidates "
+    "come from the shared df-capped inverted index (bucketed by shingle, "
+    "never all-pairs), pruned by the one-sided bound "
+    "(shared_rare + min(hot)) / n_x >= tau — zero recall loss — then "
+    "verified EXACTLY on full shingle arrays. One keeper per removed doc "
+    "(max containment, then larger keeper, then smaller id), rounded "
+    "before ranking per the cross-engine float rule.",
+)
+def dedup_containment_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    s = _shingles_for(spark, sf_dir)
+    shared_rare, stats = _capped_shared_rare(s, DF_CAP)
+    st_a = stats.select(
+        F.col("doc_id").alias("doc_a"), F.col("n").alias("na"),
+        F.col("hot").alias("hot_a"),
+    )
+    st_b = stats.select(
+        F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"),
+        F.col("hot").alias("hot_b"),
+    )
+    shared_ub = (
+        F.col("shared_rare") + F.least(F.col("hot_a"), F.col("hot_b"))
+    ).cast("double")
+    # one-sided containment bounds: shared_exact <= shared_ub, so
+    # cont(X->Y) = shared/n_x <= shared_ub/n_x; prune only when BOTH
+    # directions' bounds miss tau (zero recall loss)
+    cand = (
+        shared_rare.join(st_a, "doc_a")
+        .join(st_b, "doc_b")
+        .filter(
+            (shared_ub / F.col("na") >= CONTAIN_TAU)
+            | (shared_ub / F.col("nb") >= CONTAIN_TAU)
+        )
+        .select("doc_a", "doc_b")
+    )
+    sh_a = s.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
+    sh_b = s.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
+    v = (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sha", "shb")).alias("shared"),
+            F.size("sha").alias("na"),
+            F.size("shb").alias("nb"),
+        )
+    )
+    cont_a = F.col("shared").cast("double") / F.col("na")
+    cont_b = F.col("shared").cast("double") / F.col("nb")
+    removed_a = v.filter(
+        (cont_a >= CONTAIN_TAU)
+        & (
+            (F.col("nb") > F.col("na"))
+            | ((F.col("nb") == F.col("na")) & (F.col("doc_b") < F.col("doc_a")))
+        )
+    ).select(
+        F.col("doc_a").alias("removed_doc_id"),
+        F.col("doc_b").alias("kept_doc_id"),
+        cont_a.alias("containment"),
+        F.col("nb").alias("keeper_n"),
+    )
+    removed_b = v.filter(
+        (cont_b >= CONTAIN_TAU)
+        & (
+            (F.col("na") > F.col("nb"))
+            | ((F.col("na") == F.col("nb")) & (F.col("doc_a") < F.col("doc_b")))
+        )
+    ).select(
+        F.col("doc_b").alias("removed_doc_id"),
+        F.col("doc_a").alias("kept_doc_id"),
+        cont_b.alias("containment"),
+        F.col("na").alias("keeper_n"),
+    )
+    directed = removed_a.unionByName(removed_b).withColumn(
+        "containment", F.round("containment", 6)
+    )
+    wk = Window.partitionBy("removed_doc_id").orderBy(
+        F.desc("containment"), F.desc("keeper_n"), "kept_doc_id"
+    )
+    return (
+        directed.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") == 1)
+        .select("removed_doc_id", "kept_doc_id", "containment")
+    )
 
 
 @register(

@@ -182,6 +182,40 @@ def test_ttl_eviction_actually_clears_state(spark, tmp_path, ttl_backend):
         q.stop()
 
 
+def test_containment_catches_snippet_in_long_doc(spark, tmp_path):
+    """The case Jaccard-threshold dedup structurally misses: a short doc
+    fully embedded in a much longer one (containment 1.0, Jaccard << 0.5).
+    The snippet must be removed, kept by the long doc; two unrelated docs
+    must survive; the long doc itself must survive."""
+    from hri_flink_validation_passthrough_spark.operators import dedup
+
+    long_words = " ".join(f"w{i}" for i in range(60))
+    snippet = " ".join(f"w{i}" for i in range(10, 22))  # strict substring
+    other = " ".join(f"z{i}" for i in range(30))
+    rows = [
+        (1, long_words, "en", "s", len(long_words)),
+        (2, snippet, "en", "s", len(snippet)),
+        (3, other, "en", "s", len(other)),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r["removed_doc_id"]: (r["kept_doc_id"], r["containment"])
+        for r in dedup.dedup_containment_removal(spark, str(tmp_path)).collect()
+    }
+    assert out == {2: (1, 1.0)}
+    # sanity: the jaccard between snippet and long doc is below the 0.5
+    # near-dup threshold, so the jaccard removal list would NOT catch it
+    jac = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup._jaccard_pairs(
+            dedup._shingles_for(spark, str(tmp_path)), 0.0
+        ).collect()
+    }
+    assert jac[(1, 2)] < 0.5
+
+
 def test_oriented_edges_is_session_memoized(spark):
     """Triangle count and clustering coefficient share one oriented edge
     list (src < dst) instead of persisting two copies."""
