@@ -470,25 +470,50 @@ def _profile_oracle() -> str:
     doc="ANALYZE-style column profile of the orders table: per-column row "
     "count, null count, exact NDV, and typed extrema (numeric extrema as "
     "doubles, string/date extrema as text) — the statistics a CBO keeps. "
-    "ONE scan computes every column's metrics simultaneously (Spark "
-    "rewrites the multi-distinct aggregate with a single Expand); extrema "
-    "are selections, not sums, so values are bit-identical across engines. "
-    "At 100 TB swap exact NDV for approx_count_distinct — the single-pass "
-    "shape is unchanged.",
+    "NDV is computed by the MELTED two-phase form — explode each row to "
+    "(col, value) pairs, partial-aggregate to distinct pairs, count per "
+    "col — after the r6 A/B measured it 2.7x faster at sf0.1 (best-of-3 "
+    "1.17 s vs 3.15 s) than the n-way count_distinct single aggregate, "
+    "whose Expand operator re-materializes the scan once per distinct "
+    "column (see BASELINE.md r6). Base stats (counts/nulls/extrema) stay "
+    "one scan; extrema are selections, not sums, so values are "
+    "bit-identical across engines. At 100 TB swap exact NDV for "
+    "approx_count_distinct — shapes unchanged.",
 )
 def column_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
+    cols = _PROFILE_NUM + _PROFILE_TXT + _PROFILE_DT
     aggs = [F.count(F.lit(1)).alias("n")]
-    for c in _PROFILE_NUM + _PROFILE_TXT + _PROFILE_DT:
+    for c in cols:
         aggs += [
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
             .cast("long")
             .alias(f"nn_{c}"),
-            F.count_distinct(F.col(c)).alias(f"ndv_{c}"),
             F.min(c).alias(f"mn_{c}"),
             F.max(c).alias(f"mx_{c}"),
         ]
     prof = o.agg(*aggs)
+    # melted exact NDV: map-side partial aggregation collapses the 6x-row
+    # explode to per-partition distinct (col, value) pairs before the
+    # shuffle; cast-to-string is injective for every profiled type
+    pairs = o.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col"), F.col(c).cast("string").alias("v")
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("p")
+    ).select("p.*")
+    ndv = (
+        pairs.where(F.col("v").isNotNull())
+        .distinct()
+        .groupBy("col")
+        .agg(F.count(F.lit(1)).alias("ndv"))
+    )
 
     def _row(c: str, kind: str):
         num = kind == "num"
@@ -496,7 +521,6 @@ def column_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(c).alias("col"),
             F.col("n").alias("n_rows"),
             F.col(f"nn_{c}").alias("n_null"),
-            F.col(f"ndv_{c}").alias("ndv"),
             (F.col(f"mn_{c}").cast("double") if num else F.lit(None).cast("double")).alias("min_num"),
             (F.col(f"mx_{c}").cast("double") if num else F.lit(None).cast("double")).alias("max_num"),
             (
@@ -520,7 +544,18 @@ def column_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         + [_row(c, "txt") for c in _PROFILE_TXT]
         + [_row(c, "dt") for c in _PROFILE_DT]
     )
-    return prof.select(F.explode(F.array(*rows)).alias("s")).select("s.*")
+    base = prof.select(F.explode(F.array(*rows)).alias("s")).select("s.*")
+    # a fully-null column has no (col, value) pairs — left join, NDV 0
+    return base.join(F.broadcast(ndv), "col", "left").select(
+        "col",
+        "n_rows",
+        "n_null",
+        F.coalesce(F.col("ndv"), F.lit(0)).cast("long").alias("ndv"),
+        "min_num",
+        "max_num",
+        "min_txt",
+        "max_txt",
+    )
 
 
 # Pairwise statistics: one scan computes the full correlation upper triangle.
