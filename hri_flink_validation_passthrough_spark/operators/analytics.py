@@ -2468,3 +2468,141 @@ def skyline_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("price"), 2).alias("cheapest_price"),
         F.round(F.max("qty"), 2).alias("best_qty"),
     )
+
+
+# ---- Referential-integrity audit (data-quality / constraint checking) -----
+# (child_table, fk_col, parent_table, pk_col) — the full TPC-H-ish FK graph.
+_FK_EDGES = (
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+def _fk_oracle() -> str:
+    parts = []
+    for child, fk, parent, pk in _FK_EDGES:
+        parts.append(f"""
+        SELECT '{child}.{fk}' AS fk, count(*) AS n_rows,
+               CAST(count(DISTINCT c.{fk}) AS BIGINT) AS n_keys,
+               CAST(sum(CASE WHEN p.{pk} IS NULL AND c.{fk} IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan_rows,
+               CAST(count(DISTINCT CASE WHEN p.{pk} IS NULL THEN c.{fk} END)
+                    AS BIGINT) AS n_orphan_keys,
+               CAST(sum(CASE WHEN c.{fk} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_null_fk
+        FROM {child} c LEFT JOIN {parent} p ON c.{fk} = p.{pk}""")
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    QUERIES,
+    "fk_violation_audit",
+    oracle=_fk_oracle(),
+    doc="Referential-integrity audit over the full FK graph (7 edges): per "
+    "relationship, child row/key counts, orphan rows/keys (child FK value "
+    "with no parent PK), and NULL FKs — the constraint-checking pass a "
+    "pipeline runs before publishing a snapshot. Each edge is one "
+    "left join aggregated in the same pass (no second orphan scan); "
+    "small parent key sets broadcast, the two big edges "
+    "(lineitem->orders/part) hash-join on the key and AQE handles skew. "
+    "At 100 TB each edge is one shuffle, and the audit table is 7 rows.",
+)
+def fk_violation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    outs = []
+    for child, fk, parent, pk in _FK_EDGES:
+        c = _t(spark, sf_dir, child).select(F.col(fk).alias("fk_val"))
+        p = (
+            _t(spark, sf_dir, parent)
+            .select(F.col(pk).alias("pk_val"))
+            .distinct()
+        )
+        joined = c.join(p, c.fk_val == p.pk_val, "left")
+        outs.append(
+            joined.agg(
+                F.lit(f"{child}.{fk}").alias("fk"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count_distinct("fk_val").alias("n_keys"),
+                F.sum(
+                    F.when(
+                        F.col("pk_val").isNull() & F.col("fk_val").isNotNull(), 1
+                    ).otherwise(0)
+                )
+                .cast("long")
+                .alias("n_orphan_rows"),
+                F.count_distinct(
+                    F.when(F.col("pk_val").isNull(), F.col("fk_val"))
+                ).alias("n_orphan_keys"),
+                F.sum(F.when(F.col("fk_val").isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_null_fk"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+# ---- l-diversity (the release audit k-anonymity alone can't make) ---------
+LDIV_L = 3  # a QI group must see >= L distinct sensitive values to release
+
+
+@register(
+    QUERIES,
+    "l_diversity_release",
+    oracle=f"""
+    WITH r AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             floor(value / {KANON_FINE}) AS bf, user_id
+      FROM events
+    ), g AS (
+      SELECT event_type, day, bf,
+             count(*) AS n_rows_g,
+             count(DISTINCT user_id) AS n_sensitive
+      FROM r GROUP BY 1, 2, 3
+    )
+    SELECT event_type,
+           CASE WHEN n_sensitive >= {LDIV_L} THEN 'diverse'
+                ELSE 'suppressed' END AS release_level,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(n_rows_g) AS BIGINT) AS n_rows
+    FROM g GROUP BY 1, 2
+    """,
+    doc=f"Distinct l-diversity audit (l={LDIV_L}) over the same "
+    "quasi-identifier grid as k_anonymity_release, with user_id as the "
+    "sensitive attribute: a QI group whose rows all belong to few users "
+    "leaks membership even when the group is large enough for "
+    "k-anonymity — the homogeneity attack k alone can't stop. One "
+    "grouped aggregate (count + distinct-count per QI cell) + one "
+    "QI-cell-sized rollup; all-integer output.",
+)
+def l_diversity_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    g = (
+        e.select(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            F.floor(F.col("value") / KANON_FINE).alias("bf"),
+            "user_id",
+        )
+        .groupBy("event_type", "day", "bf")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows_g"),
+            F.count_distinct("user_id").alias("n_sensitive"),
+        )
+    )
+    return g.groupBy(
+        "event_type",
+        F.when(F.col("n_sensitive") >= LDIV_L, "diverse")
+        .otherwise("suppressed")
+        .alias("release_level"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("n_rows_g").cast("long").alias("n_rows"),
+    )

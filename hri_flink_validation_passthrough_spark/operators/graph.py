@@ -441,3 +441,99 @@ def clustering_coefficient_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy(F.desc("coeff"), "s_suppkey").limit(CC_TOP)
+
+
+# ---- BFS hop histogram from the hub node ----------------------------------
+BFS_HOPS = 4
+
+
+def _bfs_oracle() -> str:
+    # unrolled level-synchronous BFS, mirroring the Spark plan hop-for-hop
+    # (no WITH RECURSIVE: the shared _GRAPH_SQL prefix is a plain WITH, and
+    # a fixed unroll keeps both engines' plans structurally identical)
+    ctes = [
+        """, deg AS (SELECT src AS s, count(*) AS d FROM e GROUP BY src),
+        hub AS (SELECT s FROM deg ORDER BY d DESC, s LIMIT 1),
+        h0 AS (SELECT s AS node FROM hub)"""
+    ]
+    seen = "SELECT node FROM h0"
+    for i in range(1, BFS_HOPS + 1):
+        ctes.append(f""",
+        h{i} AS (
+          SELECT DISTINCT e.dst AS node
+          FROM e JOIN h{i - 1} ON e.src = h{i - 1}.node
+          WHERE e.dst NOT IN ({seen})
+        )""")
+        seen += f" UNION ALL SELECT node FROM h{i}"
+    levels = " UNION ALL ".join(
+        f"SELECT {i} AS hop, node FROM h{i}" for i in range(BFS_HOPS + 1)
+    )
+    return f"""
+    {_GRAPH_SQL}
+    {"".join(ctes)},
+    lv AS ({levels}),
+    un AS (
+      SELECT -1 AS hop, s AS node FROM nodes
+      WHERE s NOT IN (SELECT node FROM lv)
+    )
+    SELECT hop, CAST(count(*) AS BIGINT) AS n_nodes,
+           min(node) AS min_node, max(node) AS max_node
+    FROM (SELECT * FROM lv UNION ALL SELECT * FROM un)
+    GROUP BY hop
+    """
+
+
+@register(
+    QUERIES,
+    "bfs_hops_from_hub",
+    oracle=_bfs_oracle(),
+    doc=f"Level-synchronous BFS from the highest-degree node of the mutual "
+    f"top-{KNN_K} co-order graph, unrolled {BFS_HOPS} hops: per-hop "
+    "reachable-node counts plus the unreached remainder (hop -1) — the "
+    "connectivity/diameter probe run after any graph build. Each hop is "
+    "one equi-join frontier expansion + one anti-join against the "
+    "visited set (both key-partitioned; no global structure), the "
+    "standard distributed BFS: at 100 TB, hop count is the only serial "
+    "dimension and every hop is bounded by the true frontier size. "
+    "Graph artifacts shared via the session-memoized edge list.",
+)
+def bfs_hops_from_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges, nodes = _mutual_knn_edges(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    hub = deg.orderBy(F.desc("d"), "src").limit(1).select(F.col("src").alias("node"))
+    levels = [hub.withColumn("hop", F.lit(0))]
+    visited = hub
+    frontier = hub
+    for i in range(1, BFS_HOPS + 1):
+        # localCheckpoint (eager) per level: the frontier/visited sets are
+        # node-sized (tiny vs the edge list), and TRUNCATING lineage is the
+        # point — with plain persist the final action still plans the whole
+        # nested BFS prefix once per level, and the plan tree's exponential
+        # growth OOMed the driver at sf0.01 during codegen
+        nxt = (
+            edges.join(frontier.select(F.col("node").alias("src")), "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .localCheckpoint()
+        )
+        levels.append(nxt.withColumn("hop", F.lit(i)))
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    lv = levels[0]
+    for x in levels[1:]:
+        lv = lv.unionByName(x)
+    unreached = (
+        nodes.select(F.col("s").alias("node"))
+        .join(visited, "node", "left_anti")
+        .withColumn("hop", F.lit(-1))
+    )
+    return (
+        lv.unionByName(unreached)
+        .groupBy("hop")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.min("node").alias("min_node"),
+            F.max("node").alias("max_node"),
+        )
+    )

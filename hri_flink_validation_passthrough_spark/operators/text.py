@@ -532,3 +532,169 @@ def inverted_index_phrase_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_occ"))
     )
+
+
+# ---- Character entropy (repetitiveness / spam signal) ----------------------
+# In-row closed form: per-letter counts via length-difference (26 terms, all
+# whole-stage codegen, ZERO shuffle before the final top-k) — the
+# once-per-row-aggregate shape the PCA rework showed wins over explodes and
+# higher-order lambdas. At 100 TB this is a pure map + TakeOrdered.
+ENTROPY_TOP = 25
+_LETTERS = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _entropy_oracle() -> str:
+    cnts = ", ".join(
+        f"length(txt) - length(replace(txt, '{c}', '')) AS c_{c}"
+        for c in _LETTERS
+    )
+    total = " + ".join(f"c_{c}" for c in _LETTERS)
+    terms = " + ".join(
+        f"(CASE WHEN c_{c} > 0 THEN -(CAST(c_{c} AS DOUBLE)/n_letters)"
+        f" * ln(CAST(c_{c} AS DOUBLE)/n_letters) ELSE 0.0 END)"
+        for c in _LETTERS
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, regexp_replace(lower(text), '[^a-z]', '', 'g') AS txt
+      FROM documents
+    ), c AS (
+      SELECT doc_id, {cnts} FROM t
+    ), n AS (
+      SELECT doc_id, {total} AS n_letters, * FROM c
+    ), h AS (
+      SELECT doc_id, CAST(n_letters AS BIGINT) AS n_letters,
+             round({terms}, 6) AS entropy
+      FROM n WHERE n_letters > 0
+    )
+    SELECT doc_id, n_letters, entropy FROM h
+    ORDER BY entropy, doc_id LIMIT {ENTROPY_TOP}
+    """
+
+
+@register(
+    QUERIES,
+    "char_entropy_quality",
+    oracle=_entropy_oracle(),
+    doc=f"Shannon character entropy per document (lowest {ENTROPY_TOP} = "
+    "most repetitive / template-like docs, a standard corpus-quality "
+    "prune signal). Letter counts are computed IN-ROW as 26 "
+    "length-difference terms — no explode, no per-char shuffle; the only "
+    "distributed op is the TakeOrdered top-k. Entropy is rounded to 6 "
+    "before ordering (cross-engine ln drift is ~1 ulp) with doc_id "
+    "tiebreak.",
+)
+def char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    d = load_table(spark, sf_dir, "documents")
+    txt = F.regexp_replace(F.lower(F.col("text")), "[^a-z]", "")
+    t = d.select("doc_id", txt.alias("txt"))
+    cnt = {
+        c: (F.length("txt") - F.length(F.replace(F.col("txt"), F.lit(c))))
+        for c in _LETTERS
+    }
+    t = t.select(
+        "doc_id", *[cnt[c].alias(f"c_{c}") for c in _LETTERS]
+    ).withColumn("n_letters", sum(F.col(f"c_{c}") for c in _LETTERS))
+
+    def p(c: str):
+        return F.col(f"c_{c}").cast("double") / F.col("n_letters")
+
+    h = None
+    for c in _LETTERS:
+        term = F.when(F.col(f"c_{c}") > 0, -p(c) * F.log(p(c))).otherwise(F.lit(0.0))
+        h = term if h is None else h + term
+    return (
+        t.filter(F.col("n_letters") > 0)
+        .select(
+            "doc_id",
+            F.col("n_letters").cast("long").alias("n_letters"),
+            F.round(h, 6).alias("entropy"),
+        )
+        .orderBy("entropy", "doc_id")
+        .limit(ENTROPY_TOP)
+    )
+
+
+# ---- Zipf rank-frequency fit (corpus health diagnostic) --------------------
+ZIPF_TOP = 1000
+
+
+@register(
+    QUERIES,
+    "zipf_token_slope",
+    oracle=f"""
+    WITH c AS (
+      SELECT w, count(*) AS n FROM (
+        SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+        FROM documents
+      ) GROUP BY w
+    ), top AS (
+      SELECT w, n FROM c ORDER BY n DESC, w LIMIT {ZIPF_TOP}
+    ), ranked AS (
+      SELECT ln(CAST(row_number() OVER (ORDER BY n DESC, w) AS DOUBLE)) AS x,
+             ln(CAST(n AS DOUBLE)) AS y
+      FROM top
+    ), s AS (
+      SELECT count(*) AS m, sum(x) AS sx, sum(y) AS sy,
+             sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy
+      FROM ranked
+    )
+    SELECT CAST(m AS BIGINT) AS n_terms,
+           round((m*sxy - sx*sy) / (m*sxx - sx*sx), 6) AS slope,
+           round((sy - (m*sxy - sx*sy) / (m*sxx - sx*sx) * sx) / m, 6)
+             AS intercept,
+           round((m*sxy - sx*sy) * (m*sxy - sx*sy)
+                 / ((m*sxx - sx*sx) * (m*syy - sy*sy)), 6) AS r2
+    FROM s
+    """,
+    doc=f"Zipf's-law fit over the token rank-frequency curve: OLS slope of "
+    f"ln(freq) on ln(rank) over the top-{ZIPF_TOP} tokens (healthy natural "
+    "corpora slope ~ -1; synthetic/boilerplate-heavy corpora flatten). "
+    "Token counts are one groupBy; the global sort is a TakeOrdered "
+    f"partial top-k; the rank window runs over <= {ZIPF_TOP} rows by "
+    "construction (data-size-independent, allowlisted); the fit is one "
+    "aggregate over those rows.",
+)
+def zipf_token_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(_tokens_col()).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = counts.orderBy(F.desc("n"), "w").limit(ZIPF_TOP)
+    from pyspark.sql import Window
+
+    rk = F.row_number().over(Window.orderBy(F.desc("n"), "w"))
+    ranked = top.select(
+        F.log(rk.cast("double")).alias("x"), F.log(F.col("n").cast("double")).alias("y")
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    m = F.col("m").cast("double")
+    slope = (m * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        m * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / m
+    r2 = (
+        (m * F.col("sxy") - F.col("sx") * F.col("sy"))
+        * (m * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (
+            (m * F.col("sxx") - F.col("sx") * F.col("sx"))
+            * (m * F.col("syy") - F.col("sy") * F.col("sy"))
+        )
+    )
+    return s.select(
+        F.col("m").cast("long").alias("n_terms"),
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+    )
