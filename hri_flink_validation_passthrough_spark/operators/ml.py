@@ -322,3 +322,125 @@ def _snap6(v: float) -> float:
     import math
 
     return math.floor(v * 1e6 + 0.500001) / 1e6
+
+
+# ---- Multinomial naive Bayes (language classifier) -------------------------
+NB_ALPHA = 1  # Laplace smoothing
+
+
+@register(
+    QUERIES,
+    "naive_bayes_lang_confusion",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, lang,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+      FROM documents
+    ), tf AS (  -- term frequencies per doc
+      SELECT doc_id, lang, w, count(*) AS tf
+      FROM (SELECT doc_id, lang, unnest(toks) AS w FROM d)
+      GROUP BY 1, 2, 3
+    ), cls AS (  -- class priors
+      SELECT lang AS c, count(*) AS n_docs FROM d GROUP BY 1
+    ), nn AS (SELECT count(*) AS n FROM d),
+    vocab AS (SELECT DISTINCT w FROM tf),
+    vv AS (SELECT count(*) AS v FROM vocab),
+    cw AS (  -- per-class token counts over the full grid (zeros kept)
+      SELECT cls.c, vocab.w, coalesce(sum(tf.tf), 0) AS cnt
+      FROM cls CROSS JOIN vocab
+      LEFT JOIN tf ON tf.lang = cls.c AND tf.w = vocab.w
+      GROUP BY 1, 2
+    ), ctot AS (
+      SELECT c, sum(cnt) AS tot FROM cw GROUP BY 1
+    ), model AS (
+      SELECT cw.c, cw.w,
+             ln((cnt + {NB_ALPHA}) * 1.0 / (ctot.tot + {NB_ALPHA} * vv.v))
+               AS logp
+      FROM cw JOIN ctot USING (c) CROSS JOIN vv
+    ), scored AS (
+      SELECT tf.doc_id, tf.lang, model.c,
+             sum(tf.tf * model.logp) AS loglik
+      FROM tf JOIN model ON model.w = tf.w
+      GROUP BY 1, 2, 3
+    ), ranked AS (
+      SELECT doc_id, lang, c,
+             row_number() OVER (
+               PARTITION BY doc_id
+               ORDER BY round(loglik + ln(cls.n_docs * 1.0 / nn.n), 6) DESC, c
+             ) AS rn
+      FROM scored JOIN cls USING (c) CROSS JOIN nn
+    )
+    SELECT lang AS actual, c AS predicted,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM ranked WHERE rn = 1
+    GROUP BY 1, 2
+    """,
+    doc=f"Multinomial naive Bayes trained on (token, lang) counts with "
+    f"Laplace alpha={NB_ALPHA}, resubstitution-scored to a confusion "
+    "matrix. The model is the (|classes| x |vocab|) log-probability table "
+    "— an aggregate-sized broadcast artifact, like the IVF centroids; "
+    "training is ONE grouped count over exploded tokens, scoring is one "
+    "broadcast join + per-doc argmax (rounded-6 before ranking, class "
+    "tiebreak, so cross-engine log-sum noise can't flip it). The "
+    "train-once/score-everywhere shape a 100 TB labeling pipeline uses "
+    "for cheap priors.",
+)
+def naive_bayes_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    prepare(spark)
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks")
+    )
+    tf = (
+        d.select("doc_id", "lang", F.explode("toks").alias("w"))
+        .groupBy("doc_id", "lang", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()  # consumed by training counts AND scoring join
+    )
+    cls = d.groupBy(F.col("lang").alias("c")).agg(F.count(F.lit(1)).alias("n_docs"))
+    n_total = d.count()
+    vocab = tf.select("w").distinct()
+    v_size = vocab.count()
+    # full class x vocab grid (zeros kept — smoothing needs them); both
+    # sides are aggregate-sized, the grid is |classes| x |vocab| rows
+    cw = (
+        cls.crossJoin(vocab)
+        .join(
+            tf.groupBy(F.col("lang").alias("c"), "w").agg(F.sum("tf").alias("cnt")),
+            ["c", "w"],
+            "left",
+        )
+        .select("c", "w", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"))
+    )
+    ctot = cw.groupBy("c").agg(F.sum("cnt").alias("tot"))
+    model = cw.join(F.broadcast(ctot), "c").select(
+        "c",
+        "w",
+        F.log(
+            (F.col("cnt") + NB_ALPHA)
+            / (F.col("tot") + NB_ALPHA * v_size).cast("double")
+        ).alias("logp"),
+    )
+    prior = cls.select(
+        "c", F.log(F.col("n_docs") / F.lit(float(n_total))).alias("logprior")
+    )
+    scored = (
+        tf.join(F.broadcast(model), "w")
+        .groupBy("doc_id", "lang", "c")
+        .agg(F.sum(F.col("tf") * F.col("logp")).alias("loglik"))
+        .join(F.broadcast(prior), "c")
+        .select(
+            "doc_id",
+            "lang",
+            "c",
+            F.round(F.col("loglik") + F.col("logprior"), 6).alias("score"),
+        )
+    )
+    wk = Window.partitionBy("doc_id").orderBy(F.desc("score"), "c")
+    return (
+        scored.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") == 1)
+        .groupBy(F.col("lang").alias("actual"), F.col("c").alias("predicted"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
