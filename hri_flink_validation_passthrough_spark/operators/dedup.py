@@ -1398,3 +1398,101 @@ def tfidf_shingle_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), "doc_a", "doc_b")
         .limit(TFIDF_TOP)
     )
+
+
+# ---- MinHash estimator calibration -----------------------------------------
+MH_CAL_PERMS = 64
+
+
+@register(
+    QUERIES,
+    "minhash_calibration_by_jaccard",
+    oracle="""
+    WITH pairs AS (
+    """
+    + _CAPPED_PAIRS_SQL.format(thr=0.5, cap=DF_CAP)
+    + f"""
+    ), ds AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      FROM (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+        FROM documents
+      ) WHERE len(toks) >= 3
+    ), docs AS (
+      SELECT doc_a AS doc_id FROM pairs UNION SELECT doc_b FROM pairs
+    ), sl AS (
+      SELECT ds.doc_id, unnest(ds.sh) AS g FROM ds JOIN docs USING (doc_id)
+    ), perm AS (
+      SELECT unnest(range(0, {MH_CAL_PERMS})) AS p
+    ), m AS (
+      SELECT doc_id, p, min(md5(g || ':' || CAST(p AS VARCHAR))) AS mh
+      FROM sl CROSS JOIN perm GROUP BY 1, 2
+    ), pm AS (
+      SELECT pairs.doc_a, pairs.doc_b, pairs.jaccard,
+             sum(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) AS n_match
+      FROM pairs
+      JOIN m ma ON ma.doc_id = pairs.doc_a
+      JOIN m mb ON mb.doc_id = pairs.doc_b AND mb.p = ma.p
+      GROUP BY 1, 2, 3
+    )
+    SELECT CAST(floor(jaccard * 10) AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(avg(n_match / {MH_CAL_PERMS}.0), 6) AS avg_est,
+           round(avg(jaccard), 6) AS avg_exact,
+           round(avg(abs(n_match / {MH_CAL_PERMS}.0 - jaccard)), 6)
+             AS mean_abs_err
+    FROM pm GROUP BY 1
+    """,
+    doc=f"Sketch-quality calibration: for every near-dup pair (capped index, "
+    f"Jaccard >= 0.5), compare the {MH_CAL_PERMS}-perm MinHash ESTIMATE "
+    "(fraction of matching signature slots) against the exact Jaccard, "
+    "bucketed by exact-Jaccard decile — the eval that justifies replacing "
+    "exact verification with signatures at scale (E[est] = J, sd = "
+    f"sqrt(J(1-J)/{MH_CAL_PERMS}) ~ 0.05). Signatures here use the "
+    "PORTABLE md5 slot-min form (min over md5(shingle:perm) strings) so "
+    "DuckDB computes bit-identical slots — the production xxhash64+numpy "
+    "signature (dedup_minhash_lsh) is the fast path, this is its "
+    "cross-engine-checkable twin. Signatures are computed ONLY for docs "
+    "appearing in candidate pairs (output-sized, not corpus-sized).",
+)
+def minhash_calibration_by_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    pairs = _capped_pairs_for(spark, sf_dir, 0.5)
+    docs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    s = _shingles_for(spark, sf_dir).join(docs, "doc_id")
+    sl = s.select("doc_id", F.explode("sh").alias("g"))
+    slots = sl.select(
+        "doc_id",
+        "g",
+        F.explode(F.sequence(F.lit(0), F.lit(MH_CAL_PERMS - 1))).alias("p"),
+    )
+    m = slots.groupBy("doc_id", "p").agg(
+        F.min(F.md5(F.concat_ws(":", "g", "p"))).alias("mh")
+    )
+    ma = m.select(F.col("doc_id").alias("doc_a"), "p", F.col("mh").alias("mha"))
+    mb = m.select(F.col("doc_id").alias("doc_b"), "p", F.col("mh").alias("mhb"))
+    pm = (
+        pairs.join(ma, "doc_a")
+        .join(mb, ["doc_b", "p"])
+        .groupBy("doc_a", "doc_b", "jaccard")
+        .agg(
+            F.sum(F.when(F.col("mha") == F.col("mhb"), 1).otherwise(0)).alias(
+                "n_match"
+            )
+        )
+    )
+    est = F.col("n_match") / float(MH_CAL_PERMS)
+    return pm.groupBy(
+        F.floor(F.col("jaccard") * 10).cast("int").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(F.avg(est), 6).alias("avg_est"),
+        F.round(F.avg("jaccard"), 6).alias("avg_exact"),
+        F.round(F.avg(F.abs(est - F.col("jaccard"))), 6).alias("mean_abs_err"),
+    )
