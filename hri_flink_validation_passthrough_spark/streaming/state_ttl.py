@@ -468,7 +468,16 @@ def stream_state_ttl_metrics(
     prefer_transform_with_state: bool | None = None,
 ) -> DataFrame:
     prepare(spark)
-    n_keys = N_BUCKETS  # user_id % N_BUCKETS covers all residues at every sf
+    from ..session import load_table
+
+    # expected flush count from the BATCH table, not the constant: a scale
+    # factor whose user ids miss a residue class must not hang the poll
+    n_keys = (
+        load_table(spark, sf_dir, "events")
+        .select((F.col("user_id") % N_BUCKETS).alias("b"))
+        .distinct()
+        .count()
+    )
     keyed = _events_keyed_stream(spark, sf_dir).select(
         "bucket", "user_id", "value", "ts_us"
     )
@@ -525,7 +534,15 @@ def stream_windowed_topk_eviction(
     prepare(spark)
     from ..session import load_table
 
-    n_keys = load_table(spark, sf_dir, "events").select("event_type").distinct().count()
+    # expected flush rows = sum over keys of min(n_rows, K): a key with
+    # fewer than K events flushes fewer rows and must not hang the poll
+    n_expected = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum(F.least(F.col("n"), F.lit(TOPK_K))))
+        .collect()[0][0]
+    )
     keyed = _events_keyed_stream(spark, sf_dir).select(
         "event_type", "event_id", "value", "ts_us"
     )
@@ -534,7 +551,7 @@ def stream_windowed_topk_eviction(
         build_topk_eviction_stream(
             keyed, prefer_transform_with_state=prefer_transform_with_state
         ),
-        n_keys * TOPK_K,
+        int(n_expected),
         "topkev",
     )
     return out.select(
