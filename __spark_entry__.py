@@ -115,6 +115,7 @@ def _all_specs() -> dict[str, QuerySpec]:
         )
     ] + [
         "hri_flink_validation_passthrough_spark.sources.formats",
+        "hri_flink_validation_passthrough_spark.sources.pyds",
         "hri_flink_validation_passthrough_spark.streaming.windows",
         "hri_flink_validation_passthrough_spark.streaming.state_ttl",
     ]
@@ -165,6 +166,7 @@ def _all_specs() -> dict[str, QuerySpec]:
         )
     ] + [
         "hri_flink_validation_passthrough_spark.sources.formats",
+        "hri_flink_validation_passthrough_spark.sources.pyds",
         "hri_flink_validation_passthrough_spark.streaming.windows",
         "hri_flink_validation_passthrough_spark.streaming.state_ttl",
     ]

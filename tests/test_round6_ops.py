@@ -216,6 +216,32 @@ def test_containment_catches_snippet_in_long_doc(spark, tmp_path):
     assert jac[(1, 2)] < 0.5
 
 
+def test_custom_datasource_partitions_and_replay(spark):
+    """The Python DataSource connector: batch read covers every partition's
+    residue class exactly once, and the stream reader's readBetweenOffsets
+    (failure-recovery replay) reproduces identical records."""
+    from hri_flink_validation_passthrough_spark.sources.pyds import (
+        PYDS_N,
+        PYDS_PARTS,
+        HriEnvelopeStreamReader,
+        _record,
+        _register_ds,
+    )
+
+    _register_ds(spark)
+    df = spark.read.format("hri_envelope").option("n", "400").load()
+    rows = df.collect()
+    assert len(rows) == 400
+    assert {r["part"] for r in rows} == set(range(PYDS_PARTS))
+    assert sorted(r["record_id"] for r in rows) == list(range(400))
+    # stream replay purity: read() then readBetweenOffsets over the same
+    # span yield the same records
+    rd = HriEnvelopeStreamReader({"n": str(PYDS_N)})
+    first, off = rd.read(rd.initialOffset())
+    replay = list(rd.readBetweenOffsets({"pos": 0}, off))
+    assert list(first) == replay == [_record(i) for i in range(off["pos"])]
+
+
 def test_oriented_edges_is_session_memoized(spark):
     """Triangle count and clustering coefficient share one oriented edge
     list (src < dst) instead of persisting two copies."""
