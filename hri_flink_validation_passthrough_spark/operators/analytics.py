@@ -2606,3 +2606,108 @@ def l_diversity_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_groups"),
         F.sum("n_rows_g").cast("long").alias("n_rows"),
     )
+
+
+# ---- Apriori frequent triples ----------------------------------------------
+APRIORI_MIN_SUP = 6
+APRIORI_TOP = 20
+
+
+@register(
+    QUERIES,
+    "frequent_triples_apriori",
+    oracle=f"""
+    WITH b AS (
+      SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+    ), p AS (  -- L2: frequent pairs
+      SELECT a.l_suppkey AS i, b2.l_suppkey AS j, count(*) AS c
+      FROM b a JOIN b b2
+        ON a.l_orderkey = b2.l_orderkey AND a.l_suppkey < b2.l_suppkey
+      GROUP BY 1, 2 HAVING count(*) >= {APRIORI_MIN_SUP}
+    ), cand AS (  -- C3 by the Apriori join: (i,j)+(j,k), prune on (i,k)
+      SELECT p1.i, p1.j, p2.j AS k
+      FROM p p1 JOIN p p2 ON p1.j = p2.i
+      JOIN p p3 ON p3.i = p1.i AND p3.j = p2.j
+    ), t AS (  -- exact triple support, counted only for surviving candidates
+      SELECT cand.i, cand.j, cand.k, count(*) AS n_support
+      FROM cand
+      JOIN b x ON x.l_suppkey = cand.i
+      JOIN b y ON y.l_orderkey = x.l_orderkey AND y.l_suppkey = cand.j
+      JOIN b z ON z.l_orderkey = x.l_orderkey AND z.l_suppkey = cand.k
+      GROUP BY 1, 2, 3 HAVING count(*) >= {APRIORI_MIN_SUP}
+    )
+    SELECT i AS supp_a, j AS supp_b, k AS supp_c,
+           CAST(n_support AS BIGINT) AS n_support
+    FROM t ORDER BY n_support DESC, supp_a, supp_b, supp_c
+    LIMIT {APRIORI_TOP}
+    """,
+    doc=f"Frequent-itemset mining, the Apriori step from pairs to triples: "
+    f"L2 = co-order supplier pairs with support >= {APRIORI_MIN_SUP}; C3 "
+    "candidates from the L2 self-join (i,j)+(j,k) pruned by the third "
+    "sub-pair (i,k) in L2 (the Apriori downward-closure property — "
+    "support-impossible triples never reach counting); exact support "
+    "counted ONLY for surviving candidates via basket equi-joins. All "
+    "joins are key-partitioned; candidate volume is bounded by |L2| "
+    "density, never |baskets|³ — the classic distributed Apriori shape. "
+    f"Top-{APRIORI_TOP} by support with id tiebreaks.",
+)
+def frequent_triples_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .persist()  # consumed by the pair join AND three support joins
+    )
+    x, y = b.alias("x"), b.alias("y")
+    p = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_suppkey") < F.col("y.l_suppkey")),
+        )
+        .groupBy(
+            F.col("x.l_suppkey").alias("i"), F.col("y.l_suppkey").alias("j")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= APRIORI_MIN_SUP)
+        .select("i", "j")
+        .persist()  # L2 drives three candidate-join sides
+    )
+    p1 = p.select(F.col("i"), F.col("j"))
+    p2 = p.select(F.col("i").alias("j2"), F.col("j").alias("k"))
+    p3 = p.select(F.col("i").alias("i3"), F.col("j").alias("k3"))
+    cand = (
+        p1.join(p2, F.col("j") == F.col("j2"))
+        .join(
+            p3,
+            (F.col("i3") == F.col("i")) & (F.col("k3") == F.col("k")),
+        )
+        .select("i", "j", "k")
+    )
+    bx, by, bz = b.alias("bx"), b.alias("by"), b.alias("bz")
+    t = (
+        cand.join(bx, F.col("bx.l_suppkey") == F.col("i"))
+        .join(
+            by,
+            (F.col("by.l_orderkey") == F.col("bx.l_orderkey"))
+            & (F.col("by.l_suppkey") == F.col("j")),
+        )
+        .join(
+            bz,
+            (F.col("bz.l_orderkey") == F.col("bx.l_orderkey"))
+            & (F.col("bz.l_suppkey") == F.col("k")),
+        )
+        .groupBy("i", "j", "k")
+        .agg(F.count(F.lit(1)).alias("n_support"))
+        .filter(F.col("n_support") >= APRIORI_MIN_SUP)
+    )
+    return (
+        t.select(
+            F.col("i").alias("supp_a"),
+            F.col("j").alias("supp_b"),
+            F.col("k").alias("supp_c"),
+            F.col("n_support").cast("long").alias("n_support"),
+        )
+        .orderBy(F.desc("n_support"), "supp_a", "supp_b", "supp_c")
+        .limit(APRIORI_TOP)
+    )
