@@ -252,3 +252,82 @@ def test_oriented_edges_is_session_memoized(spark):
     assert a is b
     # orientation invariant: every edge strictly low->high
     assert a.filter(F.col("src") >= F.col("dst")).count() == 0
+
+
+def test_ttl_metrics_survive_checkpoint_restart(spark, tmp_path):
+    """Chaos parity for the new TTL operator: stop the query after the first
+    microbatch (before the idle timer fires), restart from the SAME
+    checkpoint with more data staged — recovered keyed state must fold the
+    new arrivals into the same aggregate and flush exactly one row with the
+    combined totals (group_state backend; the tws path shares the
+    state-machine logic and is covered by the both-backends tests)."""
+    import time as _t
+    import uuid as _u
+
+    from hri_flink_validation_passthrough_spark.streaming.state_ttl import (
+        build_ttl_metrics_stream,
+    )
+
+    data_dir = str(tmp_path / "data")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "bucket long, user_id long, value double, ts_us long"
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(data_dir)
+
+    def start(name):
+        stream = spark.readStream.schema(schema).parquet(data_dir)
+        out = build_ttl_metrics_stream(
+            stream, ttl_ms=600_000, prefer_transform_with_state=False
+        )
+        return (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    # phase 1: one microbatch lands, timer armed far in the future, kill
+    write([(7, 1, 1.0, 1_000_000), (7, 2, 2.0, 2_000_000)])
+    n1 = f"ttlr1_{_u.uuid4().hex[:8]}"
+    q1 = start(n1)
+    t0 = _t.time()
+    while _t.time() - t0 < 60:
+        if any(p.numInputRows for p in q1.recentProgress):
+            break
+        _t.sleep(0.2)
+    q1.stop()
+
+    # phase 2: more data for the SAME key, restart from the checkpoint with
+    # a short TTL so the flush fires; the emitted row must cover ALL rows
+    write([(7, 3, 5.0, 9_000_000)])
+    n2 = f"ttlr2_{_u.uuid4().hex[:8]}"
+    stream = spark.readStream.schema(schema).parquet(data_dir)
+    out = build_ttl_metrics_stream(
+        stream, ttl_ms=1200, prefer_transform_with_state=False
+    )
+    q2 = (
+        out.writeStream.format("memory")
+        .queryName(n2)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        t0 = _t.time()
+        while _t.time() - t0 < 90:
+            rows = spark.table(n2).collect()
+            if rows:
+                break
+            _t.sleep(0.2)
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r["bucket"], r["n_events"], r["n_users"], r["sum_cents"]) == (
+            7, 3, 3, 800,
+        )
+        assert (r["min_ts"], r["max_ts"]) == (1_000_000, 9_000_000)
+    finally:
+        q2.stop()
