@@ -277,14 +277,22 @@ def test_ttl_metrics_survive_checkpoint_restart(spark, tmp_path):
             "append"
         ).parquet(data_dir)
 
-    def start(name):
+    collected: list = []
+
+    def start(ttl_ms):
+        # foreachBatch sink: the memory sink refuses checkpoint RECOVERY
+        # ("This query does not support recovering from checkpoint
+        # location"), and recovery is the point of this test
         stream = spark.readStream.schema(schema).parquet(data_dir)
         out = build_ttl_metrics_stream(
-            stream, ttl_ms=600_000, prefer_transform_with_state=False
+            stream, ttl_ms=ttl_ms, prefer_transform_with_state=False
         )
+
+        def sink(df, _epoch):
+            collected.extend(df.collect())
+
         return (
-            out.writeStream.format("memory")
-            .queryName(name)
+            out.writeStream.foreachBatch(sink)
             .outputMode("append")
             .option("checkpointLocation", ckpt)
             .start()
@@ -292,39 +300,25 @@ def test_ttl_metrics_survive_checkpoint_restart(spark, tmp_path):
 
     # phase 1: one microbatch lands, timer armed far in the future, kill
     write([(7, 1, 1.0, 1_000_000), (7, 2, 2.0, 2_000_000)])
-    n1 = f"ttlr1_{_u.uuid4().hex[:8]}"
-    q1 = start(n1)
+    q1 = start(ttl_ms=600_000)
     t0 = _t.time()
     while _t.time() - t0 < 60:
         if any(p.numInputRows for p in q1.recentProgress):
             break
         _t.sleep(0.2)
     q1.stop()
+    assert collected == []  # timer far out: nothing flushed before the kill
 
     # phase 2: more data for the SAME key, restart from the checkpoint with
     # a short TTL so the flush fires; the emitted row must cover ALL rows
     write([(7, 3, 5.0, 9_000_000)])
-    n2 = f"ttlr2_{_u.uuid4().hex[:8]}"
-    stream = spark.readStream.schema(schema).parquet(data_dir)
-    out = build_ttl_metrics_stream(
-        stream, ttl_ms=1200, prefer_transform_with_state=False
-    )
-    q2 = (
-        out.writeStream.format("memory")
-        .queryName(n2)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
+    q2 = start(ttl_ms=1200)
     try:
         t0 = _t.time()
-        while _t.time() - t0 < 90:
-            rows = spark.table(n2).collect()
-            if rows:
-                break
+        while _t.time() - t0 < 90 and not collected:
             _t.sleep(0.2)
-        assert len(rows) == 1
-        r = rows[0]
+        assert len(collected) == 1
+        r = collected[0]
         assert (r["bucket"], r["n_events"], r["n_users"], r["sum_cents"]) == (
             7, 3, 3, 800,
         )
