@@ -2510,7 +2510,11 @@ def _fk_oracle() -> str:
     "left join aggregated in the same pass (no second orphan scan); "
     "small parent key sets broadcast, the two big edges "
     "(lineitem->orders/part) hash-join on the key and AQE handles skew. "
-    "At 100 TB each edge is one shuffle, and the audit table is 7 rows.",
+    "At 100 TB each edge is one shuffle, and the audit table is 7 rows. "
+    "scan_sweep note: lineitem/nation appear in 3 edges each — one "
+    "COLUMN-PRUNED scan per edge (only the FK column is read), the "
+    "documented-acceptable multi-scan shape; caching the fact table "
+    "would cost O(data) to save a sliver of I/O.",
 )
 def fk_violation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
