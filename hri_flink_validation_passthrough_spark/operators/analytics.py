@@ -2715,3 +2715,84 @@ def frequent_triples_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_support"), "supp_a", "supp_b", "supp_c")
         .limit(APRIORI_TOP)
     )
+
+
+# ---- Welch's t-test between event-type value distributions -----------------
+@register(
+    QUERIES,
+    "welch_t_event_values",
+    oracle="""
+    WITH g AS (
+      SELECT event_type, count(*) AS n,
+             sum(value) AS s, sum(value * value) AS ss
+      FROM events GROUP BY 1
+    ), st AS (
+      SELECT event_type, n, s / n AS m,
+             (ss - s * s / n) / (n - 1) AS v
+      FROM g WHERE n >= 2
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+           round(a.m - b.m, 6) AS mean_diff,
+           round((a.m - b.m) / sqrt(a.v / a.n + b.v / b.n), 6) AS t_stat,
+           round(
+             (a.v / a.n + b.v / b.n) * (a.v / a.n + b.v / b.n)
+             / ((a.v / a.n) * (a.v / a.n) / (a.n - 1)
+                + (b.v / b.n) * (b.v / b.n) / (b.n - 1)), 6) AS df_welch
+    FROM st a JOIN st b ON a.event_type < b.event_type
+    """,
+    doc="Welch's unequal-variance t-test for every event-type pair over "
+    "`value`: one grouped pass computes (n, sum, sumsq) per type; means, "
+    "variances, t statistics and Welch-Satterthwaite df come from closed "
+    "algebra over that 5-row table (variance as (ss - s^2/n)/(n-1) "
+    "EXPLICITLY, not var_samp — the engines' streaming variance "
+    "algorithms differ in association order, the explicit form is the "
+    "same expression both sides). The A/B-testing significance primitive: "
+    "at 100 TB it is one aggregation plus a |types|^2 self-join of a "
+    "type-cardinality table.",
+)
+def welch_t_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    g = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("s"),
+        F.sum(F.col("value") * F.col("value")).alias("ss"),
+    )
+    st = g.filter(F.col("n") >= 2).select(
+        "event_type",
+        "n",
+        (F.col("s") / F.col("n")).alias("m"),
+        ((F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)).alias(
+            "v"
+        ),
+    )
+    a = st.select(
+        F.col("event_type").alias("type_a"),
+        F.col("n").alias("n_a"),
+        F.col("m").alias("m_a"),
+        F.col("v").alias("v_a"),
+    )
+    b = st.select(
+        F.col("event_type").alias("type_b"),
+        F.col("n").alias("n_b"),
+        F.col("m").alias("m_b"),
+        F.col("v").alias("v_b"),
+    )
+    se_a = F.col("v_a") / F.col("n_a")
+    se_b = F.col("v_b") / F.col("n_b")
+    t = (F.col("m_a") - F.col("m_b")) / F.sqrt(se_a + se_b)
+    df = (se_a + se_b) * (se_a + se_b) / (
+        se_a * se_a / (F.col("n_a") - 1) + se_b * se_b / (F.col("n_b") - 1)
+    )
+    return (
+        a.join(b, F.col("type_a") < F.col("type_b"))
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.round(F.col("m_a") - F.col("m_b"), 6).alias("mean_diff"),
+            F.round(t, 6).alias("t_stat"),
+            F.round(df, 6).alias("df_welch"),
+        )
+    )
