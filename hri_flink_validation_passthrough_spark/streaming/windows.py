@@ -1004,3 +1004,74 @@ def stream_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_table(agg, "ohlc")
+
+
+@register(
+    QUERIES,
+    "stream_stream_full_outer_join",
+    oracle="""
+    WITH c AS (
+      SELECT event_id AS cid, user_id AS cu, ts AS cts
+      FROM events WHERE event_type = 'click'
+    ), p AS (
+      SELECT event_id AS pid, user_id AS pu, ts AS pts
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.cid AS click_id,
+           p.pid AS purchase_id,
+           coalesce(c.cu, p.pu) AS user_id,
+           strftime(coalesce(c.cts, p.pts), '%Y-%m-%d %H:%M:%S') AS anchor_ts
+    FROM c FULL JOIN p
+      ON c.cu = p.pu
+     AND p.pts >= c.cts AND p.pts <= c.cts + INTERVAL 30 MINUTE
+    """,
+    doc="Stream-stream FULL OUTER interval join — the remaining outer-join "
+    "mode of the streaming matrix: attributed (click, purchase) pairs, "
+    "PLUS unmatched clicks (no purchase within 30 min) AND unmatched "
+    "purchases (no preceding click), each emitted with nulls when the "
+    "watermark passes its side's match horizon. Shares the left-outer "
+    "harness's sentinel input: the far-future sentinels advance the final "
+    "watermark past every real row's horizon (so BOTH sides' outer "
+    "emissions are complete and deterministic) while each sentinel's own "
+    "horizon stays above the final watermark — neither ever reaches the "
+    "output, and the batch FULL JOIN oracle applies exactly.",
+)
+def stream_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    path = _outer_join_input_dir(spark, sf_dir)
+    schema = spark.read.parquet(path).schema
+
+    def side(tag: str) -> DataFrame:
+        return spark.readStream.schema(schema).parquet(path).filter(
+            F.col("event_type") == tag
+        )
+
+    clicks = side("click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts_t"),
+    ).withWatermark("click_ts_t", _WM)
+    purchases = side("purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts_t"),
+    ).withWatermark("purchase_ts_t", _WM)
+    joined = clicks.join(
+        purchases,
+        on=[
+            F.col("c_user_id") == F.col("p_user_id"),
+            F.col("purchase_ts_t") >= F.col("click_ts_t"),
+            F.col("purchase_ts_t")
+            <= F.col("click_ts_t") + F.expr("INTERVAL 30 MINUTES"),
+        ],
+        how="full_outer",
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.coalesce(F.col("c_user_id"), F.col("p_user_id")).alias("user_id"),
+        F.date_format(
+            F.coalesce(F.col("click_ts_t"), F.col("purchase_ts_t")),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("anchor_ts"),
+    )
+    return _run_to_table(joined, "ssfull", output_mode="append")
