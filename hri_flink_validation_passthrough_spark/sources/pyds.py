@@ -10,6 +10,14 @@ with a DETERMINISTIC envelope generator, so the connector path (planning,
 partition scheduling, Python-worker row production, offset bookkeeping) is
 driver-verifiable against a DuckDB recompute of the same closed-form rows.
 
+Companion to ``sources/fixture.py`` (`hri_fixture`), the KAFKA-WIRE-shaped
+twin that feeds the passthrough topology's tests with binary key/value +
+header rows: that one plugs into the envelope seam but its binary payload
+cannot be recomputed in ANSI SQL, so it is exercised by pytest; THIS one
+trades wire fidelity for an md5/VARCHAR schema DuckDB can reproduce
+bit-for-bit, making the connector path itself part of the driver's
+hash-compare gate. Same API surface, two verification channels.
+
 Generator contract (shared with the oracle SQL): record i in [0, n) has
   batch_id = 'batch-' || (i % n_batches)
   key      = md5('k:' || i)
