@@ -51,7 +51,14 @@ SHOWCASE = {
     "max_concurrent_sessions": "sweep line: intra-day running sums + one-row-per-day offset broadcast",
     "equi_depth_histogram": "two-level cumulative histogram; 9-value boundary literal; map-side binning",
     "events_ewma_blocked": "blocked linear recurrence: per-block windows + 3-lag carry, bounded exponents",
-    "column_profile_stats": "one multi-distinct scan (Expand) computing every column's stats",
+    "column_profile_stats": "melted two-phase NDV: (col,value) explode collapses map-side to distinct pairs (r6: 2.7x over the Expand multi-distinct form); base stats stay one scan",
+    "dedup_containment_removal": "df-capped inverted-index candidates; one-sided containment bound prune; exact array verify; per-removed-doc keeper window",
+    "tfidf_shingle_cosine_pairs": "idf-weighted posting-list pair expansion — hot shingles zero-weight by definition, so candidates = nonzero-dot pairs exactly",
+    "bfs_hops_from_hub": "level-synchronous BFS: per-hop equi-join + anti-join, frontiers localCheckpointed to truncate plan lineage",
+    "char_entropy_quality": "26 in-row length-difference terms; zero shuffle before the TakeOrdered top-k",
+    "frequent_triples_apriori": "L2 self-join candidates pruned by downward closure before any triple counting",
+    "custom_source_batch_envelope": "Python Data Source scan: 8 planned InputPartitions feeding a partial+final aggregate",
+    "welch_t_event_values": "one grouped moment pass; |types|-row theta self-join for all pairwise tests",
     "holt_winters_level_trend": "blocked 2x2 matrix recurrence: literal A-power weight arrays, plain groupBy block sums, 4-lag carry window per key",
     "rfm_customer_segments": "melted single boundary job: dim in every partition key, banded two-level prefix sums, literal boundary binning",
     "pagerank_supplier_coparts": "3 unrolled join+aggregate power iterations; broadcast degrees; persisted edge list",
