@@ -258,6 +258,11 @@ def _compact_line(result: dict) -> str:
     if len(line) >= 1800:
         compact.pop("queries2", None)
         line = json.dumps(compact)
+    if len(line) >= 1800:
+        # last resort: the totals ALWAYS survive — an oversized line loses
+        # the whole round's bench record to the driver's tail window
+        compact.pop("queries", None)
+        line = json.dumps(compact)
     return line
 
 

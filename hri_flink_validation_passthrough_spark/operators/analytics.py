@@ -2495,7 +2495,8 @@ def _fk_oracle() -> str:
                     AS BIGINT) AS n_orphan_keys,
                CAST(sum(CASE WHEN c.{fk} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
                  AS n_null_fk
-        FROM {child} c LEFT JOIN {parent} p ON c.{fk} = p.{pk}""")
+        FROM {child} c
+        LEFT JOIN (SELECT DISTINCT {pk} FROM {parent}) p ON c.{fk} = p.{pk}""")
     return " UNION ALL ".join(parts)
 
 
@@ -2514,7 +2515,9 @@ def _fk_oracle() -> str:
     "scan_sweep note: lineitem/nation appear in 3 edges each — one "
     "COLUMN-PRUNED scan per edge (only the FK column is read), the "
     "documented-acceptable multi-scan shape; caching the fact table "
-    "would cost O(data) to save a sliver of I/O.",
+    "would cost O(data) to save a sliver of I/O. BOTH sides join the "
+    "DISTINCT'd parent key set, so a duplicated parent PK (dirty data an "
+    "audit must tolerate) cannot fan child rows out and skew the counts.",
 )
 def fk_violation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
@@ -2656,11 +2659,16 @@ APRIORI_TOP = 20
     f"Top-{APRIORI_TOP} by support with id tiebreaks.",
 )
 def frequent_triples_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # localCheckpoint, not persist: this query runs once per session, and a
+    # persist pins the basket table in executor cache until someone calls
+    # unpersist — which nothing would. localCheckpoint materializes once for
+    # the four consumers AND is reference-released by the ContextCleaner
+    # when the query's DataFrames go out of scope.
     b = (
         _t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_suppkey")
         .distinct()
-        .persist()  # consumed by the pair join AND three support joins
+        .localCheckpoint()
     )
     x, y = b.alias("x"), b.alias("y")
     p = (
@@ -2675,7 +2683,7 @@ def frequent_triples_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
         .filter(F.col("c") >= APRIORI_MIN_SUP)
         .select("i", "j")
-        .persist()  # L2 drives three candidate-join sides
+        .localCheckpoint()  # L2 drives three candidate-join sides
     )
     p1 = p.select(F.col("i"), F.col("j"))
     p2 = p.select(F.col("i").alias("j2"), F.col("j").alias("k"))

@@ -1363,7 +1363,9 @@ def tfidf_shingle_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ids",
             F.log(F.lit(float(n_docs)) / F.col("df").cast("double")).alias("idf"),
         )
-        .persist()  # vocab-sized; consumed by BOTH the norm and the dot path
+        # vocab-sized; consumed by BOTH the norm and the dot path. One-shot
+        # query → localCheckpoint (reference-released), not a pinned persist
+        .localCheckpoint()
     )
     ew = w.select("g", F.explode("ids").alias("doc_id"), "idf")
     nrm = ew.groupBy("doc_id").agg(F.sum(F.col("idf") * F.col("idf")).alias("n2"))

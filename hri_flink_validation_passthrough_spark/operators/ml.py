@@ -396,7 +396,9 @@ def naive_bayes_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", "lang", F.explode("toks").alias("w"))
         .groupBy("doc_id", "lang", "w")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .persist()  # consumed by training counts AND scoring join
+        # consumed by training counts AND the scoring join; one-shot query →
+        # localCheckpoint (reference-released), not a session-pinned persist
+        .localCheckpoint()
     )
     cls = d.groupBy(F.col("lang").alias("c")).agg(F.count(F.lit(1)).alias("n_docs"))
     n_total = d.count()

@@ -584,6 +584,15 @@ def make_cdc_merger(
         # a fresh checkpoint until epoch_id catches up — the exact bug the
         # guard exists to fix). A fresh state dict has last_epoch=-1 already,
         # so the reset is a no-op there.
+        # Documented tradeoff for the unknowable-identity (None) case: the
+        # reset favors the COMMON operational path (new checkpoint dir over
+        # a legacy table — epochs restart at 0 every time) over the narrow
+        # one (same-checkpoint crash-replay of the final epoch written by
+        # the PRE-run_id code version, which would now re-apply once,
+        # doubling that epoch's additive n_updates). The two are not
+        # distinguishable from (run_id, last_epoch) alone; every marker
+        # written by current code carries run_id, so the window closes at
+        # the first post-upgrade commit.
         if state.get("run_id") != run_id:
             state["last_epoch"] = -1  # new/unknown checkpoint lifetime
         state["run_id"] = run_id

@@ -71,7 +71,7 @@ ALLOWED_GLOBAL_SORT = {
 
 # queries that EXECUTE work when constructed (streaming boots a query; these
 # write files/tables) — plan text is still linted, construction is just slower
-_EAGER = ("stream_",)
+_EAGER = ("stream_", "custom_source_stream")  # boot a streaming query when constructed
 
 
 def _all_batch_queries():
