@@ -10,6 +10,8 @@ from one Python definition, so the two can't drift.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -572,29 +574,40 @@ def _entropy_oracle() -> str:
     """
 
 
+def _letter_counts(txt: pd.Series) -> pd.Series:
+    """Per-doc lowercase-letter histogram: one vectorized pass per string
+    (Arrow-batched; module-level so type hints resolve and workers import
+    it by reference)."""
+    out = []
+    for s in txt:
+        b = np.frombuffer(s.encode(), dtype=np.uint8)
+        b = b[(b >= 97) & (b <= 122)]  # lowercase ASCII letters
+        out.append(np.bincount(b - 97, minlength=26).astype(np.int64))
+    return pd.Series(out)
+
+
 @register(
     QUERIES,
     "char_entropy_quality",
     oracle=_entropy_oracle(),
     doc=f"Shannon character entropy per document (lowest {ENTROPY_TOP} = "
     "most repetitive / template-like docs, a standard corpus-quality "
-    "prune signal). Letter counts are computed IN-ROW as 26 "
-    "length-difference terms — no explode, no per-char shuffle; the only "
-    "distributed op is the TakeOrdered top-k. Entropy is rounded to 6 "
-    "before ordering (cross-engine ln drift is ~1 ulp) with doc_id "
-    "tiebreak.",
+    "prune signal). Letter counts come from ONE Arrow-batched numpy "
+    "bincount pass per document — the r6 A/B measured the all-JVM "
+    "26-length-difference form 9x SLOWER at sf1 (28.6 s vs 3.1 s; 52 "
+    "full-string scans per row lose to one vectorized pass even paying "
+    "the Arrow transfer), with bit-identical output since entropy is "
+    "computed from the same integer counts by the same expression tree. "
+    "No shuffle before the TakeOrdered top-k. Entropy rounded to 6 "
+    "before ordering (cross-engine ln drift ~1 ulp) with doc_id tiebreak.",
 )
 def char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
     d = load_table(spark, sf_dir, "documents")
-    txt = F.regexp_replace(F.lower(F.col("text")), "[^a-z]", "")
-    t = d.select("doc_id", txt.alias("txt"))
-    cnt = {
-        c: (F.length("txt") - F.length(F.replace(F.col("txt"), F.lit(c))))
-        for c in _LETTERS
-    }
+    counts_udf = F.pandas_udf(_letter_counts, "array<long>")
+    t = d.select("doc_id", counts_udf(F.lower("text")).alias("c"))
     t = t.select(
-        "doc_id", *[cnt[c].alias(f"c_{c}") for c in _LETTERS]
+        "doc_id", *[F.col("c")[i].alias(f"c_{c}") for i, c in enumerate(_LETTERS)]
     ).withColumn("n_letters", sum(F.col(f"c_{c}") for c in _LETTERS))
 
     def p(c: str):
