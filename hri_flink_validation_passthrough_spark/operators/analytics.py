@@ -2804,3 +2804,258 @@ def welch_t_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(df, 6).alias("df_welch"),
         )
     )
+
+
+# ---- CUSUM change-point detection over the hourly series -------------------
+_DENSE_SQL = """
+    hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(count(*) AS DOUBLE) AS n
+      FROM events GROUP BY 1, 2
+    ), span AS (
+      SELECT event_type, min(hr) AS mn, max(hr) AS mx FROM hourly GROUP BY 1
+    ), grid AS (
+      SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hr
+      FROM span
+    ), d AS (
+      SELECT g.event_type, g.hr, coalesce(h.n, 0.0) AS n
+      FROM grid g LEFT JOIN hourly h
+        ON h.event_type = g.event_type AND h.hr = g.hr
+    )
+"""
+
+
+@register(
+    QUERIES,
+    "cusum_changepoint_hourly",
+    oracle=f"""
+    WITH {_DENSE_SQL},
+    mu AS (
+      SELECT event_type, avg(n) AS mu, count(*) AS n_hours FROM d GROUP BY 1
+    ), c AS (
+      SELECT d.event_type, d.hr,
+             sum(d.n - mu.mu) OVER (
+               PARTITION BY d.event_type ORDER BY d.hr
+             ) AS s
+      FROM d JOIN mu USING (event_type)
+    ), r AS (
+      SELECT event_type, hr, round(s, 6) AS s6,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY round(abs(s), 6) DESC, hr
+             ) AS rn
+      FROM c
+    ), rng AS (
+      SELECT event_type, round(max(s) - min(s), 6) AS cusum_range FROM c
+      GROUP BY 1
+    )
+    SELECT r.event_type,
+           strftime(r.hr, '%Y-%m-%d %H:%M:%S') AS change_hr,
+           r.s6 AS cusum_at_change,
+           rng.cusum_range,
+           CAST(mu.n_hours AS BIGINT) AS n_hours
+    FROM r JOIN rng USING (event_type) JOIN mu USING (event_type)
+    WHERE r.rn = 1
+    """,
+    doc="CUSUM change-point detection per event type: S_t = cumulative sum "
+    "of hourly-count deviations from the series mean over the DENSIFIED "
+    "hourly grid; the change-point estimate is argmax |S_t| (rounded-6 "
+    "before ranking, hour tiebreak) and the CUSUM range max-min measures "
+    "shift magnitude — the classic mean-shift detector, recurrence-free "
+    "by construction. All windows run over the hours x types series "
+    "(data-size-independent after the first groupBy), the same posture "
+    "as the EWMA/Holt-Winters family.",
+)
+def cusum_changepoint_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dense = _dense_hourly(_t(spark, sf_dir, "events"))
+    mu = dense.groupBy("event_type").agg(
+        F.avg("n").alias("mu"), F.count(F.lit(1)).alias("n_hours")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = (
+        dense.join(F.broadcast(mu), "event_type")
+        .withColumn("s", F.sum(F.col("n") - F.col("mu")).over(w))
+    )
+    rk = Window.partitionBy("event_type").orderBy(
+        F.desc(F.round(F.abs(F.col("s")), 6)), "hr"
+    )
+    rng = c.groupBy("event_type").agg(
+        F.round(F.max("s") - F.min("s"), 6).alias("cusum_range")
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(rk))
+        .filter(F.col("rn") == 1)
+        .join(F.broadcast(rng), "event_type")
+        .select(
+            "event_type",
+            F.date_format("hr", "yyyy-MM-dd HH:mm:ss").alias("change_hr"),
+            F.round("s", 6).alias("cusum_at_change"),
+            "cusum_range",
+            F.col("n_hours").cast("long").alias("n_hours"),
+        )
+    )
+
+
+# ---- Autocorrelation function of the hourly series -------------------------
+ACF_MAX_LAG = 24
+
+
+@register(
+    QUERIES,
+    "acf_hourly_counts",
+    oracle=f"""
+    WITH {_DENSE_SQL},
+    m2 AS (
+      SELECT event_type, avg(n) AS mu FROM d GROUP BY 1
+    ), dev AS (
+      SELECT d.event_type, d.hr, d.n - m2.mu AS x
+      FROM d JOIN m2 USING (event_type)
+    ), den AS (
+      SELECT event_type, sum(x * x) AS ss FROM dev GROUP BY 1
+    ), lags AS (
+      SELECT unnest(range(1, {ACF_MAX_LAG + 1})) AS lag
+    ), num AS (
+      SELECT a.event_type, l.lag, sum(a.x * b.x) AS sxy
+      FROM dev a
+      CROSS JOIN lags l
+      JOIN dev b ON b.event_type = a.event_type
+                AND b.hr = a.hr + to_hours(CAST(l.lag AS BIGINT))
+      GROUP BY 1, 2
+    )
+    SELECT num.event_type, CAST(num.lag AS INT) AS lag,
+           round(num.sxy / den.ss, 6) AS acf
+    FROM num JOIN den USING (event_type)
+    """,
+    doc=f"Sample autocorrelation function (lags 1..{ACF_MAX_LAG}) of the "
+    "densified hourly count series per event type: r_k = sum of lagged "
+    "deviation products over the total squared deviation — the "
+    "seasonality fingerprint (hourly data peaks at lag 24). The lag "
+    "products come from a self-equi-join of the hours x types deviation "
+    "series on (type, hr+k) — aggregate-sized on both sides, every lag "
+    "in one shuffle; no per-row window state.",
+)
+def acf_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dense = _dense_hourly(_t(spark, sf_dir, "events"))
+    mu = dense.groupBy("event_type").agg(F.avg("n").alias("mu"))
+    dev = dense.join(F.broadcast(mu), "event_type").select(
+        "event_type", "hr", (F.col("n") - F.col("mu")).alias("x")
+    )
+    den = dev.groupBy("event_type").agg(F.sum(F.col("x") * F.col("x")).alias("ss"))
+    lags = spark.range(1, ACF_MAX_LAG + 1).select(F.col("id").cast("int").alias("lag"))
+    a = dev.crossJoin(F.broadcast(lags)).select(
+        "event_type",
+        "lag",
+        (F.col("hr") + F.col("lag") * F.expr("INTERVAL 1 HOUR")).alias("hr_join"),
+        F.col("x").alias("xa"),
+    )
+    b = dev.select("event_type", F.col("hr").alias("hr_join"), F.col("x").alias("xb"))
+    num = (
+        a.join(b, ["event_type", "hr_join"])
+        .groupBy("event_type", "lag")
+        .agg(F.sum(F.col("xa") * F.col("xb")).alias("sxy"))
+    )
+    return num.join(F.broadcast(den), "event_type").select(
+        "event_type", "lag", F.round(F.col("sxy") / F.col("ss"), 6).alias("acf")
+    )
+
+
+# ---- 2-D histogram (heatmap aggregation) -----------------------------------
+H2D_PRICE_BIN = 5000.0
+H2D_QTY_BIN = 5.0
+
+
+@register(
+    QUERIES,
+    "histogram2d_price_quantity",
+    oracle=f"""
+    SELECT CAST(floor(l_extendedprice / {H2D_PRICE_BIN}) AS BIGINT) AS price_bin,
+           CAST(floor(l_quantity / {H2D_QTY_BIN}) AS BIGINT) AS qty_bin,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    GROUP BY 1, 2
+    """,
+    doc="2-D binned aggregation (the heatmap primitive): lineitem binned "
+    "on (price/5000, quantity/5), per-cell counts and mass. One grouped "
+    "pass, partial-aggregated map-side; the output is the bin grid "
+    "(bounded by the value domain, not the data).",
+)
+def histogram2d_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.floor(F.col("l_extendedprice") / H2D_PRICE_BIN).cast("long").alias("price_bin"),
+        F.floor(F.col("l_quantity") / H2D_QTY_BIN).cast("long").alias("qty_bin"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
+# ---- Exact Gini coefficient by rank algebra --------------------------------
+@register(
+    QUERIES,
+    "gini_value_by_type",
+    oracle="""
+    WITH cents AS (
+      SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+      FROM events
+    ), grp AS (
+      SELECT event_type, v, count(*) AS m FROM cents GROUP BY 1, 2
+    ), cum AS (
+      SELECT event_type, v, m,
+             sum(m) OVER (PARTITION BY event_type ORDER BY v) - m AS below
+      FROM grp
+    ), contrib AS (
+      SELECT event_type,
+             sum(v * (m * below + m * (m + 1) / 2)) AS swx,
+             sum(CAST(v AS HUGEINT) * m) AS sx,
+             sum(m) AS n
+      FROM cum GROUP BY 1
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           round(2.0 * swx / (n * sx) - (n + 1.0) / n, 6) AS gini
+    FROM contrib
+    """,
+    doc="Exact Gini coefficient of `value` per event type WITHOUT a "
+    "per-row rank: Gini's sum-of-rank-weighted-values decomposes over "
+    "VALUE GROUPS — for m ties above `below` smaller rows, "
+    "sum(i*x) = v*(m*below + m(m+1)/2) — so the only window runs over "
+    "the per-type DISTINCT-value table (bounded by value cardinality, "
+    "not row count; same move as the RFM banded bounds). Values are "
+    "exact integer cents throughout, one float division at the end — "
+    "bit-identical across engines by construction.",
+)
+def gini_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    cents = e.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v"),
+    )
+    grp = cents.groupBy("event_type", "v").agg(F.count(F.lit(1)).alias("m"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grp.withColumn("below", F.sum("m").over(w) - F.col("m"))
+    contrib = cum.groupBy("event_type").agg(
+        F.sum(
+            F.col("v")
+            * (F.col("m") * F.col("below") + F.col("m") * (F.col("m") + 1) / 2)
+        ).alias("swx"),
+        F.sum(F.col("v") * F.col("m")).alias("sx"),
+        F.sum("m").alias("n"),
+    )
+    return contrib.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            2.0 * F.col("swx") / (F.col("n") * F.col("sx"))
+            - (F.col("n") + 1.0) / F.col("n"),
+            6,
+        ).alias("gini"),
+    )

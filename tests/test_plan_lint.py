@@ -55,6 +55,7 @@ ALLOWED_NESTED_LOOP = {
     "corpus_split_kl_divergence": "dense source x top-100-vocab grid cross join — n_sources x 100 rows, data-size-independent (zero-count words must contribute smoothed KL mass)",
     "naive_bayes_lang_confusion": "dense |classes| x |vocab| model grid cross join — zero-count (class, token) cells must receive Laplace-smoothed mass; both sides are aggregates, data-size-independent",
     "welch_t_event_values": "theta self-join (type_a < type_b) of the |event_types|-row moment table — both sides aggregates, |types|^2/2 output pairs, data-size-independent",
+    "acf_hourly_counts": "deviation series x 24-row literal lag grid cross join — the series is the hours x types aggregate, the lag table is constant; every lag ships in one shuffle",
     "rfm_customer_segments": "1-row cutoff-date scalar broadcast cross join",
     "chi_square_type_by_dow": "1-row grand-total (n) scalar broadcast cross join onto the 35-cell contingency table",
 }
