@@ -3059,3 +3059,196 @@ def gini_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# ---- Nonparametric two-sample tests (distinct-value rank algebra) ----------
+@register(
+    QUERIES,
+    "mann_whitney_u_event_types",
+    oracle="""
+    WITH cents AS (
+      SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+      FROM events
+    ), grp AS (
+      SELECT event_type, v, count(*) AS m FROM cents GROUP BY 1, 2
+    ), types AS (SELECT DISTINCT event_type FROM cents),
+    pairs AS (
+      SELECT a.event_type AS ta, b.event_type AS tb
+      FROM types a JOIN types b ON a.event_type < b.event_type
+    ), tagged AS (
+      SELECT p.ta, p.tb, g.event_type, g.v, g.m
+      FROM pairs p JOIN grp g ON g.event_type IN (p.ta, p.tb)
+    ), vals AS (  -- combined distinct values per pair, with both groups' ties
+      SELECT ta, tb, v,
+             sum(m) AS mt,
+             sum(CASE WHEN event_type = ta THEN m ELSE 0 END) AS ma
+      FROM tagged GROUP BY 1, 2, 3
+    ), cum AS (
+      SELECT ta, tb, v, mt, ma,
+             sum(mt) OVER (PARTITION BY ta, tb ORDER BY v) - mt AS below
+      FROM vals
+    ), agg AS (  -- midrank sum for group A + group sizes + tie term
+      SELECT ta, tb,
+             sum(ma * (below + (mt + 1) / 2.0)) AS ra,
+             sum(ma) AS na, sum(mt - ma) AS nb,
+             sum(CAST(mt AS DOUBLE) * mt * mt - mt) AS ties
+      FROM cum GROUP BY 1, 2
+    )
+    SELECT ta AS type_a, tb AS type_b,
+           CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           round(ra - na * (na + 1) / 2.0, 6) AS u_stat,
+           round(
+             (ra - na * (na + 1) / 2.0 - na * nb / 2.0)
+             / sqrt(na * nb / 12.0
+                    * ((na + nb + 1)
+                       - ties / ((na + nb) * (na + nb - 1.0)))), 6) AS z_stat
+    FROM agg
+    """,
+    doc="Exact Mann-Whitney U for every event-type pair WITHOUT a per-row "
+    "rank: midranks decompose over the pair's combined DISTINCT-value "
+    "groups (midrank = below + (ties+1)/2, summed as m_a x midrank), and "
+    "the normal approximation uses the standard tie-corrected variance. "
+    "The only window runs over pairs x distinct values (aggregate-sized); "
+    "integer cents keep every count exact, two float divisions at the "
+    "end. The nonparametric complement to welch_t_event_values for "
+    "non-normal value distributions.",
+)
+def mann_whitney_u_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    cents = e.select(
+        "event_type", F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v")
+    )
+    grp = cents.groupBy("event_type", "v").agg(F.count(F.lit(1)).alias("m"))
+    types = cents.select("event_type").distinct()
+    ta = types.select(F.col("event_type").alias("ta"))
+    tb = types.select(F.col("event_type").alias("tb"))
+    pairs = ta.join(tb, F.col("ta") < F.col("tb"))
+    tagged = grp.join(
+        F.broadcast(pairs),
+        (F.col("event_type") == F.col("ta")) | (F.col("event_type") == F.col("tb")),
+    )
+    vals = tagged.groupBy("ta", "tb", "v").agg(
+        F.sum("m").alias("mt"),
+        F.sum(F.when(F.col("event_type") == F.col("ta"), F.col("m")).otherwise(0)).alias(
+            "ma"
+        ),
+    )
+    w = (
+        Window.partitionBy("ta", "tb")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = vals.withColumn("below", F.sum("mt").over(w) - F.col("mt"))
+    agg = cum.groupBy("ta", "tb").agg(
+        F.sum(F.col("ma") * (F.col("below") + (F.col("mt") + 1) / 2.0)).alias("ra"),
+        F.sum("ma").alias("na"),
+        F.sum(F.col("mt") - F.col("ma")).alias("nb"),
+        F.sum(
+            F.col("mt").cast("double") * F.col("mt") * F.col("mt") - F.col("mt")
+        ).alias("ties"),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    u = F.col("ra") - na * (na + 1) / 2.0
+    var = (
+        na * nb / 12.0
+        * ((na + nb + 1) - F.col("ties") / ((na + nb) * (na + nb - 1.0)))
+    )
+    return agg.select(
+        F.col("ta").alias("type_a"),
+        F.col("tb").alias("type_b"),
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        F.round(u, 6).alias("u_stat"),
+        F.round((u - na * nb / 2.0) / F.sqrt(var), 6).alias("z_stat"),
+    )
+
+
+@register(
+    QUERIES,
+    "ks_two_sample_event_types",
+    oracle="""
+    WITH cents AS (
+      SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+      FROM events
+    ), grp AS (
+      SELECT event_type, v, count(*) AS m FROM cents GROUP BY 1, 2
+    ), types AS (SELECT DISTINCT event_type FROM cents),
+    pairs AS (
+      SELECT a.event_type AS ta, b.event_type AS tb
+      FROM types a JOIN types b ON a.event_type < b.event_type
+    ), tagged AS (
+      SELECT p.ta, p.tb, g.event_type, g.v, g.m
+      FROM pairs p JOIN grp g ON g.event_type IN (p.ta, p.tb)
+    ), vals AS (
+      SELECT ta, tb, v,
+             sum(CASE WHEN event_type = ta THEN m ELSE 0 END) AS ma,
+             sum(CASE WHEN event_type = tb THEN m ELSE 0 END) AS mb
+      FROM tagged GROUP BY 1, 2, 3
+    ), cum AS (
+      SELECT ta, tb, v,
+             sum(ma) OVER (PARTITION BY ta, tb ORDER BY v) AS ca,
+             sum(mb) OVER (PARTITION BY ta, tb ORDER BY v) AS cb,
+             sum(ma) OVER (PARTITION BY ta, tb) AS na,
+             sum(mb) OVER (PARTITION BY ta, tb) AS nb
+      FROM vals
+    )
+    SELECT ta AS type_a, tb AS type_b,
+           CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+           round(max(abs(CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)), 6)
+             AS ks_d
+    FROM cum GROUP BY 1, 2
+    """,
+    doc="Two-sample Kolmogorov-Smirnov D for every event-type pair: the "
+    "ECDF difference is evaluated only at the pair's combined DISTINCT "
+    "values (where the sup is attained), via one cumulative window over "
+    "the pairs x values table — aggregate-sized, no per-row ranks, "
+    "integer counts until the final ECDF division. Distribution-shape "
+    "complement to the location tests (Welch t, Mann-Whitney U).",
+)
+def ks_two_sample_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    cents = e.select(
+        "event_type", F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v")
+    )
+    grp = cents.groupBy("event_type", "v").agg(F.count(F.lit(1)).alias("m"))
+    types = cents.select("event_type").distinct()
+    pairs = types.select(F.col("event_type").alias("ta")).join(
+        types.select(F.col("event_type").alias("tb")), F.col("ta") < F.col("tb")
+    )
+    tagged = grp.join(
+        F.broadcast(pairs),
+        (F.col("event_type") == F.col("ta")) | (F.col("event_type") == F.col("tb")),
+    )
+    vals = tagged.groupBy("ta", "tb", "v").agg(
+        F.sum(F.when(F.col("event_type") == F.col("ta"), F.col("m")).otherwise(0)).alias(
+            "ma"
+        ),
+        F.sum(F.when(F.col("event_type") == F.col("tb"), F.col("m")).otherwise(0)).alias(
+            "mb"
+        ),
+    )
+    wc = (
+        Window.partitionBy("ta", "tb")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("ta", "tb")
+    cum = vals.select(
+        "ta",
+        "tb",
+        F.sum("ma").over(wc).alias("ca"),
+        F.sum("mb").over(wc).alias("cb"),
+        F.sum("ma").over(wt).alias("na"),
+        F.sum("mb").over(wt).alias("nb"),
+    )
+    d = F.abs(
+        F.col("ca").cast("double") / F.col("na")
+        - F.col("cb").cast("double") / F.col("nb")
+    )
+    return cum.groupBy(
+        F.col("ta").alias("type_a"), F.col("tb").alias("type_b")
+    ).agg(
+        F.max("na").cast("long").alias("n_a"),
+        F.max("nb").cast("long").alias("n_b"),
+        F.round(F.max(d), 6).alias("ks_d"),
+    )
