@@ -3252,3 +3252,220 @@ def ks_two_sample_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("nb").cast("long").alias("n_b"),
         F.round(F.max(d), 6).alias("ks_d"),
     )
+
+
+# ---- Robust means (trimmed / winsorized) -----------------------------------
+TRIM_FRAC = 0.1  # fraction trimmed/clamped on EACH side
+
+
+@register(
+    QUERIES,
+    "trimmed_winsorized_means",
+    oracle=f"""
+    WITH cents AS (
+      SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+      FROM events
+    ), grp AS (
+      SELECT event_type, v, count(*) AS m FROM cents GROUP BY 1, 2
+    ), nn AS (
+      SELECT event_type, sum(m) AS n,
+             CAST(floor(sum(m) * {TRIM_FRAC}) AS BIGINT) AS k
+      FROM grp GROUP BY 1
+    ), cum AS (
+      SELECT g.event_type, g.v, g.m, nn.n, nn.k,
+             sum(g.m) OVER (PARTITION BY g.event_type ORDER BY g.v) - g.m
+               AS below
+      FROM grp g JOIN nn ON nn.event_type = g.event_type
+    ), r AS (  -- retained rows of each value group inside ranks (k, n-k]
+      SELECT event_type, v, m, n, k,
+             greatest(0, least(below + m, n - k) - greatest(below, k)) AS r
+      FROM cum
+    ), agg AS (
+      SELECT event_type, max(n) AS n, max(k) AS k,
+             sum(v * r) AS tsum,
+             min(CASE WHEN r > 0 THEN v END) AS lo,
+             max(CASE WHEN r > 0 THEN v END) AS hi
+      FROM r GROUP BY 1
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           round(tsum / (n - 2 * k) / 100.0, 6) AS trimmed_mean,
+           round((tsum + k * lo + k * hi) / CAST(n AS DOUBLE) / 100.0, 6)
+             AS winsorized_mean
+    FROM agg
+    """,
+    doc=f"Exact {int(TRIM_FRAC * 100)}%-each-side trimmed and winsorized "
+    "means per event type WITHOUT any per-row rank: each distinct-value "
+    "group retains max(0, min(below+m, n-k) - max(below, k)) rows inside "
+    "the trim window, so one distinct-value window yields both robust "
+    "means in closed form (winsorization adds k copies of the retained "
+    "extremes). Integer cents until the final divisions — bit-identical "
+    "across engines. The outlier-robust location estimates next to "
+    "events_mad_outliers.",
+)
+def trimmed_winsorized_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    cents = e.select(
+        "event_type", F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v")
+    )
+    grp = cents.groupBy("event_type", "v").agg(F.count(F.lit(1)).alias("m"))
+    nn = grp.groupBy("event_type").agg(
+        F.sum("m").alias("n"),
+        F.floor(F.sum("m") * TRIM_FRAC).cast("long").alias("k"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grp.join(F.broadcast(nn), "event_type").withColumn(
+        "below", F.sum("m").over(w) - F.col("m")
+    )
+    retained = F.greatest(
+        F.lit(0),
+        F.least(F.col("below") + F.col("m"), F.col("n") - F.col("k"))
+        - F.greatest(F.col("below"), F.col("k")),
+    )
+    r = cum.withColumn("r", retained)
+    agg = r.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max("k").alias("k"),
+        F.sum(F.col("v") * F.col("r")).alias("tsum"),
+        F.min(F.when(F.col("r") > 0, F.col("v"))).alias("lo"),
+        F.max(F.when(F.col("r") > 0, F.col("v"))).alias("hi"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("tsum") / (F.col("n") - 2 * F.col("k")) / 100.0, 6).alias(
+            "trimmed_mean"
+        ),
+        F.round(
+            (F.col("tsum") + F.col("k") * F.col("lo") + F.col("k") * F.col("hi"))
+            / F.col("n").cast("double")
+            / 100.0,
+            6,
+        ).alias("winsorized_mean"),
+    )
+
+
+# ---- Rank correlation (Spearman, with Pearson for contrast) ----------------
+@register(
+    QUERIES,
+    "spearman_pearson_price_quantity",
+    oracle="""
+    WITH rows_ AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+      FROM lineitem
+    ), gx AS (
+      SELECT x, count(*) AS m FROM rows_ GROUP BY 1
+    ), rx AS (
+      SELECT x, sum(m) OVER (ORDER BY x) - m + (m + 1) / 2.0 AS r
+      FROM gx
+    ), gy AS (
+      SELECT y, count(*) AS m FROM rows_ GROUP BY 1
+    ), ry AS (
+      SELECT y, sum(m) OVER (ORDER BY y) - m + (m + 1) / 2.0 AS r
+      FROM gy
+    ), j AS (
+      SELECT CAST(rows_.x AS DOUBLE) AS xv, CAST(rows_.y AS DOUBLE) AS yv,
+             rx.r AS rx, ry.r AS ry
+      FROM rows_ JOIN rx USING (x) JOIN ry USING (y)
+    ), s AS (
+      SELECT count(*) AS n,
+             sum(xv) AS sx, sum(yv) AS sy, sum(xv*xv) AS sxx,
+             sum(yv*yv) AS syy, sum(xv*yv) AS sxy,
+             sum(rx) AS srx, sum(ry) AS sry, sum(rx*rx) AS srxx,
+             sum(ry*ry) AS sryy, sum(rx*ry) AS srxy
+      FROM j
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           round((n*sxy - sx*sy)
+                 / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS pearson_r,
+           round((n*srxy - srx*sry)
+                 / sqrt((n*srxx - srx*srx) * (n*sryy - sry*sry)), 6)
+             AS spearman_rho
+    FROM s
+    """,
+    doc="Spearman rank correlation (midranks, tie-exact) next to Pearson "
+    "over (l_quantity, l_extendedprice): per-row ranks come from JOINING "
+    "each row to its column's distinct-value midrank dictionary "
+    "(midrank = below + (m+1)/2 — a value-cardinality window, never a "
+    "row window), then one moment aggregate computes both coefficients. "
+    "The monotone-vs-linear association contrast in one pass; at 100 TB "
+    "the dictionaries are value-cardinality tables hash-joined on the "
+    "value key.",
+)
+def spearman_pearson_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    rows = li.select(
+        F.col("l_quantity").cast("long").alias("x"),
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long").alias("y"),
+    ).persist()  # three consumers: two rank dictionaries + the final join
+
+    def midranks(col: str, band_width: int):
+        """Distinct-value midrank dictionary via the BANDED two-level
+        prefix (RFM precedent): the y dictionary is near-row-cardinality
+        (l_extendedprice is almost unique), so a flat ORDER BY window
+        would be a single-task sort of the whole dictionary at scale.
+        Within-band windows are partitioned by band; only the ~value-range/
+        band_width band-total table sees a global window."""
+        g = rows.groupBy(col).agg(F.count(F.lit(1)).alias("m"))
+        g = g.withColumn("band", (F.col(col) / band_width).cast("long"))
+        wb = (
+            Window.partitionBy("band")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        intra = g.withColumn("intra", F.sum("m").over(wb))
+        btot = g.groupBy("band").agg(F.sum("m").alias("bm"))
+        wo = Window.orderBy("band").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        offs = btot.select(
+            "band", (F.sum("bm").over(wo) - F.col("bm")).alias("off")
+        )
+        return intra.join(F.broadcast(offs), "band").select(
+            col,
+            (
+                F.col("off") + F.col("intra") - F.col("m") + (F.col("m") + 1) / 2.0
+            ).alias(f"r{col}"),
+        )
+
+    j = (
+        rows.join(midranks("x", band_width=10), "x")
+        .join(midranks("y", band_width=100_000), "y")
+        .select(
+            F.col("x").cast("double").alias("xv"),
+            F.col("y").cast("double").alias("yv"),
+            "rx",
+            "ry",
+        )
+    )
+    s = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xv").alias("sx"),
+        F.sum("yv").alias("sy"),
+        F.sum(F.col("xv") * F.col("xv")).alias("sxx"),
+        F.sum(F.col("yv") * F.col("yv")).alias("syy"),
+        F.sum(F.col("xv") * F.col("yv")).alias("sxy"),
+        F.sum("rx").alias("srx"),
+        F.sum("ry").alias("sry"),
+        F.sum(F.col("rx") * F.col("rx")).alias("srxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("sryy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("srxy"),
+    )
+    n = F.col("n").cast("double")
+    pear = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    rho = (n * F.col("srxy") - F.col("srx") * F.col("sry")) / F.sqrt(
+        (n * F.col("srxx") - F.col("srx") * F.col("srx"))
+        * (n * F.col("sryy") - F.col("sry") * F.col("sry"))
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(pear, 6).alias("pearson_r"),
+        F.round(rho, 6).alias("spearman_rho"),
+    )

@@ -70,6 +70,7 @@ ALLOWED_GLOBAL_SORT = {
     "max_concurrent_sessions": "day-total offset window: ONE ROW PER DAY (thousands at a century of data); the event-level running sum is partitioned by day",
     "hybrid_search_rrf": "rank assignment over the two depth-50 TakeOrderedAndProject channel outputs — k rows by construction, data-size-independent; the corpus-wide cut itself is the parallel partial top-k",
     "session_path_topk": "rank window over the path-FREQUENCY table: at most |event_types|^PATH_LEN (~625) rows regardless of data volume; session windows themselves are partitioned by user",
+    "spearman_pearson_price_quantity": "band-offset windows of the two midrank dictionaries: ONE ROW PER BAND (~50 x-bands / ~100 y-bands by value-range/band_width, data-size-independent); the value-level cumulative windows are partitioned by band",
 }
 
 # queries that EXECUTE work when constructed (streaming boots a query; these
