@@ -3469,3 +3469,77 @@ def spearman_pearson_price_quantity(spark: SparkSession, sf_dir: str) -> DataFra
         F.round(pear, 6).alias("pearson_r"),
         F.round(rho, 6).alias("spearman_rho"),
     )
+
+
+# ---- Lorenz curve (cumulative value share at deciles) ----------------------
+@register(
+    QUERIES,
+    "lorenz_curve_deciles",
+    oracle="""
+    WITH cents AS (
+      SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+      FROM events
+    ), grp AS (
+      SELECT event_type, v, count(*) AS m FROM cents GROUP BY 1, 2
+    ), nn AS (
+      SELECT event_type, sum(m) AS n, sum(CAST(v AS HUGEINT) * m) AS total
+      FROM grp GROUP BY 1
+    ), cum AS (
+      SELECT g.event_type, g.v, g.m, nn.n, nn.total,
+             sum(g.m) OVER (PARTITION BY g.event_type ORDER BY g.v) - g.m
+               AS below
+      FROM grp g JOIN nn ON nn.event_type = g.event_type
+    ), dec AS (SELECT unnest(range(1, 11)) AS d),
+    pts AS (  -- rows kept at decile d: the poorest ceil(d*n/10) rows
+      SELECT cum.event_type, dec.d, cum.n, cum.total,
+             sum(cum.v * least(cum.m,
+                 greatest(0, CAST(ceil(dec.d * cum.n / 10.0) AS BIGINT)
+                             - cum.below))) AS csum
+      FROM cum CROSS JOIN dec
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT event_type, CAST(d AS INT) AS decile,
+           round(csum / CAST(total AS DOUBLE), 6) AS cum_share
+    FROM pts
+    """,
+    doc="Lorenz curve at population deciles per event type: the cumulative "
+    "value share of the poorest ceil(d*n/10) rows, computed from the SAME "
+    "distinct-value cumulative table as the Gini (each value group "
+    "contributes min(m, k - below) rows at cutoff k — integer boundary "
+    "rule, no percentile interpolation). The 10-row decile grid is a "
+    "literal cross join; integer cents until the final share division. "
+    "Together with gini_value_by_type this is the complete inequality "
+    "audit (curve + scalar).",
+)
+def lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    cents = e.select(
+        "event_type", F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v")
+    )
+    grp = cents.groupBy("event_type", "v").agg(F.count(F.lit(1)).alias("m"))
+    nn = grp.groupBy("event_type").agg(
+        F.sum("m").alias("n"), F.sum(F.col("v") * F.col("m")).alias("total")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grp.join(F.broadcast(nn), "event_type").withColumn(
+        "below", F.sum("m").over(w) - F.col("m")
+    )
+    dec = spark.range(1, 11).select(F.col("id").cast("int").alias("d"))
+    k = F.ceil(F.col("d") * F.col("n") / 10.0).cast("long")
+    kept = F.least(F.col("m"), F.greatest(F.lit(0), k - F.col("below")))
+    pts = (
+        cum.crossJoin(F.broadcast(dec))
+        .groupBy("event_type", "d", "n", "total")
+        .agg(F.sum(F.col("v") * kept).alias("csum"))
+    )
+    return pts.select(
+        "event_type",
+        F.col("d").alias("decile"),
+        F.round(F.col("csum") / F.col("total").cast("double"), 6).alias(
+            "cum_share"
+        ),
+    )

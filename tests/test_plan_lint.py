@@ -57,6 +57,7 @@ ALLOWED_NESTED_LOOP = {
     "welch_t_event_values": "theta self-join (type_a < type_b) of the |event_types|-row moment table — both sides aggregates, |types|^2/2 output pairs, data-size-independent",
     "acf_hourly_counts": "deviation series x 24-row literal lag grid cross join — the series is the hours x types aggregate, the lag table is constant; every lag ships in one shuffle",
     "mann_whitney_u_event_types": "distinct-value table x broadcast |types|^2/2-row pair grid (OR-membership join) — both sides aggregates, data-size-independent",
+    "lorenz_curve_deciles": "distinct-value cumulative table x 10-row literal decile grid cross join — aggregate x constant, data-size-independent",
     "ks_two_sample_event_types": "distinct-value table x broadcast |types|^2/2-row pair grid (OR-membership join) — both sides aggregates, data-size-independent",
     "rfm_customer_segments": "1-row cutoff-date scalar broadcast cross join",
     "chi_square_type_by_dow": "1-row grand-total (n) scalar broadcast cross join onto the 35-cell contingency table",
