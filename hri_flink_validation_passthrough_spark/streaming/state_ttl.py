@@ -563,3 +563,186 @@ def stream_windowed_topk_eviction(
             "ts"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# MapState per-subkey accounting (completes the state-type matrix:
+# ValueState = ttl metrics, ListState = top-k, MapState = this)
+# ---------------------------------------------------------------------------
+_MAP_OUT_SCHEMA = (
+    "bucket long, n_users long, n_events long, max_user_events long"
+)
+
+
+def _user_activity_row(key, counts: dict) -> pd.DataFrame:
+    return pd.DataFrame(
+        [
+            (
+                int(key),
+                len(counts),
+                int(sum(counts.values())),
+                int(max(counts.values())) if counts else 0,
+            )
+        ],
+        columns=["bucket", "n_users", "n_events", "max_user_events"],
+    )
+
+
+def user_activity_with_group_state(ttl_ms: int = TTL_MS):
+    """group_state twin: the per-user map rides the state struct as JSON
+    (GroupState has no map primitive — the JSON dict is the same shape)."""
+
+    def fn(key, pdf_iter, state) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            stored = state.getOption
+            if stored is not None:
+                counts = {int(k): int(v) for k, v in json.loads(stored[0]).items()}
+                state.remove()
+                yield _user_activity_row(key[0], counts)
+            return
+        stored = state.getOption
+        counts = (
+            {int(k): int(v) for k, v in json.loads(stored[0]).items()}
+            if stored is not None
+            else {}
+        )
+        for pdf in pdf_iter:
+            for u, c in pdf.groupby("user_id").size().items():
+                counts[int(u)] = counts.get(int(u), 0) + int(c)
+        state.update((json.dumps(counts), None))
+        state.setTimeoutDuration(ttl_ms)
+
+    return fn
+
+
+try:
+    from pyspark.sql.streaming.stateful_processor import (  # noqa: F811
+        ExpiredTimerInfo,
+        StatefulProcessor,
+        StatefulProcessorHandle,
+        TimerValues,
+    )
+
+    class UserActivityMapProcessor(StatefulProcessor):
+        """MapState keyed by user_id inside each bucket key — per-subkey
+        updateValue/getValue/iterator, engine TTL on the map, idle-flush
+        timer like the other processors."""
+
+        def __init__(self, ttl_ms: int = TTL_MS):
+            self.ttl_ms = ttl_ms
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.handle = handle
+            self.per_user = handle.getMapState(
+                "per_user", "user_id long", "n long", ttlDurationMs=ENGINE_TTL_MS
+            )
+            self.deadline = handle.getValueState("ua_deadline", "deadline long")
+
+        def handleInputRows(
+            self, key, rows: Iterator[pd.DataFrame], timerValues: TimerValues
+        ) -> Iterator[pd.DataFrame]:
+            for pdf in rows:
+                for u, c in pdf.groupby("user_id").size().items():
+                    cur = self.per_user.getValue((int(u),))
+                    base = int(cur[0]) if cur is not None else 0
+                    self.per_user.updateValue((int(u),), (base + int(c),))
+            old = self.deadline.get()
+            if old is not None:
+                self.handle.deleteTimer(old[0])
+            deadline = timerValues.getCurrentProcessingTimeInMs() + self.ttl_ms
+            self.handle.registerTimer(deadline)
+            self.deadline.update((deadline,))
+            return iter(())
+
+        def handleExpiredTimer(
+            self, key, timerValues: TimerValues, expiredTimerInfo: ExpiredTimerInfo
+        ) -> Iterator[pd.DataFrame]:
+            counts = {
+                int(k[0]): int(v[0]) for k, v in self.per_user.iterator()
+            }
+            if not counts:
+                return
+            self.per_user.clear()
+            self.deadline.clear()
+            yield _user_activity_row(key[0], counts)
+
+        def close(self) -> None:
+            pass
+
+except ImportError:  # pragma: no cover - older Spark
+    UserActivityMapProcessor = None  # type: ignore[assignment]
+
+
+def build_user_activity_stream(
+    keyed: DataFrame,
+    ttl_ms: int = TTL_MS,
+    prefer_transform_with_state: bool | None = None,
+) -> DataFrame:
+    """keyed: streaming DF with (bucket, user_id)."""
+    grouped = keyed.groupBy("bucket")
+    if _use_tws(prefer_transform_with_state):
+        _tws_session(keyed.sparkSession)
+        return grouped.transformWithStateInPandas(
+            UserActivityMapProcessor(ttl_ms),
+            outputStructType=_MAP_OUT_SCHEMA,
+            outputMode="append",
+            timeMode="processingTime",
+        )
+    return grouped.applyInPandasWithState(
+        user_activity_with_group_state(ttl_ms),
+        outputStructType=_MAP_OUT_SCHEMA,
+        stateStructType="counts_json string, deadline long",
+        outputMode="append",
+        timeoutConf="ProcessingTimeTimeout",
+    )
+
+
+@register(
+    QUERIES,
+    "stream_user_activity_mapstate",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id % {N_BUCKETS} AS bucket, user_id, count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           CAST(max(n) AS BIGINT) AS max_user_events
+    FROM per_user GROUP BY bucket
+    """,
+    doc="Per-subkey keyed state through MAP state — the third state "
+    "primitive (ValueState = ttl metrics, ListState = top-k eviction, "
+    "MapState = this): each bucket key holds a user_id -> count map "
+    "updated per arrival (updateValue/getValue; engine ttlDurationMs on "
+    "the map), flushed by the idle timer into per-bucket user-activity "
+    "stats. The group_state twin carries the same map as JSON in the "
+    "state struct. All emitted values are order-independent, so the "
+    "oracle is the two-level batch GROUP BY. At scale MapState is the "
+    "primitive that keeps per-subkey updates O(1) instead of "
+    "rewrite-the-whole-blob.",
+)
+def stream_user_activity_mapstate(
+    spark: SparkSession,
+    sf_dir: str,
+    prefer_transform_with_state: bool | None = None,
+) -> DataFrame:
+    prepare(spark)
+    from ..session import load_table
+
+    n_keys = (
+        load_table(spark, sf_dir, "events")
+        .select((F.col("user_id") % N_BUCKETS).alias("b"))
+        .distinct()
+        .count()
+    )
+    keyed = _events_keyed_stream(spark, sf_dir).select("bucket", "user_id")
+    out = _run_until_rows(
+        spark,
+        build_user_activity_stream(
+            keyed, prefer_transform_with_state=prefer_transform_with_state
+        ),
+        n_keys,
+        "uamap",
+    )
+    return out.localCheckpoint()

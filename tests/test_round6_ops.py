@@ -378,3 +378,37 @@ def test_custom_stream_source_resumes_from_checkpoint(spark, tmp_path):
         assert sorted(set(seen)) == list(range(n_total))
     finally:
         q2.stop()
+
+
+def test_stream_user_activity_mapstate_both_backends(spark, ttl_backend):
+    """MapState (the third state primitive) matches the batch two-level
+    recompute on both backends: per-bucket user maps updated per arrival,
+    flushed by the idle timer."""
+    from hri_flink_validation_passthrough_spark.session import load_table, prepare
+    from hri_flink_validation_passthrough_spark.streaming.state_ttl import (
+        N_BUCKETS,
+        stream_user_activity_mapstate,
+    )
+
+    prepare(spark)
+    got = {
+        r["bucket"]: (r["n_users"], r["n_events"], r["max_user_events"])
+        for r in stream_user_activity_mapstate(
+            spark, SF, prefer_transform_with_state=ttl_backend
+        ).collect()
+    }
+    e = load_table(spark, SF, "events")
+    per_user = e.groupBy(
+        (F.col("user_id") % N_BUCKETS).alias("bucket"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    want = {
+        r["bucket"]: (r["n_users"], r["n_events"], r["max_user_events"])
+        for r in per_user.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("n").alias("n_events"),
+            F.max("n").alias("max_user_events"),
+        )
+        .collect()
+    }
+    assert got == want
