@@ -79,6 +79,72 @@ def _latest_round_failures() -> list[str]:
     ]
 
 
+def _latest_green_round() -> dict[str, int]:
+    """For every query with any green driver receipt (hash-green or
+    productive rows-only), the NEWEST round number that receipt appears in.
+    Drives the verified-tail staleness ordering: sort ascending and the
+    driver window re-checks the longest-unrefreshed receipts first (stable
+    sort preserves module-priority order among equally-stale names)."""
+    import re
+
+    latest: dict[str, int] = {}
+    for path in _correctness_paths():
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rno = int(m.group(1)) if m else -1
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("hash_match") is True or (
+                row.get("err") == "no_oracle"
+                and (row.get("spark_rows") or 0) > 0
+            ):
+                latest[name] = max(latest.get(name, -1), rno)
+    return latest
+
+
+def _stale_rows_only(stale_after: int = 3) -> list[str]:
+    """Rows-only queries whose latest driver receipt has gone stale.
+
+    A query that can never hash-match (err == "no_oracle": sketches whose
+    exact bit patterns differ across engines) is only ever as good as its
+    most recent rows-only row. When that row is >= *stale_after* rounds
+    behind the newest round, re-register it at the window's FRONT for a
+    fresh receipt (r6 verdict ask #3: sketch_cardinalities's only row was
+    r2, dedup_simhash's was r1). General mechanism, not a hardcoded list —
+    any future rows-only query ages into this partition automatically.
+    """
+    import re
+
+    hash_green: set[str] = set()
+    latest_round: dict[str, int] = {}
+    newest = -1
+    for path in _correctness_paths():
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rno = int(m.group(1)) if m else -1
+        newest = max(newest, rno)
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            latest_round[name] = max(latest_round.get(name, -1), rno)
+            if row.get("hash_match") is True:
+                hash_green.add(name)
+    return [
+        name
+        for name, rno in latest_round.items()
+        if name not in hash_green and newest - rno >= stale_after
+    ]
+
+
 def _all_specs() -> dict[str, QuerySpec]:
     from hri_flink_validation_passthrough_spark.plans import (
         bucketing,
@@ -143,6 +209,11 @@ def _all_specs() -> dict[str, QuerySpec]:
     for name in _latest_round_failures():
         if name in ordered:
             specs[name] = ordered[name]
+    # 0.5) STALE ROWS-ONLY REFRESH: rows-only receipts age out; re-front
+    # them for a current driver row (r6 verdict ask #3).
+    for name in _stale_rows_only():
+        if name in ordered and name not in specs:
+            specs[name] = ordered[name]
     # Within each partition, module-priority order above is preserved — so the
     # unverified tail of the LLM-pipeline modules (text/quality/sampling/
     # corpus/multimodal/similarity/dedup), file formats, and the streaming
@@ -186,15 +257,17 @@ def _all_specs() -> dict[str, QuerySpec]:
         if name not in verified and name not in specs:
             specs[name] = spec
     # 3) already driver-verified — register last; a truncated budget cuts
-    # these. ROTATED by round number so the window's tail re-checks a
-    # different slice of verified queries each round: without rotation a
-    # regression in a late-registered verified query would never resurface
-    # in any future driver window (round-3 ADVICE, medium).
+    # these. Ordered by STALENESS: each round the window's tail re-checks
+    # the verified queries whose latest green receipt is OLDEST, so a
+    # regression in any verified query resurfaces within ceil(N/window)
+    # rounds and no receipt ages unboundedly (round-3 ADVICE, medium;
+    # replaces the r3 modular rotation, whose stride could collide with the
+    # previous round's slice and re-verify the same queries twice — as it
+    # would have in r7: offset 222 % 221 wraps to the r6-refreshed head).
     tail = [name for name in ordered if name not in specs]
     if tail:
-        n_rounds = len(glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json")))
-        offset = (n_rounds * 37) % len(tail)
-        tail = tail[offset:] + tail[:offset]
+        last_green = _latest_green_round()
+        tail.sort(key=lambda n: last_green.get(n, -1))
     for name in tail:
         specs[name] = ordered[name]
     return specs

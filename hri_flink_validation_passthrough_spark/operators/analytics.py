@@ -3011,13 +3011,14 @@ def histogram2d_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM grp
     ), contrib AS (
       SELECT event_type,
-             sum(v * (m * below + m * (m + 1) / 2)) AS swx,
+             sum(CAST(v AS HUGEINT) * (m * below + (m * (m + 1)) // 2)) AS swx,
              sum(CAST(v AS HUGEINT) * m) AS sx,
              sum(m) AS n
       FROM cum GROUP BY 1
     )
     SELECT event_type, CAST(n AS BIGINT) AS n,
-           round(2.0 * swx / (n * sx) - (n + 1.0) / n, 6) AS gini
+           round(2.0 * CAST(swx AS DOUBLE) / (n * CAST(sx AS DOUBLE))
+                 - (n + 1.0) / n, 6) AS gini
     FROM contrib
     """,
     doc="Exact Gini coefficient of `value` per event type WITHOUT a "
@@ -3025,9 +3026,13 @@ def histogram2d_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "VALUE GROUPS — for m ties above `below` smaller rows, "
     "sum(i*x) = v*(m*below + m(m+1)/2) — so the only window runs over "
     "the per-type DISTINCT-value table (bounded by value cardinality, "
-    "not row count; same move as the RFM banded bounds). Values are "
-    "exact integer cents throughout, one float division at the end — "
-    "bit-identical across engines by construction.",
+    "not row count; same move as the RFM banded bounds). m(m+1)/2 uses "
+    "INTEGER division (m(m+1) is always even, so it's exact) — a true "
+    "division would make swx a double-typed sum with order-dependent ULP "
+    "noise (ADVICE r6). The swx/sx sums are decimal(38,0)/HUGEINT: int64 "
+    "wraps near 9.2e18, which cents*rank products reach around 1e11 rows "
+    "per type — real at 100 TB. Two float divisions at the very end, on "
+    "identical integers in both engines.",
 )
 def gini_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
@@ -3042,19 +3047,23 @@ def gini_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = grp.withColumn("below", F.sum("m").over(w) - F.col("m"))
+    # tri = m(m+1)/2 via INTEGER division (exact: m(m+1) is even); the sums
+    # accumulate as decimal(38,0) — the int64 ceiling (9.2e18) is reachable
+    # by cents*rank products at ~1e11 rows/type, i.e. at the 100 TB target.
+    tri = F.expr("m * (m + 1) div 2")
     contrib = cum.groupBy("event_type").agg(
         F.sum(
-            F.col("v")
-            * (F.col("m") * F.col("below") + F.col("m") * (F.col("m") + 1) / 2)
+            (F.col("v") * (F.col("m") * F.col("below") + tri)).cast("decimal(38,0)")
         ).alias("swx"),
-        F.sum(F.col("v") * F.col("m")).alias("sx"),
+        F.sum((F.col("v") * F.col("m")).cast("decimal(38,0)")).alias("sx"),
         F.sum("m").alias("n"),
     )
     return contrib.select(
         "event_type",
         F.col("n").cast("long").alias("n"),
         F.round(
-            2.0 * F.col("swx") / (F.col("n") * F.col("sx"))
+            2.0 * F.col("swx").cast("double")
+            / (F.col("n") * F.col("sx").cast("double"))
             - (F.col("n") + 1.0) / F.col("n"),
             6,
         ).alias("gini"),
@@ -3401,7 +3410,12 @@ def spearman_pearson_price_quantity(spark: SparkSession, sf_dir: str) -> DataFra
     rows = li.select(
         F.col("l_quantity").cast("long").alias("x"),
         F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long").alias("y"),
-    ).persist()  # three consumers: two rank dictionaries + the final join
+        # three consumers (two rank dictionaries + the final join):
+        # localCheckpoint, not persist — a one-shot query would otherwise pin
+        # a lineitem-sized projection in executor cache for the whole session
+        # with nothing ever unpersisting it (ADVICE r6); checkpointed blocks
+        # are reference-released when the DataFrames go out of scope.
+    ).localCheckpoint()
 
     def midranks(col: str, band_width: int):
         """Distinct-value midrank dictionary via the BANDED two-level
@@ -3517,8 +3531,11 @@ def lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v")
     )
     grp = cents.groupBy("event_type", "v").agg(F.count(F.lit(1)).alias("m"))
+    # decimal(38,0) accumulators (oracle: HUGEINT): sum(v*m) in int64 wraps
+    # near 9.2e18 — reachable by cent totals at the 100 TB row counts.
     nn = grp.groupBy("event_type").agg(
-        F.sum("m").alias("n"), F.sum(F.col("v") * F.col("m")).alias("total")
+        F.sum("m").alias("n"),
+        F.sum((F.col("v") * F.col("m")).cast("decimal(38,0)")).alias("total"),
     )
     w = (
         Window.partitionBy("event_type")
@@ -3534,12 +3551,12 @@ def lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = (
         cum.crossJoin(F.broadcast(dec))
         .groupBy("event_type", "d", "n", "total")
-        .agg(F.sum(F.col("v") * kept).alias("csum"))
+        .agg(F.sum((F.col("v") * kept).cast("decimal(38,0)")).alias("csum"))
     )
     return pts.select(
         "event_type",
         F.col("d").alias("decile"),
-        F.round(F.col("csum") / F.col("total").cast("double"), 6).alias(
-            "cum_share"
-        ),
+        F.round(
+            F.col("csum").cast("double") / F.col("total").cast("double"), 6
+        ).alias("cum_share"),
     )

@@ -579,7 +579,14 @@ def _letter_counts(txt: pd.Series) -> pd.Series:
     (Arrow-batched; module-level so type hints resolve and workers import
     it by reference)."""
     out = []
+    zeros = np.zeros(26, dtype=np.int64)
     for s in txt:
+        if s is None:
+            # NULL text → zero histogram → n_letters=0 → filtered by the
+            # n_letters > 0 gate, matching the oracle's NULL-propagation
+            # (regexp_replace(NULL)=NULL, SUM of NULLs=NULL, filtered).
+            out.append(zeros)
+            continue
         b = np.frombuffer(s.encode(), dtype=np.uint8)
         b = b[(b >= 97) & (b <= 122)]  # lowercase ASCII letters
         out.append(np.bincount(b - 97, minlength=26).astype(np.int64))

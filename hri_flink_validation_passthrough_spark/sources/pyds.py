@@ -236,6 +236,7 @@ def custom_source_stream_envelope(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     try:
         t0 = time.time()
+        got = 0
         while time.time() - t0 < 300:
             got = spark.sql(
                 f"SELECT coalesce(sum(n_records), 0) AS n FROM {name}"
@@ -243,6 +244,14 @@ def custom_source_stream_envelope(spark: SparkSession, sf_dir: str) -> DataFrame
             if got >= PYDS_N:
                 break
             time.sleep(0.2)
+        else:
+            # Don't return a partial sink table on poll expiry — that turns a
+            # stall into an unattributable hash mismatch (ADVICE r6).
+            raise TimeoutError(
+                f"custom_source_stream_envelope: poll expired after 300 s "
+                f"with {got}/{PYDS_N} records ingested — stall, not a "
+                f"semantics result"
+            )
         return spark.table(name).localCheckpoint()
     finally:
         q.stop()

@@ -328,6 +328,9 @@ def _use_tws(prefer: bool | None) -> bool:
     return prefer
 
 
+_PROVIDER_CONF = "spark.sql.streaming.stateStore.providerClass"
+
+
 def _tws_session(spark: SparkSession) -> None:
     from ..protobuf_shim import ensure_protobuf
 
@@ -336,11 +339,37 @@ def _tws_session(spark: SparkSession) -> None:
             "transformWithStateInPandas requested but no google.protobuf "
             "runtime reaches this session's Python workers"
         )
+    # transformWithState requires the RocksDB provider, but the conf is
+    # session-wide: without a restore, every LATER streaming query in the
+    # session (including group_state-backed ones) would silently switch
+    # provider too (ADVICE r6). Stash the prior value; restore_state_provider
+    # puts it back once the TWS query has stopped (the conf is read lazily at
+    # state-store init, so it must stay set for the query's whole lifetime —
+    # restoring right after .start() would be a race).
+    if not hasattr(spark, "_hri_prev_state_provider"):
+        try:
+            prev = spark.conf.get(_PROVIDER_CONF)
+        except Exception:
+            prev = None
+        spark._hri_prev_state_provider = prev
     spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
+        _PROVIDER_CONF,
         "org.apache.spark.sql.execution.streaming.state."
         "RocksDBStateStoreProvider",
     )
+
+
+def restore_state_provider(spark: SparkSession) -> None:
+    """Undo _tws_session's provider switch (idempotent; no-op when the
+    builder took the group_state path and never changed the conf)."""
+    if not hasattr(spark, "_hri_prev_state_provider"):
+        return
+    prev = spark._hri_prev_state_provider
+    del spark._hri_prev_state_provider
+    if prev is None:
+        spark.conf.unset(_PROVIDER_CONF)
+    else:
+        spark.conf.set(_PROVIDER_CONF, prev)
 
 
 def build_ttl_metrics_stream(
@@ -429,14 +458,27 @@ def _run_until_rows(
         )
     try:
         t0 = time.time()
+        got = 0
         while time.time() - t0 < 300:
-            if spark.table(name).count() >= expected_rows:
+            got = spark.table(name).count()
+            if got >= expected_rows:
                 break
             time.sleep(0.3)
+        else:
+            # A stall must NOT degrade into a wrong-answer hash mismatch
+            # that's indistinguishable from a semantics bug (ADVICE r6):
+            # raise with got/expected so a driver-row failure is
+            # attributable to the stall.
+            raise TimeoutError(
+                f"{prefix}: streaming poll expired after 300 s with "
+                f"{got}/{expected_rows} sink rows — stall, not a "
+                f"semantics result"
+            )
         # localCheckpoint: detach the result from the (stopped) memory sink
         return spark.table(name).localCheckpoint()
     finally:
         q.stop()
+        restore_state_provider(spark)
 
 
 @register(

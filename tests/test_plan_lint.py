@@ -72,6 +72,11 @@ ALLOWED_GLOBAL_SORT = {
     "hybrid_search_rrf": "rank assignment over the two depth-50 TakeOrderedAndProject channel outputs — k rows by construction, data-size-independent; the corpus-wide cut itself is the parallel partial top-k",
     "session_path_topk": "rank window over the path-FREQUENCY table: at most |event_types|^PATH_LEN (~625) rows regardless of data volume; session windows themselves are partitioned by user",
     "spearman_pearson_price_quantity": "band-offset windows of the two midrank dictionaries: ONE ROW PER BAND (~50 x-bands / ~100 y-bands by value-range/band_width, data-size-independent); the value-level cumulative windows are partitioned by band",
+    # NOTE: the r6-verdict candidate (passthrough_terminate_relational's
+    # scenario window, hidden behind an eager localCheckpoint) needs NO entry:
+    # the checkpoint-capture lint shows Catalyst rewrites the row_number==100
+    # filter into TakeOrderedAndProject feeding the Window — a parallel
+    # partial top-k, no Exchange SinglePartition anywhere in the sub-plan.
 }
 
 # queries that EXECUTE work when constructed (streaming boots a query; these
@@ -89,28 +94,57 @@ def _all_batch_queries():
     }
 
 
+def test_subplan_capture_is_live(spark):
+    """The capture patch must actually intercept localCheckpoint — Spark 4's
+    classic DataFrame subclass shadows the base method, and patching only
+    the base silently captures NOTHING (observed), which would quietly
+    reopen the blind spot on a PySpark bump."""
+    from hri_flink_validation_passthrough_spark import ckpt
+
+    got: list[str] = []
+    with ckpt.capture_subplans(got):
+        spark.range(3).localCheckpoint()
+    assert len(got) == 1 and "Range" in got[0]
+    # and the patch is gone outside the context: a leaked patch would still
+    # append to `got` (it closes over that list), so the count must stay 1
+    spark.range(3).localCheckpoint()
+    assert len(got) == 1
+
+
 @pytest.mark.parametrize("name", sorted(_all_batch_queries()))
 def test_plan_scale_hazards(spark, name):
+    from hri_flink_validation_passthrough_spark import ckpt
+
     fn = _all_batch_queries()[name]
-    df = fn(spark, SF_ORACLE)
-    plan = df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
+    # r6 verdict blind spot: an eager localCheckpoint at construction time
+    # materializes its sub-plan before the lint can see it — the final plan
+    # shows only a Scan ExistingRDD. capture_subplans patches
+    # DataFrame.localCheckpoint to surrender each pre-checkpoint plan, so
+    # BOTH rules run over the final plan AND every hidden sub-plan.
+    subplans: list[str] = []
+    with ckpt.capture_subplans(subplans):
+        df = fn(spark, SF_ORACLE)
+    plans = [("final", ckpt.formatted_plan(df))] + [
+        (f"ckpt[{i}]", p) for i, p in enumerate(subplans)
+    ]
 
-    nested = ("CartesianProduct" in plan) or ("BroadcastNestedLoopJoin" in plan)
-    if name not in ALLOWED_NESTED_LOOP:
-        assert not nested, (
-            f"{name}: plan contains a cartesian/nested-loop join — a scale "
-            f"hazard; either fix the join or add an explicit allowlist entry "
-            f"with justification.\n{plan[:2000]}"
+    for where, plan in plans:
+        nested = ("CartesianProduct" in plan) or (
+            "BroadcastNestedLoopJoin" in plan
         )
+        if name not in ALLOWED_NESTED_LOOP:
+            assert not nested, (
+                f"{name} ({where} plan): contains a cartesian/nested-loop "
+                f"join — a scale hazard; either fix the join or add an "
+                f"explicit allowlist entry with justification.\n{plan[:2000]}"
+            )
 
-    hits = single_partition_sorts(plan)
-    if name not in ALLOWED_GLOBAL_SORT:
-        assert not hits, (
-            f"{name}: plan has single-partition Sort/Window node(s) {hits} — "
-            f"the whole input funnels through ONE task at scale. Partition "
-            f"the window, use the two-level banded prefix-sum scheme "
-            f"(equi_depth_histogram / rfm bounds), or allowlist with a "
-            f"tiny-domain justification.\n{plan[:2000]}"
-        )
+        hits = single_partition_sorts(plan)
+        if name not in ALLOWED_GLOBAL_SORT:
+            assert not hits, (
+                f"{name} ({where} plan): single-partition Sort/Window "
+                f"node(s) {hits} — the whole input funnels through ONE task "
+                f"at scale. Partition the window, use the two-level banded "
+                f"prefix-sum scheme (equi_depth_histogram / rfm bounds), or "
+                f"allowlist with a tiny-domain justification.\n{plan[:2000]}"
+            )
