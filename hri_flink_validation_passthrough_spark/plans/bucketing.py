@@ -502,3 +502,159 @@ def rollup_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("sum_value") / F.sum("n"), 6).alias("avg_value"),
         )
     )
+
+
+# --- Zone-map file skipping: per-file min/max statistics as a manifest, the
+# Iceberg/Delta data-skipping shape (r6 verdict ask #4). Clustering the table
+# on the filter column at write time gives every file a NARROW value range;
+# the manifest (one row per file, built from parquet FOOTERS only — zero data
+# IO, exactly what Delta/Iceberg record at commit time) then lets the planner
+# drop whole files before the scan even starts. At 100 TB this is the
+# dominant read-path saving: a 3-month predicate over 7 years of clustered
+# data reads ~4% of the files instead of relying on row-group skipping
+# inside an all-files scan.
+ZM_FILES = 16
+ZM_LO = "1996-06-01 00:00:00"
+ZM_HI = "1996-09-01 00:00:00"  # exclusive
+
+_ZONEMAP_CACHE: dict[tuple[str, str], tuple[str, list[dict]]] = {}
+
+
+def zonemap_manifest(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, list[dict]]:
+    """(data_dir, manifest) for a shipdate-range-clustered copy of lineitem,
+    written once per (session, sf_dir). The manifest is one dict per data
+    file — {file, min, max} over ``l_shipdate`` — read from parquet footer
+    statistics alone (``pyarrow.parquet`` metadata; no data pages touched),
+    the same commit-time bookkeeping Iceberg manifests / Delta add-file
+    stats persist. Timestamps are written as TIMESTAMP_MICROS because INT96
+    (Spark's legacy default) carries NO column statistics — with INT96 the
+    footer has nothing to skip on. A file whose stats are absent gets
+    min=max=None and is always kept (skipping must be conservative)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _ZONEMAP_CACHE:
+        import glob as globmod
+
+        import pyarrow.parquet as pq
+
+        base = tempfile.mkdtemp(prefix=f"zonemap_{uuid.uuid4().hex[:6]}_")
+        data_dir = f"{base}/lineitem_clustered"
+        prepare(spark)
+        ts_conf = "spark.sql.parquet.outputTimestampType"
+        prev = spark.conf.get(ts_conf, None)
+        spark.conf.set(ts_conf, "TIMESTAMP_MICROS")
+        try:
+            (
+                load_table(spark, sf_dir, "lineitem")
+                .repartitionByRange(ZM_FILES, "l_shipdate")
+                .sortWithinPartitions("l_shipdate")
+                .write.mode("overwrite")
+                .parquet(data_dir)
+            )
+        finally:
+            if prev is None:
+                spark.conf.unset(ts_conf)
+            else:
+                spark.conf.set(ts_conf, prev)
+        manifest: list[dict] = []
+        for path in sorted(globmod.glob(f"{data_dir}/part-*.parquet")):
+            md = pq.ParquetFile(path).metadata
+            idx = md.schema.names.index("l_shipdate")
+            mins: list | None = []
+            maxs: list = []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    mins = None  # unknown range -> never skip this file
+                    break
+                mins.append(st.min)
+                maxs.append(st.max)
+
+            def _naive_utc(dt):
+                if dt.tzinfo is not None:
+                    dt = dt.astimezone(datetime.timezone.utc).replace(
+                        tzinfo=None
+                    )
+                return dt
+
+            manifest.append(
+                {
+                    "file": path,
+                    "min": _naive_utc(min(mins)) if mins else None,
+                    "max": _naive_utc(max(maxs)) if mins else None,
+                }
+            )
+        _ZONEMAP_CACHE[key] = (data_dir, manifest)
+    return _ZONEMAP_CACHE[key]
+
+
+def zonemap_prune(
+    spark: SparkSession, sf_dir: str, lo: str, hi: str
+) -> tuple[list[str], int]:
+    """(surviving_files, total_files) for predicate lo <= l_shipdate < hi.
+
+    Driver-side manifest lookup — the Iceberg/Delta planning step: O(files)
+    metadata rows, no executor involved. The interval test widens the
+    predicate bounds by ONE DAY on each side as a timezone-skew guard:
+    parquet stats are UTC-absolute (isAdjustedToUTC) while predicate
+    literals resolve in the session timezone, and zone-map pruning may
+    safely OVER-keep (the exact predicate re-applies on the scan) but must
+    never drop a file that could match."""
+    _, manifest = zonemap_manifest(spark, sf_dir)
+    fmt = "%Y-%m-%d %H:%M:%S"
+    pad = datetime.timedelta(days=1)
+    lo_dt = datetime.datetime.strptime(lo, fmt) - pad
+    hi_dt = datetime.datetime.strptime(hi, fmt) + pad
+    keep = [
+        m["file"]
+        for m in manifest
+        if m["min"] is None or (m["min"] < hi_dt and m["max"] >= lo_dt)
+    ]
+    return keep, len(manifest)
+
+
+@register(
+    QUERIES,
+    "zonemap_pruned_revenue",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n_items,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-06-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-09-01 00:00:00'
+    GROUP BY l_returnflag
+    """,
+    doc="Zone-map file skipping: lineitem clustered on l_shipdate at write "
+    "time (repartitionByRange -> one contiguous date slice per file), a "
+    "per-file min/max manifest built from parquet footers only, and the "
+    "3-month predicate pruning files by manifest-interval lookup BEFORE the "
+    "scan — the read itself lists only the surviving files (asserted "
+    "pruned < total in tests/test_plans.py). The exact predicate re-applies "
+    "on the scan (pushed to the parquet reader), so pruning can only ever "
+    "over-keep, never corrupt. This is the per-file half of data skipping "
+    "that partition pruning (partition_pruned_scan) can't express for "
+    "continuous columns: you can't directory-partition by timestamp without "
+    "exploding the partition count, but you CAN cluster and skip. Oracle = "
+    "the same predicate over the full unclustered table.",
+)
+def zonemap_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    files, total = zonemap_prune(spark, sf_dir, ZM_LO, ZM_HI)
+    data_dir, _ = zonemap_manifest(spark, sf_dir)
+    # fall back to the full clustered dir if the prune kept nothing (can't
+    # happen for this predicate, but an empty read-path list is an error)
+    src = spark.read.parquet(*files) if files else spark.read.parquet(data_dir)
+    return (
+        src.filter(
+            (F.col("l_shipdate") >= F.lit(ZM_LO).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(ZM_HI).cast("timestamp"))
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )

@@ -269,3 +269,35 @@ def test_new_analytics_plans_stay_shuffle_lean(spark):
     # Fresh session: 4 = hourly agg + span agg + grid join + per-key window;
     # warm cache: the windows over the cached series only.
     assert n_ex <= 4, f"ts_subsequence_match grew to {n_ex} row-path shuffles"
+
+
+def test_zonemap_manifest_prunes_files(spark):
+    """Zone-map skipping must (a) actually drop files — the 3-month
+    predicate over ~7 years of range-clustered data keeps only a small
+    fraction of the 16 files — and (b) never drop a matching row: rows
+    read through the pruned file list equal rows from the full clustered
+    dir under the same predicate."""
+    from pyspark.sql import functions as F
+
+    from hri_flink_validation_passthrough_spark.plans.bucketing import (
+        ZM_HI,
+        ZM_LO,
+        zonemap_manifest,
+        zonemap_prune,
+    )
+
+    files, total = zonemap_prune(spark, SF_ORACLE, ZM_LO, ZM_HI)
+    assert total == 16
+    assert 0 < len(files) < total, (
+        f"expected real pruning, kept {len(files)}/{total}"
+    )
+    # ~3 months of ~82 -> with the 1-day tz guard at most a handful of files
+    assert len(files) <= 4
+
+    pred = (F.col("l_shipdate") >= F.lit(ZM_LO).cast("timestamp")) & (
+        F.col("l_shipdate") < F.lit(ZM_HI).cast("timestamp")
+    )
+    data_dir, _ = zonemap_manifest(spark, SF_ORACLE)
+    full = spark.read.parquet(data_dir).filter(pred).count()
+    pruned = spark.read.parquet(*files).filter(pred).count()
+    assert pruned == full and full > 0
