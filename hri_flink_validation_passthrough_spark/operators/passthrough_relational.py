@@ -50,6 +50,23 @@ def _big():
 _BUCKET_MS = 3_600_000
 
 
+def _materialize(df: DataFrame) -> DataFrame:
+    """Materialize a per-batch-cardinality table consumed by two branches
+    (each consumer would otherwise re-run the whole sub-plan — a full
+    events-table aggregation). Mode knob for the eager-vs-lazy A/B (r6
+    verdict ask #6): ``HRI_PASSTHROUGH_CKPT`` = ``eager`` | ``lazy`` |
+    ``off``. Default LAZY: the interleaved sf0.1 A/B (BASELINE.md) showed
+    eager's two serial driver-blocking checkpoint jobs are pure fixed
+    overhead — lazy folds materialization into the first consuming job and
+    both consumers still read the stored partitions."""
+    import os
+
+    mode = os.environ.get("HRI_PASSTHROUGH_CKPT", "lazy")
+    if mode == "off":
+        return df
+    return df.localCheckpoint(eager=(mode == "eager"))
+
+
 def _outcomes(
     records: DataFrame,
     controls: DataFrame | None,
@@ -87,7 +104,7 @@ def _outcomes(
     # join into the record stream and the final outcome join. Materialize it
     # once or each consumer re-runs the control subtree, which is itself a
     # full events-table aggregation (measured ~0.4 s per extra run at sf0.1).
-    ctrl = ctrl.localCheckpoint(eager=True)
+    ctrl = _materialize(ctrl)
 
     r = records.select("batch_id", "time_ms", "seq").join(
         F.broadcast(ctrl), "batch_id", "left"
@@ -185,12 +202,11 @@ def route_records_relational(
     # notifications branch) — without materialization each consumer re-runs
     # the whole _outcomes subtree (two aggregations + two windows over the
     # full record set; measured ~2× the query's cost at sf0.1). The table is
-    # per-batch cardinality — tiny at any scale — so an eager localCheckpoint
+    # per-batch cardinality — tiny at any scale — so a localCheckpoint
     # (the same lineage-control trade as dedup_clusters) materializes it once
-    # and both consumers read the stored rows.
-    outcomes = _outcomes(records, controls, delay_ms, ctrl_agg).localCheckpoint(
-        eager=True
-    )
+    # and both consumers read the stored rows; see _materialize for the
+    # eager-vs-lazy choice.
+    outcomes = _materialize(_outcomes(records, controls, delay_ms, ctrl_agg))
     # outcomes carries exactly one row per batch_id seen in `controls`, so a
     # single broadcast join both marks known batches and attaches their
     # terminal times — no separate known-ids join over the record stream.
