@@ -899,9 +899,13 @@ def events_gap_filled_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     "replicated across all 16 salts via explode(sequence), and the join key "
     "becomes (jk, salt) — fanning the hot key over 16 tasks. The oracle is "
     "the UNSALTED join, proving salting never changes results. This is the "
-    "explicit form of what AQE skew-join does adaptively; you need it when "
-    "the skew is known up front, the partitioning must be reused, or the "
-    "join feeds streaming state (AQE can't re-plan there).",
+    "explicit form of what AQE skew-join does adaptively — and the r7 A/B "
+    "(BASELINE.md) measured AQE 2x FASTER than this salt for batch SMJ "
+    "(AQE splits only the hot partitions; the salt replicates the whole "
+    "dim x n_salts) — so at 100 TB prefer AQE for batch joins and keep the "
+    "salt for the paths AQE can't touch: streaming/stateful joins, skewed "
+    "AGGREGATION keys (AQE skew handling is join-only), reused salted "
+    "partitionings, and hinted shuffle-hash joins.",
 )
 def skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_salts = 16
