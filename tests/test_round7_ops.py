@@ -45,3 +45,31 @@ def test_tws_provider_conf_is_stashed_and_restored(spark):
     assert after == before
     # idempotent no-op when nothing was stashed
     state_ttl.restore_state_provider(spark)
+
+
+def test_quantile_sketch_merges_losslessly(spark):
+    """The sketch's core contract: build on two disjoint halves, merge by
+    cell-wise addition, and the quantile readout equals the single-pass
+    build — the property that makes it streaming/partition-safe."""
+    from pyspark.sql import functions as F
+
+    from hri_flink_validation_passthrough_spark.operators.text import (
+        quantile_sketch_build,
+        quantile_sketch_quantiles,
+    )
+    from hri_flink_validation_passthrough_spark.session import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.01", "events")
+    whole = quantile_sketch_quantiles(quantile_sketch_build(e)).collect()
+
+    h1 = quantile_sketch_build(e.filter(F.xxhash64("event_id") % 2 == 0))
+    h2 = quantile_sketch_build(e.filter(F.xxhash64("event_id") % 2 != 0))
+    merged_bins = (
+        h1.unionByName(h2)
+        .groupBy("event_type", "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    merged = quantile_sketch_quantiles(merged_bins).collect()
+
+    assert sorted(map(tuple, whole)) == sorted(map(tuple, merged))
+    assert len(whole) > 0
