@@ -730,11 +730,9 @@ def zipf_token_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 QSK_BIN_CENTS = 500  # $5 bins over events.value in [0.01, ~490] -> ~98 bins
 QSK_QS = (50, 90, 99)  # integer percents so ranks stay in integer algebra
 
-
-@register(
-    QUERIES,
-    "quantile_sketch_value_by_type",
-    oracle=f"""
+# Shared with the streaming twin (stream_quantile_sketch): the sketch is
+# order-insensitive by construction, so one oracle serves both.
+QSK_ORACLE = f"""
     WITH cents AS (
       SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
       FROM events
@@ -762,7 +760,13 @@ QSK_QS = (50, 90, 99)  # integer percents so ranks stay in integer algebra
       ON b.event_type = t.event_type
      AND b.cum >= t.target
      AND b.cum - b.cnt < t.target
-    """,
+    """
+
+
+@register(
+    QUERIES,
+    "quantile_sketch_value_by_type",
+    oracle=QSK_ORACLE,
     doc=f"Mergeable fixed-grid quantile sketch: events.value binned into "
     f"{QSK_BIN_CENTS}-cent buckets, sketch state = (event_type, bin, count) "
     "— mergeable by cell-wise ADDITION across partitions, files, days, or "
@@ -817,20 +821,32 @@ def quantile_sketch_quantiles(bins: DataFrame) -> DataFrame:
         F.explode(F.array(*[F.lit(q) for q in QSK_QS])).alias("q"),
     ).withColumn("target", F.expr("(q * n + 99) div 100"))
     scale = QSK_BIN_CENTS * 1000
-    joined = tgt.alias("t").join(
-        F.broadcast(cum.alias("b")),
-        (F.col("b.event_type") == F.col("t.event_type"))
-        & (F.col("b.cum") >= F.col("t.target"))
-        & (F.col("b.cum") - F.col("b.cnt") < F.col("t.target")),
+    # rename the cum side instead of DataFrame aliases: tgt and cum share
+    # the same base plan, and Spark's self-join attribute dedup can drop an
+    # aliased common column when the base is a catalog table (seen with the
+    # streaming twin's memory-sink input)
+    b = cum.select(
+        F.col("event_type").alias("b_type"),
+        F.col("bin").alias("b_bin"),
+        F.col("cnt").alias("b_cnt"),
+        F.col("cum").alias("b_cum"),
+    )
+    joined = tgt.join(
+        F.broadcast(b),
+        (F.col("b_type") == F.col("event_type"))
+        & (F.col("b_cum") >= F.col("target"))
+        & (F.col("b_cum") - F.col("b_cnt") < F.col("target")),
     )
     return joined.select(
-        F.col("t.event_type").alias("event_type"),
-        F.col("t.q").alias("q"),
-        F.col("t.n").alias("n"),
+        "event_type",
+        "q",
+        "n",
         (
             (
-                F.col("b.bin") * F.lit(scale)
-                + F.expr(f"(t.target - (b.cum - b.cnt)) * {scale} div b.cnt")
+                F.col("b_bin") * F.lit(scale)
+                + F.expr(
+                    f"(target - (b_cum - b_cnt)) * {scale} div b_cnt"
+                )
             )
             / F.lit(100000.0)
         ).alias("est_value"),

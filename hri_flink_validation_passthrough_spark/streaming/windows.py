@@ -1084,3 +1084,33 @@ def stream_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
         ).alias("anchor_ts"),
     )
     return _run_to_table(joined, "ssfull", output_mode="append")
+
+
+@register(
+    QUERIES,
+    "stream_quantile_sketch",
+    oracle=__import__(
+        "hri_flink_validation_passthrough_spark.operators.text",
+        fromlist=["QSK_ORACLE"],
+    ).QSK_ORACLE,
+    doc="The fixed-grid quantile sketch (quantile_sketch_value_by_type) "
+    "maintained BY the streaming engine: the (event_type, bin) counts are a "
+    "streaming aggregation in complete mode — each microbatch's partial "
+    "counts merge into state by addition, which is exactly the sketch's "
+    "merge operator, so the state is the sketch, bounded at |types| x ~98 "
+    "grid cells regardless of stream length. Quantile readout runs as a "
+    "grid-bounded batch pass over the final sink. Same oracle as the batch "
+    "twin because the sketch is ingestion-order-insensitive by construction "
+    "— the property KLL/t-digest quantile state can't give you "
+    "cross-engine. Reference has no quantile surface; this is the "
+    "training-pipeline telemetry shape (value-distribution drift per type).",
+)
+def stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import (
+        quantile_sketch_build,
+        quantile_sketch_quantiles,
+    )
+
+    e = _events_stream(spark, sf_dir)
+    sketch = _run_to_table(quantile_sketch_build(e), "qsketch")
+    return quantile_sketch_quantiles(sketch)
