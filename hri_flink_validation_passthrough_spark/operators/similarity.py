@@ -80,10 +80,18 @@ def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_assign_probes(spark: SparkSession, sf_dir: str):
+def _ivf_assign_probes(
+    spark: SparkSession,
+    sf_dir: str,
+    nprobe: int = NPROBE,
+    keep_rank: bool = False,
+):
     """(assign, probes): vectors bucketed to their nearest coarse centroid,
-    queries attached to their NPROBE closest cells. Shared by the pure-IVF
-    ANN and the composed IVF-PQ read path."""
+    queries attached to their ``nprobe`` closest cells (probe rank kept as
+    ``prank`` when *keep_rank* — the sweep query filters one materialized
+    max-nprobe candidate set per sweep point instead of recomputing).
+    Shared by the pure-IVF ANN, the composed IVF-PQ read path, and the
+    nprobe->recall sweep."""
     v = _emb(spark, sf_dir)
     cent = (
         v.filter(F.col("vec_id") < NLIST)
@@ -109,10 +117,12 @@ def _ivf_assign_probes(spark: SparkSession, sf_dir: str):
         q.crossJoin(F.broadcast(cent))
         .select("qid", "qe", "cid", sim_qc.alias("sim"))
         .withColumn("rn", F.row_number().over(w_probe))
-        .filter(F.col("rn") <= NPROBE)
-        .select("qid", "qe", F.col("cid").alias("cell"))
+        .filter(F.col("rn") <= nprobe)
     )
-    return assign, probes
+    cols = ["qid", "qe", F.col("cid").alias("cell")]
+    if keep_rank:
+        cols.append(F.col("rn").alias("prank"))
+    return assign, probes.select(*cols)
 
 
 
@@ -1058,6 +1068,147 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("qid").cast("long").alias("qid"),
         F.col("n_hits").cast("long").alias("n_hits"),
         (F.col("n_hits") * 1.0 / TOP_K).alias("recall_at_k"),
+    )
+
+
+SWEEP_NPROBES = (1, 2, 4, 8)
+
+
+def _sweep_oracle() -> str:
+    exact = QUERIES["knn_brute_force"].oracle
+    return f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), cent AS (
+      SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < {NLIST}
+    ), assign AS (
+      SELECT vec_id, e, cid AS cell FROM (
+        SELECT v.vec_id, v.e, cent.cid,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY round(list_cosine_similarity(v.e, cent.ce), 6) DESC,
+                          cent.cid) AS rn
+        FROM v, cent
+      ) WHERE rn = 1
+    ), q AS (
+      SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < {N_QUERIES}
+    ), probes AS (
+      SELECT qid, qe, cid AS cell, rn AS prank FROM (
+        SELECT q.qid, q.qe, cent.cid,
+               row_number() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY round(list_cosine_similarity(q.qe, cent.ce), 6) DESC,
+                          cent.cid) AS rn
+        FROM q, cent
+      ) WHERE rn <= {max(SWEEP_NPROBES)}
+    ), cand AS (
+      SELECT p.qid, p.prank, a.vec_id AS nid,
+             round(list_cosine_similarity(p.qe, a.e), 6) AS cos_sim
+      FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id != p.qid
+    ), scoped AS (
+      SELECT s.nprobe, c.qid, c.nid, c.cos_sim
+      FROM (SELECT unnest([{", ".join(map(str, SWEEP_NPROBES))}]) AS nprobe) s
+      JOIN cand c ON c.prank <= s.nprobe
+    ), topk AS (
+      SELECT nprobe, qid, nid FROM (
+        SELECT nprobe, qid, nid,
+               row_number() OVER (PARTITION BY nprobe, qid
+                                  ORDER BY cos_sim DESC, nid) AS rnk
+        FROM scoped
+      ) WHERE rnk <= {TOP_K}
+    ), exact AS ({exact}),
+    hits AS (
+      SELECT t.nprobe, CAST(count(*) AS BIGINT) AS sum_hits
+      FROM topk t JOIN exact e ON e.qid = t.qid AND e.nid = t.nid
+      GROUP BY t.nprobe
+    ), cost AS (
+      SELECT nprobe, CAST(count(*) AS BIGINT) AS n_candidates
+      FROM scoped GROUP BY nprobe
+    )
+    SELECT CAST(c.nprobe AS BIGINT) AS nprobe,
+           CAST(coalesce(h.sum_hits, 0) AS BIGINT) AS sum_hits,
+           coalesce(h.sum_hits, 0) * 1.0 / {N_QUERIES * TOP_K} AS mean_recall,
+           c.n_candidates * 1.0 / {N_QUERIES} AS mean_candidates
+    FROM cost c LEFT JOIN hits h ON h.nprobe = c.nprobe
+    """
+
+
+@register(
+    QUERIES,
+    "ann_nprobe_recall_sweep",
+    oracle=_sweep_oracle(),
+    doc=f"IVF index-tuning sweep: ONE materialization of the max-nprobe "
+    f"candidate set (probe rank kept), then each sweep point nprobe in "
+    f"{SWEEP_NPROBES} is a FILTER over it (explode of the 4 literals — no "
+    "re-scan, no nested-loop join), per-(nprobe,query) top-k windows over "
+    "the already-tiny candidates, recall scored against the exact "
+    "brute-force ranking and reported next to mean candidate count — the "
+    "recall-vs-scan-cost curve that picks nprobe BEFORE committing a "
+    "trillion-vector index layout. All counts integer, two divisions by "
+    "constants at the end. Composes knn_brute_force's oracle verbatim.",
+)
+def ann_nprobe_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assign, probes = _ivf_assign_probes(
+        spark, sf_dir, nprobe=max(SWEEP_NPROBES), keep_rank=True
+    )
+    cand = assign.join(
+        F.broadcast(probes),
+        (assign.cell == probes.cell) & (assign.vec_id != probes.qid),
+    ).select(
+        "qid",
+        "prank",
+        F.col("vec_id").alias("nid"),
+        F.round(cosine_similarity(F.col("qe"), F.col("e")), 6).alias(
+            "cos_sim"
+        ),
+    )
+    scoped = cand.select(
+        "qid",
+        "nid",
+        "cos_sim",
+        "prank",
+        F.explode(
+            F.array(*[F.lit(p) for p in SWEEP_NPROBES])
+        ).alias("nprobe"),
+    ).filter(F.col("prank") <= F.col("nprobe"))
+    w = Window.partitionBy("nprobe", "qid").orderBy(
+        F.desc("cos_sim"), F.asc("nid")
+    )
+    topk = (
+        scoped.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("nprobe", "qid", "nid")
+    )
+    exact = knn_brute_force(spark, sf_dir).select(
+        F.col("qid").alias("eqid"), F.col("nid").alias("enid")
+    )
+    hits = (
+        topk.join(
+            F.broadcast(exact),
+            (F.col("qid") == F.col("eqid")) & (F.col("nid") == F.col("enid")),
+        )
+        .groupBy("nprobe")
+        .agg(F.count(F.lit(1)).cast("long").alias("sum_hits"))
+    )
+    cost = scoped.groupBy("nprobe").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates")
+    )
+    return (
+        cost.join(hits, "nprobe", "left")
+        .select(
+            F.col("nprobe").cast("long").alias("nprobe"),
+            F.coalesce(F.col("sum_hits"), F.lit(0)).cast("long").alias(
+                "sum_hits"
+            ),
+            (
+                F.coalesce(F.col("sum_hits"), F.lit(0))
+                * 1.0
+                / F.lit(N_QUERIES * TOP_K)
+            ).alias("mean_recall"),
+            (F.col("n_candidates") * 1.0 / F.lit(N_QUERIES)).alias(
+                "mean_candidates"
+            ),
+        )
     )
 
 
