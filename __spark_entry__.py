@@ -35,15 +35,26 @@ def _correctness_paths() -> list[str]:
     )
 
 
-def _driver_verified_names() -> set[str]:
-    """Names that already have a green driver CORRECTNESS row in any past round.
+def _receipts() -> tuple[dict[str, int], set[str], int]:
+    """ONE pass over every CORRECTNESS file (the three consumers below used
+    to re-glob and re-parse with copy-pasted green predicates — r7 review).
 
-    A row counts as verified when the hash compare passed, or when the query is
-    a documented rows-only check (err == "no_oracle") that produced rows — that
-    is the strongest evidence the driver can ever record for it.
+    Returns ``(latest_green, ever_hash_green, newest_round)`` where
+    ``latest_green[name]`` is the newest round holding a PRODUCTIVE receipt
+    for the query — hash-green, or a documented rows-only check
+    (err == "no_oracle") that produced rows, the strongest evidence the
+    driver can record for an oracle-less query. Error/stall/0-row rows are
+    NOT receipts: a failed refresh attempt must not mask staleness.
     """
-    verified: set[str] = set()
+    import re
+
+    latest_green: dict[str, int] = {}
+    ever_hash_green: set[str] = set()
+    newest = -1
     for path in _correctness_paths():
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rno = int(m.group(1)) if m else -1
+        newest = max(newest, rno)
         try:
             with open(path) as fh:
                 rows = json.load(fh)
@@ -52,12 +63,21 @@ def _driver_verified_names() -> set[str]:
         for name, row in rows.items():
             if not isinstance(row, dict):
                 continue
-            if row.get("hash_match") is True or (
-                row.get("err") == "no_oracle"
-                and (row.get("spark_rows") or 0) > 0
-            ):
-                verified.add(name)
-    return verified
+            if row.get("hash_match") is True:
+                ever_hash_green.add(name)
+                latest_green[name] = max(latest_green.get(name, -1), rno)
+            elif row.get("err") == "no_oracle" and (
+                row.get("spark_rows") or 0
+            ) > 0:
+                latest_green[name] = max(latest_green.get(name, -1), rno)
+    return latest_green, ever_hash_green, newest
+
+
+def _driver_verified_names() -> set[str]:
+    """Names with a green driver receipt (hash-green or productive
+    rows-only) in any past round."""
+    latest_green, _, _ = _receipts()
+    return set(latest_green)
 
 
 def _latest_round_failures() -> list[str]:
@@ -79,69 +99,26 @@ def _latest_round_failures() -> list[str]:
     ]
 
 
-def _latest_green_round() -> dict[str, int]:
-    """For every query with any green driver receipt (hash-green or
-    productive rows-only), the NEWEST round number that receipt appears in.
-    Drives the verified-tail staleness ordering: sort ascending and the
-    driver window re-checks the longest-unrefreshed receipts first (stable
-    sort preserves module-priority order among equally-stale names)."""
-    import re
-
-    latest: dict[str, int] = {}
-    for path in _correctness_paths():
-        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
-        rno = int(m.group(1)) if m else -1
-        try:
-            with open(path) as fh:
-                rows = json.load(fh)
-        except (OSError, ValueError):
-            continue
-        for name, row in rows.items():
-            if not isinstance(row, dict):
-                continue
-            if row.get("hash_match") is True or (
-                row.get("err") == "no_oracle"
-                and (row.get("spark_rows") or 0) > 0
-            ):
-                latest[name] = max(latest.get(name, -1), rno)
-    return latest
-
-
 def _stale_rows_only(stale_after: int = 3) -> list[str]:
-    """Rows-only queries whose latest driver receipt has gone stale.
+    """Rows-only queries whose latest PRODUCTIVE driver receipt has gone
+    stale.
 
     A query that can never hash-match (err == "no_oracle": sketches whose
     exact bit patterns differ across engines) is only ever as good as its
-    most recent rows-only row. When that row is >= *stale_after* rounds
-    behind the newest round, re-register it at the window's FRONT for a
-    fresh receipt (r6 verdict ask #3: sketch_cardinalities's only row was
-    r2, dedup_simhash's was r1). General mechanism, not a hardcoded list —
-    any future rows-only query ages into this partition automatically.
+    most recent productive rows-only row. When that row is >= *stale_after*
+    rounds behind the newest round, re-register it at the window's FRONT
+    for a fresh receipt (r6 verdict ask #3: sketch_cardinalities's only row
+    was r2, dedup_simhash's was r1). Staleness keys on the productive
+    receipt, never on error/stall rows — a failed refresh attempt must not
+    buy the query another *stale_after* rounds of looking fresh (r7
+    review). General mechanism, not a hardcoded list — any future rows-only
+    query ages into this partition automatically.
     """
-    import re
-
-    hash_green: set[str] = set()
-    latest_round: dict[str, int] = {}
-    newest = -1
-    for path in _correctness_paths():
-        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
-        rno = int(m.group(1)) if m else -1
-        newest = max(newest, rno)
-        try:
-            with open(path) as fh:
-                rows = json.load(fh)
-        except (OSError, ValueError):
-            continue
-        for name, row in rows.items():
-            if not isinstance(row, dict):
-                continue
-            latest_round[name] = max(latest_round.get(name, -1), rno)
-            if row.get("hash_match") is True:
-                hash_green.add(name)
+    latest_green, ever_hash_green, newest = _receipts()
     return [
         name
-        for name, rno in latest_round.items()
-        if name not in hash_green and newest - rno >= stale_after
+        for name, rno in latest_green.items()
+        if name not in ever_hash_green and newest - rno >= stale_after
     ]
 
 
@@ -266,7 +243,7 @@ def _all_specs() -> dict[str, QuerySpec]:
     # would have in r7: offset 222 % 221 wraps to the r6-refreshed head).
     tail = [name for name in ordered if name not in specs]
     if tail:
-        last_green = _latest_green_round()
+        last_green, _, _ = _receipts()
         tail.sort(key=lambda n: last_green.get(n, -1))
     for name in tail:
         specs[name] = ordered[name]

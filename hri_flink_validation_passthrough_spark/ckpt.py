@@ -67,9 +67,12 @@ def capture_subplans(into: list[str]):
     origs = {cls: cls.localCheckpoint for cls in targets}
 
     def make_capturing(orig):
-        def capturing(self, eager: bool = True):
+        # *args/**kwargs: PySpark 4.1's signature is (eager=True,
+        # storageLevel=None) and may grow — a narrowed wrapper would turn
+        # any richer call into a lint-only TypeError (r7 review)
+        def capturing(self, *args, **kwargs):
             into.append(formatted_plan(self))
-            return orig(self, eager=eager)
+            return orig(self, *args, **kwargs)
 
         return capturing
 

@@ -3010,8 +3010,13 @@ def histogram2d_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(m) OVER (PARTITION BY event_type ORDER BY v) - m AS below
       FROM grp
     ), contrib AS (
+      -- every product promoted to HUGEINT BEFORE multiplying: m*below and
+      -- m*(m+1) in BIGINT would overflow (DuckDB errors, Spark wraps) at
+      -- the tie counts 1e11-rows-per-type reaches
       SELECT event_type,
-             sum(CAST(v AS HUGEINT) * (m * below + (m * (m + 1)) // 2)) AS swx,
+             sum(CAST(v AS HUGEINT)
+                 * (CAST(m AS HUGEINT) * below
+                    + (CAST(m AS HUGEINT) * (m + 1)) // 2)) AS swx,
              sum(CAST(v AS HUGEINT) * m) AS sx,
              sum(m) AS n
       FROM cum GROUP BY 1
@@ -3027,12 +3032,14 @@ def histogram2d_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sum(i*x) = v*(m*below + m(m+1)/2) — so the only window runs over "
     "the per-type DISTINCT-value table (bounded by value cardinality, "
     "not row count; same move as the RFM banded bounds). m(m+1)/2 uses "
-    "INTEGER division (m(m+1) is always even, so it's exact) — a true "
-    "division would make swx a double-typed sum with order-dependent ULP "
-    "noise (ADVICE r6). The swx/sx sums are decimal(38,0)/HUGEINT: int64 "
-    "wraps near 9.2e18, which cents*rank products reach around 1e11 rows "
-    "per type — real at 100 TB. Two float divisions at the very end, on "
-    "identical integers in both engines.",
+    "INTEGER division on the even factor (exact, and no m*(m+1) long "
+    "intermediate) — a true division would make swx a double-typed sum "
+    "with order-dependent ULP noise (ADVICE r6). Every product forms in "
+    "decimal(19,0)/HUGEINT operands, never int64 (which wraps near 9.2e18 "
+    "— cents*rank products reach that around 1e11 rows/type, real at "
+    "100 TB); the one remaining ceiling is decimal(38,0)/HUGEINT at ~1e38, "
+    "identical and LOUD in both engines. Two float divisions at the very "
+    "end, on identical integers.",
 )
 def gini_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
@@ -3047,15 +3054,28 @@ def gini_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = grp.withColumn("below", F.sum("m").over(w) - F.col("m"))
-    # tri = m(m+1)/2 via INTEGER division (exact: m(m+1) is even); the sums
-    # accumulate as decimal(38,0) — the int64 ceiling (9.2e18) is reachable
-    # by cents*rank products at ~1e11 rows/type, i.e. at the 100 TB target.
-    tri = F.expr("m * (m + 1) div 2")
+    # Every PRODUCT is formed in decimal, never in int64 (r7 review: casting
+    # the already-wrapped long product to decimal protected nothing). m and
+    # below are row counts (<= n, long-safe); their decimal(19,0) product is
+    # exact up to 1e38. tri = m(m+1)/2 splits on the even factor so BOTH
+    # factors stay <= m+1 before the decimal multiply — no long m*(m+1)
+    # intermediate, which wraps at m ~ 3e9 (real tie counts at 1e11
+    # rows/type). One decimal ceiling remains and is documented: swx
+    # saturates Spark's decimal(38,0) / DuckDB's HUGEINT around 1e38 —
+    # identical ceilings, both loud (null/error), never silent.
+    m_d = F.col("m").cast("decimal(19,0)")
+    below_d = F.col("below").cast("decimal(19,0)")
+    tri = F.when(
+        F.col("m") % 2 == 0,
+        F.expr("m div 2").cast("decimal(19,0)")
+        * (F.col("m") + 1).cast("decimal(19,0)"),
+    ).otherwise(m_d * F.expr("(m + 1) div 2").cast("decimal(19,0)"))
+    v_d = F.col("v").cast("decimal(19,0)")
     contrib = cum.groupBy("event_type").agg(
-        F.sum(
-            (F.col("v") * (F.col("m") * F.col("below") + tri)).cast("decimal(38,0)")
-        ).alias("swx"),
-        F.sum((F.col("v") * F.col("m")).cast("decimal(38,0)")).alias("sx"),
+        F.sum((v_d * (m_d * below_d + tri)).cast("decimal(38,0)")).alias(
+            "swx"
+        ),
+        F.sum((v_d * m_d).cast("decimal(38,0)")).alias("sx"),
         F.sum("m").alias("n"),
     )
     return contrib.select(
@@ -3504,9 +3524,11 @@ def spearman_pearson_price_quantity(spark: SparkSession, sf_dir: str) -> DataFra
                AS below
       FROM grp g JOIN nn ON nn.event_type = g.event_type
     ), dec AS (SELECT unnest(range(1, 11)) AS d),
-    pts AS (  -- rows kept at decile d: the poorest ceil(d*n/10) rows
+    pts AS (  -- rows kept at decile d: the poorest ceil(d*n/10) rows;
+              -- v promoted to HUGEINT BEFORE the multiply (BIGINT products
+              -- overflow loudly in DuckDB at 100 TB cent totals)
       SELECT cum.event_type, dec.d, cum.n, cum.total,
-             sum(cum.v * least(cum.m,
+             sum(CAST(cum.v AS HUGEINT) * least(cum.m,
                  greatest(0, CAST(ceil(dec.d * cum.n / 10.0) AS BIGINT)
                              - cum.below))) AS csum
       FROM cum CROSS JOIN dec
@@ -3531,11 +3553,15 @@ def lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v")
     )
     grp = cents.groupBy("event_type", "v").agg(F.count(F.lit(1)).alias("m"))
-    # decimal(38,0) accumulators (oracle: HUGEINT): sum(v*m) in int64 wraps
-    # near 9.2e18 — reachable by cent totals at the 100 TB row counts.
+    # products formed from decimal(19,0) OPERANDS (oracle: HUGEINT): v*m in
+    # int64 wraps near 9.2e18 — reachable by cent totals at the 100 TB row
+    # counts, and casting the wrapped product would protect nothing (r7
+    # review); the decimal(38,0) sum accumulator matches HUGEINT's ceiling.
+    v_d = F.col("v").cast("decimal(19,0)")
     nn = grp.groupBy("event_type").agg(
         F.sum("m").alias("n"),
-        F.sum((F.col("v") * F.col("m")).cast("decimal(38,0)")).alias("total"),
+        F.sum((v_d * F.col("m").cast("decimal(19,0)")).cast("decimal(38,0)"))
+        .alias("total"),
     )
     w = (
         Window.partitionBy("event_type")
@@ -3551,7 +3577,14 @@ def lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = (
         cum.crossJoin(F.broadcast(dec))
         .groupBy("event_type", "d", "n", "total")
-        .agg(F.sum((F.col("v") * kept).cast("decimal(38,0)")).alias("csum"))
+        .agg(
+            F.sum(
+                (
+                    F.col("v").cast("decimal(19,0)")
+                    * kept.cast("decimal(19,0)")
+                ).cast("decimal(38,0)")
+            ).alias("csum")
+        )
     )
     return pts.select(
         "event_type",

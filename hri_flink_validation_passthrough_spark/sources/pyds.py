@@ -245,13 +245,21 @@ def custom_source_stream_envelope(spark: SparkSession, sf_dir: str) -> DataFrame
                 break
             time.sleep(0.2)
         else:
-            # Don't return a partial sink table on poll expiry — that turns a
-            # stall into an unattributable hash mismatch (ADVICE r6).
-            raise TimeoutError(
-                f"custom_source_stream_envelope: poll expired after 300 s "
-                f"with {got}/{PYDS_N} records ingested — stall, not a "
-                f"semantics result"
-            )
+            # One final re-poll: the last records may land during the last
+            # sleep, and the while condition exits on TIME, not on count —
+            # without this a completed run could be reported as a stall
+            # (r7 review). Don't return a partial sink table on true
+            # expiry — that turns a stall into an unattributable hash
+            # mismatch (ADVICE r6).
+            got = spark.sql(
+                f"SELECT coalesce(sum(n_records), 0) AS n FROM {name}"
+            ).collect()[0][0]
+            if got < PYDS_N:
+                raise TimeoutError(
+                    f"custom_source_stream_envelope: poll expired after "
+                    f"300 s with {got}/{PYDS_N} records ingested — stall, "
+                    f"not a semantics result"
+                )
         return spark.table(name).localCheckpoint()
     finally:
         q.stop()

@@ -465,15 +465,18 @@ def _run_until_rows(
                 break
             time.sleep(0.3)
         else:
-            # A stall must NOT degrade into a wrong-answer hash mismatch
-            # that's indistinguishable from a semantics bug (ADVICE r6):
-            # raise with got/expected so a driver-row failure is
-            # attributable to the stall.
-            raise TimeoutError(
-                f"{prefix}: streaming poll expired after 300 s with "
-                f"{got}/{expected_rows} sink rows — stall, not a "
-                f"semantics result"
-            )
+            # One final re-poll (the last rows may land during the last
+            # sleep — the while exits on TIME, not count; r7 review). A
+            # true stall must NOT degrade into a wrong-answer hash mismatch
+            # indistinguishable from a semantics bug (ADVICE r6): raise
+            # with got/expected so the driver-row failure is attributable.
+            got = spark.table(name).count()
+            if got < expected_rows:
+                raise TimeoutError(
+                    f"{prefix}: streaming poll expired after 300 s with "
+                    f"{got}/{expected_rows} sink rows — stall, not a "
+                    f"semantics result"
+                )
         # localCheckpoint: detach the result from the (stopped) memory sink
         return spark.table(name).localCheckpoint()
     finally:

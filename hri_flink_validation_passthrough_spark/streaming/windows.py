@@ -19,6 +19,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.text import QSK_ORACLE
 from ..plans import QuerySpec, register
 from ..session import prepare
 
@@ -1089,10 +1090,7 @@ def stream_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
 @register(
     QUERIES,
     "stream_quantile_sketch",
-    oracle=__import__(
-        "hri_flink_validation_passthrough_spark.operators.text",
-        fromlist=["QSK_ORACLE"],
-    ).QSK_ORACLE,
+    oracle=QSK_ORACLE,
     doc="The fixed-grid quantile sketch (quantile_sketch_value_by_type) "
     "maintained BY the streaming engine: the (event_type, bin) counts are a "
     "streaming aggregation in complete mode — each microbatch's partial "

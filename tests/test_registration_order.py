@@ -8,10 +8,18 @@ import __spark_entry__ as entrymod
 
 
 def test_never_driver_verified_queries_register_first():
+    """Window order: [latest-round failures] + [stale rows-only refresh] +
+    [never-verified] + [verified tail]. After the two bounded front
+    partitions, no unverified query may trail a verified one."""
     specs = list(entrymod._all_specs())
     verified = entrymod._driver_verified_names()
+    front = set(entrymod._latest_round_failures()) | set(
+        entrymod._stale_rows_only()
+    )
     seen_verified = False
     for name in specs:
+        if name in front:
+            continue  # deliberately re-fronted despite being verified
         if name in verified:
             seen_verified = True
         else:
@@ -39,34 +47,45 @@ def test_correctness_paths_sort_numerically(tmp_path, monkeypatch):
     assert rounds == [2, 9, 10, 99, 100]
 
 
-def test_verified_tail_rotates_with_round_count(tmp_path, monkeypatch):
-    """The verified partition's order must depend on the number of recorded
-    rounds, so each round's window tail re-checks a different verified slice
-    (a regression in a late-registered query can resurface)."""
+def test_verified_tail_is_staleness_ordered():
+    """The verified partition is ordered by each query's latest green
+    driver receipt, OLDEST first (r7: replaced the r3 modular stride, whose
+    offset collided with the previous round's slice and would have
+    re-verified the same queries twice). A regression in any verified query
+    resurfaces within ceil(N/window) rounds, and no receipt ages
+    unboundedly."""
     specs = list(entrymod._all_specs())
     verified = entrymod._driver_verified_names()
-    tail_now = [n for n in specs if n in verified]
-    if len(tail_now) < 3:
-        return  # nothing meaningful to rotate yet
+    front = set(entrymod._latest_round_failures()) | set(
+        entrymod._stale_rows_only()
+    )
+    tail = [n for n in specs if n in verified and n not in front]
+    if len(tail) < 3:
+        return  # nothing meaningful to order yet
+    last_green, _, _ = entrymod._receipts()
+    rounds = [last_green.get(n, -1) for n in tail]
+    assert rounds == sorted(rounds), (
+        "verified tail is not staleness-ordered (latest-green ascending)"
+    )
+    # and the window actually mixes rounds — the whole point of the order
+    assert rounds[0] < rounds[-1]
 
-    # Simulate one more recorded round: same rows, one extra file.
+
+def test_stale_rows_only_ignores_unproductive_rows(tmp_path, monkeypatch):
+    """A failed refresh attempt (error/stall/0-row driver row) must NOT
+    reset a rows-only query's staleness clock — staleness keys on the
+    latest PRODUCTIVE receipt (r7 review)."""
     import json
-    import shutil
 
-    for i, src in enumerate(
-        sorted(__import__("glob").glob(entrymod.os.path.join(entrymod._REPO_ROOT, "CORRECTNESS_r*.json")))
-    ):
-        shutil.copy(src, tmp_path / f"CORRECTNESS_r{i:02d}.json")
-    n = len(list(tmp_path.glob("CORRECTNESS_r*.json")))
-    shutil.copy(
-        tmp_path / f"CORRECTNESS_r{n - 1:02d}.json",
-        tmp_path / f"CORRECTNESS_r{n:02d}.json",
+    # r0: productive rows-only receipt; r5 (newest): a stalled attempt.
+    (tmp_path / "CORRECTNESS_r00.json").write_text(
+        json.dumps({"victim": {"err": "no_oracle", "spark_rows": 7}})
+    )
+    (tmp_path / "CORRECTNESS_r05.json").write_text(
+        json.dumps({"victim": {"err": "no_oracle", "spark_rows": 0}})
     )
     monkeypatch.setattr(entrymod, "_REPO_ROOT", str(tmp_path))
-    specs_next = list(entrymod._all_specs())
-    tail_next = [n_ for n_ in specs_next if n_ in verified]
-    assert set(tail_now) == set(tail_next)
-    assert tail_now != tail_next, "verified tail did not rotate across rounds"
+    assert entrymod._stale_rows_only() == ["victim"]
 
 
 def test_oracle_and_query_keys_align():
