@@ -851,3 +851,136 @@ def quantile_sketch_quantiles(bins: DataFrame) -> DataFrame:
             / F.lit(100000.0)
         ).alias("est_value"),
     )
+
+
+# --- Portable HyperLogLog twin (hash-checked): the cross-engine-checkable
+# counterpart of sketch_cardinalities' production approx_count_distinct,
+# mirroring how minhash_calibration_by_jaccard twins dedup_minhash_lsh and
+# cms_heavy_hitters twins the frequency path. Registers come from the
+# repo's portable md5-prefix hash, and the harmonic mean is carried as an
+# exact INTEGER rational (sum of 2^(51-reg) over a common 2^51 denominator)
+# so both engines reach the final float division with identical integers.
+HLL_M = 1024  # registers; standard error 1.04/sqrt(m) ~ 3.25%
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+# alpha * m^2 * 2^51, precomputed to one double literal shared verbatim by
+# both engines (composing it from parts could associate differently)
+_HLL_A = repr(_HLL_ALPHA * HLL_M * HLL_M * 2.0**51)
+
+
+@register(
+    QUERIES,
+    "hll_cardinality_portable",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+               AS hv
+      FROM events
+    ), rho AS (  -- register = max leading-zero rank in the 50-bit suffix
+      SELECT event_type, hv % {HLL_M} AS bucket,
+             max(CASE WHEN hv // {HLL_M} = 0 THEN 51
+                      ELSE 51 - length(bin(hv // {HLL_M})) END) AS reg
+      FROM h GROUP BY 1, 2
+    ), grid AS (
+      SELECT event_type, unnest(range({HLL_M})) AS bucket
+      FROM (SELECT DISTINCT event_type FROM events)
+    ), regs AS (
+      SELECT g.event_type, g.bucket, coalesce(r.reg, 0) AS reg
+      FROM grid g LEFT JOIN rho r
+        ON r.event_type = g.event_type AND r.bucket = g.bucket
+    ), agg AS (
+      SELECT event_type,
+             CAST(sum(1::BIGINT << (51 - reg)) AS BIGINT) AS s_harm,
+             CAST(sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS v_zero
+      FROM regs GROUP BY 1
+    ), ex AS (
+      SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+      FROM events GROUP BY 1
+    ), est AS (
+      SELECT a.event_type, e.n_exact, a.v_zero, a.s_harm,
+             CASE WHEN {_HLL_A} / a.s_harm <= 2.5 * {HLL_M}
+                       AND a.v_zero > 0
+                  THEN {HLL_M} * ln({HLL_M} * 1.0 / a.v_zero)
+                  ELSE {_HLL_A} / a.s_harm END AS raw
+      FROM agg a JOIN ex e ON e.event_type = a.event_type
+    )
+    SELECT event_type, n_exact, v_zero, s_harm,
+           round(raw, 4) AS hll_estimate,
+           round((raw - n_exact) / n_exact, 6) AS rel_error
+    FROM est
+    """,
+    doc=f"Portable HyperLogLog (m={HLL_M}) of distinct users per event "
+    "type, reported against the exact distinct count — the hash-checked "
+    "twin of sketch_cardinalities' production approx_count_distinct (the "
+    "same twin pattern as cms_heavy_hitters for frequency and "
+    "minhash_calibration for similarity). Cross-engine determinism: "
+    "registers derive from the portable 60-bit md5-prefix hash (bucket = "
+    "mod m, rank = 51 - bitlength of the 50-bit suffix via bin()), and "
+    "the harmonic sum is the exact INTEGER sum(2^(51-reg)) over a common "
+    "2^51 denominator — no float accumulation anywhere, one shared "
+    "precomputed double literal and one division (plus the standard "
+    "linear-counting branch for the small regime, active at these SFs) at "
+    "the very end. The register table is m longs per group, mergeable by "
+    "cell-wise MAX — the partition/day/stream merge HLL is built for; at "
+    "100 TB the build is one map-side-combined aggregation.",
+)
+def hll_cardinality_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    hv = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    rho = (
+        e.select("event_type", hv.alias("hv"))
+        .select(
+            "event_type",
+            (F.col("hv") % HLL_M).alias("bucket"),
+            F.expr(f"hv div {HLL_M}").alias("r"),
+        )
+        .withColumn(
+            "rho",
+            F.when(F.col("r") == 0, F.lit(51)).otherwise(
+                51 - F.length(F.bin(F.col("r")))
+            ),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+    grid = (
+        e.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.lit(0), F.lit(HLL_M - 1))).alias("bucket"),
+        )
+    )
+    regs = grid.join(rho, ["event_type", "bucket"], "left").select(
+        "event_type", F.coalesce(F.col("reg"), F.lit(0)).alias("reg")
+    )
+    agg = regs.groupBy("event_type").agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 51 - reg)"))
+        .cast("long")
+        .alias("s_harm"),
+        F.sum(F.when(F.col("reg") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("v_zero"),
+    )
+    ex = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact")
+    )
+    a_const = float(_HLL_A)
+    raw = F.when(
+        (F.lit(a_const) / F.col("s_harm") <= 2.5 * HLL_M)
+        & (F.col("v_zero") > 0),
+        HLL_M * F.log(HLL_M * 1.0 / F.col("v_zero")),
+    ).otherwise(F.lit(a_const) / F.col("s_harm"))
+    return agg.join(ex, "event_type").select(
+        "event_type",
+        "n_exact",
+        "v_zero",
+        "s_harm",
+        F.round(raw, 4).alias("hll_estimate"),
+        F.round((raw - F.col("n_exact")) / F.col("n_exact"), 6).alias(
+            "rel_error"
+        ),
+    )
