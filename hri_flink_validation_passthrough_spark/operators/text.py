@@ -778,7 +778,10 @@ QSK_ORACLE = f"""
     "entirely in INTEGER milli-cents (one div) so both engines carry "
     "bit-identical integers to the single final float division — fully "
     "hash-checked, the property the HLL family can't give. Error bound is "
-    "half a bin width deterministically, not probabilistic. At 100 TB the "
+    "ONE bin width deterministically, not probabilistic (hypothesis-pinned "
+    "in tests/test_round7_ops.py — interpolation's worst case is a "
+    "single-count landing bin, estimate at the top edge, true value at "
+    "the bottom). At 100 TB the "
     "sketch is |types| x ~98 longs; build is one map-side-combined "
     "aggregation over the scan.",
 )
