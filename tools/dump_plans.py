@@ -68,6 +68,10 @@ SHOWCASE = {
     "multimodal_arrow_byte_stats": "MapInArrow node — Arrow-tier Python, no pandas conversion, pure map",
     "stream_rate_limiter_backlog": "Lindley queue as reflected prefix sums: two ordered windows over the (hours x types) streamed table, densified grid join",
     "community_label_propagation": "2 unrolled mode-propagation rounds: labels-join-edges + per-node rank; persisted mutual-kNN edge subtree shared with pagerank",
+    "zonemap_pruned_revenue": "file-skipping read: scan lists ONLY the manifest-surviving files (2/16 at sf0.01); exact predicate re-pushed to the parquet reader",
+    "quantile_sketch_value_by_type": "one map-side-combined (type,bin) count; readout windows over the ~98-bin grid, never rows",
+    "hll_cardinality_portable": "register build = one grouped max over the hashed scan; harmonic sum = integer shift-left aggregate over the types x 1024 grid",
+    "ann_nprobe_recall_sweep": "single max-nprobe candidate materialization; sweep points are explode+filter (no re-scan); per-(nprobe,qid) rank windows over tiny candidates",
     "table_checksum_integrity": "md5-prefix row hashes in codegen; BIT_XOR partial-agg per bucket (map-side combine); 16-row join",
     "window_navigation_showcase": "single Window node computing the whole navigation set per customer partition — one shuffle, no global sort",
     "pca_power_iteration": "unrolled 64-term dot in whole-stage codegen (no array lambdas); one posexplode groupBy carrying dim-cardinality partials",
