@@ -283,39 +283,53 @@ def decontam_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # filter-pushdown pathology a bare projection hits here.
     sh5 = _shingles_for(spark, sf_dir, 5)  # doc_id, distinct 5-gram shingles
     is_eval = F.col("doc_id") % EVAL_MOD == EVAL_REM
-    ev = sh5.filter(is_eval).select(F.explode("sh").alias("g")).distinct()
     tr = sh5.filter(~is_eval).select("doc_id", F.explode("sh").alias("g"))
 
-    # --- build: position = pmod(xxhash64(i, g), m), OR'd into 64-bit words.
-    pos = ev.select(
-        F.explode(
-            F.array(
-                *[
-                    F.pmod(F.xxhash64(F.lit(i), F.col("g")), F.lit(BLOOM_BITS))
-                    for i in range(BLOOM_K)
-                ]
-            )
-        ).alias("p")
-    )
-    words = (
-        pos.select(
-            F.expr("cast(p div 64 as int)").alias("w"),
-            F.expr("shiftleft(cast(1 as bigint), cast(p % 64 as int))").alias(
-                "m"
-            ),
-        )
-        .groupBy("w")
-        .agg(F.expr("bit_or(m)").alias("mask"))
-        .collect()
-    )
     # The bitmap is a tiny fixed-size MODEL artifact (8 KiB regardless of
     # eval-set size), like the IVF centroids / PQ codebook elsewhere:
-    # collect-then-broadcast-as-literal is the intended pattern. The
-    # distributed part — hashing and OR-ing eval grams — already happened
-    # executor-side; only BLOOM_WORDS pre-reduced rows cross to the driver.
-    bitmap = [0] * BLOOM_WORDS
-    for r in words:
-        bitmap[r["w"]] = r["mask"]
+    # collect-then-broadcast-as-literal is the intended pattern, and like
+    # those artifacts it is session-memoized (r7) — in production the
+    # decontam bloom is built once when the eval set is frozen and reused
+    # by every corpus query, not rebuilt per scan. The distributed part —
+    # hashing and OR-ing eval grams — happens executor-side; only
+    # BLOOM_WORDS pre-reduced rows cross to the driver.
+    from .dedup import _MEMO, _memo_key
+
+    # ev is consumed by the bitmap build (memo-miss only) AND by the
+    # exact-confirm semi-join below on every run — keep it unconditional
+    ev = sh5.filter(is_eval).select(F.explode("sh").alias("g")).distinct()
+    memo_key = _memo_key(spark, sf_dir, "decontam_bloom_bitmap")
+    bitmap = _MEMO.get(memo_key)
+    if bitmap is None:
+        # build: position = pmod(xxhash64(i, g), m), OR'd into 64-bit words
+        pos = ev.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(
+                            F.xxhash64(F.lit(i), F.col("g")),
+                            F.lit(BLOOM_BITS),
+                        )
+                        for i in range(BLOOM_K)
+                    ]
+                )
+            ).alias("p")
+        )
+        words = (
+            pos.select(
+                F.expr("cast(p div 64 as int)").alias("w"),
+                F.expr(
+                    "shiftleft(cast(1 as bigint), cast(p % 64 as int))"
+                ).alias("m"),
+            )
+            .groupBy("w")
+            .agg(F.expr("bit_or(m)").alias("mask"))
+            .collect()
+        )
+        bitmap = [0] * BLOOM_WORDS
+        for r in words:
+            bitmap[r["w"]] = r["mask"]
+        _MEMO[memo_key] = bitmap
     # explicit element type: a sparse bitmap could otherwise infer
     # array<int> and lose bits >= 32 in the shiftright probe
     lit_map = F.lit(bitmap).cast("array<bigint>")
