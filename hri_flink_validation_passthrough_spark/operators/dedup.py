@@ -880,9 +880,13 @@ def srp_lsh_pairs(emb: DataFrame, threshold: float) -> DataFrame:
     # Three consumers read `keyed` (band buckets + both signature sidecars of
     # the Hamming prefilter); without materialization the pandas-UDF matrix
     # multiply runs three times. The signature sidecar is 36 longs per vector
-    # — ~0.3% of the vector bytes — so caching it is the right call at any
-    # scale (compute signatures once, reuse everywhere).
-    keyed = keyed.persist()
+    # — ~0.3% of the vector bytes — so computing it once is right at any
+    # scale. localCheckpoint (lazy), not persist: a per-call persist with no
+    # unpersist accumulates a new cached copy on EVERY invocation (the
+    # ADVICE-r6 spearman pattern); checkpointed blocks are reference-released
+    # when the result goes out of scope, and lazy rides the first consuming
+    # job (the r7 eager-vs-lazy A/B).
+    keyed = keyed.localCheckpoint(eager=False)
     buckets = keyed.select("vec_id", F.explode("keys").alias("bkey"))
     ids = F.col("ids")
     pair_structs = F.flatten(
