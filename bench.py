@@ -269,10 +269,13 @@ def _compact_line(result: dict) -> str:
 def _load_prev(sf) -> dict:
     """Previous bench record (same sf) for the vs_prev comparison.
 
-    Prefers the untracked sidecar (bench_result.json — last local run); falls
-    back to the newest committed BENCH_r*.json's ``parsed`` payload so a fresh
-    checkout still anchors round-over-round deltas to the driver's own last
-    recorded round instead of silently emitting no comparison. Records at a
+    Prefers the newest BENCH_r*.json (the driver's own recorded rounds —
+    only the driver writes those files) so vs_prev is ALWAYS a
+    driver-to-driver delta; the sidecar (bench_result.json — last local run)
+    is only a fallback for a tree with no driver record yet. This ordering is
+    the pin the r6/r7 verdicts asked for: bench.py rewrites the sidecar on
+    every run, so anchoring on the sidecar meant any local iteration run
+    silently shifted the next round's baseline (observed r6→r7). Records at a
     different sf are skipped rather than returned — otherwise one local run at
     another scale factor would clobber the anchor and silently suppress the
     driver's whole vs_prev map for the round. The sf compare is by string so
@@ -289,11 +292,11 @@ def _load_prev(sf) -> dict:
         m = re.search(r"BENCH_r(\d+)\.json$", path)
         return int(m.group(1)) if m else -1
 
-    candidates = [os.path.join(repo, "bench_result.json")] + sorted(
+    candidates = sorted(
         glob.glob(os.path.join(repo, "BENCH_r*.json")),
         key=_round_no,
         reverse=True,
-    )
+    ) + [os.path.join(repo, "bench_result.json")]
     for path in candidates:
         try:
             with open(path) as fh:

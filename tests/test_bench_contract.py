@@ -116,6 +116,37 @@ def test_sidecar_carries_vs_prev2_anchor():
     )
 
 
+def test_prev_anchor_is_newest_driver_record():
+    """r7 ADVICE (medium): _load_prev must anchor vs_prev on the newest
+    DRIVER-recorded round (BENCH_r*.json — only the driver writes those), NOT
+    the sidecar, which every local bench run rewrites. Anchoring on the
+    sidecar let a local iteration run silently shift the next round's
+    baseline away from driver-to-driver deltas (observed r6→r7)."""
+    import glob
+    import re
+
+    def _round_no(path: str) -> int:
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        return int(m.group(1)) if m else -1
+
+    newest = None
+    for path in sorted(
+        glob.glob(os.path.join(REPO, "BENCH_r*.json")), key=_round_no, reverse=True
+    ):
+        with open(path) as fh:
+            rec = json.load(fh)
+        parsed = rec.get("parsed") or {}
+        if parsed.get("queries") and str(parsed.get("sf")) == "0.1":
+            newest = parsed
+            break
+    assert newest is not None, "no driver BENCH_r*.json record at sf0.1"
+    prev = bench._load_prev(0.1)
+    assert prev == newest, (
+        "_load_prev did not return the newest driver record — the vs_prev "
+        "anchor is no longer driver-to-driver"
+    )
+
+
 def test_prev_record_skips_mismatched_sf():
     """A local bench run at another sf must not clobber the driver's sf0.1
     anchor: _load_prev skips mismatched-sf records and falls back to the

@@ -67,8 +67,27 @@ def test_verified_tail_is_staleness_ordered():
     assert rounds == sorted(rounds), (
         "verified tail is not staleness-ordered (latest-green ascending)"
     )
-    # and the window actually mixes rounds — the whole point of the order
-    assert rounds[0] < rounds[-1]
+    # and the window actually mixes rounds — the whole point of the order.
+    # Guarded (r7 ADVICE): after a round whose window re-verifies the whole
+    # tail, every latest-green round is equal and strict inequality would
+    # fail spuriously even though the ordering is correct.
+    if len(set(rounds)) > 1:
+        assert rounds[0] < rounds[-1]
+
+
+def test_no_receipt_ages_past_a_full_rotation():
+    """r7 verdict ask #6: with ~228 queries and a ~50-row driver window, a
+    full stalest-first rotation is ~4.6 rounds — every verified query's
+    latest productive receipt must stay <= 5 rounds behind the newest round.
+    If this trips, either the registry outgrew the window (shrink HEADline?
+    no — revisit the rotation) or the stalest-first tail ordering regressed."""
+    latest_green, _, newest = entrymod._receipts()
+    if newest < 5:
+        return  # too early in the build for a full rotation to exist
+    overdue = {
+        n: newest - r for n, r in latest_green.items() if newest - r > 5
+    }
+    assert not overdue, f"receipts older than one full rotation: {overdue}"
 
 
 def test_stale_rows_only_ignores_unproductive_rows(tmp_path, monkeypatch):

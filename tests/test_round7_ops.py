@@ -203,8 +203,16 @@ def test_zonemap_prune_never_drops_a_matching_file(intervals, lo, hi):
     files = [(min(a, b), max(a, b)) for a, b in intervals]
     kept = [i for i, (mn, mx) in enumerate(files) if mn < hi and mx >= lo]
     for i, (mn, mx) in enumerate(files):
-        has_match = mn < hi and mx >= lo and any(
-            lo <= v < hi for v in (mn, mx, max(mn, lo))
+        # Witness-based match check, INDEPENDENT of the prune predicate's
+        # boundary algebra (r7 ADVICE: the old form embedded the exact keep
+        # condition, making the assertion tautological): the file matches iff
+        # some concrete integer v lies in BOTH the file's [mn, mx] and the
+        # query's [lo, hi). Over integers, if any witness exists then one of
+        # these candidates is a witness, and each candidate is checked by
+        # direct membership in both intervals.
+        has_match = any(
+            mn <= v <= mx and lo <= v < hi
+            for v in (mn, mx, lo, hi - 1, max(mn, lo), min(mx, hi - 1))
         )
         if has_match:
             assert i in kept
