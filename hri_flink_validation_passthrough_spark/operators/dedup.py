@@ -862,6 +862,16 @@ def dedup_embedding_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return srp_lsh_pairs(emb, threshold=0.95)
 
 
+# Materialization policy for the SRP signature stage — module-level so the
+# interleaved A/B harness (tools/ab_srp_materialize.py, r7 verdict ask #2)
+# can flip it without forking the plan. "ckpt" is the shipped policy;
+# "persist" pins the handle in _SRP_PINNED so the harness can unpersist
+# after the consuming action (the leak-free form of the pre-r7 per-call
+# persist); "none" recomputes the pandas-UDF stage per consumer.
+_SRP_MATERIALIZE = "ckpt"
+_SRP_PINNED: list[DataFrame] = []
+
+
 def srp_lsh_pairs(emb: DataFrame, threshold: float) -> DataFrame:
     """SRP-LSH near-dup pairs over (vec_id, e: array<double>). Reusable core
     so tests can drive synthetic near-dup corpora through the same plan."""
@@ -885,8 +895,14 @@ def srp_lsh_pairs(emb: DataFrame, threshold: float) -> DataFrame:
     # unpersist accumulates a new cached copy on EVERY invocation (the
     # ADVICE-r6 spearman pattern); checkpointed blocks are reference-released
     # when the result goes out of scope, and lazy rides the first consuming
-    # job (the r7 eager-vs-lazy A/B).
-    keyed = keyed.localCheckpoint(eager=False)
+    # job (the r7 eager-vs-lazy A/B; the r8 interleaved persist-vs-ckpt A/B
+    # in BASELINE.md re-confirmed ckpt after the r7 driver rep landed in
+    # box drift — tools/ab_srp_materialize.py is the harness).
+    if _SRP_MATERIALIZE == "persist":  # A/B harness path, never the default
+        keyed = keyed.persist()
+        _SRP_PINNED.append(keyed)
+    elif _SRP_MATERIALIZE == "ckpt":
+        keyed = keyed.localCheckpoint(eager=False)
     buckets = keyed.select("vec_id", F.explode("keys").alias("bkey"))
     ids = F.col("ids")
     pair_structs = F.flatten(

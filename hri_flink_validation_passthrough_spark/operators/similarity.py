@@ -18,6 +18,8 @@ so ordering is reproducible across engines.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -80,7 +82,7 @@ def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ivf_assign_memo: dict[tuple[str, str], DataFrame] = {}
+_ivf_assign_memo: dict[tuple[str, str, int], DataFrame] = {}
 
 
 def _ivf_assign_probes(
@@ -88,6 +90,7 @@ def _ivf_assign_probes(
     sf_dir: str,
     nprobe: int = NPROBE,
     keep_rank: bool = False,
+    nlist: int = NLIST,
 ):
     """(assign, probes): vectors bucketed to their nearest coarse centroid,
     queries attached to their ``nprobe`` closest cells (probe rank kept as
@@ -102,14 +105,14 @@ def _ivf_assign_probes(
     stay per-call."""
     v = _emb(spark, sf_dir)
     cent = (
-        v.filter(F.col("vec_id") < NLIST)
+        v.filter(F.col("vec_id") < nlist)
         .withColumnsRenamed({"vec_id": "cid", "e": "ce"})
     )
     sim_vc = F.round(cosine_similarity(F.col("e"), F.col("ce")), 6)
     w_assign = Window.partitionBy("vec_id").orderBy(
         F.desc("sim"), F.asc("cid")
     )
-    memo_key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    memo_key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"), nlist)
     assign = _ivf_assign_memo.get(memo_key)
     if assign is None:
         assign = (
@@ -139,14 +142,17 @@ def _ivf_assign_probes(
 
 
 
-@register(
-    QUERIES,
-    "ann_ivf_topk",
-    oracle=f"""
+def _ivf_topk_oracle(nlist: int, nprobe: int) -> str:
+    """The IVF top-k DuckDB oracle, parameterized by the coarse-grid size —
+    one source of truth for ann_ivf_topk (nlist={NLIST}) and the durable-index
+    twin ann_ivf_durable_topk (nlist={DNLIST}): identical query semantics, the
+    only difference between them is WHERE the cell assignment lives (session
+    memo vs bucketed parquet on disk)."""
+    return f"""
     WITH v AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
     ), cent AS (
-      SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < {NLIST}
+      SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < {nlist}
     ), assign AS (  -- each vector lives in its nearest centroid's cell
       SELECT vec_id, e, cid AS cell FROM (
         SELECT v.vec_id, v.e, cent.cid,
@@ -166,7 +172,7 @@ def _ivf_assign_probes(
                  ORDER BY round(list_cosine_similarity(q.qe, cent.ce), 6) DESC,
                           cent.cid) AS rn
         FROM q, cent
-      ) WHERE rn <= {NPROBE}
+      ) WHERE rn <= {nprobe}
     ), s AS (
       SELECT p.qid, a.vec_id AS nid,
              round(list_cosine_similarity(p.qe, a.e), 6) AS cos_sim
@@ -178,7 +184,13 @@ def _ivf_assign_probes(
                                      ORDER BY cos_sim DESC, nid) AS BIGINT) AS rnk
       FROM s
     ) WHERE rnk <= {TOP_K}
-    """,
+    """
+
+
+@register(
+    QUERIES,
+    "ann_ivf_topk",
+    oracle=_ivf_topk_oracle(NLIST, NPROBE),
     doc=f"IVF ANN: {NLIST} coarse cells (deterministic centroids = first "
     f"{NLIST} vectors), vectors bucketed by nearest centroid, queries probe "
     f"{NPROBE} cells. Candidate scan shrinks ~nlist/nprobe at scale; "
@@ -189,6 +201,100 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = assign.join(
         F.broadcast(probes),
         (assign.cell == probes.cell) & (assign.vec_id != probes.qid),
+    )
+    sim = F.round(cosine_similarity(F.col("qe"), F.col("e")), 6)
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("nid"))
+    return (
+        pairs.select("qid", F.col("vec_id").alias("nid"), sim.alias("cos_sim"))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= TOP_K)
+    )
+
+
+# --- Durable IVF index (r7 verdict ask #3): the ON-DISK form of the ANN
+# index. The session-memoized cell assignment above is "built at ingest" but
+# dies with the session; production ships it as parquet clustered by cell so
+# the read path never scans unprobed cells. DNLIST is finer than NLIST: a
+# real index has nlist in the thousands, and 64 cells (vs 10 queries x 4
+# probes <= 40 probed) guarantees the probed-cell union stays a strict
+# subset of the files — at NLIST=16 the union covers the whole grid and
+# pruning would be vacuous.
+DNLIST = 64
+
+# (normalized sf_dir, nlist) -> index directory; the DIRECTORY is the
+# durable artifact — the dict only avoids re-stat()ing within a process.
+_ivf_index_dir_memo: dict[tuple[str, int], str] = {}
+
+
+def ivf_durable_index(spark: SparkSession, sf_dir: str, nlist: int = DNLIST) -> str:
+    """Build (once) and return the on-disk IVF index for *sf_dir*.
+
+    Ingest-time write path: the vector->cell assignment lands as parquet
+    PARTITIONED BY cell — hive-style ``cell=K/`` directories, so cell
+    membership is directory structure, not row data, and Catalyst prunes
+    unprobed cells at PLANNING time (PartitionFilters, zero I/O — the
+    directory analogue of zonemap_prune's footer-stats file skipping).
+    Rebuilt only if the marker files are missing: the index outlives the
+    SparkSession, which is the point. At 100 TB this is the bucketed-by-cell
+    index table a trillion-vector corpus ships alongside the data; cells
+    are also sorted by vec_id within files so a future zone-map over vec_id
+    composes."""
+    import hashlib
+    import json
+    import tempfile
+
+    key = sf_dir.rstrip("/")
+    memo_key = (key, nlist)
+    cached = _ivf_index_dir_memo.get(memo_key)
+    if cached is not None:
+        return cached
+    tag = hashlib.md5(key.encode()).hexdigest()[:8]
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"hri_ivf_index_{os.path.basename(key)}_{tag}_n{nlist}",
+    )
+    meta_path = os.path.join(base, "_ivf_meta.json")  # _-prefixed: scan-invisible
+    if not (os.path.exists(os.path.join(base, "_SUCCESS")) and os.path.exists(meta_path)):
+        assign, _ = _ivf_assign_probes(spark, sf_dir, nlist=nlist)
+        (
+            assign.repartition("cell")
+            .sortWithinPartitions("vec_id")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(base)
+        )
+        with open(meta_path, "w") as fh:
+            json.dump({"nlist": nlist, "sf_dir": key}, fh)
+    _ivf_index_dir_memo[memo_key] = base
+    return base
+
+
+@register(
+    QUERIES,
+    "ann_ivf_durable_topk",
+    oracle=_ivf_topk_oracle(DNLIST, NPROBE),
+    doc=f"Durable-index IVF ANN: same semantics as ann_ivf_topk but the "
+    f"cell assignment is read from an on-disk parquet index partitioned by "
+    f"cell ({DNLIST} cells; ivf_durable_index writes it once at ingest). "
+    "The read path collects the probed-cell union (a <= N_QUERIES*NPROBE "
+    "driver-side list) and filters on the partition column, so Catalyst "
+    "lists only the probed cells' directories — files-read < total is "
+    "asserted in tests/test_round8_ops.py. Oracle = the same IVF SQL with "
+    "the finer grid.",
+)
+def ann_ivf_durable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    path = ivf_durable_index(spark, sf_dir)
+    # probes depend on the query set -> per-call, exactly as ann_ivf_topk
+    _, probes = _ivf_assign_probes(spark, sf_dir, nlist=DNLIST)
+    probed = sorted(
+        r["cell"] for r in probes.select("cell").distinct().collect()
+    )
+    idx = spark.read.parquet(path)
+    cand = idx.filter(F.col("cell").isin(probed))
+    pairs = cand.join(
+        F.broadcast(probes),
+        (cand.cell == probes.cell) & (cand.vec_id != probes.qid),
     )
     sim = F.round(cosine_similarity(F.col("qe"), F.col("e")), 6)
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("nid"))

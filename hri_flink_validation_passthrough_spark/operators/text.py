@@ -930,6 +930,29 @@ _HLL_A = repr(_HLL_ALPHA * HLL_M * HLL_M * 2.0**51)
 )
 def hll_cardinality_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
+    regs = _hll_reg_table(e)
+    agg = _hll_agg(regs.groupBy("event_type"))
+    ex = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact")
+    )
+    raw = _hll_raw_estimate()
+    return agg.join(ex, "event_type").select(
+        "event_type",
+        "n_exact",
+        "v_zero",
+        "s_harm",
+        F.round(raw, 4).alias("hll_estimate"),
+        F.round((raw - F.col("n_exact")) / F.col("n_exact"), 6).alias(
+            "rel_error"
+        ),
+    )
+
+
+def _hll_reg_table(e: DataFrame) -> DataFrame:
+    """(event_type, bucket, reg) over the FULL m-bucket grid (explicit
+    zeros) — the mergeable HLL state. Shared by the per-type estimate and
+    the set-algebra query so the register derivation has one source of
+    truth."""
     hv = F.conv(
         F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
     ).cast("long")
@@ -957,10 +980,16 @@ def hll_cardinality_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.sequence(F.lit(0), F.lit(HLL_M - 1))).alias("bucket"),
         )
     )
-    regs = grid.join(rho, ["event_type", "bucket"], "left").select(
-        "event_type", F.coalesce(F.col("reg"), F.lit(0)).alias("reg")
+    return grid.join(rho, ["event_type", "bucket"], "left").select(
+        "event_type",
+        "bucket",
+        F.coalesce(F.col("reg"), F.lit(0)).alias("reg"),
     )
-    agg = regs.groupBy("event_type").agg(
+
+
+def _hll_agg(grouped) -> DataFrame:
+    """Register table -> (s_harm, v_zero) integer-rational readout state."""
+    return grouped.agg(
         F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 51 - reg)"))
         .cast("long")
         .alias("s_harm"),
@@ -968,22 +997,208 @@ def hll_cardinality_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("v_zero"),
     )
-    ex = e.groupBy("event_type").agg(
-        F.countDistinct("user_id").cast("long").alias("n_exact")
-    )
+
+
+def _hll_raw_estimate(s_harm: str = "s_harm", v_zero: str = "v_zero"):
+    """The HLL estimator over (s_harm, v_zero) columns: one float division
+    of the shared precomputed alpha literal, plus the standard
+    linear-counting branch for the small regime."""
     a_const = float(_HLL_A)
-    raw = F.when(
-        (F.lit(a_const) / F.col("s_harm") <= 2.5 * HLL_M)
-        & (F.col("v_zero") > 0),
-        HLL_M * F.log(HLL_M * 1.0 / F.col("v_zero")),
-    ).otherwise(F.lit(a_const) / F.col("s_harm"))
-    return agg.join(ex, "event_type").select(
-        "event_type",
-        "n_exact",
-        "v_zero",
-        "s_harm",
-        F.round(raw, 4).alias("hll_estimate"),
-        F.round((raw - F.col("n_exact")) / F.col("n_exact"), 6).alias(
-            "rel_error"
-        ),
+    return F.when(
+        (F.lit(a_const) / F.col(s_harm) <= 2.5 * HLL_M)
+        & (F.col(v_zero) > 0),
+        HLL_M * F.log(HLL_M * 1.0 / F.col(v_zero)),
+    ).otherwise(F.lit(a_const) / F.col(s_harm))
+
+
+# the same estimator as SQL text, parameterized by the state column names —
+# one source of truth for every readout in the set-algebra oracle
+def _hll_est_sql(s: str, v: str) -> str:
+    return (
+        f"CASE WHEN {_HLL_A} / {s} <= 2.5 * {HLL_M} AND {v} > 0 "
+        f"THEN {HLL_M} * ln({HLL_M} * 1.0 / {v}) "
+        f"ELSE {_HLL_A} / {s} END"
+    )
+
+
+@register(
+    QUERIES,
+    "hll_set_algebra",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+               AS hv
+      FROM events
+    ), rho AS (
+      SELECT event_type, hv % {HLL_M} AS bucket,
+             max(CASE WHEN hv // {HLL_M} = 0 THEN 51
+                      ELSE 51 - length(bin(hv // {HLL_M})) END) AS reg
+      FROM h GROUP BY 1, 2
+    ), grid AS (
+      SELECT event_type, unnest(range({HLL_M})) AS bucket
+      FROM (SELECT DISTINCT event_type FROM events)
+    ), regs AS (
+      SELECT g.event_type, g.bucket, coalesce(r.reg, 0) AS reg
+      FROM grid g LEFT JOIN rho r
+        ON r.event_type = g.event_type AND r.bucket = g.bucket
+    ), agg AS (
+      SELECT event_type,
+             CAST(sum(1::BIGINT << (51 - reg)) AS BIGINT) AS s_harm,
+             CAST(sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS v_zero
+      FROM regs GROUP BY 1
+    ), pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b
+      FROM (SELECT DISTINCT event_type FROM events) a
+      JOIN (SELECT DISTINCT event_type FROM events) b
+        ON a.event_type < b.event_type
+    ), uagg AS (  -- union sketch = register-wise MAX, then the same readout
+      SELECT p.type_a, p.type_b,
+             CAST(sum(1::BIGINT << (51 - greatest(ra.reg, rb.reg)))
+                  AS BIGINT) AS s_union,
+             CAST(sum(CASE WHEN greatest(ra.reg, rb.reg) = 0 THEN 1 ELSE 0
+                      END) AS BIGINT) AS v_union
+      FROM pairs p
+      JOIN regs ra ON ra.event_type = p.type_a
+      JOIN regs rb ON rb.event_type = p.type_b AND rb.bucket = ra.bucket
+      GROUP BY 1, 2
+    ), est AS (
+      SELECT u.type_a, u.type_b, u.s_union, u.v_union,
+             {_hll_est_sql('aa.s_harm', 'aa.v_zero')} AS raw_a,
+             {_hll_est_sql('ab.s_harm', 'ab.v_zero')} AS raw_b,
+             {_hll_est_sql('u.s_union', 'u.v_union')} AS raw_u
+      FROM uagg u
+      JOIN agg aa ON aa.event_type = u.type_a
+      JOIN agg ab ON ab.event_type = u.type_b
+    ), tu AS (
+      SELECT DISTINCT event_type, user_id FROM events
+    ), exact_u AS (
+      SELECT type_a, type_b,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_union_exact
+      FROM (
+        SELECT p.type_a, p.type_b, t.user_id
+        FROM pairs p JOIN tu t ON t.event_type = p.type_a
+        UNION ALL
+        SELECT p.type_a, p.type_b, t.user_id
+        FROM pairs p JOIN tu t ON t.event_type = p.type_b
+      ) GROUP BY 1, 2
+    ), exact_i AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_inter_exact
+      FROM tu a JOIN tu b
+        ON b.user_id = a.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT e.type_a, e.type_b, e.s_union, e.v_union,
+           round(e.raw_a, 4) AS hll_a,
+           round(e.raw_b, 4) AS hll_b,
+           round(e.raw_u, 4) AS hll_union,
+           round(e.raw_a + e.raw_b - e.raw_u, 4) AS hll_inter,
+           xu.n_union_exact,
+           coalesce(xi.n_inter_exact, 0) AS n_inter_exact,
+           round((e.raw_u - xu.n_union_exact) / xu.n_union_exact, 6)
+             AS rel_err_union
+    FROM est e
+    JOIN exact_u xu ON xu.type_a = e.type_a AND xu.type_b = e.type_b
+    LEFT JOIN exact_i xi ON xi.type_a = e.type_a AND xi.type_b = e.type_b
+    """,
+    doc="HLL set algebra over the per-type register tables (r7 verdict ask "
+    "#4): union = register-wise MAX (the lossless merge that makes HLL the "
+    "standard distributed-distinct structure — union of sketches IS the "
+    "sketch of the union, pinned by the split-merge parity test), "
+    "intersection = inclusion-exclusion over the three estimates. The "
+    "union state (s_union, v_union) stays integer-rational so both engines "
+    "reach the float readouts with identical integers; exact per-pair "
+    "union/intersection counts ride along for the error columns. At 100 TB "
+    "the register tables are |groups| x m longs merged cell-wise — "
+    "cross-day / cross-shard distincts never rescan data.",
+)
+def hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    regs = _hll_reg_table(e)
+    agg = _hll_agg(regs.groupBy("event_type"))
+    types = e.select("event_type").distinct()
+    pairs = (
+        types.withColumnRenamed("event_type", "type_a")
+        .join(
+            types.withColumnRenamed("event_type", "type_b"),
+            F.col("type_a") < F.col("type_b"),
+        )
+    )
+    ra = regs.withColumnsRenamed({"event_type": "type_a", "reg": "reg_a"})
+    rb = regs.withColumnsRenamed({"event_type": "type_b", "reg": "reg_b"})
+    # union sketch: register-wise MAX across the pair's register tables
+    uregs = (
+        pairs.join(ra, "type_a")
+        .join(rb, ["type_b", "bucket"])
+        .select(
+            "type_a",
+            "type_b",
+            F.greatest("reg_a", "reg_b").alias("reg"),
+        )
+    )
+    uagg = _hll_agg(uregs.groupBy("type_a", "type_b")).withColumnsRenamed(
+        {"s_harm": "s_union", "v_zero": "v_union"}
+    )
+    aa = agg.withColumnsRenamed(
+        {"event_type": "type_a", "s_harm": "s_a", "v_zero": "v_a"}
+    )
+    ab = agg.withColumnsRenamed(
+        {"event_type": "type_b", "s_harm": "s_b", "v_zero": "v_b"}
+    )
+    est = (
+        uagg.join(aa, "type_a")
+        .join(ab, "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "s_union",
+            "v_union",
+            _hll_raw_estimate("s_a", "v_a").alias("raw_a"),
+            _hll_raw_estimate("s_b", "v_b").alias("raw_b"),
+            _hll_raw_estimate("s_union", "v_union").alias("raw_u"),
+        )
+    )
+    tu = e.select("event_type", "user_id").distinct()
+    ua = pairs.join(tu.withColumnRenamed("event_type", "type_a"), "type_a")
+    ub = pairs.join(tu.withColumnRenamed("event_type", "type_b"), "type_b")
+    exact_u = (
+        ua.select("type_a", "type_b", "user_id")
+        .unionByName(ub.select("type_a", "type_b", "user_id"))
+        .groupBy("type_a", "type_b")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_union_exact"))
+    )
+    ta = tu.withColumnRenamed("event_type", "type_a")
+    tb = tu.withColumnRenamed("event_type", "type_b")
+    exact_i = (
+        ta.join(tb, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_inter_exact"))
+    )
+    return (
+        est.join(exact_u, ["type_a", "type_b"])
+        .join(exact_i, ["type_a", "type_b"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            "s_union",
+            "v_union",
+            F.round("raw_a", 4).alias("hll_a"),
+            F.round("raw_b", 4).alias("hll_b"),
+            F.round("raw_u", 4).alias("hll_union"),
+            F.round(
+                F.col("raw_a") + F.col("raw_b") - F.col("raw_u"), 4
+            ).alias("hll_inter"),
+            "n_union_exact",
+            F.coalesce("n_inter_exact", F.lit(0).cast("long")).alias(
+                "n_inter_exact"
+            ),
+            F.round(
+                (F.col("raw_u") - F.col("n_union_exact"))
+                / F.col("n_union_exact"),
+                6,
+            ).alias("rel_err_union"),
+        )
     )
