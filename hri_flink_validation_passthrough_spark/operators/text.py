@@ -806,20 +806,25 @@ def quantile_sketch_build(events: DataFrame) -> DataFrame:
     )
 
 
-def quantile_sketch_quantiles(bins: DataFrame) -> DataFrame:
-    """Quantile readout from a (event_type, bin, cnt) sketch — grid-bounded
-    work only."""
+def quantile_sketch_quantiles(
+    bins: DataFrame, keys: tuple[str, ...] = ("event_type",)
+) -> DataFrame:
+    """Quantile readout from a (*keys, bin, cnt) sketch — grid-bounded work
+    only. *keys* generalizes the group (r8: the windowed streaming twin
+    reads out per (day, event_type) from the same algebra)."""
+    from functools import reduce
+
     from pyspark.sql import Window
 
     w = (
-        Window.partitionBy("event_type")
+        Window.partitionBy(*keys)
         .orderBy("bin")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = bins.withColumn("cum", F.sum("cnt").over(w).cast("long"))
-    tot = bins.groupBy("event_type").agg(F.sum("cnt").cast("long").alias("n"))
+    tot = bins.groupBy(*keys).agg(F.sum("cnt").cast("long").alias("n"))
     tgt = tot.select(
-        "event_type",
+        *keys,
         "n",
         F.explode(F.array(*[F.lit(q) for q in QSK_QS])).alias("q"),
     ).withColumn("target", F.expr("(q * n + 99) div 100"))
@@ -829,19 +834,23 @@ def quantile_sketch_quantiles(bins: DataFrame) -> DataFrame:
     # aliased common column when the base is a catalog table (seen with the
     # streaming twin's memory-sink input)
     b = cum.select(
-        F.col("event_type").alias("b_type"),
+        *[F.col(k).alias(f"b_{k}") for k in keys],
         F.col("bin").alias("b_bin"),
         F.col("cnt").alias("b_cnt"),
         F.col("cum").alias("b_cum"),
     )
+    key_eq = reduce(
+        lambda a, c: a & c,
+        [F.col(f"b_{k}") == F.col(k) for k in keys],
+    )
     joined = tgt.join(
         F.broadcast(b),
-        (F.col("b_type") == F.col("event_type"))
+        key_eq
         & (F.col("b_cum") >= F.col("target"))
         & (F.col("b_cum") - F.col("b_cnt") < F.col("target")),
     )
     return joined.select(
-        "event_type",
+        *keys,
         "q",
         "n",
         (

@@ -19,7 +19,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.text import QSK_ORACLE
+from ..operators.text import QSK_BIN_CENTS, QSK_ORACLE, QSK_QS
 from ..plans import QuerySpec, register
 from ..session import prepare
 
@@ -1112,3 +1112,114 @@ def stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _events_stream(spark, sf_dir)
     sketch = _run_to_table(quantile_sketch_build(e), "qsketch")
     return quantile_sketch_quantiles(sketch)
+
+
+# --- Windowed streaming quantile sketch (r7 verdict ask #5): the
+# production shape — per-window sketch state, APPEND output, state evicted
+# when the watermark passes the window. One far-future sentinel drags the
+# final watermark past every real window's end (so all real windows flush
+# deterministically) while the sentinel's own window stays open and never
+# reaches the output — the same trick the outer-join harness uses.
+QSKW_WINDOW = "1 day"
+QSKW_WM = "1 hour"
+_QSKW_SENTINEL_OFFSET_D = 3
+
+_qskw_dirs: dict[str, str] = {}
+
+
+def _qsk_window_input_dir(spark: SparkSession, sf_dir: str) -> str:
+    import tempfile
+
+    key = sf_dir.rstrip("/")
+    if key in _qskw_dirs:
+        return _qskw_dirs[key]
+    from ..session import load_table
+
+    e = load_table(spark, sf_dir, "events").select("ts", "event_type", "value")
+    sent = e.agg(F.max("ts").alias("ts")).select(
+        (F.col("ts") + F.expr(f"INTERVAL {_QSKW_SENTINEL_OFFSET_D} DAYS")).alias(
+            "ts"
+        ),
+        F.lit("sentinel").alias("event_type"),
+        F.lit(0.01).alias("value"),
+    )
+    tmp = tempfile.mkdtemp(prefix="hri_qskw_")
+    e.unionByName(sent).write.mode("overwrite").parquet(tmp)
+    _qskw_dirs[key] = tmp
+    return tmp
+
+
+@register(
+    QUERIES,
+    "stream_quantile_sketch_windowed",
+    oracle=f"""
+    WITH cents AS (
+      SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+      FROM events
+    ), bins AS (
+      SELECT day, event_type, c // {QSK_BIN_CENTS} AS bin,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM cents GROUP BY 1, 2, 3
+    ), cum AS (
+      SELECT day, event_type, bin, cnt,
+             CAST(sum(cnt) OVER (
+               PARTITION BY day, event_type ORDER BY bin) AS BIGINT) AS cum
+      FROM bins
+    ), tot AS (
+      SELECT day, event_type, CAST(sum(cnt) AS BIGINT) AS n
+      FROM bins GROUP BY 1, 2
+    ), tgt AS (
+      SELECT day, event_type, n, q, (q * n + 99) // 100 AS target
+      FROM tot CROSS JOIN (
+        SELECT unnest([{", ".join(map(str, QSK_QS))}]) AS q)
+    )
+    SELECT t.day, t.event_type, t.q, t.n,
+           (b.bin * {QSK_BIN_CENTS * 1000}
+            + ((t.target - (b.cum - b.cnt)) * {QSK_BIN_CENTS * 1000})
+              // b.cnt
+           ) / 100000.0 AS est_value
+    FROM tgt t
+    JOIN cum b
+      ON b.day = t.day AND b.event_type = t.event_type
+     AND b.cum >= t.target
+     AND b.cum - b.cnt < t.target
+    """,
+    doc="The fixed-grid quantile sketch per TUMBLING EVENT-TIME WINDOW in "
+    "APPEND mode: (window, type, bin) counts are a watermarked windowed "
+    "aggregation — each window's sketch lives in the state store only until "
+    "the watermark passes its end, then its final counts emit once and the "
+    "state is EVICTED (the r7 complete-mode twin kept all windows forever). "
+    "Per-(day, type) quantile readout runs grid-bounded over the appended "
+    "sink. State is bounded by windows-in-flight x |types| x ~98 bins "
+    "regardless of stream length — the telemetry shape for value-drift "
+    "monitoring over an unbounded stream. Verified on both state-store "
+    "providers (HDFSBacked + RocksDB) in tests/test_round8_ops.py. Oracle = "
+    "the same sketch algebra grouped by date_trunc day, over the raw table.",
+)
+def stream_quantile_sketch_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import QSK_BIN_CENTS, quantile_sketch_quantiles
+
+    prepare(spark)
+    path = _qsk_window_input_dir(spark, sf_dir)
+    schema = spark.read.parquet(path).schema
+    src = spark.readStream.schema(schema).parquet(path)
+    binned = (
+        src.withWatermark("ts", QSKW_WM)
+        .groupBy(
+            F.window("ts", QSKW_WINDOW).alias("w"),
+            "event_type",
+            F.expr(
+                f"CAST(floor(value * 100 + 0.5) AS BIGINT) div {QSK_BIN_CENTS}"
+            ).alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd").alias("day"),
+            "event_type",
+            "bin",
+            "cnt",
+        )
+    )
+    sketch = _run_to_table(binned, "qskw", output_mode="append")
+    return quantile_sketch_quantiles(sketch, keys=("day", "event_type"))

@@ -100,6 +100,59 @@ def test_hll_register_split_merge_parity(spark):
     assert got == want
 
 
+# --------------------------------------------------------------------------
+# Windowed streaming quantile sketch (append mode, watermark eviction)
+# --------------------------------------------------------------------------
+
+_PROVIDERS = {
+    "hdfs": "org.apache.spark.sql.execution.streaming.state."
+    "HDFSBackedStateStoreProvider",
+    "rocksdb": "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider",
+}
+
+
+@pytest.mark.parametrize("provider", sorted(_PROVIDERS))
+def test_stream_quantile_sketch_windowed_both_backends(spark, provider):
+    """r7 verdict ask #5: per-window sketch state in APPEND mode with
+    watermark eviction, oracle-green on BOTH state-store providers. The
+    provider conf is session-wide and read lazily at state-store init, so
+    it is stashed and restored around the whole query lifetime (the r6/r7
+    _tws_session lesson)."""
+    import __spark_entry__ as entrymod
+
+    conf = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        prev = spark.conf.get(conf)
+    except Exception:
+        prev = None
+    spark.conf.set(conf, _PROVIDERS[provider])
+    try:
+        qs, osql = entrymod.queries(), entrymod.oracle_sql()
+        name = "stream_quantile_sketch_windowed"
+        assert_matches_oracle(
+            qs[name](spark, SF_ORACLE), osql[name], SF_ORACLE, name
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(conf)
+        else:
+            spark.conf.set(conf, prev)
+
+
+def test_windowed_sketch_runs_append_mode(spark):
+    """The windowed twin must actually run in append mode (state evicted at
+    the watermark), not complete mode — pin the output-mode wiring so a
+    refactor can't silently fall back to the r7 keep-everything shape."""
+    import inspect
+
+    from hri_flink_validation_passthrough_spark.streaming import windows as W
+
+    src = inspect.getsource(W.stream_quantile_sketch_windowed)
+    assert 'output_mode="append"' in src
+    assert "withWatermark" in src
+
+
 def test_ivf_durable_index_is_not_rebuilt(spark):
     """Durability contract: a second request — including from a process
     that lost the in-memory memo — must reuse the on-disk artifact, not
