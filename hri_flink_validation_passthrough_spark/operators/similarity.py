@@ -221,52 +221,63 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pruning would be vacuous.
 DNLIST = 64
 
-# (normalized sf_dir, nlist) -> index directory; the DIRECTORY is the
+# (normalized sf_dir, index name) -> index directory; the DIRECTORY is the
 # durable artifact — the dict only avoids re-stat()ing within a process.
-_ivf_index_dir_memo: dict[tuple[str, int], str] = {}
+_ivf_index_dir_memo: dict[tuple[str, str], str] = {}
 
 
-def ivf_durable_index(spark: SparkSession, sf_dir: str, nlist: int = DNLIST) -> str:
-    """Build (once) and return the on-disk IVF index for *sf_dir*.
+def _write_cell_index(spark: SparkSession, sf_dir: str, name: str, build_fn) -> str:
+    """Write-once cell-partitioned index directory (shared by the IVF and
+    IVF-PQ durable indexes).
 
-    Ingest-time write path: the vector->cell assignment lands as parquet
-    PARTITIONED BY cell — hive-style ``cell=K/`` directories, so cell
-    membership is directory structure, not row data, and Catalyst prunes
-    unprobed cells at PLANNING time (PartitionFilters, zero I/O — the
-    directory analogue of zonemap_prune's footer-stats file skipping).
-    Rebuilt only if the marker files are missing: the index outlives the
-    SparkSession, which is the point. At 100 TB this is the bucketed-by-cell
-    index table a trillion-vector corpus ships alongside the data; cells
-    are also sorted by vec_id within files so a future zone-map over vec_id
-    composes."""
+    Ingest-time write path: *build_fn()*'s rows land as parquet PARTITIONED
+    BY cell — hive-style ``cell=K/`` directories, so cell membership is
+    directory structure, not row data, and Catalyst prunes unprobed cells at
+    PLANNING time (PartitionFilters, zero I/O — the directory analogue of
+    zonemap_prune's footer-stats file skipping). Rebuilt only if the marker
+    files are missing: the index outlives the SparkSession, which is the
+    point. At 100 TB this is the bucketed-by-cell index table a
+    trillion-vector corpus ships alongside the data; cells are also sorted
+    by vec_id within files so a future zone-map over vec_id composes."""
     import hashlib
     import json
     import tempfile
 
     key = sf_dir.rstrip("/")
-    memo_key = (key, nlist)
+    memo_key = (key, name)
     cached = _ivf_index_dir_memo.get(memo_key)
     if cached is not None:
         return cached
     tag = hashlib.md5(key.encode()).hexdigest()[:8]
     base = os.path.join(
         tempfile.gettempdir(),
-        f"hri_ivf_index_{os.path.basename(key)}_{tag}_n{nlist}",
+        f"hri_{name}_index_{os.path.basename(key)}_{tag}",
     )
     meta_path = os.path.join(base, "_ivf_meta.json")  # _-prefixed: scan-invisible
     if not (os.path.exists(os.path.join(base, "_SUCCESS")) and os.path.exists(meta_path)):
-        assign, _ = _ivf_assign_probes(spark, sf_dir, nlist=nlist)
         (
-            assign.repartition("cell")
+            build_fn()
+            .repartition("cell")
             .sortWithinPartitions("vec_id")
             .write.mode("overwrite")
             .partitionBy("cell")
             .parquet(base)
         )
         with open(meta_path, "w") as fh:
-            json.dump({"nlist": nlist, "sf_dir": key}, fh)
+            json.dump({"name": name, "sf_dir": key}, fh)
     _ivf_index_dir_memo[memo_key] = base
     return base
+
+
+def ivf_durable_index(spark: SparkSession, sf_dir: str, nlist: int = DNLIST) -> str:
+    """Build (once) and return the on-disk IVF index for *sf_dir*: the
+    vector->cell assignment (vec_id, e, cell), cell-partitioned."""
+    return _write_cell_index(
+        spark,
+        sf_dir,
+        f"ivf_n{nlist}",
+        lambda: _ivf_assign_probes(spark, sf_dir, nlist=nlist)[0],
+    )
 
 
 @register(
@@ -753,23 +764,29 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, re): PQ reconstructions — chosen centroids looked up in the
-    literal codebook (array-of-arrays per subspace), no join back to
-    vectors. Shared by the flat ADC scan and the composed IVF-PQ path."""
-    cb = _pq_codebook(spark, sf_dir)
-    enc = _pq_encoded(spark, sf_dir)
+def _pq_recon_expr(cb):
+    """Reconstruction column over code_0..code_{M-1}: chosen centroids
+    looked up in the literal codebook (array-of-arrays per subspace), no
+    join back to vectors. Shared by the memoized recon table and the
+    durable-index read path (which decodes codes straight off disk)."""
     cb_lits = [
         F.array(*[F.array(*[F.lit(x) for x in c]) for c in cb[m]])
         for m in range(PQ_M)
     ]
-    recon = F.flatten(
+    return F.flatten(
         F.array(*[
             F.element_at(cb_lits[m], F.col(f"code_{m}") + 1)
             for m in range(PQ_M)
         ])
     )
-    return enc.select("vec_id", recon.alias("re"))
+
+
+def _pq_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, re): PQ reconstructions — shared by the flat ADC scan and
+    the composed IVF-PQ path."""
+    cb = _pq_codebook(spark, sf_dir)
+    enc = _pq_encoded(spark, sf_dir)
+    return enc.select("vec_id", _pq_recon_expr(cb).alias("re"))
 
 
 
@@ -845,15 +862,16 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    QUERIES,
-    "ann_ivfpq_topk",
-    oracle=f"""
+def _ivfpq_topk_oracle(nlist: int) -> str:
+    """The composed IVF-PQ oracle, parameterized by the coarse-grid size —
+    shared by ann_ivfpq_topk (nlist={NLIST}) and the durable-index twin
+    (nlist={DNLIST}); the twins differ only in where codes+cells live."""
+    return f"""
     WITH {_pq_oracle_encode_cte()}, recon AS (
       SELECT vec_id, flatten(list(c ORDER BY m)) AS re
       FROM enc GROUP BY vec_id
     ), cent AS (
-      SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < {NLIST}
+      SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < {nlist}
     ), asg AS (
       SELECT vec_id, cell FROM (
         SELECT v.vec_id, cent.cid AS cell,
@@ -899,7 +917,13 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      ORDER BY cos_sim DESC, nid) AS BIGINT) AS rnk
       FROM reranked
     ) WHERE rnk <= {TOP_K}
-    """,
+    """
+
+
+@register(
+    QUERIES,
+    "ann_ivfpq_topk",
+    oracle=_ivfpq_topk_oracle(NLIST),
     doc=f"The COMPOSED trillion-vector read path, IVF-PQ: queries probe "
     f"{NPROBE} of {NLIST} coarse cells, the asymmetric-distance scan runs "
     "only over the probed cells' 8-byte PQ codes (never the raw vectors), "
@@ -915,6 +939,14 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = _pq_recon(spark, sf_dir).join(
         assign.select("vec_id", "cell"), "vec_id"
     )
+    return _ivfpq_shortlist_rerank(spark, sf_dir, cand, probes)
+
+
+def _ivfpq_shortlist_rerank(
+    spark: SparkSession, sf_dir: str, cand: DataFrame, probes: DataFrame
+) -> DataFrame:
+    """ADC shortlist + exact rerank over (vec_id, cell, re) candidates —
+    the tail every IVF-PQ variant shares (memoized and durable-index)."""
     pairs = cand.join(
         F.broadcast(probes),
         (cand.cell == probes.cell) & (cand.vec_id != probes.qid),
@@ -939,6 +971,50 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         reranked.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= TOP_K)
+    )
+
+
+@register(
+    QUERIES,
+    "ann_ivfpq_durable_topk",
+    oracle=_ivfpq_topk_oracle(DNLIST),
+    doc=f"The durable form of the composed IVF-PQ read path: the on-disk "
+    f"index holds ONLY (vec_id, {PQ_M} codes) partitioned by cell "
+    f"({DNLIST} cells) — the 8-16-byte-per-vector table a trillion-vector "
+    "deployment actually ships; raw vectors stay in the corpus and are "
+    "touched only for the shortlist's exact rerank (point lookups). Read "
+    "path: probed-cell partition pruning off disk, codebook-literal "
+    "decode, then the shared ADC shortlist + rerank tail. Completes the "
+    "r7 verdict's durable-ANN residual: both halves of the index "
+    "(ivf_durable_index's assignment, this one's codes) now outlive the "
+    "session.",
+)
+def ann_ivfpq_durable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    path = ivfpq_durable_index(spark, sf_dir)
+    _, probes = _ivf_assign_probes(spark, sf_dir, nlist=DNLIST)
+    probed = sorted(
+        r["cell"] for r in probes.select("cell").distinct().collect()
+    )
+    idx = spark.read.parquet(path).filter(F.col("cell").isin(probed))
+    cb = _pq_codebook(spark, sf_dir)
+    cand = idx.select("vec_id", "cell", _pq_recon_expr(cb).alias("re"))
+    return _ivfpq_shortlist_rerank(spark, sf_dir, cand, probes)
+
+
+def ivfpq_durable_index(spark: SparkSession, sf_dir: str, nlist: int = DNLIST) -> str:
+    """Build (once) and return the on-disk IVF-PQ index: PQ codes joined
+    with the nlist-cell assignment, written as parquet partitioned by cell
+    (same layout contract as ivf_durable_index, minus the raw vectors —
+    codes are the whole point of PQ's memory layer)."""
+    assign, _ = _ivf_assign_probes(spark, sf_dir, nlist=nlist)
+    enc = _pq_encoded(spark, sf_dir)
+    codes = enc.select("vec_id", *[f"code_{m}" for m in range(PQ_M)])
+    return _write_cell_index(
+        spark,
+        sf_dir,
+        f"ivfpq_n{nlist}",
+        lambda: codes.join(assign.select("vec_id", "cell"), "vec_id"),
     )
 
 

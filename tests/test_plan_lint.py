@@ -41,7 +41,9 @@ ALLOWED_NESTED_LOOP = {
     "ann_nprobe_recall_sweep": "same composition as ann_recall_at_k: knn_brute_force ground truth + the broadcast centroid-table crossJoin (nlist rows); the sweep itself is explode+filter over the one materialized candidate set, no extra join",
     # tiny broadcast cross joins by construction (scalar/1-row side):
     "ann_ivf_topk": "crossJoin against the broadcast centroid table (nlist rows)",
+    "ann_ivf_durable_topk": "same probes-side crossJoin against the broadcast centroid table (nlist rows) as ann_ivf_topk; the index side is a partition-pruned parquet scan equi-joined on cell",
     "ann_ivfpq_topk": "crossJoin against the broadcast centroid table (nlist rows); the ADC/rerank stages are equi-joins on cell/vec_id",
+    "ann_ivfpq_durable_topk": "same probes-side crossJoin against the broadcast centroid table (nlist rows) as ann_ivfpq_topk; codes come from a partition-pruned parquet scan, ADC/rerank are equi-joins on cell/vec_id",
     "ann_pq_adc_topk": "candidate codes × broadcast query set (N_QUERIES rows) — at scale the candidate side is pre-pruned by IVF cells, the query side stays a tiny broadcast",
     "kmeans_one_iteration": "crossJoin against the broadcast centroid table (nlist rows)",
     "dedup_semantic_ivf": "crossJoin against the broadcast centroid table (nlist rows); within-cell pairing itself is an equi-join on cell",
@@ -56,6 +58,7 @@ ALLOWED_NESTED_LOOP = {
     "corpus_split_kl_divergence": "dense source x top-100-vocab grid cross join — n_sources x 100 rows, data-size-independent (zero-count words must contribute smoothed KL mass)",
     "naive_bayes_lang_confusion": "dense |classes| x |vocab| model grid cross join — zero-count (class, token) cells must receive Laplace-smoothed mass; both sides are aggregates, data-size-independent",
     "welch_t_event_values": "theta self-join (type_a < type_b) of the |event_types|-row moment table — both sides aggregates, |types|^2/2 output pairs, data-size-independent",
+    "hll_set_algebra": "theta self-join (type_a < type_b) of the |event_types|-row DISTINCT-TYPE table forms the pair grid; the register merge itself is an equi-join on (type, bucket) and the exact counts are equi-joins on type/user — pair grid is |types|^2/2 rows, data-size-independent",
     "acf_hourly_counts": "deviation series x 24-row literal lag grid cross join — the series is the hours x types aggregate, the lag table is constant; every lag ships in one shuffle",
     "mann_whitney_u_event_types": "distinct-value table x broadcast |types|^2/2-row pair grid (OR-membership join) — both sides aggregates, data-size-independent",
     "lorenz_curve_deciles": "distinct-value cumulative table x 10-row literal decile grid cross join — aggregate x constant, data-size-independent",

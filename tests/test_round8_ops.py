@@ -50,6 +50,28 @@ def test_ivf_durable_index_prunes_files(spark):
     assert "PartitionFilters: [cell" in plan
 
 
+def test_ann_ivfpq_durable_matches_oracle(spark):
+    import __spark_entry__ as entrymod
+
+    qs, osql = entrymod.queries(), entrymod.oracle_sql()
+    name = "ann_ivfpq_durable_topk"
+    assert_matches_oracle(qs[name](spark, SF_ORACLE), osql[name], SF_ORACLE, name)
+
+
+def test_ivfpq_durable_index_holds_codes_only(spark):
+    """The PQ memory-layer contract: the on-disk index carries ONLY
+    (vec_id, codes, cell) — raw vectors stay in the corpus table and are
+    read just for the shortlist rerank. A schema that re-grows the `e`
+    column silently re-inflates the index by ~the corpus size."""
+    from hri_flink_validation_passthrough_spark.operators import similarity as S
+
+    idx = spark.read.parquet(S.ivfpq_durable_index(spark, SF_ORACLE))
+    assert "e" not in idx.columns
+    assert set(idx.columns) == (
+        {"vec_id", "cell"} | {f"code_{m}" for m in range(S.PQ_M)}
+    )
+
+
 # --------------------------------------------------------------------------
 # HLL set algebra
 # --------------------------------------------------------------------------
@@ -163,6 +185,6 @@ def test_ivf_durable_index_is_not_rebuilt(spark):
     marker = os.path.join(path, "_SUCCESS")
     mtime = os.path.getmtime(marker)
     # simulate a fresh process: drop the dict memo, keep the directory
-    S._ivf_index_dir_memo.pop((SF_ORACLE.rstrip("/"), S.DNLIST), None)
+    S._ivf_index_dir_memo.pop((SF_ORACLE.rstrip("/"), f"ivf_n{S.DNLIST}"), None)
     assert S.ivf_durable_index(spark, SF_ORACLE) == path
     assert os.path.getmtime(marker) == mtime, "index was rebuilt"
