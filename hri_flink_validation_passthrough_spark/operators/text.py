@@ -878,11 +878,10 @@ _HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
 # both engines (composing it from parts could associate differently)
 _HLL_A = repr(_HLL_ALPHA * HLL_M * HLL_M * 2.0**51)
 
-
-@register(
-    QUERIES,
-    "hll_cardinality_portable",
-    oracle=f"""
+# Shared with the streaming twin (stream_hll_cardinality): register-wise MAX
+# is order-insensitive, so one oracle serves both (the same one-oracle
+# pattern as QSK_ORACLE / stream_quantile_sketch).
+HLL_ORACLE = f"""
     WITH h AS (
       SELECT event_type,
              ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
@@ -921,7 +920,13 @@ _HLL_A = repr(_HLL_ALPHA * HLL_M * HLL_M * 2.0**51)
            round(raw, 4) AS hll_estimate,
            round((raw - n_exact) / n_exact, 6) AS rel_error
     FROM est
-    """,
+    """
+
+
+@register(
+    QUERIES,
+    "hll_cardinality_portable",
+    oracle=HLL_ORACLE,
     doc=f"Portable HyperLogLog (m={HLL_M}) of distinct users per event "
     "type, reported against the exact distinct count — the hash-checked "
     "twin of sketch_cardinalities' production approx_count_distinct (the "
@@ -940,10 +945,16 @@ _HLL_A = repr(_HLL_ALPHA * HLL_M * HLL_M * 2.0**51)
 def hll_cardinality_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     regs = _hll_reg_table(e)
-    agg = _hll_agg(regs.groupBy("event_type"))
     ex = e.groupBy("event_type").agg(
         F.countDistinct("user_id").cast("long").alias("n_exact")
     )
+    return _hll_readout(regs, ex)
+
+
+def _hll_readout(regs: DataFrame, ex: DataFrame) -> DataFrame:
+    """Estimate + error columns from a full-grid register table and an
+    exact-count table — the tail the batch and streaming twins share."""
+    agg = _hll_agg(regs.groupBy("event_type"))
     raw = _hll_raw_estimate()
     return agg.join(ex, "event_type").select(
         "event_type",
@@ -957,15 +968,15 @@ def hll_cardinality_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _hll_reg_table(e: DataFrame) -> DataFrame:
-    """(event_type, bucket, reg) over the FULL m-bucket grid (explicit
-    zeros) — the mergeable HLL state. Shared by the per-type estimate and
-    the set-algebra query so the register derivation has one source of
-    truth."""
+def _hll_rho(e: DataFrame) -> DataFrame:
+    """SPARSE registers (event_type, bucket, reg) — observed buckets only.
+    groupBy + MAX is exactly the HLL merge, so this is also valid as a
+    complete-mode streaming aggregation whose state IS the sketch
+    (stream_hll_cardinality)."""
     hv = F.conv(
         F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
     ).cast("long")
-    rho = (
+    return (
         e.select("event_type", hv.alias("hv"))
         .select(
             "event_type",
@@ -981,19 +992,47 @@ def _hll_reg_table(e: DataFrame) -> DataFrame:
         .groupBy("event_type", "bucket")
         .agg(F.max("rho").alias("reg"))
     )
+
+
+def _hll_complete_grid(rho: DataFrame) -> DataFrame:
+    """Sparse registers -> the FULL m-bucket grid with explicit zeros (the
+    readout's v_zero needs them). Types are taken from the sparse table:
+    any type with >= 1 row has >= 1 register, so nothing is lost. The join
+    side is column-RENAMED, not DataFrame-aliased: grid derives from rho
+    itself, and Spark's self-join attribute dedup drops aliased common
+    columns when the base is a catalog table (the streaming twin feeds the
+    memory-sink table here — same workaround as quantile_sketch_quantiles)."""
     grid = (
-        e.select("event_type")
+        rho.select("event_type")
         .distinct()
         .select(
             "event_type",
             F.explode(F.sequence(F.lit(0), F.lit(HLL_M - 1))).alias("bucket"),
         )
     )
-    return grid.join(rho, ["event_type", "bucket"], "left").select(
+    r = rho.select(
+        F.col("event_type").alias("r_type"),
+        F.col("bucket").alias("r_bucket"),
+        F.col("reg").alias("r_reg"),
+    )
+    return grid.join(
+        r,
+        (F.col("r_type") == F.col("event_type"))
+        & (F.col("r_bucket") == F.col("bucket")),
+        "left",
+    ).select(
         "event_type",
         "bucket",
-        F.coalesce(F.col("reg"), F.lit(0)).alias("reg"),
+        F.coalesce(F.col("r_reg"), F.lit(0)).alias("reg"),
     )
+
+
+def _hll_reg_table(e: DataFrame) -> DataFrame:
+    """(event_type, bucket, reg) over the FULL m-bucket grid (explicit
+    zeros) — the mergeable HLL state. Shared by the per-type estimate and
+    the set-algebra query so the register derivation has one source of
+    truth."""
+    return _hll_complete_grid(_hll_rho(e))
 
 
 def _hll_agg(grouped) -> DataFrame:

@@ -19,7 +19,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.text import QSK_BIN_CENTS, QSK_ORACLE, QSK_QS
+from ..operators.text import HLL_ORACLE, QSK_BIN_CENTS, QSK_ORACLE, QSK_QS
 from ..plans import QuerySpec, register
 from ..session import prepare
 
@@ -1112,6 +1112,33 @@ def stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _events_stream(spark, sf_dir)
     sketch = _run_to_table(quantile_sketch_build(e), "qsketch")
     return quantile_sketch_quantiles(sketch)
+
+
+@register(
+    QUERIES,
+    "stream_hll_cardinality",
+    oracle=HLL_ORACLE,
+    doc="The portable HLL maintained BY the streaming engine — the MAX-merge "
+    "twin of stream_quantile_sketch's ADD-merge: the sparse (event_type, "
+    "bucket) -> max-rank registers are a complete-mode streaming "
+    "aggregation, so each microbatch's partial registers merge into state "
+    "by register-wise MAX, which is exactly the HLL merge operator; the "
+    "state IS the sketch, bounded at |types| x m registers regardless of "
+    "stream length. Grid completion + integer-rational readout run "
+    "grid-bounded over the final sink. Same oracle as the batch twin "
+    "because register MAX is ingestion-order-insensitive by construction.",
+)
+def stream_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import _hll_complete_grid, _hll_readout, _hll_rho
+    from ..session import load_table
+
+    e = _events_stream(spark, sf_dir)
+    sink = _run_to_table(_hll_rho(e), "hllsketch")
+    regs = _hll_complete_grid(sink)
+    ex = load_table(spark, sf_dir, "events").groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact")
+    )
+    return _hll_readout(regs, ex)
 
 
 # --- Windowed streaming quantile sketch (r7 verdict ask #5): the

@@ -85,6 +85,16 @@ def test_hll_set_algebra_matches_oracle(spark):
     assert_matches_oracle(qs[name](spark, SF_ORACLE), osql[name], SF_ORACLE, name)
 
 
+def test_stream_hll_cardinality_matches_oracle(spark):
+    """The MAX-merge streaming sketch twin: complete-mode register state
+    through the real engine must hash-match the batch HLL oracle."""
+    import __spark_entry__ as entrymod
+
+    qs, osql = entrymod.queries(), entrymod.oracle_sql()
+    name = "stream_hll_cardinality"
+    assert_matches_oracle(qs[name](spark, SF_ORACLE), osql[name], SF_ORACLE, name)
+
+
 def test_hll_register_split_merge_parity(spark):
     """The property that makes HLL the distributed-distinct structure:
     union of sketches IS the sketch of the union. Build registers from two
