@@ -1164,9 +1164,17 @@ def _hll_est_sql(s: str, v: str) -> str:
 )
 def hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
-    regs = _hll_reg_table(e)
+    # Materialize the two base aggregates: without this the executed plan
+    # re-scans events 18 TIMES (one per branch consumer; Spark 4 applies no
+    # exchange reuse across these self-join branches — counted on the
+    # executed plan). regs is |types| x m rows, tu is the distinct
+    # (type, user) table; the lazy checkpoint costs ~0.1 s constant at
+    # sf0.1 (within rep spread, interleaved A/B) and caps the 100 TB scan
+    # term at TWO passes over events instead of eighteen.
+    regs = _hll_reg_table(e).localCheckpoint(eager=False)
     agg = _hll_agg(regs.groupBy("event_type"))
-    types = e.select("event_type").distinct()
+    # types from the materialized regs, not the base table: zero extra scans
+    types = regs.select("event_type").distinct()
     pairs = (
         types.withColumnRenamed("event_type", "type_a")
         .join(
@@ -1208,7 +1216,9 @@ def hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
             _hll_raw_estimate("s_union", "v_union").alias("raw_u"),
         )
     )
-    tu = e.select("event_type", "user_id").distinct()
+    tu = e.select("event_type", "user_id").distinct().localCheckpoint(
+        eager=False
+    )
     ua = pairs.join(tu.withColumnRenamed("event_type", "type_a"), "type_a")
     ub = pairs.join(tu.withColumnRenamed("event_type", "type_b"), "type_b")
     exact_u = (
