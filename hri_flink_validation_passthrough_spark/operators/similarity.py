@@ -295,7 +295,14 @@ def ivf_durable_index(spark: SparkSession, sf_dir: str, nlist: int = DNLIST) -> 
 )
 def ann_ivf_durable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
-    path = ivf_durable_index(spark, sf_dir)
+    return _ivf_index_read_topk(spark, sf_dir, ivf_durable_index(spark, sf_dir))
+
+
+def _ivf_index_read_topk(
+    spark: SparkSession, sf_dir: str, path: str
+) -> DataFrame:
+    """The pruned read path over any cell-partitioned on-disk IVF index —
+    shared by the one-shot durable index and the upserted one."""
     # probes depend on the query set -> per-call, exactly as ann_ivf_topk
     _, probes = _ivf_assign_probes(spark, sf_dir, nlist=DNLIST)
     probed = sorted(
@@ -314,6 +321,86 @@ def ann_ivf_durable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= TOP_K)
     )
+
+
+@register(
+    QUERIES,
+    "ann_ivf_upsert_topk",
+    oracle=_ivf_topk_oracle(DNLIST, NPROBE),
+    doc="Incremental MAINTENANCE of the durable IVF index: the base index "
+    "is built over the first ~75% of the corpus, then the remaining "
+    "vectors are APPENDED cell-wise (mode=append into the same hive "
+    "partitions — new part-files land inside their cells, existing files "
+    "are never rewritten; pinned by the base-file-set test). The coarse "
+    "centroids are frozen at base-build time, so a delta vector's cell is "
+    "identical whether assigned at ingest or upsert — the combined index "
+    "EQUALS a full rebuild, which is why the oracle is the same "
+    "full-corpus IVF SQL as ann_ivf_durable_topk. This is the daily "
+    "index-freshness path at 100 TB: a new day's embeddings cost one "
+    "assignment pass + an append, never a rebuild; compaction of "
+    "accumulated small delta files is the separate, orthogonal "
+    "maintenance op (operators/maintenance.py compact_small_files).",
+)
+def ann_ivf_upsert_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    return _ivf_index_read_topk(spark, sf_dir, ivf_upsert_index(spark, sf_dir))
+
+
+UPSERT_BASE_FRACTION = 0.75  # of max vec_id: base build vs appended delta
+
+
+def ivf_upsert_index(spark: SparkSession, sf_dir: str, nlist: int = DNLIST) -> str:
+    """Two-phase durable IVF index: base write (overwrite) + delta append.
+
+    The split is deterministic (vec_id below/above 75% of max), centroids
+    are the same frozen first-nlist vectors in both phases, and the append
+    writes only NEW part-files inside the delta cells' directories — the
+    meta records the base file set so tests can pin that upsert never
+    rewrites existing data."""
+    import hashlib
+    import json
+    import tempfile
+
+    key = sf_dir.rstrip("/")
+    name = f"ivf_upsert_n{nlist}"
+    memo_key = (key, name)
+    cached = _ivf_index_dir_memo.get(memo_key)
+    if cached is not None:
+        return cached
+    tag = hashlib.md5(key.encode()).hexdigest()[:8]
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"hri_{name}_index_{os.path.basename(key)}_{tag}",
+    )
+    meta_path = os.path.join(base, "_ivf_upsert_meta.json")
+    if not os.path.exists(meta_path):  # meta lands only after BOTH phases
+        import glob as globmod
+
+        assign, _ = _ivf_assign_probes(spark, sf_dir, nlist=nlist)
+        split = int(
+            assign.agg(F.max("vec_id")).collect()[0][0] * UPSERT_BASE_FRACTION
+        )
+
+        def _phase(df, mode):
+            (
+                df.repartition("cell")
+                .sortWithinPartitions("vec_id")
+                .write.mode(mode)
+                .partitionBy("cell")
+                .parquet(base)
+            )
+
+        _phase(assign.filter(F.col("vec_id") < split), "overwrite")
+        base_files = sorted(globmod.glob(f"{base}/cell=*/*.parquet"))
+        _phase(assign.filter(F.col("vec_id") >= split), "append")
+        with open(meta_path, "w") as fh:
+            json.dump(
+                {"name": name, "sf_dir": key, "split": split,
+                 "base_files": base_files},
+                fh,
+            )
+    _ivf_index_dir_memo[memo_key] = base
+    return base
 
 
 # BM25 keyword search — fixed query-term set, one source of truth for both

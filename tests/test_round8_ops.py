@@ -50,6 +50,34 @@ def test_ivf_durable_index_prunes_files(spark):
     assert "PartitionFilters: [cell" in plan
 
 
+def test_ann_ivf_upsert_matches_oracle(spark):
+    """The upserted index (base build + cell-wise delta append) must equal
+    a full rebuild — same full-corpus oracle as the durable twin."""
+    import __spark_entry__ as entrymod
+
+    qs, osql = entrymod.queries(), entrymod.oracle_sql()
+    name = "ann_ivf_upsert_topk"
+    assert_matches_oracle(qs[name](spark, SF_ORACLE), osql[name], SF_ORACLE, name)
+
+
+def test_ivf_upsert_appends_without_rewriting_base(spark):
+    """The maintenance contract: the delta append lands NEW part-files
+    inside the cells and never rewrites the base file set (otherwise daily
+    index freshness costs a rebuild)."""
+    import json
+
+    from hri_flink_validation_passthrough_spark.operators import similarity as S
+
+    path = S.ivf_upsert_index(spark, SF_ORACLE)
+    with open(os.path.join(path, "_ivf_upsert_meta.json")) as fh:
+        meta = json.load(fh)
+    current = set(glob.glob(f"{path}/cell=*/*.parquet"))
+    base = set(meta["base_files"])
+    assert base, "no base files recorded"
+    assert base <= current, "append rewrote/removed base files"
+    assert len(current) > len(base), "no delta files were appended"
+
+
 def test_ann_ivfpq_durable_matches_oracle(spark):
     import __spark_entry__ as entrymod
 
