@@ -78,6 +78,33 @@ def test_ivf_upsert_appends_without_rewriting_base(spark):
     assert len(current) > len(base), "no delta files were appended"
 
 
+def test_ivf_upsert_index_compaction_roundtrip(spark, tmp_path):
+    """Close the maintenance loop: upserts accumulate small per-cell delta
+    files; per-cell compaction with the EXISTING maintenance op
+    (compact_small_files — coalesce rewrite, row-count-guarded) must cut
+    the file count while leaving the pruned read path's answers
+    hash-identical to the oracle."""
+    import __spark_entry__ as entrymod
+
+    from hri_flink_validation_passthrough_spark.operators import similarity as S
+    from hri_flink_validation_passthrough_spark.operators.maintenance import (
+        compact_small_files,
+    )
+
+    src = S.ivf_upsert_index(spark, SF_ORACLE)
+    n_before = len(glob.glob(f"{src}/cell=*/*.parquet"))
+    dst = str(tmp_path / "ivf_compacted")
+    for cdir in sorted(glob.glob(f"{src}/cell=*")):
+        compact_small_files(spark, cdir, f"{dst}/{os.path.basename(cdir)}")
+    n_after = len(glob.glob(f"{dst}/cell=*/*.parquet"))
+    assert 0 < n_after < n_before, f"no compaction: {n_before} -> {n_after}"
+    got = S._ivf_index_read_topk(spark, SF_ORACLE, dst)
+    osql = entrymod.oracle_sql()
+    assert_matches_oracle(
+        got, osql["ann_ivf_upsert_topk"], SF_ORACLE, "ivf_compacted_read"
+    )
+
+
 def test_ann_ivfpq_durable_matches_oracle(spark):
     import __spark_entry__ as entrymod
 
