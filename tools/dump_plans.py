@@ -57,6 +57,8 @@ SHOWCASE = {
     "bfs_hops_from_hub": "level-synchronous BFS: per-hop equi-join + anti-join, frontiers localCheckpointed to truncate plan lineage",
     "char_entropy_quality": "26 in-row length-difference terms; zero shuffle before the TakeOrdered top-k",
     "frequent_triples_apriori": "L2 self-join candidates pruned by downward closure before any triple counting",
+    "ann_ivf_durable_topk": "on-disk IVF index: PartitionFilters list only the probed cells' directories — the unprobed corpus is zero-IO at planning time",
+    "ann_ivfpq_durable_topk": "codes-only index scan (no raw vectors) pruned to probed cells; codebook-literal decode + ADC in codegen; exact rerank joins the corpus just for the shortlist",
     "custom_source_batch_envelope": "Python Data Source scan: 8 planned InputPartitions feeding a partial+final aggregate",
     "welch_t_event_values": "one grouped moment pass; |types|-row theta self-join for all pairwise tests",
     "holt_winters_level_trend": "blocked 2x2 matrix recurrence: literal A-power weight arrays, plain groupBy block sums, 4-lag carry window per key",
