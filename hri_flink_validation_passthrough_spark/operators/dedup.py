@@ -356,39 +356,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partition locally; at 100 TB the scan already has thousands) and
     # persists the result shared with the other dedup queries.
     s = _shingles_for(spark, sf_dir)  # doc_id, sh (distinct shingles)
-
-    # 64-permutation MinHash signature. Shingle STRINGS are hashed exactly
-    # once JVM-side (xxhash64); the 64 permutations are multiply-add over
-    # uint64 computed as one numpy matrix op per doc in an Arrow-batched
-    # pandas UDF — the expression-tree form (64 nested transforms) spends
-    # more time building arrays than hashing.
-    base = s.select(
-        "doc_id",
-        F.transform(F.col("sh"), lambda g: F.xxhash64(g)).alias("hs"),
-    )
-    sig_udf = F.pandas_udf(_minhash_signature, "array<long>")
-    signed = base.select("doc_id", sig_udf("hs").alias("sig"))
-
-    # 32 bands × 2 rows: band key = hash of the band's signature slice.
-    bands = F.transform(
-        F.sequence(F.lit(0), F.lit(31)),
-        lambda b: F.struct(
-            b.alias("band"),
-            F.xxhash64(
-                F.element_at(F.col("sig"), (2 * b + 1).cast("int")),
-                F.element_at(F.col("sig"), (2 * b + 2).cast("int")),
-                b,
-            ).alias("bkey"),
-        ),
-    )
-    # Explode ONLY (doc_id, band, bkey): the shingle arrays must not ride
-    # through the ×32 explode (that amplification was the first bench cost).
-    # Candidates come from groupBy(bucket) + in-array pair combinations
-    # rather than a self-join: one pass over the signature pipeline instead
-    # of two (self-joins re-execute the expensive subtree on both sides).
-    buckets = signed.select("doc_id", F.explode(bands).alias("bb")).select(
-        "doc_id", "bb.band", "bb.bkey"
-    )
+    buckets = _minhash_buckets(s)
     ids = F.col("ids")
     pair_structs = F.flatten(
         F.transform(
@@ -409,16 +377,148 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.doc_a", "p.doc_b")
         .dropDuplicates(["doc_a", "doc_b"])  # pairs collide in many bands
     )
+    return _verify_jaccard_pairs(cand, s, 0.8)
 
+
+def _minhash_buckets(s: DataFrame) -> DataFrame:
+    """(doc_id, band, bkey) LSH bucket memberships — shared by the full
+    corpus dedup and the incremental delta-vs-corpus variant.
+
+    64-permutation MinHash signature. Shingle STRINGS are hashed exactly
+    once JVM-side (xxhash64); the 64 permutations are multiply-add over
+    uint64 computed as one numpy matrix op per doc in an Arrow-batched
+    pandas UDF — the expression-tree form (64 nested transforms) spends
+    more time building arrays than hashing. 32 bands x 2 rows: band key =
+    hash of the band's signature slice. Explode ONLY (doc_id, band, bkey):
+    the shingle arrays must not ride through the x32 explode (that
+    amplification was the first bench cost)."""
+    base = s.select(
+        "doc_id",
+        F.transform(F.col("sh"), lambda g: F.xxhash64(g)).alias("hs"),
+    )
+    sig_udf = F.pandas_udf(_minhash_signature, "array<long>")
+    signed = base.select("doc_id", sig_udf("hs").alias("sig"))
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(31)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.xxhash64(
+                F.element_at(F.col("sig"), (2 * b + 1).cast("int")),
+                F.element_at(F.col("sig"), (2 * b + 2).cast("int")),
+                b,
+            ).alias("bkey"),
+        ),
+    )
+    # Candidates come from groupBy(bucket) + in-array pair combinations
+    # rather than a self-join: one pass over the signature pipeline instead
+    # of two (self-joins re-execute the expensive subtree on both sides).
+    return signed.select("doc_id", F.explode(bands).alias("bb")).select(
+        "doc_id", "bb.band", "bb.bkey"
+    )
+
+
+def _verify_jaccard_pairs(cand: DataFrame, s: DataFrame, thr: float) -> DataFrame:
+    """Exact-Jaccard verification of candidate (doc_a, doc_b) pairs against
+    the shingle table — the LSH pipelines' shared last stage."""
     sh_a = s.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
     sh_b = s.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
     verified = cand.join(sh_a, "doc_a").join(sh_b, "doc_b")
     shared = F.size(F.array_intersect("sha", "shb")).cast("double")
     union = (F.size("sha") + F.size("shb")).cast("double") - shared
     jac = shared / union
-    return verified.filter(jac >= 0.8).select(
+    return verified.filter(jac >= thr).select(
         "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
     )
+
+
+# Incremental split point: docs with id below 3/4 of max are the standing
+# corpus, the rest are "today's ingest". Integer arithmetic on both engines
+# so the split can't drift.
+_DELTA_NUM, _DELTA_DEN = 3, 4
+
+
+@register(
+    QUERIES,
+    "dedup_incremental_delta",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      FROM t WHERE len(toks) >= 3
+    ), e AS (
+      SELECT doc_id, unnest(sh) AS g FROM s
+    ), mx AS (
+      SELECT max(doc_id) * 3 // 4 AS split FROM documents
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+      FROM e a JOIN e b ON a.g = b.g CROSS JOIN mx
+      WHERE a.doc_id < mx.split AND b.doc_id >= mx.split
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 6) AS jaccard
+    FROM pairs
+    JOIN (SELECT doc_id, len(sh) AS n FROM s) sa ON sa.doc_id = doc_a
+    JOIN (SELECT doc_id, len(sh) AS n FROM s) sb ON sb.doc_id = doc_b
+    WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.8
+    """,
+    doc="Incremental (delta-vs-corpus) near-dup detection — the nightly "
+    "ingest filter at 100 TB: only NEW docs (id >= 3/4 of max, the 'daily "
+    "delta') are checked against the STANDING corpus through the same "
+    "MinHash-LSH banding as dedup_minhash_lsh, and per LSH bucket the pair "
+    "expansion is old x new ONLY (two null-skipping collect_lists) — "
+    "never corpus x corpus (already deduped yesterday) and never delta x "
+    "delta (tiny, handled by the full pipeline on the delta alone). "
+    "Candidate cost scales with |delta|, not |corpus|: the corpus side "
+    "contributes only bucket membership, which in production is the STORED "
+    "signature index (the text twin of ivf_upsert_index's cell "
+    "assignment). Same banding recall guarantee as the full dedup; exact "
+    "verification at 0.8. Oracle = brute-force cross-partition pairs.",
+)
+def dedup_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    from ..session import load_table
+
+    max_id = (
+        load_table(spark, sf_dir, "documents").agg(F.max("doc_id")).collect()[0][0]
+    )
+    split = max_id * _DELTA_NUM // _DELTA_DEN
+    s = _shingles_for(spark, sf_dir)
+    buckets = _minhash_buckets(s).withColumn(
+        "is_new", F.col("doc_id") >= split
+    )
+    # old x new cross pairs per bucket: collect_list skips the nulls the
+    # two WHENs produce, so each bucket carries its sides as two arrays
+    olds, news = F.col("olds"), F.col("news")
+    pair_structs = F.flatten(
+        F.transform(
+            olds,
+            lambda a: F.transform(
+                news,
+                lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
+            ),
+        )
+    )
+    cand = (
+        buckets.groupBy("band", "bkey")
+        .agg(
+            F.collect_list(
+                F.when(~F.col("is_new"), F.col("doc_id"))
+            ).alias("olds"),
+            F.collect_list(
+                F.when(F.col("is_new"), F.col("doc_id"))
+            ).alias("news"),
+        )
+        .filter((F.size(olds) > 0) & (F.size(news) > 0))
+        .select(F.explode(pair_structs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return _verify_jaccard_pairs(cand, s, 0.8)
 
 
 # 64 deterministic odd multipliers/offsets for the MinHash permutation family

@@ -128,6 +128,49 @@ def test_ivfpq_durable_index_holds_codes_only(spark):
 
 
 # --------------------------------------------------------------------------
+# Incremental dedup (delta vs corpus)
+# --------------------------------------------------------------------------
+
+
+def test_dedup_incremental_delta_matches_oracle(spark):
+    import __spark_entry__ as entrymod
+
+    qs, osql = entrymod.queries(), entrymod.oracle_sql()
+    name = "dedup_incremental_delta"
+    assert_matches_oracle(qs[name](spark, SF_ORACLE), osql[name], SF_ORACLE, name)
+
+
+def test_dedup_incremental_is_cross_partition_subset(spark):
+    """Every incremental pair must be (corpus, delta) — doc_a strictly
+    below the split, doc_b at/above it — and the incremental output must
+    be exactly the full dedup's pairs restricted to that cross cut (no
+    corpus x corpus re-checks, no missed cross pairs)."""
+    import __spark_entry__ as entrymod
+
+    from hri_flink_validation_passthrough_spark.operators import dedup as D
+    from hri_flink_validation_passthrough_spark.session import load_table
+
+    qs = entrymod.queries()
+    max_id = (
+        load_table(spark, SF_ORACLE, "documents")
+        .agg(F.max("doc_id"))
+        .collect()[0][0]
+    )
+    split = max_id * D._DELTA_NUM // D._DELTA_DEN
+    inc = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in qs["dedup_incremental_delta"](spark, SF_ORACLE).collect()
+    }
+    assert inc, "no incremental pairs at this sf — test data drifted"
+    assert all(a < split <= b for a, b, _ in inc)
+    full = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in qs["dedup_minhash_lsh"](spark, SF_ORACLE).collect()
+    }
+    assert inc == {(a, b, j) for a, b, j in full if a < split <= b}
+
+
+# --------------------------------------------------------------------------
 # HLL set algebra
 # --------------------------------------------------------------------------
 
