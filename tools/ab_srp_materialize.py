@@ -39,15 +39,20 @@ def main() -> None:
     fn = dedup.dedup_embedding_srp_lsh
 
     def run_once(policy: str) -> float:
+        # try/finally: a throw mid-measurement must not leave the production
+        # knob on 'persist'/'none' or handles pinned — that would skew every
+        # later arm in this session (r8 ADVICE)
         dedup._SRP_MATERIALIZE = policy
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        dt = time.perf_counter() - t0
-        # explicit unpersist AFTER the consuming action — the leak-free
-        # persist contract the r7 verdict asked to benchmark
-        while dedup._SRP_PINNED:
-            dedup._SRP_PINNED.pop().unpersist()
-        dedup._SRP_MATERIALIZE = "ckpt"
+        try:
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            dt = time.perf_counter() - t0
+        finally:
+            # explicit unpersist AFTER the consuming action — the leak-free
+            # persist contract the r7 verdict asked to benchmark
+            while dedup._SRP_PINNED:
+                dedup._SRP_PINNED.pop().unpersist()
+            dedup._SRP_MATERIALIZE = "ckpt"
         return dt
 
     arms = ["ckpt", "persist", "none"]
