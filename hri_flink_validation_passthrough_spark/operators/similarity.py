@@ -772,9 +772,13 @@ def _trained_ivf_oracle(nlist: int, iters: int, nprobe: int) -> str:
     "the corpus against the literal trained-centroid array (zero-shuffle "
     "E-step) and records the centroids in the catalog sidecar; the read "
     "path resolves probes from the SIDECAR's centroids alone (no corpus "
-    "recompute) and prunes to the probed cells' partitions. Trained "
-    "centroids raise measured recall@5 over the frozen first-n grid at "
-    "equal nprobe (tests/test_ann_quality.py). Oracle re-trains the same "
+    "recompute) and prunes to the probed cells' partitions. Measured "
+    "(BASELINE.md r9): training raises recall@5 at equal nprobe on "
+    "CLUSTERED corpora with held-out queries (0.64 -> 0.76, pinned in "
+    "tests/test_trained_quantizer.py) and holds parity (0.74 = 0.74) plus "
+    "slightly better cell balance on this driver corpus, whose isotropic "
+    "vectors have no structure to learn and whose query set coincides "
+    "with the first-n anchors. Oracle re-trains the same "
     "centroids with chained CTEs (same 1e-9 mean snapping and tiebreaks "
     "as kmeans_lloyd_convergence) and runs the standard IVF tail.",
 )
