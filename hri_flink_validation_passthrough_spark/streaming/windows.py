@@ -1250,3 +1250,141 @@ def stream_quantile_sketch_windowed(spark: SparkSession, sf_dir: str) -> DataFra
     )
     sketch = _run_to_table(binned, "qskw", output_mode="append")
     return quantile_sketch_quantiles(sketch, keys=("day", "event_type"))
+
+
+# --------------------------------------------------------------------------
+# Streaming incremental dedup (r9, verdict ask #3): the continuous-ingest
+# twin of dedup_incremental_delta. The standing corpus's MinHash-LSH bucket
+# index is built ONCE (in production: the STORED signature index maintained
+# by yesterday's batch run — the text twin of ivf_upsert_index); today's
+# delta then arrives as a STREAM, and each microbatch is banded through the
+# same _minhash_buckets and bucket-joined against the standing index in
+# foreachBatch. Pair work per microbatch = |batch buckets| x in-bucket
+# corpus collisions — never corpus x corpus; corpus cost is one frozen
+# index build. Each epoch's verified pairs land in an overwrite-per-epoch
+# directory, so a replayed microbatch (same epoch_id after failure
+# recovery) is idempotent. A given new doc belongs to exactly one
+# microbatch, so no pair can span epochs.
+# --------------------------------------------------------------------------
+_SDI_DELTA_FILES = 4  # delta split into 4 files -> 4 microbatches
+
+
+def stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid as _uuid
+
+    from ..operators.dedup import (
+        _DELTA_DEN,
+        _DELTA_NUM,
+        _minhash_buckets,
+        _shingles,
+        _shingles_for,
+        _verify_jaccard_pairs,
+    )
+    from ..session import load_table
+
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+    split = max_id * _DELTA_NUM // _DELTA_DEN
+
+    # Standing-corpus side: shared session shingle table (same memo the
+    # batch twin uses) filtered to the corpus, banded once, persisted for
+    # the run (bounded: |corpus| x 32 band rows). Frozen at the split —
+    # production folds accepted deltas back in AFTER the day's run, which
+    # is exactly what the batch twin's oracle checks.
+    corpus_sh = _shingles_for(spark, sf_dir).filter(F.col("doc_id") < split)
+    corpus_idx = (
+        _minhash_buckets(corpus_sh)
+        .withColumnRenamed("doc_id", "doc_a")
+        .persist()
+    )
+
+    base = tempfile.mkdtemp(prefix="hri_sdi_")
+    # the delta replayed as a finite stream: N files -> N microbatches
+    (
+        docs.filter(F.col("doc_id") >= split)
+        .repartition(_SDI_DELTA_FILES)
+        .write.mode("overwrite")
+        .parquet(f"{base}/delta")
+    )
+    schema = spark.read.parquet(f"{base}/delta").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{base}/delta")
+    )
+
+    def _check(batch_df: DataFrame, epoch_id: int) -> None:
+        bsh = _shingles(batch_df)
+        bbk = _minhash_buckets(bsh).withColumnRenamed("doc_id", "doc_b")
+        cand = (
+            corpus_idx.join(F.broadcast(bbk), ["band", "bkey"])
+            .select("doc_a", "doc_b")
+            .dropDuplicates(["doc_a", "doc_b"])
+        )
+        verified = _verify_jaccard_pairs(
+            cand, corpus_sh.unionByName(bsh), 0.8
+        )
+        # overwrite-per-epoch directory = replay-idempotent sink
+        verified.write.mode("overwrite").parquet(f"{base}/out/e{int(epoch_id)}")
+
+    try:
+        with _pinned_state(spark):
+            q = (
+                src.writeStream.foreachBatch(_check)
+                .option(
+                    "checkpointLocation",
+                    f"{base}/ckpt_{_uuid.uuid4().hex[:8]}",
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        corpus_idx.unpersist()
+
+    out_root = f"{base}/out"
+    parts = [
+        os.path.join(out_root, d)
+        for d in (sorted(os.listdir(out_root)) if os.path.isdir(out_root) else [])
+        if any(
+            f.startswith("part-") and f.endswith(".parquet")
+            for f in os.listdir(os.path.join(out_root, d))
+        )
+    ]
+    if not parts:  # zero near-dups in the delta at this sf
+        return spark.createDataFrame(
+            [], "doc_a bigint, doc_b bigint, jaccard double"
+        )
+    return spark.read.parquet(*parts)
+
+
+def _register_stream_dedup_incremental() -> None:
+    # oracle = the batch twin's, verbatim: both compute old x new
+    # cross-partition near-dup pairs at the same 3/4 split and 0.8 cut.
+    from ..operators.dedup import QUERIES as DEDUP_QUERIES
+
+    register(
+        QUERIES,
+        "stream_dedup_incremental",
+        oracle=DEDUP_QUERIES["dedup_incremental_delta"].oracle,
+        doc="Streaming incremental dedup — the CONTINUOUS-ingest twin of "
+        "dedup_incremental_delta: the standing corpus's MinHash-LSH bucket "
+        "index is built once and frozen (production: the stored signature "
+        "index from yesterday's batch), the delta replays as a real "
+        "Structured Streaming source (maxFilesPerTrigger=1 -> multiple "
+        "microbatches), and every microbatch is banded through the shared "
+        "_minhash_buckets and bucket-joined (batch side broadcast) against "
+        "the standing index in foreachBatch, then exact-Jaccard verified "
+        "at 0.8. Per-epoch overwrite directories make replayed microbatches "
+        "idempotent; a new doc belongs to exactly one microbatch so no pair "
+        "spans epochs. State is the frozen corpus index, not stream state — "
+        "per-microbatch cost rides |batch| x bucket-collision rate, never "
+        "corpus x corpus. Oracle = the batch twin's brute-force "
+        "cross-partition SQL on the same split.",
+    )(stream_dedup_incremental)
+
+
+_register_stream_dedup_incremental()
