@@ -1881,6 +1881,167 @@ def ann_nprobe_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- PQ rerank-depth sweep (r9, verdict ask #5): the second tuning axis --
+SWEEP_DEPTHS = (5, 10, 25, 50)  # max = PQ_SHORTLIST, the shipped depth
+
+
+def _depth_sweep_oracle() -> str:
+    exact = QUERIES["knn_brute_force"].oracle
+    return f"""
+    WITH {_pq_oracle_encode_cte()}, recon AS (
+      SELECT vec_id, flatten(list(c ORDER BY m)) AS re
+      FROM enc GROUP BY vec_id
+    ), cent AS (
+      SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < {NLIST}
+    ), asg AS (
+      SELECT vec_id, cell FROM (
+        SELECT v.vec_id, cent.cid AS cell,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY round(list_cosine_similarity(v.e, cent.ce), 6) DESC,
+                          cent.cid) AS rn
+        FROM v, cent
+      ) WHERE rn = 1
+    ), q AS (
+      SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < {N_QUERIES}
+    ), probes AS (
+      SELECT qid, qe, cell FROM (
+        SELECT q.qid, q.qe, cent.cid AS cell,
+               row_number() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY round(list_cosine_similarity(q.qe, cent.ce), 6) DESC,
+                          cent.cid) AS rn
+        FROM q, cent
+      ) WHERE rn <= {NPROBE}
+    ), s AS (
+      SELECT p.qid, p.qe, r.vec_id AS nid,
+             round(sqrt(list_sum(list_transform(range(1, {PQ_M * PQ_DSUB} + 1),
+               i -> (p.qe[i] - r.re[i]) * (p.qe[i] - r.re[i])))), 6) AS adc_dist
+      FROM probes p
+      JOIN asg a ON a.cell = p.cell AND a.vec_id != p.qid
+      JOIN recon r ON r.vec_id = a.vec_id
+    ), shortlist AS (
+      SELECT qid, qe, nid, rs FROM (
+        SELECT qid, qe, nid,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY adc_dist, nid) AS rs
+        FROM s
+      ) WHERE rs <= {max(SWEEP_DEPTHS)}
+    ), reranked AS (
+      SELECT sl.qid, sl.nid, sl.rs,
+             round(list_cosine_similarity(sl.qe, v.e), 6) AS cos_sim
+      FROM shortlist sl JOIN v ON v.vec_id = sl.nid
+    ), scoped AS (
+      SELECT d.depth, r.qid, r.nid, r.cos_sim
+      FROM (SELECT unnest([{", ".join(map(str, SWEEP_DEPTHS))}]) AS depth) d
+      JOIN reranked r ON r.rs <= d.depth
+    ), topk AS (
+      SELECT depth, qid, nid FROM (
+        SELECT depth, qid, nid,
+               row_number() OVER (PARTITION BY depth, qid
+                                  ORDER BY cos_sim DESC, nid) AS rnk
+        FROM scoped
+      ) WHERE rnk <= {TOP_K}
+    ), exact AS ({exact}),
+    hits AS (
+      SELECT t.depth, CAST(count(*) AS BIGINT) AS sum_hits
+      FROM topk t JOIN exact e ON e.qid = t.qid AND e.nid = t.nid
+      GROUP BY t.depth
+    ), cost AS (
+      SELECT depth, CAST(count(*) AS BIGINT) AS n_fetches
+      FROM scoped GROUP BY depth
+    )
+    SELECT CAST(c.depth AS BIGINT) AS depth,
+           CAST(coalesce(h.sum_hits, 0) AS BIGINT) AS sum_hits,
+           coalesce(h.sum_hits, 0) * 1.0 / {N_QUERIES * TOP_K} AS mean_recall,
+           c.n_fetches * 1.0 / {N_QUERIES} AS mean_fetches
+    FROM cost c LEFT JOIN hits h ON h.depth = c.depth
+    """
+
+
+@register(
+    QUERIES,
+    "ann_pq_depth_recall_sweep",
+    oracle=_depth_sweep_oracle(),
+    doc=f"IVF-PQ rerank-DEPTH tuning sweep — the second axis every IVF-PQ "
+    f"deployment tunes after nprobe: ONE materialization of the max-depth "
+    f"ADC shortlist (ADC rank kept) and ONE exact rerank over it, then "
+    f"each sweep point depth in {SWEEP_DEPTHS} is a FILTER over the "
+    "already-reranked candidates (explode of 4 literals — no re-scan, no "
+    "second rerank), per-(depth,query) top-k, recall scored against the "
+    "exact brute-force ranking next to mean full-precision fetches per "
+    "query — the recall-vs-fetch-cost curve that picks PQ_SHORTLIST. All "
+    "counts integer, two divisions by constants at the end; composes "
+    "knn_brute_force's oracle verbatim. Same one-pass doctrine as "
+    "ann_nprobe_recall_sweep.",
+)
+def ann_pq_depth_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assign, probes = _ivf_assign_probes(spark, sf_dir)
+    cand = _pq_recon(spark, sf_dir).join(
+        assign.select("vec_id", "cell"), "vec_id"
+    )
+    pairs = cand.join(
+        F.broadcast(probes),
+        (cand.cell == probes.cell) & (cand.vec_id != probes.qid),
+    )
+    adc = F.round(F.sqrt(_sqdist(F.col("qe"), F.col("re"))), 6)
+    w_short = Window.partitionBy("qid").orderBy(F.asc("adc_dist"), F.asc("nid"))
+    shortlist = (
+        pairs.select(
+            "qid", "qe", F.col("vec_id").alias("nid"), adc.alias("adc_dist")
+        )
+        .withColumn("rs", F.row_number().over(w_short))
+        .filter(F.col("rs") <= max(SWEEP_DEPTHS))
+        .select("qid", "qe", "nid", "rs")
+    )
+    v = _emb(spark, sf_dir)
+    reranked = shortlist.join(v, shortlist.nid == v.vec_id).select(
+        "qid",
+        "nid",
+        "rs",
+        F.round(cosine_similarity(F.col("qe"), F.col("e")), 6).alias("cos_sim"),
+    )
+    scoped = reranked.select(
+        "qid",
+        "nid",
+        "cos_sim",
+        "rs",
+        F.explode(F.array(*[F.lit(d) for d in SWEEP_DEPTHS])).alias("depth"),
+    ).filter(F.col("rs") <= F.col("depth"))
+    w = Window.partitionBy("depth", "qid").orderBy(
+        F.desc("cos_sim"), F.asc("nid")
+    )
+    topk = (
+        scoped.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("depth", "qid", "nid")
+    )
+    exact = knn_brute_force(spark, sf_dir).select(
+        F.col("qid").alias("eqid"), F.col("nid").alias("enid")
+    )
+    hits = (
+        topk.join(
+            F.broadcast(exact),
+            (F.col("qid") == F.col("eqid")) & (F.col("nid") == F.col("enid")),
+        )
+        .groupBy("depth")
+        .agg(F.count(F.lit(1)).cast("long").alias("sum_hits"))
+    )
+    cost = scoped.groupBy("depth").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fetches")
+    )
+    return cost.join(hits, "depth", "left").select(
+        F.col("depth").cast("long").alias("depth"),
+        F.coalesce(F.col("sum_hits"), F.lit(0)).cast("long").alias("sum_hits"),
+        (
+            F.coalesce(F.col("sum_hits"), F.lit(0))
+            * 1.0
+            / F.lit(N_QUERIES * TOP_K)
+        ).alias("mean_recall"),
+        (F.col("n_fetches") * 1.0 / F.lit(N_QUERIES)).alias("mean_fetches"),
+    )
+
+
 # ---- Multi-iteration Lloyd k-means (the unsupervised iterative trainer) --
 LLOYD_ITERS = 3
 

@@ -39,6 +39,7 @@ ALLOWED_NESTED_LOOP = {
     "hard_negative_mining": "broadcast query set (N_QUERIES rows) x candidate scan, same shape as knn_brute_force; at scale the candidate side is IVF-pruned",
     "ann_recall_at_k": "composes knn_brute_force (allowlisted exact baseline) with ann_ivf_topk — the brute-force side IS the eval ground truth",
     "ann_nprobe_recall_sweep": "same composition as ann_recall_at_k: knn_brute_force ground truth + the broadcast centroid-table crossJoin (nlist rows); the sweep itself is explode+filter over the one materialized candidate set, no extra join",
+    "ann_pq_depth_recall_sweep": "same composition as ann_nprobe_recall_sweep: knn_brute_force ground truth + the broadcast centroid-table crossJoin (nlist rows); the depth sweep is explode+filter over the ONE reranked max-depth shortlist, no extra join or rerank",
     # tiny broadcast cross joins by construction (scalar/1-row side):
     "ann_ivf_topk": "crossJoin against the broadcast centroid table (nlist rows)",
     "ann_ivf_durable_topk": "same probes-side crossJoin against the broadcast centroid table (nlist rows) as ann_ivf_topk; the index side is a partition-pruned parquet scan equi-joined on cell",

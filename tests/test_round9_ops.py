@@ -94,3 +94,39 @@ def test_stream_dedup_incremental_is_multi_microbatch(spark):
         if re.fullmatch(r"e\d+", d)
     ]
     assert len(epochs) >= 2, f"expected >=2 microbatch epochs, got {epochs}"
+
+
+# --------------------------------------------------------------------------
+# PQ rerank-depth recall sweep
+# --------------------------------------------------------------------------
+
+
+def test_ann_pq_depth_sweep_matches_oracle(spark):
+    import __spark_entry__ as entrymod
+
+    qs, osql = entrymod.queries(), entrymod.oracle_sql()
+    name = "ann_pq_depth_recall_sweep"
+    assert_matches_oracle(qs[name](spark, SF_ORACLE), osql[name], SF_ORACLE, name)
+
+
+def test_ann_pq_depth_sweep_monotone(spark):
+    """Recall must be non-decreasing in rerank depth, and the max-depth
+    point must coincide with the shipped PQ_SHORTLIST so the sweep's
+    deepest row IS the production configuration's measured recall."""
+    from hri_flink_validation_passthrough_spark.operators.similarity import (
+        PQ_SHORTLIST,
+        SWEEP_DEPTHS,
+        ann_pq_depth_recall_sweep,
+    )
+
+    assert max(SWEEP_DEPTHS) == PQ_SHORTLIST
+    rows = sorted(
+        ann_pq_depth_recall_sweep(spark, SF_ORACLE).collect(),
+        key=lambda r: r["depth"],
+    )
+    recalls = [r["mean_recall"] for r in rows]
+    assert recalls == sorted(recalls), f"recall not monotone in depth: {recalls}"
+    assert recalls[-1] >= 0.85, (
+        f"max-depth recall {recalls[-1]:.2f} fell below the composed "
+        "IVF-PQ pin (measured 0.90)"
+    )
