@@ -164,3 +164,32 @@ def test_regressed_previously_verified_query_also_leads(tmp_path, monkeypatch):
     assert victim in entrymod._driver_verified_names()  # green row exists
     assert entrymod._latest_round_failures() == [victim]  # but newest is red
     assert list(entrymod._all_specs())[0] == victim
+
+
+def test_registry_within_rotation_capacity():
+    """r8 verdict ask #7: the ≤5-round receipt-age bound above is REACTIVE —
+    it trips only after a receipt has already silently aged past a full
+    rotation. This guard is PREDICTIVE: with the driver verifying W queries
+    per round (observed from the CORRECTNESS records, 50 every round so
+    far), receipts can only stay within 5 rounds if the registry keeps
+    slack under 5*W — each net-new registration transiently eats a stalest-
+    tail slot. Capacity = 5*W − 10 (the 10 reserves headroom for one
+    round's worth of new registrations + stale rows-only refreshes). At
+    238/240 this forces the growth decision explicitly: past ~240, prefer
+    deepening existing queries (tests, scaling rows, A/Bs) or retiring a
+    superseded query over net-new registration."""
+    import json
+
+    windows = [
+        len(json.load(open(p))) for p in entrymod._correctness_paths()
+    ]
+    if not windows:
+        return
+    w = min(windows[-3:])  # observed driver window, newest rounds
+    n = len(entrymod._all_specs())
+    cap = 5 * w - 10
+    assert n <= cap, (
+        f"registry ({n}) exceeds rotation capacity ({cap} = 5x{w} - 10): "
+        "some receipt WILL age past one full rotation — retire a query, "
+        "or accept and loosen the age bound deliberately"
+    )
