@@ -674,7 +674,21 @@ def ivf_trained_index(
     path (and any fresh session) resolves probes from metadata alone.
     ann_ivf_upsert_topk keeps the FROZEN first-n grid, preserving its
     rebuild-equivalence proof; a trained upsert freezes THESE centroids at
-    base-build the same way."""
+    base-build the same way.
+
+    The catalog is consulted BEFORE training: when a current published
+    index exists, a fresh session resolves it from the sidecar alone and
+    never re-runs the E-step scans (pinned in tests/test_index_catalog.py
+    — training functions are poisoned and the read still succeeds)."""
+    key = sf_dir.rstrip("/")
+    name = f"ivf_trained_n{nlist}_i{iters}"
+    cached = _ivf_index_dir_memo.get((key, name))
+    if cached is not None and _index_is_current(cached, key, name):
+        return cached
+    published = _index_base_path(key, name)
+    if _index_is_current(published, key, name):
+        _ivf_index_dir_memo[(key, name)] = published
+        return published
     cents = lloyd_trained_centroids(spark, sf_dir, nlist, iters)
     return _write_cell_index(
         spark,

@@ -1,0 +1,114 @@
+"""Index-catalog round-trip guards (r8 verdict ask #4 done-criteria): a
+fresh session must resolve and prune a published durable index from its
+``_catalog_meta.json`` sidecar alone — no corpus recompute, no retraining —
+and a regenerated corpus at the same path must invalidate the index via the
+content fingerprint instead of silently serving stale cells."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_ORACLE
+
+
+def _clear_session_memos():
+    from hri_flink_validation_passthrough_spark.operators import similarity as S
+
+    S._ivf_index_dir_memo.clear()
+    S._trained_cent_memo.clear()
+    S._first_n_cent_memo.clear()
+
+
+def test_fresh_session_resolves_trained_index_from_metadata_alone(
+    spark, tmp_path, monkeypatch
+):
+    from hri_flink_validation_passthrough_spark.operators import similarity as S
+
+    monkeypatch.setenv(S.INDEX_ROOT_ENV, str(tmp_path))
+    _clear_session_memos()
+    first = {
+        (r["qid"], r["nid"], r["rnk"])
+        for r in S.ann_ivf_trained_topk(spark, SF_ORACLE).collect()
+    }
+    path = S.ivf_trained_index(spark, SF_ORACLE)
+    assert path.startswith(str(tmp_path)), "index ignored the catalog root"
+
+    # fresh session: no memos, and BOTH centroid derivations poisoned —
+    # the read path may only use the sidecar
+    _clear_session_memos()
+
+    def _poisoned(*a, **kw):  # pragma: no cover - failure path
+        raise AssertionError("read path recomputed centroids from the corpus")
+
+    monkeypatch.setattr(S, "lloyd_trained_centroids", _poisoned)
+    monkeypatch.setattr(S, "_first_n_centroids", _poisoned)
+    again = {
+        (r["qid"], r["nid"], r["rnk"])
+        for r in S.ann_ivf_trained_topk(spark, SF_ORACLE).collect()
+    }
+    assert again == first
+
+    # and the metadata-resolved read still prunes: strictly fewer files
+    # touched than the index holds (runtime truth, not plan text)
+    meta = S.read_index_meta(path)
+    assert meta["centroid_kind"] == "lloyd_trained"
+    total = len(glob.glob(f"{path}/cell=*/*.parquet"))
+    probes = S._probes_from_centroids(spark, SF_ORACLE, meta["centroids"])
+    probed = sorted(
+        r["cell"] for r in probes.select("cell").distinct().collect()
+    )
+    cand = spark.read.parquet(path).filter(F.col("cell").isin(probed))
+    nread = cand.select(F.input_file_name()).distinct().count()
+    assert 0 < nread < total, f"no pruning: read {nread} of {total} files"
+
+
+def test_regenerated_corpus_invalidates_index(spark, tmp_path, monkeypatch):
+    """ADVICE r8: an index keyed only by path would silently serve stale
+    cells after the dataset at that path is regenerated. The sidecar's
+    corpus fingerprint (size + mtime_ns) must force a rebuild instead."""
+    from hri_flink_validation_passthrough_spark.operators import similarity as S
+
+    monkeypatch.setenv(S.INDEX_ROOT_ENV, str(tmp_path / "idx"))
+    os.makedirs(tmp_path / "idx", exist_ok=True)
+    corpus = tmp_path / "corpus"
+    os.makedirs(corpus)
+    shutil.copy(
+        os.path.join(SF_ORACLE, "embeddings.parquet"),
+        corpus / "embeddings.parquet",
+    )
+    _clear_session_memos()
+    path = S.ivf_durable_index(spark, str(corpus))
+    built = os.path.getmtime(os.path.join(path, "_SUCCESS"))
+
+    # same session, untouched corpus: served from the catalog, not rebuilt
+    assert S.ivf_durable_index(spark, str(corpus)) == path
+    assert os.path.getmtime(os.path.join(path, "_SUCCESS")) == built
+
+    # "regenerate" the corpus in place (content may even be identical —
+    # mtime_ns change is enough; a real regen changes size too)
+    os.utime(corpus / "embeddings.parquet")
+    _clear_session_memos()  # fresh session; the DIRECTORY is the artifact
+    path2 = S.ivf_durable_index(spark, str(corpus))
+    assert path2 == path
+    assert os.path.getmtime(os.path.join(path2, "_SUCCESS")) != built, (
+        "stale index served after the corpus was regenerated in place"
+    )
+
+
+def test_publish_is_atomic_no_build_residue(spark, tmp_path, monkeypatch):
+    """Builds land in .build-* temp dirs and are renamed into place; after
+    a successful publish no temp dir may remain and the published dir must
+    carry the sidecar + _SUCCESS (readers never see a partial index)."""
+    from hri_flink_validation_passthrough_spark.operators import similarity as S
+
+    monkeypatch.setenv(S.INDEX_ROOT_ENV, str(tmp_path))
+    _clear_session_memos()
+    path = S.ivf_durable_index(spark, SF_ORACLE)
+    assert os.path.exists(os.path.join(path, S._INDEX_META))
+    assert os.path.exists(os.path.join(path, "_SUCCESS"))
+    assert not glob.glob(f"{path}.build-*"), "unpublished build residue"
