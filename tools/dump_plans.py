@@ -74,6 +74,8 @@ SHOWCASE = {
     "quantile_sketch_value_by_type": "one map-side-combined (type,bin) count; readout windows over the ~98-bin grid, never rows",
     "hll_cardinality_portable": "register build = one grouped max over the hashed scan; harmonic sum = integer shift-left aggregate over the types x 1024 grid",
     "ann_nprobe_recall_sweep": "single max-nprobe candidate materialization; sweep points are explode+filter (no re-scan); per-(nprobe,qid) rank windows over tiny candidates",
+    "ann_pq_depth_recall_sweep": "ONE reranked max-depth ADC shortlist; depth points are explode+filter (no second rerank); per-(depth,qid) rank windows over the tiny reranked set",
+    "ann_ivf_trained_topk": "probes resolved from sidecar centroids (literal-array posexplode — no corpus E-step on the read path); index scan partition-pruned to probed cells (PartitionFilters on cell)",
     "table_checksum_integrity": "md5-prefix row hashes in codegen; BIT_XOR partial-agg per bucket (map-side combine); 16-row join",
     "window_navigation_showcase": "single Window node computing the whole navigation set per customer partition — one shuffle, no global sort",
     "pca_power_iteration": "unrolled 64-term dot in whole-stage codegen (no array lambdas); one posexplode groupBy carrying dim-cardinality partials",
