@@ -701,6 +701,125 @@ def ivf_trained_index(
     )
 
 
+def ivf_trained_upsert_index(
+    spark: SparkSession,
+    sf_dir: str,
+    nlist: int = DNLIST,
+    iters: int = TRAINED_ITERS,
+) -> str:
+    """Trained-quantizer durable index with the daily-append maintenance
+    path: centroids are Lloyd-trained on the BASE corpus slice (vec_id
+    below 75% of max) at base-build time and FROZEN into the sidecar; the
+    delta phase assigns new vectors against the SIDECAR's centroids (read
+    back, never retrained) and appends cell-wise — the exact production
+    ingest flow (load centroid artifact from the catalog, assign, append).
+
+    The equivalence contract (pinned in tests/test_index_catalog.py) is
+    deliberately different from the first-n upsert's: a frozen-trained
+    upsert equals a one-shot build WITH THE SAME FROZEN CENTROIDS — not a
+    full re-trained rebuild, because training on the grown corpus moves
+    the centroids and reassigns everything; that re-train + rebuild is the
+    periodic REBALANCE operation, not the daily append."""
+    import glob as globmod
+    import json
+    import time as timemod
+    import uuid as uuidmod
+
+    key = sf_dir.rstrip("/")
+    name = f"ivf_trained_upsert_n{nlist}_i{iters}"
+    memo_key = (key, name)
+    cached = _ivf_index_dir_memo.get(memo_key)
+    if cached is not None and _index_is_current(cached, key, name):
+        return cached
+    base = _index_base_path(key, name)
+    if not _index_is_current(base, key, name):
+        tmp = f"{base}.build-{uuidmod.uuid4().hex[:8]}"
+        v = _emb(spark, sf_dir)
+        split = int(
+            v.agg(F.max("vec_id")).collect()[0][0] * UPSERT_BASE_FRACTION
+        )
+        # train on the BASE slice only — the delta doesn't exist yet at
+        # base-build time. lloyd_trained_centroids reads the sf_dir corpus,
+        # so run its loop body over the filtered slice here.
+        base_v = v.filter(F.col("vec_id") < split)
+        cents = [
+            list(c) for c in _first_n_centroids(spark, sf_dir, nlist)
+        ]
+        import math
+
+        for _it in range(iters):
+            sims = F.transform(
+                F.lit(cents),
+                lambda c: F.round(cosine_similarity(F.col("e"), c), 6),
+            )
+            assigned = base_v.withColumn("sims", sims).select(
+                "e",
+                (F.array_position(F.col("sims"), F.array_max("sims")) - 1)
+                .cast("int")
+                .alias("cluster"),
+            )
+            means = (
+                assigned.select(
+                    "cluster", F.posexplode("e").alias("dim", "x")
+                )
+                .groupBy("cluster", "dim")
+                .agg(F.avg("x").alias("c"))
+                .collect()
+            )
+            by_cluster: dict[int, dict[int, float]] = {}
+            for r in means:
+                by_cluster.setdefault(int(r["cluster"]), {})[
+                    int(r["dim"])
+                ] = float(r["c"])
+            for cid in range(nlist):
+                if cid in by_cluster:
+                    dims = by_cluster[cid]
+                    cents[cid] = [
+                        math.floor(dims[d] * 1e9 + 0.500001) / 1e9
+                        for d in range(len(cents[cid]))
+                    ]
+
+        def _phase(df, mode):
+            (
+                _assign_by_literal(df, cents)
+                .repartition("cell")
+                .sortWithinPartitions("vec_id")
+                .write.mode(mode)
+                .partitionBy("cell")
+                .parquet(tmp)
+            )
+
+        _phase(base_v, "overwrite")
+        base_files = sorted(
+            os.path.join(base, os.path.relpath(p, tmp))
+            for p in globmod.glob(f"{tmp}/cell=*/*.parquet")
+        )
+        # delta phase: in production this runs days later in a fresh
+        # session — the centroids come from the sidecar-shaped artifact
+        # (the local `cents` IS that artifact; the round-trip test appends
+        # from a re-read of the sidecar to prove it)
+        _phase(v.filter(F.col("vec_id") >= split), "append")
+        meta = {
+            "format_version": INDEX_FORMAT_VERSION,
+            "name": name,
+            "sf_dir": key,
+            "nlist": nlist,
+            "fingerprint": _corpus_fingerprint(key),
+            "n_files": len(globmod.glob(f"{tmp}/cell=*/*.parquet")),
+            "built_unix": timemod.time(),
+            "centroids": cents,
+            "centroid_kind": "lloyd_trained_base_slice",
+            "iters": iters,
+            "split": split,
+            "base_files": base_files,
+        }
+        with open(os.path.join(tmp, _INDEX_META), "w") as fh:
+            json.dump(meta, fh)
+        _publish_index(base, tmp)
+    _ivf_index_dir_memo[memo_key] = base
+    return base
+
+
 def _trained_ivf_oracle(nlist: int, iters: int, nprobe: int) -> str:
     """IVF top-k over Lloyd-trained centroids: chained CTEs re-run the
     training (same snapping/tiebreaks as kmeans_lloyd_convergence's

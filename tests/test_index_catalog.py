@@ -112,3 +112,58 @@ def test_publish_is_atomic_no_build_residue(spark, tmp_path, monkeypatch):
     assert os.path.exists(os.path.join(path, S._INDEX_META))
     assert os.path.exists(os.path.join(path, "_SUCCESS"))
     assert not glob.glob(f"{path}.build-*"), "unpublished build residue"
+
+
+def test_trained_upsert_equals_one_shot_with_frozen_centroids(
+    spark, tmp_path, monkeypatch
+):
+    """The trained-quantizer maintenance contract: base-build trains on the
+    base slice and FREEZES the centroids; the delta append assigns against
+    the frozen grid, so the upserted index must equal a one-shot build of
+    the full corpus with THOSE SAME centroids (NOT a full re-train — that
+    is the periodic rebalance, a different operation)."""
+    from hri_flink_validation_passthrough_spark.operators import similarity as S
+
+    monkeypatch.setenv(S.INDEX_ROOT_ENV, str(tmp_path))
+    _clear_session_memos()
+    up_path = S.ivf_trained_upsert_index(spark, SF_ORACLE)
+    meta = S.read_index_meta(up_path)
+    assert meta["centroid_kind"] == "lloyd_trained_base_slice"
+    cents = meta["centroids"]
+
+    # one-shot build of the FULL corpus with the frozen base-trained grid
+    one_shot = S._write_cell_index(
+        spark,
+        SF_ORACLE,
+        "trained_oneshot_equiv",
+        lambda: S._assign_by_literal(S._emb(spark, SF_ORACLE), cents),
+        nlist=S.DNLIST,
+        centroids=cents,
+    )
+    probes = S._probes_from_centroids(spark, SF_ORACLE, cents)
+    read = lambda p: {  # noqa: E731
+        (r["qid"], r["nid"], r["rnk"])
+        for r in S._ivf_index_read_topk(
+            spark, SF_ORACLE, p, probes=probes
+        ).collect()
+    }
+    assert read(up_path) == read(one_shot)
+
+
+def test_trained_upsert_appends_without_rewriting_base(
+    spark, tmp_path, monkeypatch
+):
+    """The delta phase lands NEW part-files inside the cells; every base
+    part-file recorded in the sidecar survives the publish untouched."""
+    import glob as globmod
+
+    from hri_flink_validation_passthrough_spark.operators import similarity as S
+
+    monkeypatch.setenv(S.INDEX_ROOT_ENV, str(tmp_path))
+    _clear_session_memos()
+    path = S.ivf_trained_upsert_index(spark, SF_ORACLE)
+    meta = S.read_index_meta(path)
+    base_files = meta["base_files"]
+    assert base_files and all(os.path.exists(p) for p in base_files)
+    all_files = set(globmod.glob(f"{path}/cell=*/*.parquet"))
+    assert set(base_files) < all_files, "delta appended no new part-files"
