@@ -78,12 +78,22 @@ def test_stream_dedup_incremental_is_multi_microbatch(spark):
     import re
     import tempfile
 
-    roots = [
-        d
-        for d in os.listdir(tempfile.gettempdir())
-        if d.startswith("hri_sdi_")
-    ]
-    assert roots, "stream_dedup_incremental has not run in this session"
+    def _roots():
+        return [
+            d
+            for d in os.listdir(tempfile.gettempdir())
+            if d.startswith("hri_sdi_")
+        ]
+
+    roots = _roots()
+    if not roots:  # self-sufficient when run in isolation
+        from hri_flink_validation_passthrough_spark.streaming.windows import (
+            stream_dedup_incremental,
+        )
+
+        stream_dedup_incremental(spark, SF_ORACLE).collect()
+        roots = _roots()
+    assert roots, "stream_dedup_incremental left no run directory"
     newest = max(
         (os.path.join(tempfile.gettempdir(), d) for d in roots),
         key=os.path.getmtime,
