@@ -574,13 +574,28 @@ def lloyd_trained_centroids(
     oracle reproduces the trained centroid table with chained CTEs. At
     100 TB training runs on a sample at ingest; the E-step is a
     zero-shuffle literal-array scan per iteration."""
-    import math
-
     key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"), k, iters)
     if key in _trained_cent_memo:
         return _trained_cent_memo[key]
-    v = _emb(spark, sf_dir)
-    cents = [list(c) for c in _first_n_centroids(spark, sf_dir, k)]
+    cents = _lloyd_iterate(
+        _emb(spark, sf_dir),
+        [list(c) for c in _first_n_centroids(spark, sf_dir, k)],
+        iters,
+    )
+    _trained_cent_memo[key] = cents
+    return cents
+
+
+def _lloyd_iterate(
+    v: DataFrame, cents: list[list[float]], iters: int
+) -> list[list[float]]:
+    """*iters* Lloyd iterations over the (vec_id, e) frame *v* from the given
+    initial centroids — the loop body shared by lloyd_trained_centroids
+    (full corpus) and ivf_trained_upsert_index (base slice). Mutates and
+    returns *cents*."""
+    import math
+
+    k = len(cents)
     for _it in range(iters):
         sims = F.transform(
             F.lit(cents),
@@ -611,7 +626,6 @@ def lloyd_trained_centroids(
                     for d in range(len(cents[cid]))
                 ]
             # else: empty cluster keeps its previous centroid
-    _trained_cent_memo[key] = cents
     return cents
 
 
@@ -739,45 +753,14 @@ def ivf_trained_upsert_index(
             v.agg(F.max("vec_id")).collect()[0][0] * UPSERT_BASE_FRACTION
         )
         # train on the BASE slice only — the delta doesn't exist yet at
-        # base-build time. lloyd_trained_centroids reads the sf_dir corpus,
-        # so run its loop body over the filtered slice here.
+        # base-build time (same shared loop body as lloyd_trained_centroids,
+        # which trains on the full corpus)
         base_v = v.filter(F.col("vec_id") < split)
-        cents = [
-            list(c) for c in _first_n_centroids(spark, sf_dir, nlist)
-        ]
-        import math
-
-        for _it in range(iters):
-            sims = F.transform(
-                F.lit(cents),
-                lambda c: F.round(cosine_similarity(F.col("e"), c), 6),
-            )
-            assigned = base_v.withColumn("sims", sims).select(
-                "e",
-                (F.array_position(F.col("sims"), F.array_max("sims")) - 1)
-                .cast("int")
-                .alias("cluster"),
-            )
-            means = (
-                assigned.select(
-                    "cluster", F.posexplode("e").alias("dim", "x")
-                )
-                .groupBy("cluster", "dim")
-                .agg(F.avg("x").alias("c"))
-                .collect()
-            )
-            by_cluster: dict[int, dict[int, float]] = {}
-            for r in means:
-                by_cluster.setdefault(int(r["cluster"]), {})[
-                    int(r["dim"])
-                ] = float(r["c"])
-            for cid in range(nlist):
-                if cid in by_cluster:
-                    dims = by_cluster[cid]
-                    cents[cid] = [
-                        math.floor(dims[d] * 1e9 + 0.500001) / 1e9
-                        for d in range(len(cents[cid]))
-                    ]
+        cents = _lloyd_iterate(
+            base_v,
+            [list(c) for c in _first_n_centroids(spark, sf_dir, nlist)],
+            iters,
+        )
 
         def _phase(df, mode):
             (
