@@ -2117,6 +2117,12 @@ def ann_pq_depth_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rs",
         F.round(cosine_similarity(F.col("qe"), F.col("e")), 6).alias("cos_sim"),
     )
+    # lazy checkpoint: `reranked` (<= N_QUERIES x max-depth rows) fans out
+    # into the hits AND cost branches — Spark 4 applies no exchange reuse
+    # across them, so without the barrier the whole shortlist+rerank
+    # subtree executes twice (observed 18 embeddings scans -> 6; the r8
+    # hll_set_algebra lesson, counted on the EXECUTED plan)
+    reranked = reranked.localCheckpoint(eager=False)
     scoped = reranked.select(
         "qid",
         "nid",
