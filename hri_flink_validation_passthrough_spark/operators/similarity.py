@@ -654,22 +654,32 @@ def _probes_from_centroids(
     nprobe: int = NPROBE,
 ) -> DataFrame:
     """(qid, qe, cell): each query attached to its *nprobe* closest cells,
-    ranked against the literal centroid array (posexplode over
-    N_QUERIES x k rows — driver-free, shuffle only on the tiny query set).
-    This is how a read path resolves probes from the index sidecar's
-    centroids alone, with no corpus access."""
+    ranked against the sidecar centroids shipped as a BROADCAST DataFrame
+    (k rows) — this is how a read path resolves probes from the index
+    metadata alone, with no corpus access. The centroids deliberately ride
+    as DATA, not as a literal array in the expression tree: the k x dim
+    literal form costs ~1.6 s of analysis/codegen PER CALL at k=64, dim=64
+    (interleaved A/B, BASELINE.md r9: 3.4-3.7 s -> 1.8-1.9 s read path,
+    identical results). The literal E-step stays in the one-time index
+    BUILD (_assign_by_literal), where it is amortized and shuffle-free."""
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cid int, ce array<double>",
+    )
     q = (
         _emb(spark, sf_dir)
         .filter(F.col("vec_id") < N_QUERIES)
         .withColumnsRenamed({"vec_id": "qid", "e": "qe"})
     )
-    sims = F.transform(
-        F.lit(cents), lambda c: F.round(cosine_similarity(F.col("qe"), c), 6)
+    j = q.crossJoin(F.broadcast(cent_df)).select(
+        "qid",
+        "qe",
+        "cid",
+        F.round(cosine_similarity(F.col("qe"), F.col("ce")), 6).alias("sim"),
     )
-    ex = q.select("qid", "qe", F.posexplode(sims).alias("cid", "sim"))
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("cid"))
     return (
-        ex.withColumn("rn", F.row_number().over(w))
+        j.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= nprobe)
         .select("qid", "qe", F.col("cid").alias("cell"))
     )
