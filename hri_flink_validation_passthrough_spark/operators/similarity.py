@@ -1381,12 +1381,28 @@ def _pq_recon_expr(cb):
     )
 
 
+_pq_recon_memo: dict[tuple[str, str], DataFrame] = {}
+
+
 def _pq_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, re): PQ reconstructions — shared by the flat ADC scan and
-    the composed IVF-PQ path."""
-    cb = _pq_codebook(spark, sf_dir)
-    enc = _pq_encoded(spark, sf_dir)
-    return enc.select("vec_id", _pq_recon_expr(cb).alias("re"))
+    """(vec_id, re): PQ reconstructions — shared by the flat ADC scan, the
+    composed IVF-PQ path, and the durable-codes read. Memoized per
+    (session, sf_dir) behind a LAZY localCheckpoint: the decode expression
+    embeds the 16x16x4 codebook as ~1024 literals, and re-analyzing that
+    tree on every call is a per-call planning tax (same pathology as the
+    trained probes' literal array — interleaved A/B in BASELINE.md r9:
+    ann_ivfpq_topk 2.43 -> 1.30 s, ann_pq_adc_topk 2.19 -> 0.84 s best).
+    The checkpoint truncates downstream plans to a Scan ExistingRDD, so
+    consumers never re-carry the literal tree; the decode itself still
+    runs distributed, once per session."""
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    if key not in _pq_recon_memo:
+        cb = _pq_codebook(spark, sf_dir)
+        enc = _pq_encoded(spark, sf_dir)
+        _pq_recon_memo[key] = enc.select(
+            "vec_id", _pq_recon_expr(cb).alias("re")
+        ).localCheckpoint(eager=False)
+    return _pq_recon_memo[key]
 
 
 
