@@ -330,11 +330,16 @@ def decontam_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in words:
             bitmap[r["w"]] = r["mask"]
         _MEMO[memo_key] = bitmap
-    # explicit element type: a sparse bitmap could otherwise infer
-    # array<int> and lose bits >= 32 in the shiftright probe
-    lit_map = F.lit(bitmap).cast("array<bigint>")
-
-    probe = tr.withColumn("_bm", lit_map)
+    # The bitmap rides as a BROADCAST 1-row DataFrame, not a literal array
+    # in the expression tree: 1024 long literals are a per-call planning
+    # tax (~0.55 s here — interleaved A/B in BASELINE.md r9, the same
+    # pathology as the trained-index probes / PQ codebook). The explicit
+    # array<bigint> schema matters: a sparse bitmap could otherwise infer
+    # array<int> and lose bits >= 32 in the shiftright probe.
+    bm_df = spark.createDataFrame(
+        [([int(x) for x in bitmap],)], "_bm array<bigint>"
+    )
+    probe = tr.crossJoin(F.broadcast(bm_df))
     for i in range(BLOOM_K):
         probe = probe.withColumn(
             f"_h{i}",

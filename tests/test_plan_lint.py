@@ -67,6 +67,7 @@ ALLOWED_NESTED_LOOP = {
     "lorenz_curve_deciles": "distinct-value cumulative table x 10-row literal decile grid cross join — aggregate x constant, data-size-independent",
     "ks_two_sample_event_types": "distinct-value table x broadcast |types|^2/2-row pair grid (OR-membership join) — both sides aggregates, data-size-independent",
     "rfm_customer_segments": "1-row cutoff-date scalar broadcast cross join",
+    "decontam_bloom_prefilter": "1-row bloom-bitmap broadcast cross join (the 8 KiB model artifact rides as data, not a 1024-literal expression — r9 planning-tax fix)",
     "chi_square_type_by_dow": "1-row grand-total (n) scalar broadcast cross join onto the 35-cell contingency table",
 }
 
