@@ -82,7 +82,7 @@ def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ivf_assign_memo: dict[tuple[str, str, int], DataFrame] = {}
+_ivf_assign_memo: dict[tuple, DataFrame] = {}
 
 
 def _ivf_assign_probes(
@@ -112,7 +112,12 @@ def _ivf_assign_probes(
     w_assign = Window.partitionBy("vec_id").orderBy(
         F.desc("sim"), F.asc("cid")
     )
-    memo_key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"), nlist)
+    memo_key = (
+        spark.sparkContext.applicationId,
+        sf_dir.rstrip("/"),
+        nlist,
+        _fp_key(sf_dir),
+    )
     assign = _ivf_assign_memo.get(memo_key)
     if assign is None:
         assign = (
@@ -259,10 +264,34 @@ def _corpus_fingerprint(sf_dir: str) -> dict:
     """Cheap content fingerprint of the index's source corpus: byte size +
     mtime_ns of the embeddings parquet — zero Spark jobs, catches the
     regenerate-in-place case (tools/make_scale.py re-run with different
-    content while the index survives)."""
+    content while the index survives). A missing corpus file (index root on
+    a durable volume while the data dir was wiped) returns a sentinel that
+    never equals a build-recorded fingerprint — a successful build always
+    stats the real file — so resolution degrades to 'stale', it never
+    raises (r9 ADVICE)."""
     src = os.path.join(sf_dir.rstrip("/"), "embeddings.parquet")
-    st = os.stat(src)
+    try:
+        st = os.stat(src)
+    except OSError:
+        return {"src": src, "missing": True}
     return {"src": src, "size": st.st_size, "mtime_ns": st.st_mtime_ns}
+
+
+def _fp_key(sf_dir: str, fname: str = "embeddings.parquet") -> tuple:
+    """Hashable corpus-fingerprint component for session memo keys. Every
+    memo caching anything DERIVED from the corpus (cell assignments,
+    centroids, PQ codebooks/encodings) keys on this, so regenerating the
+    dataset in place mid-session invalidates the memo instead of feeding a
+    fingerprint-mismatch rebuild with stale cached inputs — the silent-
+    staleness hole the r9 ADVICE found: the rebuild would consume old
+    memoized centroids yet stamp the NEW fingerprint, producing a
+    permanently 'current' index built from old data."""
+    src = os.path.join(sf_dir.rstrip("/"), fname)
+    try:
+        st = os.stat(src)
+    except OSError:
+        return (fname, None, None)
+    return (fname, st.st_size, st.st_mtime_ns)
 
 
 def read_index_meta(base: str) -> dict | None:
@@ -303,8 +332,12 @@ def _publish_index(base: str, tmp: str) -> None:
     """Atomically swap the fully-built *tmp* directory into place. A stale
     previous version is moved aside first (rename, then best-effort rmtree:
     POSIX keeps open file handles of in-flight readers valid). Two racing
-    builders each publish a complete index; last rename wins — readers can
-    never observe an interleaved overwrite/append state."""
+    builders each build a complete index; the first rename wins — POSIX
+    rename onto an existing non-empty directory fails (ENOTEMPTY/EEXIST),
+    so the loser treats the already-published index as authoritative and
+    discards its own tmp dir (r9 ADVICE — previously documented as 'last
+    wins', which the rename semantics don't actually provide). Readers can
+    never observe an interleaved overwrite/append state either way."""
     import shutil
     import uuid as uuidmod
 
@@ -312,7 +345,12 @@ def _publish_index(base: str, tmp: str) -> None:
         trash = f"{base}.old-{uuidmod.uuid4().hex[:8]}"
         os.rename(base, trash)
         shutil.rmtree(trash, ignore_errors=True)
-    os.rename(tmp, base)
+    try:
+        os.rename(tmp, base)
+    except OSError:
+        # a concurrent builder published between our rmtree and rename:
+        # their complete index is authoritative; clean up our losing build
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def _write_cell_index(
@@ -540,8 +578,8 @@ def ivf_upsert_index(spark: SparkSession, sf_dir: str, nlist: int = DNLIST) -> s
 # step SQL-expressible, so the trained index stays oracle-checked.
 TRAINED_ITERS = 2
 
-_first_n_cent_memo: dict[tuple[str, str, int], list[list[float]]] = {}
-_trained_cent_memo: dict[tuple[str, str, int, int], list[list[float]]] = {}
+_first_n_cent_memo: dict[tuple, list[list[float]]] = {}
+_trained_cent_memo: dict[tuple, list[list[float]]] = {}
 
 
 def _first_n_centroids(
@@ -550,7 +588,7 @@ def _first_n_centroids(
     """The frozen first-*k* vectors — the untrained coarse grid, collected
     once per session (k x dim floats, the model artifact recorded in the
     index sidecar)."""
-    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"), k)
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"), k, _fp_key(sf_dir))
     if key not in _first_n_cent_memo:
         _first_n_cent_memo[key] = [
             [float(x) for x in r["e"]]
@@ -574,7 +612,13 @@ def lloyd_trained_centroids(
     oracle reproduces the trained centroid table with chained CTEs. At
     100 TB training runs on a sample at ingest; the E-step is a
     zero-shuffle literal-array scan per iteration."""
-    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"), k, iters)
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir.rstrip("/"),
+        k,
+        iters,
+        _fp_key(sf_dir),
+    )
     if key in _trained_cent_memo:
         return _trained_cent_memo[key]
     cents = _lloyd_iterate(
@@ -974,7 +1018,7 @@ def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_bm25_scored_memo: dict[tuple[str, str], DataFrame] = {}
+_bm25_scored_memo: dict[tuple, DataFrame] = {}
 
 
 def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -985,7 +1029,11 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     consumers invoked in one session previously each built and persisted an
     independent per_doc copy, accumulating executor cache across a
     multi-query run (ADVICE r5)."""
-    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir.rstrip("/"),
+        _fp_key(sf_dir, "documents.parquet"),
+    )
     if key in _bm25_scored_memo:
         return _bm25_scored_memo[key]
     prepare(spark)
@@ -1231,14 +1279,14 @@ PQ_DSUB = 4
 PQ_K = 16
 PQ_SHORTLIST = 50  # ADC shortlist size fed to the exact rerank
 
-_pq_codebook_memo: dict[tuple[str, str], list[list[list[float]]]] = {}
+_pq_codebook_memo: dict[tuple, list[list[list[float]]]] = {}
 
 
 def _pq_codebook(spark: SparkSession, sf_dir: str) -> list[list[list[float]]]:
     """codebook[m][c] = PQ_DSUB-dim centroid c of subspace m — the double-cast
     subvectors of vec_id < PQ_K. Driver-side collect of PQ_K tiny rows (the
     'load the trained codebook' step), memoized per (session, sf_dir)."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"), _fp_key(sf_dir))
     if key not in _pq_codebook_memo:
         rows = (
             _emb(spark, sf_dir)
@@ -1271,7 +1319,7 @@ def _sqdist(a, b, dim: int | None = None):
     )
 
 
-_pq_encoded_memo: dict[tuple[str, str], DataFrame] = {}
+_pq_encoded_memo: dict[tuple, DataFrame] = {}
 
 
 def _pq_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1282,7 +1330,7 @@ def _pq_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
     written once at index-build time.
     """
     # normalize like dedup._memo_key: 'sf0.1' and 'sf0.1/' are one dataset
-    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"), _fp_key(sf_dir))
     if key in _pq_encoded_memo:
         return _pq_encoded_memo[key]
     cb = _pq_codebook(spark, sf_dir)
@@ -1381,7 +1429,7 @@ def _pq_recon_expr(cb):
     )
 
 
-_pq_recon_memo: dict[tuple[str, str], DataFrame] = {}
+_pq_recon_memo: dict[tuple, DataFrame] = {}
 
 
 def _pq_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1395,7 +1443,7 @@ def _pq_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
     The checkpoint truncates downstream plans to a Scan ExistingRDD, so
     consumers never re-carry the literal tree; the decode itself still
     runs distributed, once per session."""
-    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"), _fp_key(sf_dir))
     if key not in _pq_recon_memo:
         cb = _pq_codebook(spark, sf_dir)
         enc = _pq_encoded(spark, sf_dir)

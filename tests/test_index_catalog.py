@@ -167,3 +167,99 @@ def test_trained_upsert_appends_without_rewriting_base(
     assert base_files and all(os.path.exists(p) for p in base_files)
     all_files = set(globmod.glob(f"{path}/cell=*/*.parquet"))
     assert set(base_files) < all_files, "delta appended no new part-files"
+
+
+def _negate_parquet_in_place(src: str) -> None:
+    """'Regenerate' an embeddings parquet at the same path with NEGATED
+    vectors — distinguishable content for staleness tests."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT vec_id,"
+        " list_transform(embedding, x -> -x) AS embedding"
+        f" FROM read_parquet('{src}')"
+    )
+    con.execute(f"COPY t TO '{src}' (FORMAT PARQUET)")
+    con.close()
+
+
+def test_memo_staleness_same_session_regen(spark, tmp_path, monkeypatch):
+    """ADVICE r9 (medium): session memos caching corpus-derived artifacts
+    (centroids, assignments) must key on the corpus fingerprint. Otherwise a
+    fingerprint-mismatch rebuild consumes STALE memoized centroids yet
+    stamps the NEW fingerprint — a permanently-'current' index built from
+    old data. Regenerate the corpus in place WITHOUT clearing memos and
+    assert both the memoized centroids and the rebuilt sidecar track the
+    new content."""
+    from hri_flink_validation_passthrough_spark.operators import similarity as S
+
+    monkeypatch.setenv(S.INDEX_ROOT_ENV, str(tmp_path / "idx"))
+    corpus = tmp_path / "corpus"
+    os.makedirs(corpus)
+    shutil.copy(
+        os.path.join(SF_ORACLE, "embeddings.parquet"),
+        corpus / "embeddings.parquet",
+    )
+    _clear_session_memos()
+    before = S._first_n_centroids(spark, str(corpus), 4)
+    path = S.ivf_durable_index(spark, str(corpus))
+    cents1 = S.read_index_meta(path)["centroids"]
+
+    _negate_parquet_in_place(str(corpus / "embeddings.parquet"))
+    # NO memo clear: same session observes the regenerated corpus
+    after = S._first_n_centroids(spark, str(corpus), 4)
+    assert after == [[-x for x in row] for row in before], (
+        "memoized centroids served stale pre-regeneration data"
+    )
+    path2 = S.ivf_durable_index(spark, str(corpus))
+    cents2 = S.read_index_meta(path2)["centroids"]
+    assert cents2 == [[-x for x in row] for row in cents1], (
+        "rebuild stamped the new fingerprint over stale memoized centroids"
+    )
+
+
+def test_publish_race_loser_yields_to_winner(tmp_path, monkeypatch):
+    """ADVICE r9 (low): POSIX rename onto an existing non-empty directory
+    fails (ENOTEMPTY) — the losing concurrent publisher must treat the
+    already-published index as authoritative and discard its tmp dir, not
+    crash. Simulated by republishing *base* in the window between the
+    aside-move and the final rename."""
+    from hri_flink_validation_passthrough_spark.operators import similarity as S
+
+    base = tmp_path / "idx"
+    tmp = tmp_path / "idx.build-loser"
+    os.makedirs(tmp)
+    (tmp / "data.txt").write_text("loser")
+    os.makedirs(base)
+    (base / "data.txt").write_text("winner-v1")
+
+    real_rename = os.rename
+
+    def racing_rename(src, dst):
+        real_rename(src, dst)
+        if str(src) == str(base):
+            # concurrent winner publishes the instant base is moved aside
+            os.makedirs(base)
+            (base / "data.txt").write_text("winner-v2")
+
+    monkeypatch.setattr(os, "rename", racing_rename)
+    S._publish_index(str(base), str(tmp))  # must not raise
+    assert (base / "data.txt").read_text() == "winner-v2", (
+        "loser clobbered the concurrently published index"
+    )
+    assert not tmp.exists(), "losing build residue left behind"
+
+
+def test_missing_corpus_degrades_to_stale_not_raise(tmp_path):
+    """ADVICE r9 (low): resolving an index whose source corpus was wiped
+    (durable index volume, ephemeral data dir) must report 'stale', never
+    raise FileNotFoundError."""
+    from hri_flink_validation_passthrough_spark.operators import similarity as S
+
+    gone = tmp_path / "wiped-corpus"
+    fp = S._corpus_fingerprint(str(gone))  # no raise
+    assert fp.get("missing") is True
+    # sentinel never matches a recorded fingerprint from a successful build
+    assert fp != {"src": fp["src"], "size": 0, "mtime_ns": 0}
+    assert S._index_is_current(str(tmp_path / "noidx"), str(gone), "x") is False
