@@ -9,9 +9,13 @@ the pins sit just below measured values to catch a quality regression
 Context for the PQ floor: the synthetic embeddings are near-random unit
 vectors — the worst case for product quantization (no cluster structure to
 exploit; measured one-shot ADC recall@5 is 0.16 at 8×8-dim and 0.38 at
-16×4-dim subspaces). The shipped two-phase shape (ADC shortlist of 50 →
-exact rerank) measures 0.82 here and is the production IVF-PQ read path;
-real embedding corpora compress far better.
+16×4-dim subspaces with the frozen-init codebook). The shipped two-phase
+shape (ADC shortlist of 50 → exact rerank) measures 0.92 with the
+Lloyd-TRAINED codebook (r10; 0.82 at the frozen init — even this
+worst-case corpus rewards training, because Lloyd provably shrinks
+quantization error) and is the production IVF-PQ read path; real embedding
+corpora compress far better. Trained-vs-frozen curves are guarded in
+tests/test_trained_pq.py.
 """
 
 from __future__ import annotations
@@ -59,19 +63,20 @@ def test_pq_adc_rerank_recall_vs_exact(spark, exact):
     )
 
     r = _mean_recall(exact, _topsets(ann_pq_adc_topk(spark, SF_ORACLE)))
-    assert r >= 0.70, (
+    assert r >= 0.85, (
         f"PQ shortlist+rerank mean recall@5 dropped to {r:.3f} "
-        "(measured 0.82 on this worst-case random corpus)"
+        "(measured 0.92 trained / 0.82 frozen on this worst-case corpus)"
     )
 
 
 def test_ivfpq_composed_recall_vs_exact(spark, exact):
     """The composed IVF-PQ path: probing costs what IVF costs (cells missed),
     the in-cell ADC shortlist + exact rerank costs almost nothing more —
-    measured 0.90 vs IVF's 0.92 on this worst-case random corpus."""
+    measured 0.92 (trained codebook, r10) vs IVF's 0.92 on this worst-case
+    random corpus."""
     from hri_flink_validation_passthrough_spark.operators.similarity import (
         ann_ivfpq_topk,
     )
 
     r = _mean_recall(exact, _topsets(ann_ivfpq_topk(spark, SF_ORACLE)))
-    assert r >= 0.80, f"IVF-PQ mean recall@5 dropped to {r:.3f} (measured 0.90)"
+    assert r >= 0.85, f"IVF-PQ mean recall@5 dropped to {r:.3f} (measured 0.92)"
