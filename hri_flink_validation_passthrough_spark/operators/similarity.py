@@ -451,19 +451,31 @@ def ann_ivf_durable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_index_read_topk(
-    spark: SparkSession, sf_dir: str, path: str, probes: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    path: str | list[str],
+    probes: DataFrame | None = None,
 ) -> DataFrame:
     """The pruned read path over any cell-partitioned on-disk IVF index —
-    shared by the one-shot durable index, the upserted one, and the
-    trained-quantizer one (which passes metadata-resolved *probes*)."""
+    shared by the one-shot durable index, the upserted one, the
+    trained-quantizer one (which passes metadata-resolved *probes*), and
+    the stream-maintained one (which passes the base dir PLUS its
+    committed delta-epoch dirs — each is its own hive-partitioned tree, so
+    every source prunes to the probed cells independently)."""
     if probes is None:
         # probes depend on the query set -> per-call, exactly as ann_ivf_topk
         _, probes = _ivf_assign_probes(spark, sf_dir, nlist=DNLIST)
     probed = sorted(
         r["cell"] for r in probes.select("cell").distinct().collect()
     )
-    idx = spark.read.parquet(path)
-    cand = idx.filter(F.col("cell").isin(probed))
+    paths = [path] if isinstance(path, str) else list(path)
+    parts = [
+        spark.read.parquet(p).filter(F.col("cell").isin(probed))
+        for p in paths
+    ]
+    cand = parts[0]
+    for extra in parts[1:]:
+        cand = cand.unionByName(extra)
     pairs = cand.join(
         F.broadcast(probes),
         (cand.cell == probes.cell) & (cand.vec_id != probes.qid),
@@ -857,27 +869,124 @@ def ivf_trained_upsert_index(
     return base
 
 
-def _trained_ivf_oracle(nlist: int, iters: int, nprobe: int) -> str:
+def stream_maintained_ivf_index(
+    spark: SparkSession,
+    sf_dir: str,
+    nlist: int = DNLIST,
+    iters: int = TRAINED_ITERS,
+) -> str:
+    """The BASE of the continuously-maintained IVF index (r9 verdict ask
+    #2): centroids Lloyd-trained on the base corpus slice and FROZEN into
+    the sidecar, base rows cell-partitioned — exactly
+    ivf_trained_upsert_index's base phase, but WITHOUT the batch delta
+    append: the delta arrives as a live stream, and
+    streaming.windows.stream_ann_index_maintenance appends each microbatch
+    cell-wise into committed per-epoch directories under this index
+    (sidecar-resolved centroids, _EPOCH markers). Currency is checked
+    before any training work, so a session that finds the published base
+    only replays/serves deltas."""
+    key = sf_dir.rstrip("/")
+    name = f"ivf_stream_maint_n{nlist}_i{iters}"
+    cached = _ivf_index_dir_memo.get((key, name))
+    if cached is not None and _index_is_current(cached, key, name):
+        return cached
+    published = _index_base_path(key, name)
+    if _index_is_current(published, key, name):
+        _ivf_index_dir_memo[(key, name)] = published
+        return published
+    v = _emb(spark, sf_dir)
+    split = int(
+        v.agg(F.max("vec_id")).collect()[0][0] * UPSERT_BASE_FRACTION
+    )
+    base_v = v.filter(F.col("vec_id") < split)
+    cents = _lloyd_iterate(
+        base_v,
+        [list(c) for c in _first_n_centroids(spark, sf_dir, nlist)],
+        iters,
+    )
+    return _write_cell_index(
+        spark,
+        sf_dir,
+        name,
+        lambda: _assign_by_literal(base_v, cents),
+        nlist=nlist,
+        centroids=cents,
+        extra_meta={
+            "centroid_kind": "lloyd_trained_base_slice",
+            "iters": iters,
+            "split": split,
+        },
+    )
+
+
+# Hidden (underscore-prefixed = invisible to parquet scans of the base
+# index) subdirectory holding the stream-appended delta epochs.
+_DELTA_EPOCH_DIR = "_delta_epochs"
+
+
+def committed_delta_epochs(path: str) -> list[str]:
+    """COMMITTED delta-epoch directories of a stream-maintained index, in
+    epoch order: a directory counts only once its _EPOCH marker exists
+    (written after the parquet data is complete) and it holds at least one
+    part file (an empty final microbatch commits a marker but no rows —
+    reading its dir would fail schema inference)."""
+    import glob as globmod
+    import re
+
+    root = os.path.join(path, _DELTA_EPOCH_DIR)
+    out = []
+    if os.path.isdir(root):
+        for d in sorted(
+            (d for d in os.listdir(root) if re.fullmatch(r"e\d+", d)),
+            key=lambda s: int(s[1:]),
+        ):
+            edir = os.path.join(root, d)
+            if os.path.exists(os.path.join(edir, "_EPOCH")) and globmod.glob(
+                f"{edir}/cell=*/*.parquet"
+            ):
+                out.append(edir)
+    return out
+
+
+def _trained_ivf_oracle(
+    nlist: int, iters: int, nprobe: int, base_split: bool = False
+) -> str:
     """IVF top-k over Lloyd-trained centroids: chained CTEs re-run the
     training (same snapping/tiebreaks as kmeans_lloyd_convergence's
     oracle), then the standard IVF assignment/probe/topk tail runs against
-    the final trained centroid table."""
+    the final trained centroid table. With *base_split*, training runs on
+    the BASE corpus slice only (vec_id below UPSERT_BASE_FRACTION of max —
+    the upsert/streaming-maintenance contract: centroids frozen at
+    base-build time, the delta assigned against them), while the final
+    assignment still covers the full corpus — so the oracle IS the
+    'combined index equals a full rebuild with the frozen grid'
+    equivalence."""
     snap = "floor(avg(x) * 1000000000 + 0.500001) / 1000000000"
     ctes = [
         "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)",
         f"cent0 AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < {nlist})",
     ]
+    tv = "v"
+    if base_split:
+        ctes.append(
+            f"""tv AS (
+      SELECT * FROM v
+      WHERE vec_id < (SELECT CAST(floor(max(vec_id) * {UPSERT_BASE_FRACTION})
+                                  AS BIGINT) FROM v)
+    )"""
+        )
+        tv = "tv"
     for k in range(1, iters + 1):
         p = f"cent{k - 1}"
         ctes.append(
             f"""a{k} AS (
       SELECT vec_id, e, cid AS cluster FROM (
-        SELECT v.vec_id, v.e, {p}.cid,
+        SELECT {tv}.vec_id, {tv}.e, {p}.cid,
                row_number() OVER (
-                 PARTITION BY v.vec_id
-                 ORDER BY round(list_cosine_similarity(v.e, {p}.ce), 6) DESC,
+                 PARTITION BY {tv}.vec_id
+                 ORDER BY round(list_cosine_similarity({tv}.e, {p}.ce), 6) DESC,
                           {p}.cid) AS rn
-        FROM v, {p}
+        FROM {tv}, {p}
       ) WHERE rn = 1
     ), m{k} AS (
       SELECT cluster, CAST(generate_subscripts(e, 1) - 1 AS INTEGER) AS dim,

@@ -1388,3 +1388,131 @@ def _register_stream_dedup_incremental() -> None:
 
 
 _register_stream_dedup_incremental()
+
+# --------------------------------------------------------------------------
+# Streaming ANN index maintenance (r9 verdict ask #2): the continuous-ingest
+# leg of the durable-index trio (one-shot build ✓, batch upsert ✓, this).
+# --------------------------------------------------------------------------
+_SAIM_DELTA_FILES = 4  # delta split into 4 files -> 4 microbatches
+
+
+def stream_ann_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid as _uuid
+
+    from ..operators.similarity import (
+        _DELTA_EPOCH_DIR,
+        _assign_by_literal,
+        _emb,
+        _ivf_index_read_topk,
+        _probes_from_centroids,
+        committed_delta_epochs,
+        read_index_meta,
+        stream_maintained_ivf_index,
+    )
+
+    prepare(spark)
+    # Base: centroids Lloyd-trained on the base slice, FROZEN in the
+    # sidecar; a fresh session resolves them from metadata alone.
+    path = stream_maintained_ivf_index(spark, sf_dir)
+    meta = read_index_meta(path)
+    cents = [[float(x) for x in c] for c in meta["centroids"]]
+    split = int(meta["split"])
+
+    # The day's delta replayed as a real finite stream: N files -> N
+    # microbatches (maxFilesPerTrigger=1).
+    work = tempfile.mkdtemp(prefix="hri_saim_")
+    (
+        _emb(spark, sf_dir)
+        .filter(F.col("vec_id") >= split)
+        .repartition(_SAIM_DELTA_FILES)
+        .write.mode("overwrite")
+        .parquet(f"{work}/delta")
+    )
+    schema = spark.read.parquet(f"{work}/delta").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{work}/delta")
+    )
+
+    epoch_root = os.path.join(path, _DELTA_EPOCH_DIR)
+
+    def _append(batch_df: DataFrame, epoch_id: int) -> None:
+        # cell-wise append: assign against the SIDECAR centroids (frozen at
+        # base build — a delta vector's cell is identical whether assigned
+        # at ingest or rebuild, which is what makes the oracle a full-
+        # rebuild equivalence), land the microbatch in its own overwrite
+        # directory, then commit the _EPOCH marker. A replayed epoch (same
+        # epoch_id after failure recovery) overwrites in place — byte-
+        # idempotent; readers union only marker-committed epoch dirs, so a
+        # torn write is invisible.
+        edir = os.path.join(epoch_root, f"e{int(epoch_id)}")
+        (
+            _assign_by_literal(batch_df, cents)
+            .repartition("cell")
+            .sortWithinPartitions("vec_id")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(edir)
+        )
+        with open(os.path.join(edir, "_EPOCH"), "w") as fh:
+            fh.write(str(int(epoch_id)))
+
+    with _pinned_state(spark):
+        q = (
+            src.writeStream.foreachBatch(_append)
+            .option(
+                "checkpointLocation", f"{work}/ckpt_{_uuid.uuid4().hex[:8]}"
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # Combined read: base + committed epochs, every source pruned to the
+    # probed cells (each epoch dir is its own hive-partitioned tree).
+    probes = _probes_from_centroids(spark, sf_dir, cents)
+    return _ivf_index_read_topk(
+        spark, sf_dir, [path] + committed_delta_epochs(path), probes=probes
+    )
+
+
+def _register_stream_ann_index_maintenance() -> None:
+    from ..operators.similarity import (
+        DNLIST,
+        NPROBE,
+        TRAINED_ITERS,
+        _trained_ivf_oracle,
+    )
+
+    register(
+        QUERIES,
+        "stream_ann_index_maintenance",
+        oracle=_trained_ivf_oracle(
+            DNLIST, TRAINED_ITERS, NPROBE, base_split=True
+        ),
+        doc="Continuous ANN-index ingest — the STREAMING twin of the batch "
+        "upsert (ann_ivf_upsert_topk) over the trained-quantizer index: "
+        "the base build Lloyd-trains centroids on the base corpus slice "
+        "and freezes them in the catalog sidecar; the delta then arrives "
+        "as a real Structured Streaming source (maxFilesPerTrigger=1 -> "
+        "multiple microbatches) and every microbatch is assigned against "
+        "the sidecar centroids (zero-shuffle literal E-step) and appended "
+        "cell-wise into its own committed per-epoch directory under the "
+        "index (_EPOCH marker after the data, stream_cdc_upsert's "
+        "idempotence shape — replays overwrite byte-identically, torn "
+        "writes are invisible to readers). The query returns top-k over "
+        "base + committed epochs, partition-pruned per source; the oracle "
+        "re-trains the base-slice centroids in chained CTEs and runs the "
+        "full-corpus IVF tail — i.e. the maintained index must EQUAL a "
+        "full rebuild with the frozen grid, the same contract the batch "
+        "upsert pins. At 100 TB this is the always-fresh index: per-"
+        "microbatch cost is one assignment pass over the batch plus a "
+        "cell-wise append, never a rebuild; compaction of accumulated "
+        "epoch files is the orthogonal maintenance op.",
+    )(stream_ann_index_maintenance)
+
+
+_register_stream_ann_index_maintenance()
