@@ -289,3 +289,186 @@ def table_checksum_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cs_replica",
         (F.col("cs_primary") == F.col("cs_replica")).alias("is_consistent"),
     )
+
+
+# --- quantizer-drift monitoring + retrain-at-compaction (r9 verdict #3) ---
+# Trained upserts deliberately FREEZE base centroids (that is what makes the
+# daily append provably equal to a frozen-grid rebuild), but frozen grids
+# decay: as deltas accumulate, drifted data piles into a few cells and the
+# worst-case probe cost grows with the biggest cell. Policy: every upsert /
+# maintenance pass records (delta_fraction, cell_skew) in the sidecar;
+# when either crosses its threshold, the REBALANCE — an explicit, separate
+# operation from the append, so the un-retrained path keeps its equivalence
+# proof — retrains on the index's own rows and republishes atomically.
+
+# A cell holding >2.5x its fair share means probes hitting it scan >2.5x
+# the expected candidates — the skew level where AQE-style mitigation stops
+# helping because the imbalance is in the INDEX layout, not the shuffle.
+RETRAIN_SKEW_THRESHOLD = 2.5
+# Once half the index arrived after training, the centroids have seen a
+# minority of the data — retrain regardless of incidental balance.
+RETRAIN_DELTA_FRACTION = 0.5
+
+
+def _ivf_index_frame(spark: SparkSession, path: str) -> DataFrame:
+    """(vec_id, e, cell) across the base tree + committed stream epochs."""
+    from functools import reduce
+
+    from .similarity import committed_delta_epochs
+
+    return reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            spark.read.parquet(p).select("vec_id", "e", "cell")
+            for p in [path, *committed_delta_epochs(path)]
+        ],
+    )
+
+
+def ivf_drift_report(spark: SparkSession, path: str) -> dict:
+    """Drift health of a durable IVF index: cell_skew = biggest cell over
+    the fair share (total/nlist — empty cells count against balance), and
+    delta_fraction = rows that arrived after the centroids were trained
+    (vec_id >= the sidecar's base split). One groupBy over the index."""
+    from .similarity import read_index_meta
+
+    meta = read_index_meta(path)
+    nlist = int(meta["nlist"])
+    split = meta.get("split")
+    df = _ivf_index_frame(spark, path)
+    agg = df.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(
+            (F.col("vec_id") >= F.lit(split if split is not None else 1 << 62))
+            .cast("long")
+        ).alias("delta_rows"),
+    ).collect()[0]
+    total = int(agg["total"])
+    delta_rows = int(agg["delta_rows"]) if split is not None else 0
+    max_cell = (
+        df.groupBy("cell").count().agg(F.max("count")).collect()[0][0] or 0
+    )
+    return {
+        "total_rows": total,
+        "delta_rows": delta_rows,
+        "delta_fraction": (delta_rows / total) if total else 0.0,
+        "max_cell_rows": int(max_cell),
+        "cell_skew": (max_cell / (total / nlist)) if total else 0.0,
+    }
+
+
+def _rewrite_sidecar(path: str, meta: dict) -> None:
+    """Atomic sidecar update: temp file + rename, readers never see a torn
+    JSON."""
+    import json
+
+    from .similarity import _INDEX_META
+
+    tmp = os.path.join(path, f".{_INDEX_META}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, os.path.join(path, _INDEX_META))
+
+
+def update_drift_stats(spark: SparkSession, path: str) -> dict:
+    """Recompute and record the drift fields in the index sidecar — the
+    per-upsert bookkeeping step (batch upsert and the streaming maintainer
+    both call this shape at the end of their append)."""
+    from .similarity import read_index_meta
+
+    meta = read_index_meta(path)
+    rep = ivf_drift_report(spark, path)
+    meta["drift"] = rep
+    _rewrite_sidecar(path, meta)
+    return rep
+
+
+def retrain_if_skewed(
+    spark: SparkSession,
+    path: str,
+    skew_threshold: float = RETRAIN_SKEW_THRESHOLD,
+    delta_threshold: float = RETRAIN_DELTA_FRACTION,
+    iters: int | None = None,
+) -> dict:
+    """The compact_small_files-style maintenance entry point for durable
+    IVF indexes: measure drift; below thresholds, just record the stats
+    (cheap bookkeeping). Above, run the REBALANCE: Lloyd-retrain centroids
+    on the index's own rows (first-nlist init by vec_id — the index is
+    self-contained, no corpus re-read), reassign everything, and publish
+    atomically into the same catalog path with a fresh sidecar
+    (centroid_kind 'lloyd_trained_rebalanced', drift reset, fingerprint
+    carried over — a rebalance changes layout, not corpus identity).
+    Readers either see the complete old index or the complete new one,
+    never a partial (same temp-dir + rename publish as every build).
+
+    The un-retrained append path keeps its equivalence proof untouched:
+    retraining moves centroids and reassigns rows, so it is only ever this
+    explicit maintenance op, never a side effect of an upsert."""
+    import glob as globmod
+    import json
+    import time as timemod
+    import uuid as uuidmod
+
+    from .similarity import (
+        _INDEX_META,
+        _assign_by_literal,
+        _ivf_index_dir_memo,
+        _lloyd_iterate,
+        _publish_index,
+        read_index_meta,
+    )
+    from .similarity import TRAINED_ITERS as _DEFAULT_ITERS
+
+    meta = read_index_meta(path)
+    rep = ivf_drift_report(spark, path)
+    if (
+        rep["cell_skew"] <= skew_threshold
+        and rep["delta_fraction"] <= delta_threshold
+    ):
+        meta["drift"] = rep
+        _rewrite_sidecar(path, meta)
+        return {"retrained": False, "before": rep, "after": rep}
+
+    nlist = int(meta["nlist"])
+    it = iters if iters is not None else int(meta.get("iters", _DEFAULT_ITERS))
+    v = _ivf_index_frame(spark, path).select("vec_id", "e").localCheckpoint()
+    init = [
+        [float(x) for x in r["e"]]
+        for r in v.filter(F.col("vec_id") < nlist).orderBy("vec_id").collect()
+    ]
+    cents = _lloyd_iterate(v, init, it)
+    tmp = f"{path}.build-{uuidmod.uuid4().hex[:8]}"
+    (
+        _assign_by_literal(v, cents)
+        .repartition("cell")
+        .sortWithinPartitions("vec_id")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(tmp)
+    )
+    new_meta = dict(meta)
+    new_meta.update(
+        {
+            "n_files": len(globmod.glob(f"{tmp}/cell=*/*.parquet")),
+            "built_unix": timemod.time(),
+            "centroids": cents,
+            "centroid_kind": "lloyd_trained_rebalanced",
+            "iters": it,
+            # post-rebalance every row is re-trained data: the delta clock
+            # restarts
+            "split": None,
+        }
+    )
+    new_meta.pop("base_files", None)
+    with open(os.path.join(tmp, _INDEX_META), "w") as fh:
+        json.dump(new_meta, fh)
+    _publish_index(path, tmp)
+    # the path is unchanged but cached memo entries may hold the OLD dir
+    # object semantics; re-stat on next resolve
+    for k in [k for k, p in _ivf_index_dir_memo.items() if p == path]:
+        _ivf_index_dir_memo.pop(k, None)
+    after = ivf_drift_report(spark, path)
+    final = read_index_meta(path)
+    final["drift"] = after
+    _rewrite_sidecar(path, final)
+    return {"retrained": True, "before": rep, "after": after}

@@ -576,6 +576,12 @@ def ivf_upsert_index(spark: SparkSession, sf_dir: str, nlist: int = DNLIST) -> s
         with open(os.path.join(tmp, _INDEX_META), "w") as fh:
             json.dump(meta, fh)
         _publish_index(base, tmp)
+        # drift bookkeeping rides every upsert (r9 verdict #3): the sidecar
+        # records delta_fraction + cell_skew so the retrain-at-compaction
+        # policy (operators/maintenance.retrain_if_skewed) is a metadata read
+        from .maintenance import update_drift_stats
+
+        update_drift_stats(spark, base)
     _ivf_index_dir_memo[memo_key] = base
     return base
 
@@ -865,6 +871,12 @@ def ivf_trained_upsert_index(
         with open(os.path.join(tmp, _INDEX_META), "w") as fh:
             json.dump(meta, fh)
         _publish_index(base, tmp)
+        # drift bookkeeping rides every upsert (r9 verdict #3): the sidecar
+        # records delta_fraction + cell_skew so the retrain-at-compaction
+        # policy (operators/maintenance.retrain_if_skewed) is a metadata read
+        from .maintenance import update_drift_stats
+
+        update_drift_stats(spark, base)
     _ivf_index_dir_memo[memo_key] = base
     return base
 

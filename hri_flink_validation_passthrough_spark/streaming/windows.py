@@ -1471,6 +1471,13 @@ def stream_ann_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
 
+    # drift bookkeeping rides every maintenance run (r9 verdict #3): the
+    # sidecar records delta_fraction + cell_skew so retrain-at-compaction
+    # (operators/maintenance.retrain_if_skewed) is a metadata decision
+    from ..operators.maintenance import update_drift_stats
+
+    update_drift_stats(spark, path)
+
     # Combined read: base + committed epochs, every source pruned to the
     # probed cells (each epoch dir is its own hive-partitioned tree).
     probes = _probes_from_centroids(spark, sf_dir, cents)

@@ -151,3 +151,100 @@ def test_stream_ann_maintenance_equals_batch_trained_upsert(
         ).collect()
     }
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# Quantizer-drift retrain policy (r9 verdict ask #3)
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def drifted_corpus_dir(tmp_path):
+    """A corpus whose delta slice (the last 25%, appended after training)
+    piles into ONE region: base = 300 random unit vectors, delta = 100
+    vectors tightly clustered near base vector 0 — the skew-inducing
+    upsert sequence."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(300, 64))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    delta = base[0][None, :] + 0.05 * rng.normal(size=(100, 64))
+    pts = np.vstack([base, delta])
+    d = tmp_path / "corpus"
+    os.makedirs(d)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(len(pts)), type=pa.int64()),
+            "embedding": pa.array(
+                [row.astype("float32") for row in pts],
+                type=pa.list_(pa.float32()),
+            ),
+        }
+    )
+    pq.write_table(tbl, str(d / "embeddings.parquet"))
+    return str(d)
+
+
+def test_upsert_records_drift_stats(spark, tmp_path, monkeypatch):
+    """Every upsert stamps delta_fraction + cell_skew into the sidecar —
+    the retrain decision must be a metadata read, not a scan."""
+    S = _fresh_index_root(monkeypatch, tmp_path / "idx")
+    path = S.ivf_trained_upsert_index(spark, SF_ORACLE)
+    drift = S.read_index_meta(path).get("drift")
+    assert drift is not None
+    assert 0.2 < drift["delta_fraction"] < 0.3  # the 75/25 upsert split
+    assert drift["cell_skew"] >= 1.0  # max cell is at least the fair share
+    assert drift["total_rows"] == S._emb(spark, SF_ORACLE).count()
+
+
+def test_skew_inducing_upsert_triggers_retrain(
+    spark, tmp_path, monkeypatch, drifted_corpus_dir
+):
+    from hri_flink_validation_passthrough_spark.operators import (
+        maintenance as M,
+    )
+
+    S = _fresh_index_root(monkeypatch, tmp_path / "idx")
+    path = S.ivf_trained_upsert_index(spark, drifted_corpus_dir, nlist=8)
+    before = S.read_index_meta(path)["drift"]
+    assert before["cell_skew"] > M.RETRAIN_SKEW_THRESHOLD, (
+        f"fixture failed to induce skew: {before}"
+    )
+
+    res = M.retrain_if_skewed(spark, path)
+    assert res["retrained"] is True
+    assert res["after"]["cell_skew"] < res["before"]["cell_skew"], (
+        f"rebalance did not improve balance: {res}"
+    )
+
+    # the published rebalanced index is complete and atomic: every vector
+    # exactly once, no torn build residue, fresh provenance + drift reset
+    meta = S.read_index_meta(path)
+    assert meta["centroid_kind"] == "lloyd_trained_rebalanced"
+    assert os.path.exists(os.path.join(path, "_SUCCESS"))
+    assert not glob.glob(f"{path}.build-*"), "unpublished build residue"
+    idx = spark.read.parquet(path).select("vec_id")
+    assert idx.count() == idx.distinct().count() == 400
+    assert meta["drift"]["delta_fraction"] == 0.0  # delta clock restarted
+
+
+def test_balanced_index_is_left_alone(spark, tmp_path, monkeypatch):
+    """Below thresholds the maintenance pass only refreshes the stats —
+    the un-retrained index keeps its frozen centroids (and with them the
+    upsert-equals-frozen-grid-rebuild equivalence proof)."""
+    from hri_flink_validation_passthrough_spark.operators import (
+        maintenance as M,
+    )
+
+    S = _fresh_index_root(monkeypatch, tmp_path / "idx")
+    path = S.ivf_trained_upsert_index(spark, SF_ORACLE)
+    cents_before = S.read_index_meta(path)["centroids"]
+    res = M.retrain_if_skewed(spark, path)
+    assert res["retrained"] is False
+    meta = S.read_index_meta(path)
+    assert meta["centroids"] == cents_before
+    assert meta["centroid_kind"] == "lloyd_trained_base_slice"
+    assert meta["drift"]["total_rows"] == res["after"]["total_rows"]
