@@ -709,6 +709,33 @@ def _assign_by_literal(v: DataFrame, cents: list[list[float]]) -> DataFrame:
     )
 
 
+def _assign_by_broadcast(
+    spark: SparkSession, v: DataFrame, cents: list[list[float]]
+) -> DataFrame:
+    """(vec_id, e, cell): nearest-centroid assignment against a BROADCAST
+    centroid DataFrame — semantically identical to _assign_by_literal
+    (round(cos,6) argmax, lowest-cid tiebreak via the window's
+    desc-sim/asc-cid row_number), but the centroids ride as DATA. This is
+    the REPEATED-call form: the k x dim literal array costs ~1.6 s of
+    analysis/codegen per call (r9 planning-tax A/B), fine in a one-time
+    index build, ruinous in a per-microbatch foreachBatch (measured: the
+    streaming maintainer's 4 microbatches paid ~6 s/run before this).
+    The same crossJoin+window shape as _ivf_assign_probes' assign."""
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cid int, ce array<double>",
+    )
+    sim = F.round(cosine_similarity(F.col("e"), F.col("ce")), 6)
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
+    return (
+        v.crossJoin(F.broadcast(cent_df))
+        .select("vec_id", "e", "cid", sim.alias("sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "e", F.col("cid").alias("cell"))
+    )
+
+
 def _probes_from_centroids(
     spark: SparkSession,
     sf_dir: str,
