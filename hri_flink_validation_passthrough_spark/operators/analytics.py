@@ -558,6 +558,146 @@ def column_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The 100 TB form of the profile above (r9 verdict ask #7): exact NDV is the
+# sf0.1 form; at scale ANALYZE uses a sketch. approx_count_distinct itself is
+# engine-specific (never hash-checkable), so the executable scale posture
+# uses the repo's PORTABLE HyperLogLog (operators/text.py: md5-prefix
+# registers, integer-rational harmonic sum) over canonicalized value strings
+# — hash-checked end to end instead of rows-only.
+
+
+def _profile_canon_spark(c: str):
+    """Deterministic cross-engine string form of a profiled column — the
+    HLL hash input must be byte-identical in both engines, and plain
+    double->string casts are NOT (Java shortest-roundtrip vs DuckDB): the
+    double price goes through DECIMAL(18,2); timestamps through the repo's
+    standard date_format; ints/strings cast directly."""
+    if c == "o_totalprice":
+        return F.col(c).cast("decimal(18,2)").cast("string")
+    if c in _PROFILE_DT:
+        return F.date_format(F.col(c), "yyyy-MM-dd HH:mm:ss")
+    return F.col(c).cast("string")
+
+
+def _profile_canon_sql(c: str) -> str:
+    if c == "o_totalprice":
+        return f"CAST(CAST({c} AS DECIMAL(18,2)) AS VARCHAR)"
+    if c in _PROFILE_DT:
+        return f"strftime({c}, '%Y-%m-%d %H:%M:%S')"
+    return f"CAST({c} AS VARCHAR)"
+
+
+def _profile_approx_oracle() -> str:
+    from .text import HLL_M, _hll_est_sql
+
+    pairs = " UNION ALL ".join(
+        f"SELECT '{c}' AS col, {_profile_canon_sql(c)} AS v "
+        f"FROM orders WHERE {c} IS NOT NULL"
+        for c in _PROFILE_NUM + _PROFILE_TXT + _PROFILE_DT
+    )
+    return f"""
+    WITH pairs AS ({pairs}
+    ), h AS (
+      SELECT col, ('0x' || substr(md5(v), 1, 15))::BIGINT AS hv FROM pairs
+    ), rho AS (
+      SELECT col, hv % {HLL_M} AS bucket,
+             max(CASE WHEN hv // {HLL_M} = 0 THEN 51
+                      ELSE 51 - length(bin(hv // {HLL_M})) END) AS reg
+      FROM h GROUP BY 1, 2
+    ), grid AS (
+      SELECT col, unnest(range({HLL_M})) AS bucket
+      FROM (SELECT DISTINCT col FROM pairs)
+    ), regs AS (
+      SELECT g.col, g.bucket, coalesce(r.reg, 0) AS reg
+      FROM grid g LEFT JOIN rho r ON r.col = g.col AND r.bucket = g.bucket
+    ), agg AS (
+      SELECT col,
+             CAST(sum(1::BIGINT << (51 - reg)) AS BIGINT) AS s_harm,
+             CAST(sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS v_zero
+      FROM regs GROUP BY 1
+    ), ex AS (
+      SELECT col, CAST(count(DISTINCT v) AS BIGINT) AS ndv_exact
+      FROM pairs GROUP BY 1
+    ), est AS (
+      SELECT a.col, e.ndv_exact, a.v_zero, a.s_harm,
+             {_hll_est_sql("s_harm", "v_zero")} AS raw
+      FROM agg a JOIN ex e ON e.col = a.col
+    )
+    SELECT col, ndv_exact, v_zero, s_harm,
+           round(raw, 4) AS ndv_approx,
+           round((raw - ndv_exact) / ndv_exact, 6) AS rel_error
+    FROM est
+    """
+
+
+@register(
+    QUERIES,
+    "column_profile_stats_approx",
+    oracle=_profile_approx_oracle(),
+    doc="The 100 TB twin of column_profile_stats' NDV column, executable "
+    "rather than prose: per-column approximate NDV via the repo's PORTABLE "
+    "HyperLogLog (m=1024, md5-prefix registers, integer-rational harmonic "
+    "sum — hash-checked cross-engine, standing in for the "
+    "approx_count_distinct a production ANALYZE runs), reported against "
+    "the exact NDV with relative error. Values are canonicalized to "
+    "deterministic strings first (DECIMAL(18,2) for the double price, "
+    "date_format for timestamps) because raw double->string casts differ "
+    "across engines. One melt + one map-side-combined register "
+    "aggregation; per-column state is m longs, mergeable by cell-wise MAX "
+    "across partitions/days — at 100 TB this replaces the melted exact "
+    "DISTINCT shuffle with sketch merges. Exercises both estimator "
+    "branches (linear counting for low-NDV columns, raw harmonic for "
+    "o_orderkey).",
+)
+def column_profile_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import _hll_agg, _hll_raw_estimate, _hll_reg_table
+
+    o = _t(spark, sf_dir, "orders")
+    cols = _PROFILE_NUM + _PROFILE_TXT + _PROFILE_DT
+    pairs = (
+        o.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("col"),
+                            _profile_canon_spark(c).alias("v"),
+                        )
+                        for c in cols
+                    ]
+                )
+            ).alias("p")
+        )
+        .select("p.*")
+        .where(F.col("v").isNotNull())
+    )
+    # the HLL helpers are keyed on (event_type, user_id) — feed the melted
+    # pairs under those names, read the results back out as (col, ...)
+    e = pairs.select(
+        F.col("col").alias("event_type"), F.col("v").alias("user_id")
+    )
+    agg = _hll_agg(_hll_reg_table(e).groupBy("event_type"))
+    ex = pairs.distinct().groupBy("col").agg(
+        F.count(F.lit(1)).cast("long").alias("ndv_exact")
+    )
+    raw = _hll_raw_estimate()
+    return (
+        agg.withColumnRenamed("event_type", "col")
+        .join(F.broadcast(ex), "col")
+        .select(
+            "col",
+            "ndv_exact",
+            "v_zero",
+            "s_harm",
+            F.round(raw, 4).alias("ndv_approx"),
+            F.round((raw - F.col("ndv_exact")) / F.col("ndv_exact"), 6).alias(
+                "rel_error"
+            ),
+        )
+    )
+
+
 # Pairwise statistics: one scan computes the full correlation upper triangle.
 _CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
