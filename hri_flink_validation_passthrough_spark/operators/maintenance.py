@@ -472,3 +472,58 @@ def retrain_if_skewed(
     final["drift"] = after
     _rewrite_sidecar(path, final)
     return {"retrained": True, "before": rep, "after": after}
+
+
+def fold_delta_epochs(spark: SparkSession, path: str) -> dict:
+    """Epoch compaction for a stream-maintained IVF index: fold the
+    committed _delta_epochs trees into the base cell layout and republish
+    atomically. Pure layout maintenance — rows, cells, and centroids are
+    byte-identical (assignment happened at append time against the frozen
+    grid), so the oracle-facing result is unchanged; what changes is the
+    file count a reader lists (each day's stream leaves one tree of small
+    files per epoch — at 100 TB this runs on the compaction schedule right
+    before retrain_if_skewed, which reuses the same publish seam).
+    Returns file counts before/after."""
+    import glob as globmod
+    import json
+    import uuid as uuidmod
+
+    from .similarity import (
+        _INDEX_META,
+        _publish_index,
+        committed_delta_epochs,
+        read_index_meta,
+    )
+
+    epochs = committed_delta_epochs(path)
+    n_before = len(_data_files(path))
+    if not epochs:
+        return {"folded_epochs": 0, "files_before": n_before,
+                "files_after": n_before}
+    meta = read_index_meta(path)
+    df = _ivf_index_frame(spark, path)
+    n_rows = df.count()
+    tmp = f"{path}.build-{uuidmod.uuid4().hex[:8]}"
+    (
+        df.repartition("cell")
+        .sortWithinPartitions("vec_id")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(tmp)
+    )
+    meta = dict(meta)
+    meta["n_files"] = len(globmod.glob(f"{tmp}/cell=*/*.parquet"))
+    meta.pop("base_files", None)
+    with open(os.path.join(tmp, _INDEX_META), "w") as fh:
+        json.dump(meta, fh)
+    _publish_index(path, tmp)
+    folded = spark.read.parquet(path)
+    if folded.count() != n_rows:
+        raise RuntimeError(
+            f"epoch fold must not drop rows: {n_rows} -> {folded.count()}"
+        )
+    return {
+        "folded_epochs": len(epochs),
+        "files_before": n_before,
+        "files_after": len(_data_files(path)),
+    }

@@ -248,3 +248,70 @@ def test_balanced_index_is_left_alone(spark, tmp_path, monkeypatch):
     assert meta["centroids"] == cents_before
     assert meta["centroid_kind"] == "lloyd_trained_base_slice"
     assert meta["drift"]["total_rows"] == res["after"]["total_rows"]
+
+
+def test_fold_delta_epochs_preserves_reads(spark, tmp_path, monkeypatch):
+    """Epoch compaction is pure layout maintenance: folding the committed
+    stream epochs into the base cell layout must leave the top-k read
+    byte-identical, empty the epoch list, and not lose a single row."""
+    from hri_flink_validation_passthrough_spark.operators import (
+        maintenance as M,
+    )
+    from hri_flink_validation_passthrough_spark.streaming.windows import (
+        stream_ann_index_maintenance,
+    )
+
+    S = _fresh_index_root(monkeypatch, tmp_path)
+    before = {
+        (r["qid"], r["nid"], r["rnk"])
+        for r in stream_ann_index_maintenance(spark, SF_ORACLE).collect()
+    }
+    path = S.stream_maintained_ivf_index(spark, SF_ORACLE)
+    assert S.committed_delta_epochs(path)
+
+    res = M.fold_delta_epochs(spark, path)
+    assert res["folded_epochs"] >= 2
+    assert S.committed_delta_epochs(path) == []
+    meta = S.read_index_meta(path)
+    cents = meta["centroids"]
+    probes = S._probes_from_centroids(spark, SF_ORACLE, cents)
+    after = {
+        (r["qid"], r["nid"], r["rnk"])
+        for r in S._ivf_index_read_topk(
+            spark, SF_ORACLE, path, probes=probes
+        ).collect()
+    }
+    assert after == before
+    idx = spark.read.parquet(path).select("vec_id")
+    assert idx.count() == idx.distinct().count() == S._emb(
+        spark, SF_ORACLE
+    ).count()
+
+
+def test_retrain_consumes_stream_epochs(spark, tmp_path, monkeypatch):
+    """retrain_if_skewed must see the WHOLE maintained index — base plus
+    committed stream epochs — and its rebalanced publish rolls the epochs
+    into one fresh tree (delta clock reset)."""
+    from hri_flink_validation_passthrough_spark.operators import (
+        maintenance as M,
+    )
+    from hri_flink_validation_passthrough_spark.streaming.windows import (
+        stream_ann_index_maintenance,
+    )
+
+    S = _fresh_index_root(monkeypatch, tmp_path)
+    stream_ann_index_maintenance(spark, SF_ORACLE).collect()
+    path = S.stream_maintained_ivf_index(spark, SF_ORACLE)
+    n_corpus = S._emb(spark, SF_ORACLE).count()
+    rep = M.ivf_drift_report(spark, path)
+    assert rep["total_rows"] == n_corpus  # epochs included in the report
+
+    # force the rebalance regardless of incidental balance
+    res = M.retrain_if_skewed(spark, path, skew_threshold=0.0)
+    assert res["retrained"] is True
+    assert S.committed_delta_epochs(path) == []
+    idx = spark.read.parquet(path).select("vec_id")
+    assert idx.count() == idx.distinct().count() == n_corpus
+    meta = S.read_index_meta(path)
+    assert meta["centroid_kind"] == "lloyd_trained_rebalanced"
+    assert meta["drift"]["delta_fraction"] == 0.0
