@@ -214,7 +214,23 @@ _MEMO: dict[tuple, DataFrame] = {}
 
 
 def _memo_key(spark: SparkSession, sf_dir: str, what: str) -> tuple:
-    return (spark.sparkContext.applicationId, sf_dir.rstrip("/"), what)
+    # documents fingerprint in the key: an in-place corpus regeneration
+    # invalidates every cached shingle/pair table (r9 ADVICE pattern,
+    # generalized from similarity._fp_key). Computing the key also EVICTS
+    # stale same-slot entries — their persisted plans are semantically
+    # equal to any rebuild, and Spark's CacheManager would otherwise serve
+    # the old InMemoryRelation (session.evict_stale_memo). Single choke
+    # point: linkage's memo users share this function.
+    from ..session import evict_stale_memo, source_fingerprint
+
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir.rstrip("/"),
+        what,
+        source_fingerprint(sf_dir, "documents.parquet"),
+    )
+    evict_stale_memo(_MEMO, key, 3)
+    return key
 
 
 def _shingles_for(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:

@@ -71,7 +71,7 @@ _GRAPH_SQL = f"""
 """
 
 
-_graph_memo: dict[tuple[str, str], tuple] = {}
+_graph_memo: dict[tuple, tuple] = {}
 
 
 def _mutual_knn_edges(spark: SparkSession, sf_dir: str):
@@ -84,9 +84,18 @@ def _mutual_knn_edges(spark: SparkSession, sf_dir: str):
     self-join that builds it dominates each one's cost — in production the
     edge list is a stored artifact written once at graph-build time.
     """
-    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    from ..session import source_fingerprint
+
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir.rstrip("/"),
+        source_fingerprint(sf_dir, "lineitem.parquet"),
+    )
     if key in _graph_memo:
         return _graph_memo[key]
+    from ..session import evict_stale_memo
+
+    evict_stale_memo(_graph_memo, key, 2)
     prepare(spark)
     li = load_table(spark, sf_dir, "lineitem")
     a, b = li.alias("a"), li.alias("b")
@@ -122,7 +131,7 @@ def _mutual_knn_edges(spark: SparkSession, sf_dir: str):
     return edges, nodes
 
 
-_oriented_memo: dict[tuple[str, str], DataFrame] = {}
+_oriented_memo: dict[tuple, DataFrame] = {}
 
 
 def _oriented_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -131,8 +140,17 @@ def _oriented_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     Triangle counting and the clustering coefficient both orient the mutual
     graph the same way; previously each call persisted its own copy,
     accumulating executor cache across a multi-query run (ADVICE r5)."""
-    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    from ..session import source_fingerprint
+
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir.rstrip("/"),
+        source_fingerprint(sf_dir, "lineitem.parquet"),
+    )
     if key not in _oriented_memo:
+        from ..session import evict_stale_memo
+
+        evict_stale_memo(_oriented_memo, key, 2)
         edges, _ = _mutual_knn_edges(spark, sf_dir)
         _oriented_memo[key] = edges.filter(F.col("src") < F.col("dst")).persist()
     return _oriented_memo[key]

@@ -120,6 +120,11 @@ def _ivf_assign_probes(
     )
     assign = _ivf_assign_memo.get(memo_key)
     if assign is None:
+        # stale-fingerprint entries must be UNCACHED, not just re-keyed:
+        # CacheManager plan-equality would serve the old InMemoryRelation
+        from ..session import evict_stale_memo
+
+        evict_stale_memo(_ivf_assign_memo, memo_key, 3)
         assign = (
             v.crossJoin(F.broadcast(cent))
             .select("vec_id", "e", "cid", sim_vc.alias("sim"))
@@ -1184,6 +1189,9 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if key in _bm25_scored_memo:
         return _bm25_scored_memo[key]
+    from ..session import evict_stale_memo
+
+    evict_stale_memo(_bm25_scored_memo, key, 2)
     prepare(spark)
     d = load_table(spark, sf_dir, "documents")
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
@@ -1578,6 +1586,9 @@ def _pq_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"), _fp_key(sf_dir))
     if key in _pq_encoded_memo:
         return _pq_encoded_memo[key]
+    from ..session import evict_stale_memo
+
+    evict_stale_memo(_pq_encoded_memo, key, 2)
     cb = _pq_codebook(spark, sf_dir)
     out = _pq_encode_with(_emb(spark, sf_dir), cb).persist()
     _pq_encoded_memo[key] = out

@@ -23,7 +23,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..session import load_table, prepare
+from ..session import load_table, prepare, source_fingerprint
 from . import QuerySpec, register
 
 QUERIES: dict[str, QuerySpec] = {}
@@ -35,7 +35,7 @@ def bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFr
     """(lineitem, orders) bucketed+sorted on the order key, written once per
     (session, sf_dir) into external parquet under a temp dir. The bucket
     metadata lives in the session catalog; re-registration is idempotent."""
-    tag = f"bkt_{abs(hash((spark.sparkContext.applicationId, sf_dir))) % 10**8}"
+    tag = f"bkt_{abs(hash((spark.sparkContext.applicationId, sf_dir, source_fingerprint(sf_dir, 'lineitem.parquet')))) % 10**8}"
     lt, ot = f"lineitem_{tag}", f"orders_{tag}"
     if not spark.catalog.tableExists(lt):
         base = tempfile.mkdtemp(prefix=f"bucketed_{uuid.uuid4().hex[:6]}_")
@@ -93,7 +93,7 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events written once per (session, sf_dir) PARTITIONED BY event_type —
     the disk layout that turns a type filter into directory pruning."""
-    tag = f"part_{abs(hash((spark.sparkContext.applicationId, sf_dir))) % 10**8}"
+    tag = f"part_{abs(hash((spark.sparkContext.applicationId, sf_dir, source_fingerprint(sf_dir, 'lineitem.parquet')))) % 10**8}"
     name = f"events_{tag}"
     if not spark.catalog.tableExists(name):
         base = tempfile.mkdtemp(prefix=f"partitioned_{uuid.uuid4().hex[:6]}_")
@@ -228,7 +228,7 @@ def zordered_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events written once per (session, sf_dir) PARTITIONED BY the top
     z-prefix and sorted by the full z-value within partitions (row-group
     locality for min/max skipping below the directory level)."""
-    tag = f"zord_{abs(hash((spark.sparkContext.applicationId, sf_dir))) % 10**8}"
+    tag = f"zord_{abs(hash((spark.sparkContext.applicationId, sf_dir, source_fingerprint(sf_dir, 'lineitem.parquet')))) % 10**8}"
     name = f"events_{tag}"
     if not spark.catalog.tableExists(name):
         base = tempfile.mkdtemp(prefix=f"zorder_{uuid.uuid4().hex[:6]}_")
@@ -419,7 +419,7 @@ def materialized_daily_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily (day, event_type) partials of events BEFORE the cutoff, written
     once per (session, sf_dir) — "yesterday's MV". The refresh query must
     read THIS, never the pre-cutoff raw events."""
-    tag = f"mv_{abs(hash((spark.sparkContext.applicationId, sf_dir))) % 10**8}"
+    tag = f"mv_{abs(hash((spark.sparkContext.applicationId, sf_dir, source_fingerprint(sf_dir, 'lineitem.parquet')))) % 10**8}"
     name = f"daily_mv_{tag}"
     if not spark.catalog.tableExists(name):
         base = tempfile.mkdtemp(prefix=f"dailymv_{uuid.uuid4().hex[:6]}_")
@@ -532,7 +532,11 @@ def zonemap_manifest(
     (Spark's legacy default) carries NO column statistics — with INT96 the
     footer has nothing to skip on. A file whose stats are absent gets
     min=max=None and is always kept (skipping must be conservative)."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        source_fingerprint(sf_dir, "lineitem.parquet"),
+    )
     if key not in _ZONEMAP_CACHE:
         import glob as globmod
 

@@ -113,6 +113,39 @@ def build_session(app_name: str = "hri_spark", cpus: int | None = None) -> Spark
     return prepare(spark)
 
 
+def source_fingerprint(sf_dir: str, fname: str) -> tuple:
+    """Hashable (fname, size, mtime_ns) of one source parquet — the memo-key
+    component every session cache of corpus-DERIVED artifacts must carry
+    (r9 ADVICE, generalized in r10): keyed on path alone, a dataset
+    regenerated in place mid-session would silently serve stale persisted
+    intermediates. A missing file yields a never-matching sentinel rather
+    than raising."""
+    src = os.path.join(sf_dir.rstrip("/"), fname)
+    try:
+        st = os.stat(src)
+    except OSError:
+        return (fname, None, None)
+    return (fname, st.st_size, st.st_mtime_ns)
+
+
+def evict_stale_memo(memo: dict, key: tuple, n_prefix: int) -> None:
+    """Drop AND unpersist memo entries sharing *key*'s first *n_prefix*
+    components but not its fingerprint tail. Fingerprint-aware keys alone
+    do NOT close the staleness hole for PERSISTED entries: Spark's
+    CacheManager substitutes any semantically-equal plan with the existing
+    InMemoryRelation, so a rebuilt DataFrame (same path, same expressions)
+    would silently serve the STALE cached data unless the old entry is
+    uncached first (observed: in-place corpus regen returned the old
+    row count until the stale persist was dropped)."""
+    for k in [k for k in memo if k != key and k[:n_prefix] == key[:n_prefix]]:
+        v = memo.pop(k)
+        for df in v if isinstance(v, tuple) else (v,):
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one driver-generated parquet table (TESTDATA.md).
 

@@ -263,3 +263,37 @@ def test_missing_corpus_degrades_to_stale_not_raise(tmp_path):
     # sentinel never matches a recorded fingerprint from a successful build
     assert fp != {"src": fp["src"], "size": 0, "mtime_ns": 0}
     assert S._index_is_current(str(tmp_path / "noidx"), str(gone), "x") is False
+
+
+def test_dedup_memo_staleness_same_session_regen(spark, tmp_path):
+    """The r9 memo-staleness ADVICE generalized (r10): dedup's shingle memo
+    caches a persisted table per (session, sf_dir) — regenerating
+    documents.parquet in place mid-session must invalidate it via the
+    source fingerprint in the memo key, not serve stale shingles."""
+    import duckdb
+
+    from hri_flink_validation_passthrough_spark.operators import dedup as D
+
+    corpus = tmp_path / "corpus"
+    os.makedirs(corpus)
+    shutil.copy(
+        os.path.join(SF_ORACLE, "documents.parquet"),
+        corpus / "documents.parquet",
+    )
+    n1 = D._shingles_for(spark, str(corpus)).count()
+
+    # regenerate IN PLACE with half the documents — same path, new content
+    src = str(corpus / "documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE TABLE t AS SELECT * FROM read_parquet('{src}')"
+        " WHERE doc_id % 2 = 0"
+    )
+    con.execute(f"COPY t TO '{src}' (FORMAT PARQUET)")
+    con.close()
+
+    n2 = D._shingles_for(spark, str(corpus)).count()
+    assert n2 < n1, (
+        "shingle memo served the stale pre-regeneration corpus "
+        f"({n1} == {n2})"
+    )
