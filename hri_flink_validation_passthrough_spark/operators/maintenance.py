@@ -310,8 +310,12 @@ RETRAIN_SKEW_THRESHOLD = 2.5
 RETRAIN_DELTA_FRACTION = 0.5
 
 
-def _ivf_index_frame(spark: SparkSession, path: str) -> DataFrame:
-    """(vec_id, e, cell) across the base tree + committed stream epochs."""
+def _ivf_index_frame(
+    spark: SparkSession, path: str, cols: tuple = ("vec_id", "e", "cell")
+) -> DataFrame:
+    """Selected columns across the base tree + committed stream epochs.
+    Drift reporting passes ("vec_id", "cell") so it also works on
+    codes-only (IVF-PQ) indexes that store no raw vectors."""
     from functools import reduce
 
     from .similarity import committed_delta_epochs
@@ -319,7 +323,7 @@ def _ivf_index_frame(spark: SparkSession, path: str) -> DataFrame:
     return reduce(
         lambda a, b: a.unionByName(b),
         [
-            spark.read.parquet(p).select("vec_id", "e", "cell")
+            spark.read.parquet(p).select(*cols)
             for p in [path, *committed_delta_epochs(path)]
         ],
     )
@@ -335,7 +339,7 @@ def ivf_drift_report(spark: SparkSession, path: str) -> dict:
     meta = read_index_meta(path)
     nlist = int(meta["nlist"])
     split = meta.get("split")
-    df = _ivf_index_frame(spark, path)
+    df = _ivf_index_frame(spark, path, cols=("vec_id", "cell"))
     agg = df.agg(
         F.count(F.lit(1)).alias("total"),
         F.sum(
@@ -431,6 +435,13 @@ def retrain_if_skewed(
 
     nlist = int(meta["nlist"])
     it = iters if iters is not None else int(meta.get("iters", _DEFAULT_ITERS))
+    probe = spark.read.parquet(path)
+    if "e" not in probe.columns:
+        raise ValueError(
+            f"{path} is a codes-only index (no raw vectors): rebalancing it "
+            "means re-encoding from the corpus — rebuild via its builder "
+            "instead of retrain_if_skewed"
+        )
     v = _ivf_index_frame(spark, path).select("vec_id", "e").localCheckpoint()
     init = [
         [float(x) for x in r["e"]]

@@ -1469,11 +1469,13 @@ def _pq_frozen_codebook(spark: SparkSession, sf_dir: str) -> list[list[list[floa
     ]
 
 
-def _pq_subvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, m, s): the corpus exploded into its PQ_M subvectors — the
-    per-subspace training set, all subspaces in ONE frame so each Lloyd
-    iteration is a single Spark job (not PQ_M serialized jobs)."""
-    return _emb(spark, sf_dir).select(
+def _pq_subvectors_of(v: DataFrame) -> DataFrame:
+    """(vec_id, m, s): a (vec_id, e) frame exploded into its PQ_M
+    subvectors — the per-subspace training set, all subspaces in ONE frame
+    so each Lloyd iteration is a single Spark job (not PQ_M serialized
+    jobs). Frame-parameterized so the trained-upsert builder can train on
+    the BASE slice only."""
+    return v.select(
         "vec_id",
         F.posexplode(
             F.array(
@@ -1484,6 +1486,10 @@ def _pq_subvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("m", "s"),
     )
+
+
+def _pq_subvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pq_subvectors_of(_emb(spark, sf_dir))
 
 
 def _pq_train_codebook(
@@ -1502,10 +1508,19 @@ def _pq_train_codebook(
     codebook as data / memoized checkpoint, the r9 planning-tax rule), and
     one groupBy(m, code, dim) drives every subspace's M-step. At 100 TB the
     trainer runs on an ingest-time sample exactly like the coarse grid."""
+    return _pq_lloyd(
+        _pq_subvectors(spark, sf_dir), _pq_frozen_codebook(spark, sf_dir), iters
+    )
+
+
+def _pq_lloyd(
+    sub: DataFrame, cb: list[list[list[float]]], iters: int
+) -> list[list[list[float]]]:
+    """The per-subspace Lloyd loop body over a (vec_id, m, s) frame —
+    shared by the full-corpus trained codebook and the base-slice-trained
+    upsert codebook. Mutates and returns *cb*."""
     import math
 
-    cb = _pq_frozen_codebook(spark, sf_dir)
-    sub = _pq_subvectors(spark, sf_dir)
     for _it in range(iters):
         cb_lit = F.array(
             *[
@@ -2016,6 +2031,130 @@ def ivfpq_durable_index(spark: SparkSession, sf_dir: str, nlist: int = DNLIST) -
             },
         },
     )
+
+
+def ivfpq_trained_upsert_index(
+    spark: SparkSession,
+    sf_dir: str,
+    nlist: int = DNLIST,
+    iters: int = TRAINED_ITERS,
+) -> str:
+    """The FULL trillion-vector ingest composition, upsert form: BOTH
+    quantizer levels are trained on the base corpus slice at base-build
+    time and frozen into the sidecar — coarse centroids (Lloyd, like
+    ivf_trained_upsert_index) AND the per-subspace PQ codebook (_pq_lloyd
+    on the base slice's subvectors) — then the delta is encoded + assigned
+    against those frozen artifacts and appended cell-wise as codes-only
+    rows. Because every artifact is frozen, a delta vector's (cell, codes)
+    are identical whether processed at ingest or rebuild: the upserted
+    index EQUALS a one-shot build with the same frozen artifacts
+    (pinned in tests/test_round10_ops.py). Rows are (vec_id, 16 codes,
+    cell) — the 8-16 B/vector layout that ships at scale; raw vectors stay
+    in the corpus for the shortlist rerank only. Not registered as a
+    driver query (registry at rotation capacity — COVERAGE.md r10 policy);
+    exercised by the pytest suite like ivf_trained_upsert_index."""
+    import glob as globmod
+    import json
+    import time as timemod
+    import uuid as uuidmod
+
+    key = sf_dir.rstrip("/")
+    name = f"ivfpq_trained_upsert_n{nlist}_i{iters}_t{PQ_TRAIN_ITERS}"
+    memo_key = (key, name)
+    cached = _ivf_index_dir_memo.get(memo_key)
+    if cached is not None and _index_is_current(cached, key, name):
+        return cached
+    base = _index_base_path(key, name)
+    if not _index_is_current(base, key, name):
+        tmp = f"{base}.build-{uuidmod.uuid4().hex[:8]}"
+        v = _emb(spark, sf_dir)
+        split = int(
+            v.agg(F.max("vec_id")).collect()[0][0] * UPSERT_BASE_FRACTION
+        )
+        base_v = v.filter(F.col("vec_id") < split)
+        cents = _lloyd_iterate(
+            base_v,
+            [list(c) for c in _first_n_centroids(spark, sf_dir, nlist)],
+            iters,
+        )
+        cb = _pq_lloyd(
+            _pq_subvectors_of(base_v),
+            _pq_frozen_codebook(spark, sf_dir),
+            PQ_TRAIN_ITERS,
+        )
+
+        def _rows(df: DataFrame) -> DataFrame:
+            codes = _pq_encode_with(df, cb).select(
+                "vec_id", *[f"code_{m}" for m in range(PQ_M)]
+            )
+            asg = _assign_by_literal(df, cents).select("vec_id", "cell")
+            return codes.join(asg, "vec_id")
+
+        def _phase(df, mode):
+            (
+                _rows(df)
+                .repartition("cell")
+                .sortWithinPartitions("vec_id")
+                .write.mode(mode)
+                .partitionBy("cell")
+                .parquet(tmp)
+            )
+
+        _phase(base_v, "overwrite")
+        base_files = sorted(
+            os.path.join(base, os.path.relpath(p, tmp))
+            for p in globmod.glob(f"{tmp}/cell=*/*.parquet")
+        )
+        _phase(v.filter(F.col("vec_id") >= split), "append")
+        meta = {
+            "format_version": INDEX_FORMAT_VERSION,
+            "name": name,
+            "sf_dir": key,
+            "nlist": nlist,
+            "fingerprint": _corpus_fingerprint(key),
+            "n_files": len(globmod.glob(f"{tmp}/cell=*/*.parquet")),
+            "built_unix": timemod.time(),
+            "centroids": cents,
+            "centroid_kind": "lloyd_trained_base_slice",
+            "codebook": cb,
+            "codebook_kind": "lloyd_trained_base_slice",
+            "pq": {
+                "m": PQ_M,
+                "dsub": PQ_DSUB,
+                "k": PQ_K,
+                "train_iters": PQ_TRAIN_ITERS,
+            },
+            "iters": iters,
+            "split": split,
+            "base_files": base_files,
+        }
+        with open(os.path.join(tmp, _INDEX_META), "w") as fh:
+            json.dump(meta, fh)
+        _publish_index(base, tmp)
+        from .maintenance import update_drift_stats
+
+        update_drift_stats(spark, base)
+    _ivf_index_dir_memo[memo_key] = base
+    return base
+
+
+def ann_ivfpq_trained_upsert_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read path over the trained-upsert IVF-PQ index, resolved from the
+    sidecar ALONE (probes from the frozen centroids, decode from the
+    frozen codebook) — no corpus access except the shortlist's exact
+    rerank point-lookups. Test-surface twin of ann_ivfpq_durable_topk."""
+    prepare(spark)
+    path = ivfpq_trained_upsert_index(spark, sf_dir)
+    meta = read_index_meta(path)
+    probes = _probes_from_centroids(spark, sf_dir, meta["centroids"])
+    probed = sorted(
+        r["cell"] for r in probes.select("cell").distinct().collect()
+    )
+    idx = spark.read.parquet(path).filter(F.col("cell").isin(probed))
+    cand = idx.select(
+        "vec_id", "cell", _pq_recon_expr(meta["codebook"]).alias("re")
+    )
+    return _ivfpq_shortlist_rerank(spark, sf_dir, cand, probes)
 
 
 # ---- Hybrid retrieval: reciprocal-rank fusion of dense + sparse channels --

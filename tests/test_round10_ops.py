@@ -315,3 +315,97 @@ def test_retrain_consumes_stream_epochs(spark, tmp_path, monkeypatch):
     meta = S.read_index_meta(path)
     assert meta["centroid_kind"] == "lloyd_trained_rebalanced"
     assert meta["drift"]["delta_fraction"] == 0.0
+
+
+# --------------------------------------------------------------------------
+# Trained IVF-PQ upsert: the full composition (both quantizer levels frozen
+# at base build, codes-only rows). Test-surface only — registry at capacity.
+# --------------------------------------------------------------------------
+
+
+def test_ivfpq_trained_upsert_equals_one_shot_with_frozen_artifacts(
+    spark, tmp_path, monkeypatch
+):
+    """Frozen coarse grid + frozen codebook => a delta vector's
+    (cell, codes) are identical at ingest or rebuild: the upserted index
+    must equal a one-shot build of the full corpus with THOSE artifacts."""
+    import pyspark.sql.functions as F
+
+    S = _fresh_index_root(monkeypatch, tmp_path)
+    path = S.ivfpq_trained_upsert_index(spark, SF_ORACLE)
+    meta = S.read_index_meta(path)
+    assert meta["centroid_kind"] == "lloyd_trained_base_slice"
+    assert meta["codebook_kind"] == "lloyd_trained_base_slice"
+    cents, cb = meta["centroids"], meta["codebook"]
+
+    def rows(df):
+        codes = S._pq_encode_with(df, cb).select(
+            "vec_id", *[f"code_{m}" for m in range(S.PQ_M)]
+        )
+        return codes.join(
+            S._assign_by_literal(df, cents).select("vec_id", "cell"), "vec_id"
+        )
+
+    one_shot = S._write_cell_index(
+        spark,
+        SF_ORACLE,
+        "ivfpq_trained_oneshot_equiv",
+        lambda: rows(S._emb(spark, SF_ORACLE)),
+        nlist=S.DNLIST,
+    )
+    code_cols = [f"code_{m}" for m in range(S.PQ_M)]
+    got = {
+        tuple(r) for r in
+        spark.read.parquet(path).select("vec_id", "cell", *code_cols).collect()
+    }
+    want = {
+        tuple(r) for r in
+        spark.read.parquet(one_shot)
+        .select("vec_id", "cell", *code_cols)
+        .collect()
+    }
+    assert got == want
+    # and the base-slice codebook differs from the full-corpus one (it
+    # really did train on the base slice, not fall through to _pq_codebook)
+    assert cb != S._pq_codebook(spark, SF_ORACLE)
+
+
+def test_ivfpq_trained_upsert_reads_from_sidecar_alone(
+    spark, tmp_path, monkeypatch
+):
+    S = _fresh_index_root(monkeypatch, tmp_path)
+    first = {
+        (r["qid"], r["nid"], r["rnk"])
+        for r in S.ann_ivfpq_trained_upsert_topk(spark, SF_ORACLE).collect()
+    }
+    assert first
+    S._ivf_index_dir_memo.clear()
+
+    def _poisoned(*a, **kw):  # pragma: no cover
+        raise AssertionError("read path re-derived a frozen artifact")
+
+    monkeypatch.setattr(S, "_pq_lloyd", _poisoned)
+    monkeypatch.setattr(S, "_lloyd_iterate", _poisoned)
+    monkeypatch.setattr(S, "_pq_encode_with", _poisoned)
+    again = {
+        (r["qid"], r["nid"], r["rnk"])
+        for r in S.ann_ivfpq_trained_upsert_topk(spark, SF_ORACLE).collect()
+    }
+    assert again == first
+
+
+def test_codes_only_index_refuses_retrain(spark, tmp_path, monkeypatch):
+    """retrain_if_skewed retrains from the index's own rows — impossible on
+    a codes-only index (no raw vectors): it must refuse with a clear error,
+    never produce a half-rebalanced code table."""
+    from hri_flink_validation_passthrough_spark.operators import (
+        maintenance as M,
+    )
+
+    S = _fresh_index_root(monkeypatch, tmp_path)
+    path = S.ivfpq_trained_upsert_index(spark, SF_ORACLE)
+    # drift stats still work on codes-only indexes (vec_id + cell suffice)
+    rep = M.ivf_drift_report(spark, path)
+    assert rep["total_rows"] == S._emb(spark, SF_ORACLE).count()
+    with pytest.raises(ValueError, match="codes-only"):
+        M.retrain_if_skewed(spark, path, skew_threshold=0.0)
