@@ -340,23 +340,33 @@ def ivf_drift_report(spark: SparkSession, path: str) -> dict:
     nlist = int(meta["nlist"])
     split = meta.get("split")
     df = _ivf_index_frame(spark, path, cols=("vec_id", "cell"))
-    agg = df.agg(
-        F.count(F.lit(1)).alias("total"),
-        F.sum(
-            (F.col("vec_id") >= F.lit(split if split is not None else 1 << 62))
-            .cast("long")
-        ).alias("delta_rows"),
-    ).collect()[0]
-    total = int(agg["total"])
-    delta_rows = int(agg["delta_rows"]) if split is not None else 0
-    max_cell = (
-        df.groupBy("cell").count().agg(F.max("count")).collect()[0][0] or 0
+    # one pass: per-cell partials (map-side combined), then a 3-way rollup
+    agg = (
+        df.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (
+                    F.col("vec_id")
+                    >= F.lit(split if split is not None else 1 << 62)
+                ).cast("long")
+            ).alias("d"),
+        )
+        .agg(
+            F.sum("n").alias("total"),
+            F.max("n").alias("max_cell"),
+            F.sum("d").alias("delta_rows"),
+        )
+        .collect()[0]
     )
+    total = int(agg["total"] or 0)
+    delta_rows = int(agg["delta_rows"] or 0) if split is not None else 0
+    max_cell = int(agg["max_cell"] or 0)
     return {
         "total_rows": total,
         "delta_rows": delta_rows,
         "delta_fraction": (delta_rows / total) if total else 0.0,
-        "max_cell_rows": int(max_cell),
+        "max_cell_rows": max_cell,
         "cell_skew": (max_cell / (total / nlist)) if total else 0.0,
     }
 

@@ -929,6 +929,14 @@ def stream_maintained_ivf_index(
     (sidecar-resolved centroids, _EPOCH markers). Currency is checked
     before any training work, so a session that finds the published base
     only replays/serves deltas."""
+    # Single-writer contract (the standard streaming-sink ownership rule):
+    # one maintainer per index at a time. Concurrent maintainers racing the
+    # same _delta_epochs dirs could interleave different file->epoch
+    # mappings; readers are still never torn (markers + atomic publishes),
+    # but the combined content would be one run's epochs mixed with
+    # another's. Production enforces this via checkpoint ownership, exactly
+    # like any foreachBatch sink; retrain/fold maintenance ops assume the
+    # same exclusivity.
     key = sf_dir.rstrip("/")
     name = f"ivf_stream_maint_n{nlist}_i{iters}"
     cached = _ivf_index_dir_memo.get((key, name))
