@@ -651,7 +651,7 @@ def _profile_approx_oracle() -> str:
     "o_orderkey).",
 )
 def column_profile_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .text import _hll_agg, _hll_raw_estimate, _hll_reg_table
+    from .text import _hll_readout, _hll_reg_table
 
     o = _t(spark, sf_dir, "orders")
     cols = _PROFILE_NUM + _PROFILE_TXT + _PROFILE_DT
@@ -672,29 +672,19 @@ def column_profile_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.*")
         .where(F.col("v").isNotNull())
     )
-    # the HLL helpers are keyed on (event_type, user_id) — feed the melted
-    # pairs under those names, read the results back out as (col, ...)
+    # the HLL register helpers are keyed on (event_type, user_id) — feed
+    # the melted pairs under those names, then the shared estimator readout
+    # (_hll_readout, the one source of truth for the estimate/error tail)
+    # runs under the profile's column names
     e = pairs.select(
         F.col("col").alias("event_type"), F.col("v").alias("user_id")
     )
-    agg = _hll_agg(_hll_reg_table(e).groupBy("event_type"))
+    regs = _hll_reg_table(e).withColumnRenamed("event_type", "col")
     ex = pairs.distinct().groupBy("col").agg(
         F.count(F.lit(1)).cast("long").alias("ndv_exact")
     )
-    raw = _hll_raw_estimate()
-    return (
-        agg.withColumnRenamed("event_type", "col")
-        .join(F.broadcast(ex), "col")
-        .select(
-            "col",
-            "ndv_exact",
-            "v_zero",
-            "s_harm",
-            F.round(raw, 4).alias("ndv_approx"),
-            F.round((raw - F.col("ndv_exact")) / F.col("ndv_exact"), 6).alias(
-                "rel_error"
-            ),
-        )
+    return _hll_readout(
+        regs, ex, group="col", exact="ndv_exact", est="ndv_approx"
     )
 
 

@@ -92,7 +92,7 @@ def _mutual_knn_edges(spark: SparkSession, sf_dir: str):
         source_fingerprint(sf_dir, "lineitem.parquet"),
     )
     if key in _graph_memo:
-        return _graph_memo[key]
+        return _graph_memo[key][:2]
     from ..session import evict_stale_memo
 
     evict_stale_memo(_graph_memo, key, 2)
@@ -127,7 +127,9 @@ def _mutual_knn_edges(spark: SparkSession, sf_dir: str):
         .persist()
     )
     nodes = li.select(F.col("l_suppkey").alias("s")).distinct().persist()
-    _graph_memo[key] = (edges, nodes)
+    # topk rides the memo tuple so evict_stale_memo unpersists it with the
+    # graph (it is persisted too — r10 self-review finding)
+    _graph_memo[key] = (edges, nodes, topk)
     return edges, nodes
 
 

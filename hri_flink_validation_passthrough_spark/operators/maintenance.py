@@ -417,7 +417,12 @@ def retrain_if_skewed(
 
     The un-retrained append path keeps its equivalence proof untouched:
     retraining moves centroids and reassigns rows, so it is only ever this
-    explicit maintenance op, never a side effect of an upsert."""
+    explicit maintenance op, never a side effect of an upsert. NB for
+    oracle-pinned indexes: a registered query whose DuckDB oracle
+    re-derives the training from its deterministic init no longer matches
+    a rebalanced sidecar — rebalancing is paired with re-deriving the
+    oracle (here it is exercised on scratch/test indexes; the registered
+    queries never trigger it)."""
     import glob as globmod
     import json
     import time as timemod
@@ -451,6 +456,18 @@ def retrain_if_skewed(
             f"{path} is a codes-only index (no raw vectors): rebalancing it "
             "means re-encoding from the corpus — rebuild via its builder "
             "instead of retrain_if_skewed"
+        )
+    if meta.get("centroid_kind") == "first_n":
+        # A first_n index's read paths derive probe cells from the
+        # corpus-frozen first-n grid (probes=None in _ivf_index_read_topk),
+        # NOT from the sidecar: rebalancing its cells would silently return
+        # wrong candidates (probe ids would index different centroids than
+        # the on-disk cells — r10 self-review finding). Only sidecar-
+        # resolved (lloyd_trained*) indexes may rebalance in place.
+        raise ValueError(
+            f"{path} uses the frozen first-n grid whose readers resolve "
+            "probes from the corpus, not the sidecar: rebalance by "
+            "rebuilding, not retrain_if_skewed"
         )
     v = _ivf_index_frame(spark, path).select("vec_id", "e").localCheckpoint()
     init = [
@@ -535,6 +552,11 @@ def fold_delta_epochs(spark: SparkSession, path: str) -> dict:
     meta = dict(meta)
     meta["n_files"] = len(globmod.glob(f"{tmp}/cell=*/*.parquet"))
     meta.pop("base_files", None)
+    # the folded base now HOLDS the deltas: a subsequent maintenance run
+    # must not replay them (it would duplicate every delta vector in the
+    # combined read — r10 self-review finding); split stays for drift
+    # accounting, the flag gates the replay
+    meta["delta_folded"] = True
     with open(os.path.join(tmp, _INDEX_META), "w") as fh:
         json.dump(meta, fh)
     _publish_index(path, tmp)

@@ -1773,6 +1773,9 @@ def _pq_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs distributed, once per session."""
     key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"), _fp_key(sf_dir))
     if key not in _pq_recon_memo:
+        from ..session import evict_stale_memo
+
+        evict_stale_memo(_pq_recon_memo, key, 2)
         cb = _pq_codebook(spark, sf_dir)
         enc = _pq_encoded(spark, sf_dir)
         _pq_recon_memo[key] = enc.select(

@@ -951,20 +951,26 @@ def hll_cardinality_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _hll_readout(regs, ex)
 
 
-def _hll_readout(regs: DataFrame, ex: DataFrame) -> DataFrame:
+def _hll_readout(
+    regs: DataFrame,
+    ex: DataFrame,
+    group: str = "event_type",
+    exact: str = "n_exact",
+    est: str = "hll_estimate",
+) -> DataFrame:
     """Estimate + error columns from a full-grid register table and an
-    exact-count table — the tail the batch and streaming twins share."""
-    agg = _hll_agg(regs.groupBy("event_type"))
+    exact-count table — the tail the batch and streaming twins share
+    (column names parameterized so the approx-NDV profile twin reuses the
+    one estimator readout instead of re-implementing it)."""
+    agg = _hll_agg(regs.groupBy(group))
     raw = _hll_raw_estimate()
-    return agg.join(ex, "event_type").select(
-        "event_type",
-        "n_exact",
+    return agg.join(ex, group).select(
+        group,
+        exact,
         "v_zero",
         "s_harm",
-        F.round(raw, 4).alias("hll_estimate"),
-        F.round((raw - F.col("n_exact")) / F.col("n_exact"), 6).alias(
-            "rel_error"
-        ),
+        F.round(raw, 4).alias(est),
+        F.round((raw - F.col(exact)) / F.col(exact), 6).alias("rel_error"),
     )
 
 

@@ -35,7 +35,7 @@ def bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFr
     """(lineitem, orders) bucketed+sorted on the order key, written once per
     (session, sf_dir) into external parquet under a temp dir. The bucket
     metadata lives in the session catalog; re-registration is idempotent."""
-    tag = f"bkt_{abs(hash((spark.sparkContext.applicationId, sf_dir, source_fingerprint(sf_dir, 'lineitem.parquet')))) % 10**8}"
+    tag = f"bkt_{abs(hash((spark.sparkContext.applicationId, sf_dir, source_fingerprint(sf_dir, 'lineitem.parquet'), source_fingerprint(sf_dir, 'orders.parquet')))) % 10**8}"
     lt, ot = f"lineitem_{tag}", f"orders_{tag}"
     if not spark.catalog.tableExists(lt):
         base = tempfile.mkdtemp(prefix=f"bucketed_{uuid.uuid4().hex[:6]}_")
@@ -93,7 +93,7 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events written once per (session, sf_dir) PARTITIONED BY event_type —
     the disk layout that turns a type filter into directory pruning."""
-    tag = f"part_{abs(hash((spark.sparkContext.applicationId, sf_dir, source_fingerprint(sf_dir, 'lineitem.parquet')))) % 10**8}"
+    tag = f"part_{abs(hash((spark.sparkContext.applicationId, sf_dir, source_fingerprint(sf_dir, 'events.parquet')))) % 10**8}"
     name = f"events_{tag}"
     if not spark.catalog.tableExists(name):
         base = tempfile.mkdtemp(prefix=f"partitioned_{uuid.uuid4().hex[:6]}_")
@@ -228,7 +228,7 @@ def zordered_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events written once per (session, sf_dir) PARTITIONED BY the top
     z-prefix and sorted by the full z-value within partitions (row-group
     locality for min/max skipping below the directory level)."""
-    tag = f"zord_{abs(hash((spark.sparkContext.applicationId, sf_dir, source_fingerprint(sf_dir, 'lineitem.parquet')))) % 10**8}"
+    tag = f"zord_{abs(hash((spark.sparkContext.applicationId, sf_dir, source_fingerprint(sf_dir, 'events.parquet')))) % 10**8}"
     name = f"events_{tag}"
     if not spark.catalog.tableExists(name):
         base = tempfile.mkdtemp(prefix=f"zorder_{uuid.uuid4().hex[:6]}_")
@@ -419,7 +419,7 @@ def materialized_daily_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily (day, event_type) partials of events BEFORE the cutoff, written
     once per (session, sf_dir) — "yesterday's MV". The refresh query must
     read THIS, never the pre-cutoff raw events."""
-    tag = f"mv_{abs(hash((spark.sparkContext.applicationId, sf_dir, source_fingerprint(sf_dir, 'lineitem.parquet')))) % 10**8}"
+    tag = f"mv_{abs(hash((spark.sparkContext.applicationId, sf_dir, source_fingerprint(sf_dir, 'events.parquet')))) % 10**8}"
     name = f"daily_mv_{tag}"
     if not spark.catalog.tableExists(name):
         base = tempfile.mkdtemp(prefix=f"dailymv_{uuid.uuid4().hex[:6]}_")

@@ -1407,6 +1407,7 @@ def stream_ann_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         _emb,
         _ivf_index_read_topk,
         _probes_from_centroids,
+        _publish_index,
         committed_delta_epochs,
         read_index_meta,
         stream_maintained_ivf_index,
@@ -1418,7 +1419,21 @@ def stream_ann_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = stream_maintained_ivf_index(spark, sf_dir)
     meta = read_index_meta(path)
     cents = [[float(x) for x in c] for c in meta["centroids"]]
-    split = int(meta["split"])
+    split = meta.get("split")
+
+    # Maintenance composition guard (r10 self-review findings): after
+    # fold_delta_epochs the base tree already HOLDS the folded deltas
+    # (delta_folded flag), and after retrain_if_skewed the rebalanced
+    # index holds everything and resets split to None — in both states
+    # replaying the delta would DUPLICATE vectors, and production's
+    # consumed stream offsets mean there is nothing new to ingest. Serve
+    # the maintained index as-is.
+    if split is None or meta.get("delta_folded"):
+        probes = _probes_from_centroids(spark, sf_dir, cents)
+        return _ivf_index_read_topk(
+            spark, sf_dir, [path] + committed_delta_epochs(path), probes=probes
+        )
+    split = int(split)
 
     # The day's delta replayed as a real finite stream: N files -> N
     # microbatches (maxFilesPerTrigger=1).
@@ -1443,24 +1458,30 @@ def stream_ann_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         # cell-wise append: assign against the SIDECAR centroids (frozen at
         # base build — a delta vector's cell is identical whether assigned
         # at ingest or rebuild, which is what makes the oracle a full-
-        # rebuild equivalence), land the microbatch in its own overwrite
-        # directory, then commit the _EPOCH marker. A replayed epoch (same
-        # epoch_id after failure recovery) overwrites in place — byte-
-        # idempotent; readers union only marker-committed epoch dirs, so a
-        # torn write is invisible. Assignment is the BROADCAST-DF form:
-        # per-microbatch calls must not pay the k x dim literal planning
-        # tax (~1.6 s/call x 4 microbatches, measured — the r9 rule).
+        # rebuild equivalence), build the microbatch's epoch dir in a TEMP
+        # location with its _EPOCH marker inside, then atomically swap it
+        # into place (the _publish_index seam). A replayed epoch (same
+        # epoch_id after failure recovery) therefore replaces its
+        # predecessor atomically — a reader either sees the old committed
+        # epoch or the new complete one, never a half-written dir and
+        # never a committed epoch flickering back to uncommitted (a plain
+        # overwrite deletes marker+data before rewriting — r10 self-review
+        # finding). Assignment is the BROADCAST-DF form: per-microbatch
+        # calls must not pay the k x dim literal planning tax
+        # (~1.6 s/call x 4 microbatches, measured — the r9 rule).
         edir = os.path.join(epoch_root, f"e{int(epoch_id)}")
+        tmp = f"{edir}.build-{_uuid.uuid4().hex[:8]}"
         (
             _assign_by_broadcast(spark, batch_df, cents)
             .repartition("cell")
             .sortWithinPartitions("vec_id")
             .write.mode("overwrite")
             .partitionBy("cell")
-            .parquet(edir)
+            .parquet(tmp)
         )
-        with open(os.path.join(edir, "_EPOCH"), "w") as fh:
+        with open(os.path.join(tmp, "_EPOCH"), "w") as fh:
             fh.write(str(int(epoch_id)))
+        _publish_index(edir, tmp)
 
     with _pinned_state(spark):
         q = (

@@ -32,7 +32,10 @@ def test_stream_ann_maintenance_both_backends(
     spark, provider, tmp_path, monkeypatch
 ):
     """Hash-match the full-rebuild-equivalence oracle on BOTH state-store
-    providers."""
+    providers. (The pipeline itself is stateless — file source +
+    foreachBatch — so the provider never instantiates stateful operators;
+    the parametrization is kept as the r9 verdict's explicit done-criterion
+    and as a guard should the topology ever gain streaming state.)"""
     import __spark_entry__ as entrymod
 
     _fresh_index_root(monkeypatch, tmp_path)
@@ -408,4 +411,84 @@ def test_codes_only_index_refuses_retrain(spark, tmp_path, monkeypatch):
     rep = M.ivf_drift_report(spark, path)
     assert rep["total_rows"] == S._emb(spark, SF_ORACLE).count()
     with pytest.raises(ValueError, match="codes-only"):
+        M.retrain_if_skewed(spark, path, skew_threshold=0.0)
+
+
+def test_stream_maintenance_after_fold_does_not_duplicate(
+    spark, tmp_path, monkeypatch
+):
+    """Maintenance composition (r10 self-review): after fold_delta_epochs
+    the base tree holds the deltas — a subsequent maintenance run must NOT
+    replay them (delta_folded flag), and the served top-k stays identical."""
+    from hri_flink_validation_passthrough_spark.operators import (
+        maintenance as M,
+    )
+    from hri_flink_validation_passthrough_spark.streaming.windows import (
+        stream_ann_index_maintenance,
+    )
+
+    S = _fresh_index_root(monkeypatch, tmp_path)
+    first = {
+        (r["qid"], r["nid"], r["rnk"])
+        for r in stream_ann_index_maintenance(spark, SF_ORACLE).collect()
+    }
+    path = S.stream_maintained_ivf_index(spark, SF_ORACLE)
+    M.fold_delta_epochs(spark, path)
+
+    again = {
+        (r["qid"], r["nid"], r["rnk"])
+        for r in stream_ann_index_maintenance(spark, SF_ORACLE).collect()
+    }
+    assert again == first
+    assert S.committed_delta_epochs(path) == [], (
+        "post-fold maintenance run replayed the already-folded delta"
+    )
+    idx = spark.read.parquet(path).select("vec_id")
+    assert idx.count() == idx.distinct().count() == S._emb(
+        spark, SF_ORACLE
+    ).count()
+    # and no torn epoch-publish residue anywhere
+    assert not glob.glob(f"{path}/_delta_epochs/e*.build-*")
+
+
+def test_stream_maintenance_after_retrain_serves_rebalanced_index(
+    spark, tmp_path, monkeypatch
+):
+    """Maintenance composition (r10 self-review): retrain_if_skewed resets
+    split to None — the next maintenance run must serve the rebalanced
+    index (nothing new to ingest), not crash on int(None) or re-append."""
+    from hri_flink_validation_passthrough_spark.operators import (
+        maintenance as M,
+    )
+    from hri_flink_validation_passthrough_spark.streaming.windows import (
+        stream_ann_index_maintenance,
+    )
+
+    S = _fresh_index_root(monkeypatch, tmp_path)
+    stream_ann_index_maintenance(spark, SF_ORACLE).collect()
+    path = S.stream_maintained_ivf_index(spark, SF_ORACLE)
+    res = M.retrain_if_skewed(spark, path, skew_threshold=0.0)
+    assert res["retrained"] is True
+
+    out = stream_ann_index_maintenance(spark, SF_ORACLE)
+    rows = out.collect()  # must not raise
+    n_q = out.select("qid").distinct().count()
+    assert rows and n_q == 10  # every query served from the rebalanced index
+    idx = spark.read.parquet(path).select("vec_id")
+    assert idx.count() == idx.distinct().count() == S._emb(
+        spark, SF_ORACLE
+    ).count()
+
+
+def test_retrain_refuses_frozen_first_n_index(spark, tmp_path, monkeypatch):
+    """first_n indexes' readers derive probes from the corpus-frozen grid,
+    not the sidecar — an in-place rebalance would silently serve wrong
+    candidates, so retrain_if_skewed must refuse them."""
+    from hri_flink_validation_passthrough_spark.operators import (
+        maintenance as M,
+    )
+
+    S = _fresh_index_root(monkeypatch, tmp_path)
+    path = S.ivf_upsert_index(spark, SF_ORACLE)
+    with pytest.raises(ValueError, match="first-n"):
         M.retrain_if_skewed(spark, path, skew_threshold=0.0)
