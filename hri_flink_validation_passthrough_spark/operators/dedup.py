@@ -573,15 +573,17 @@ def _simhash_from_hashes(hs: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
-@register(
-    QUERIES,
-    "dedup_simhash",
-    oracle=None,  # xxhash64 bit patterns aren't reproducible in DuckDB SQL
-    doc="64-bit SimHash per doc (bit-majority over token xxhash64), plus "
-    "near-dup pairs at hamming ≤ 3 bucketed by 16-bit prefix — the cheapest "
-    "per-doc sketch; rows-only check.",
-)
+# RETIRED from the driver registry in r10 (COVERAGE.md capacity policy):
+# this xxhash64 production variant was the registry's one remaining
+# rows-only register with zero verification signal beyond its hash-green
+# exact twin dedup_simhash_md5 (same banding, same hamming cut, md5 bit
+# patterns reproducible in SQL). Final receipt: rows-only, 11 rows, stable
+# r1->r7 (CORRECTNESS_r01/r07). The code stays as the production path and
+# is pinned by tests/test_llm_operators.py::test_dedup_simhash_properties.
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per doc (bit-majority over token xxhash64), plus
+    near-dup pairs at hamming <= 3 bucketed by 16-bit prefix — the cheapest
+    per-doc sketch. xxhash64 variant of dedup_simhash_md5."""
     prepare(spark)
     d = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"

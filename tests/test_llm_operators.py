@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from tests.conftest import SF_ORACLE
@@ -382,3 +384,45 @@ def test_min_label_components_matches_union_find_on_random_graphs(spark):
             for r in min_label_components(pairs, "doc_a", "doc_b").collect()
         }
         assert got == expected, f"trial {trial}: n={n} m={m}"
+
+
+def test_dedup_simhash_properties(spark, tmp_path):
+    """Pin for the RETIRED-from-registry xxhash64 SimHash variant (r10
+    capacity policy, COVERAGE.md): the code stays the production path;
+    its exact twin dedup_simhash_md5 carries the oracle receipt. Checks:
+    deterministic across runs, structural invariants (doc_a < doc_b,
+    hamming <= 3), and the sketch property — identical texts collide at
+    hamming 0."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hri_flink_validation_passthrough_spark.operators.dedup import (
+        dedup_simhash,
+    )
+    from tests.conftest import SF_ORACLE
+
+    rows = dedup_simhash(spark, SF_ORACLE).collect()
+    assert all(r["doc_a"] < r["doc_b"] and r["hamming"] <= 3 for r in rows)
+    again = dedup_simhash(spark, SF_ORACLE).collect()
+    assert {tuple(r) for r in rows} == {tuple(r) for r in again}
+
+    # identical docs must collide at hamming 0
+    d = tmp_path / "corpus"
+    os.makedirs(d)
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+            "text": pa.array(
+                [text, text, "completely unrelated words about spark plans"]
+            ),
+            "source": pa.array(["a", "a", "a"]),
+            "lang": pa.array(["en", "en", "en"]),
+        }
+    )
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in dedup_simhash(spark, str(d)).collect()
+    }
+    assert (0, 1, 0) in got
