@@ -492,3 +492,37 @@ def test_retrain_refuses_frozen_first_n_index(spark, tmp_path, monkeypatch):
     path = S.ivf_upsert_index(spark, SF_ORACLE)
     with pytest.raises(ValueError, match="first-n"):
         M.retrain_if_skewed(spark, path, skew_threshold=0.0)
+
+
+def test_stream_maintained_read_prunes_every_source(
+    spark, tmp_path, monkeypatch
+):
+    """The combined read must partition-prune base AND epoch trees to the
+    probed cells — runtime truth via input_file_name, not plan text."""
+    import pyspark.sql.functions as F
+
+    from hri_flink_validation_passthrough_spark.streaming.windows import (
+        stream_ann_index_maintenance,
+    )
+
+    S = _fresh_index_root(monkeypatch, tmp_path)
+    stream_ann_index_maintenance(spark, SF_ORACLE).collect()
+    path = S.stream_maintained_ivf_index(spark, SF_ORACLE)
+    meta = S.read_index_meta(path)
+    probes = S._probes_from_centroids(spark, SF_ORACLE, meta["centroids"])
+    probed = sorted(
+        r["cell"] for r in probes.select("cell").distinct().collect()
+    )
+    assert len(probed) < int(meta["nlist"])
+    for src in [path] + S.committed_delta_epochs(path):
+        total = len(glob.glob(f"{src}/cell=*/*.parquet"))
+        nread = (
+            spark.read.parquet(src)
+            .filter(F.col("cell").isin(probed))
+            .select(F.input_file_name())
+            .distinct()
+            .count()
+        )
+        assert 0 < nread < total, (
+            f"no pruning on {src}: read {nread} of {total} files"
+        )
