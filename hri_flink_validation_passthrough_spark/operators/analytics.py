@@ -683,8 +683,10 @@ def column_profile_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = pairs.distinct().groupBy("col").agg(
         F.count(F.lit(1)).cast("long").alias("ndv_exact")
     )
+    # the exact side derives from a wide melt+distinct whose size estimate
+    # can miss the auto-broadcast threshold: hint the 9-row table explicitly
     return _hll_readout(
-        regs, ex, group="col", exact="ndv_exact", est="ndv_approx"
+        regs, F.broadcast(ex), group="col", exact="ndv_exact", est="ndv_approx"
     )
 
 

@@ -555,7 +555,12 @@ def fold_delta_epochs(spark: SparkSession, path: str) -> dict:
     # the folded base now HOLDS the deltas: a subsequent maintenance run
     # must not replay them (it would duplicate every delta vector in the
     # combined read — r10 self-review finding); split stays for drift
-    # accounting, the flag gates the replay
+    # accounting, the flag gates the replay. A terminal flag (vs a
+    # folded-through watermark) is exact in this repo's model: any NEW
+    # corpus content changes the fingerprint and forces a full rebuild, so
+    # post-fold data can never arrive under the same sidecar; a deployment
+    # with an append-only corpus would replace the flag with a
+    # folded-through vec_id/epoch watermark on the same meta field.
     meta["delta_folded"] = True
     with open(os.path.join(tmp, _INDEX_META), "w") as fh:
         json.dump(meta, fh)

@@ -291,12 +291,9 @@ def _fp_key(sf_dir: str, fname: str = "embeddings.parquet") -> tuple:
     staleness hole the r9 ADVICE found: the rebuild would consume old
     memoized centroids yet stamp the NEW fingerprint, producing a
     permanently 'current' index built from old data."""
-    src = os.path.join(sf_dir.rstrip("/"), fname)
-    try:
-        st = os.stat(src)
-    except OSError:
-        return (fname, None, None)
-    return (fname, st.st_size, st.st_mtime_ns)
+    from ..session import source_fingerprint
+
+    return source_fingerprint(sf_dir, fname)
 
 
 def read_index_meta(base: str) -> dict | None:

@@ -17,6 +17,7 @@ without touching session conf.
 from __future__ import annotations
 
 import datetime
+import os
 import tempfile
 import uuid
 
@@ -30,6 +31,37 @@ QUERIES: dict[str, QuerySpec] = {}
 
 N_BUCKETS = 8
 
+# (appId, sf_dir, prefix) -> (tag, [catalog tables], [data dirs]): the
+# session-written table copies' analog of session.evict_stale_memo — when a
+# source fingerprint changes the tag, the PREVIOUS copy's catalog entries
+# and on-disk data are dropped instead of leaking one full table copy (and
+# one dead catalog name) per in-place regeneration (r10 self-review).
+_ARTIFACT_REG: dict[tuple, tuple] = {}
+
+
+def _swap_artifacts(
+    spark: SparkSession,
+    sf_dir: str,
+    prefix: str,
+    tag: str,
+    tables: list[str],
+    dirs: list[str],
+) -> None:
+    """Register this tag's artifacts, dropping a previous tag's first."""
+    import shutil
+
+    key = (spark.sparkContext.applicationId, sf_dir, prefix)
+    prev = _ARTIFACT_REG.get(key)
+    if prev and prev[0] != tag:
+        for t in prev[1]:
+            try:
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+            except Exception:
+                pass
+        for d in prev[2]:
+            shutil.rmtree(d, ignore_errors=True)
+    _ARTIFACT_REG[key] = (tag, list(tables), list(dirs))
+
 
 def bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """(lineitem, orders) bucketed+sorted on the order key, written once per
@@ -39,6 +71,7 @@ def bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFr
     lt, ot = f"lineitem_{tag}", f"orders_{tag}"
     if not spark.catalog.tableExists(lt):
         base = tempfile.mkdtemp(prefix=f"bucketed_{uuid.uuid4().hex[:6]}_")
+        _swap_artifacts(spark, sf_dir, "bkt", tag, [lt, ot], [base])
         prepare(spark)
         (
             load_table(spark, sf_dir, "lineitem")
@@ -97,6 +130,7 @@ def partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"events_{tag}"
     if not spark.catalog.tableExists(name):
         base = tempfile.mkdtemp(prefix=f"partitioned_{uuid.uuid4().hex[:6]}_")
+        _swap_artifacts(spark, sf_dir, "part", tag, [name], [base])
         prepare(spark)
         (
             load_table(spark, sf_dir, "events")
@@ -232,6 +266,7 @@ def zordered_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"events_{tag}"
     if not spark.catalog.tableExists(name):
         base = tempfile.mkdtemp(prefix=f"zorder_{uuid.uuid4().hex[:6]}_")
+        _swap_artifacts(spark, sf_dir, "zord", tag, [name], [base])
         prepare(spark)
         e = load_table(spark, sf_dir, "events")
         e = e.withColumn("ub", (F.col("user_id") % 256).cast("int")).withColumn(
@@ -423,6 +458,7 @@ def materialized_daily_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"daily_mv_{tag}"
     if not spark.catalog.tableExists(name):
         base = tempfile.mkdtemp(prefix=f"dailymv_{uuid.uuid4().hex[:6]}_")
+        _swap_artifacts(spark, sf_dir, "mv", tag, [name], [base])
         prepare(spark)
         (
             load_table(spark, sf_dir, "events")
@@ -538,6 +574,14 @@ def zonemap_manifest(
         source_fingerprint(sf_dir, "lineitem.parquet"),
     )
     if key not in _ZONEMAP_CACHE:
+        import shutil as _shutil
+
+        # drop a previous fingerprint's clustered copy (dir + cache entry)
+        # before building the new one — the zonemap analog of
+        # _swap_artifacts / session.evict_stale_memo
+        for k in [k for k in _ZONEMAP_CACHE if k != key and k[:2] == key[:2]]:
+            old_dir, _m = _ZONEMAP_CACHE.pop(k)
+            _shutil.rmtree(os.path.dirname(old_dir), ignore_errors=True)
         import glob as globmod
 
         import pyarrow.parquet as pq

@@ -17,8 +17,12 @@ from __future__ import annotations
 
 import os
 
+from itertools import count as _itercount
+
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
+
+_FP_MISSING = _itercount()
 
 # Runtime-settable confs applied to ANY session that runs our queries.
 RUNTIME_CONF: dict[str, str] = {
@@ -118,13 +122,18 @@ def source_fingerprint(sf_dir: str, fname: str) -> tuple:
     component every session cache of corpus-DERIVED artifacts must carry
     (r9 ADVICE, generalized in r10): keyed on path alone, a dataset
     regenerated in place mid-session would silently serve stale persisted
-    intermediates. A missing file yields a never-matching sentinel rather
-    than raising."""
+    intermediates. A missing file yields a truly never-matching (unique)
+    sentinel rather than raising."""
     src = os.path.join(sf_dir.rstrip("/"), fname)
     try:
         st = os.stat(src)
     except OSError:
-        return (fname, None, None)
+        # UNIQUE per call (itertools counter), so the sentinel can never
+        # equal another fingerprint — including another missing-file one:
+        # a stat that races a delete-then-regenerate window must not let
+        # two sentinel keys collide and serve a stale entry. (Nothing can
+        # be BUILT while the file is absent, so unique keys cost nothing.)
+        return (fname, None, next(_FP_MISSING))
     return (fname, st.st_size, st.st_mtime_ns)
 
 

@@ -297,3 +297,40 @@ def test_dedup_memo_staleness_same_session_regen(spark, tmp_path):
         "shingle memo served the stale pre-regeneration corpus "
         f"({n1} == {n2})"
     )
+
+
+def test_bucketing_artifacts_track_regen_and_cleanup(spark, tmp_path):
+    """r10 review follow-up: session-written table copies (partitioned
+    events here) must track an in-place source regen via the fingerprint
+    tag AND drop the previous copy's catalog table + data dir instead of
+    leaking one full copy per regen."""
+    import duckdb
+
+    from hri_flink_validation_passthrough_spark.plans import bucketing as B
+
+    corpus = tmp_path / "corpus"
+    os.makedirs(corpus)
+    shutil.copy(
+        os.path.join(SF_ORACLE, "events.parquet"), corpus / "events.parquet"
+    )
+    t1 = B.partitioned_events(spark, str(corpus))
+    n1 = t1.count()
+    key = (spark.sparkContext.applicationId, str(corpus), "part")
+    tag1, tables1, dirs1 = B._ARTIFACT_REG[key]
+
+    # regenerate IN PLACE with half the events
+    src = str(corpus / "events.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE TABLE t AS SELECT * FROM read_parquet('{src}')"
+        " WHERE event_id % 2 = 0"
+    )
+    con.execute(f"COPY t TO '{src}' (FORMAT PARQUET)")
+    con.close()
+
+    t2 = B.partitioned_events(spark, str(corpus))
+    n2 = t2.count()
+    assert n2 < n1, "partitioned copy served the stale pre-regen events"
+    # previous copy cleaned up: catalog table gone, data dir removed
+    assert not spark.catalog.tableExists(tables1[0])
+    assert not os.path.exists(dirs1[0])
