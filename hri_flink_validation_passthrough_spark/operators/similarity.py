@@ -2041,6 +2041,45 @@ def ivfpq_durable_index(spark: SparkSession, sf_dir: str, nlist: int = DNLIST) -
     )
 
 
+def _pq_encode_by_broadcast(
+    spark: SparkSession, v: DataFrame, cb: list[list[list[float]]]
+) -> DataFrame:
+    """(vec_id, code_0..code_{M-1}): PQ encode against a BROADCAST codebook
+    DataFrame — semantically identical to _pq_encode_with's literal form
+    (argmin of round(sqdist, 6), lowest-cid tiebreak) but the codebook
+    rides as DATA: the REPEATED-call form for per-microbatch encodes in
+    streaming maintenance, where the 1024-literal codebook would pay the
+    planning tax on every trigger (the same rule as _assign_by_broadcast).
+    One shuffle per call (the per-(vec_id, m) argmin window + the pivot
+    back to columns) over |batch| x PQ_M rows — batch-sized, never
+    corpus-sized."""
+    cb_df = spark.createDataFrame(
+        [
+            (m, c, [float(x) for x in vec])
+            for m in range(PQ_M)
+            for c, vec in enumerate(cb[m])
+        ],
+        "m int, cid int, c array<double>",
+    )
+    sub = _pq_subvectors_of(v)
+    d = F.round(_sqdist(F.col("s"), F.col("c")), 6)
+    w = Window.partitionBy("vec_id", "m").orderBy(F.asc("d"), F.asc("cid"))
+    codes_long = (
+        sub.join(F.broadcast(cb_df), "m")
+        .select("vec_id", "m", "cid", d.alias("d"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return codes_long.groupBy("vec_id").agg(
+        *[
+            F.max(F.when(F.col("m") == m, F.col("cid")))
+            .cast("int")
+            .alias(f"code_{m}")
+            for m in range(PQ_M)
+        ]
+    )
+
+
 def ivfpq_trained_upsert_index(
     spark: SparkSession,
     sf_dir: str,
@@ -2144,6 +2183,75 @@ def ivfpq_trained_upsert_index(
         update_drift_stats(spark, base)
     _ivf_index_dir_memo[memo_key] = base
     return base
+
+
+def stream_maintained_ivfpq_index(
+    spark: SparkSession,
+    sf_dir: str,
+    nlist: int = DNLIST,
+    iters: int = TRAINED_ITERS,
+) -> str:
+    """BASE of the continuously-maintained CODES-ONLY index — the fourth
+    cell of the ingest matrix ({batch, stream} x {raw vectors, codes}):
+    both quantizer levels trained on the base slice and frozen into the
+    sidecar (exactly ivfpq_trained_upsert_index's artifacts), base rows as
+    (vec_id, codes) partitioned by cell, NO delta phase — the delta
+    arrives as a live stream and streaming.windows.stream_ivfpq_maintenance
+    appends each microbatch's codes cell-wise into committed epoch dirs.
+    Test-surface only (registry at rotation capacity)."""
+    key = sf_dir.rstrip("/")
+    name = f"ivfpq_stream_maint_n{nlist}_i{iters}_t{PQ_TRAIN_ITERS}"
+    cached = _ivf_index_dir_memo.get((key, name))
+    if cached is not None and _index_is_current(cached, key, name):
+        return cached
+    published = _index_base_path(key, name)
+    if _index_is_current(published, key, name):
+        _ivf_index_dir_memo[(key, name)] = published
+        return published
+    v = _emb(spark, sf_dir)
+    split = int(
+        v.agg(F.max("vec_id")).collect()[0][0] * UPSERT_BASE_FRACTION
+    )
+    base_v = v.filter(F.col("vec_id") < split)
+    cents = _lloyd_iterate(
+        base_v,
+        [list(c) for c in _first_n_centroids(spark, sf_dir, nlist)],
+        iters,
+    )
+    cb = _pq_lloyd(
+        _pq_subvectors_of(base_v),
+        _pq_frozen_codebook(spark, sf_dir),
+        PQ_TRAIN_ITERS,
+    )
+
+    def _rows() -> DataFrame:
+        codes = _pq_encode_with(base_v, cb).select(
+            "vec_id", *[f"code_{m}" for m in range(PQ_M)]
+        )
+        asg = _assign_by_literal(base_v, cents).select("vec_id", "cell")
+        return codes.join(asg, "vec_id")
+
+    return _write_cell_index(
+        spark,
+        sf_dir,
+        name,
+        _rows,
+        nlist=nlist,
+        centroids=cents,
+        extra_meta={
+            "centroid_kind": "lloyd_trained_base_slice",
+            "codebook": cb,
+            "codebook_kind": "lloyd_trained_base_slice",
+            "pq": {
+                "m": PQ_M,
+                "dsub": PQ_DSUB,
+                "k": PQ_K,
+                "train_iters": PQ_TRAIN_ITERS,
+            },
+            "iters": iters,
+            "split": split,
+        },
+    )
 
 
 def ann_ivfpq_trained_upsert_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

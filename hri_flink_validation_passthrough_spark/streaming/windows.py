@@ -1546,3 +1546,119 @@ def _register_stream_ann_index_maintenance() -> None:
 
 
 _register_stream_ann_index_maintenance()
+
+
+def stream_ivfpq_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous ingest into the CODES-ONLY durable index — the fourth
+    cell of the ingest matrix ({batch, stream} x {raw, codes}), closing it:
+    each delta microbatch is PQ-ENCODED against the sidecar's frozen
+    codebook (broadcast-data form — per-microbatch encodes must not pay
+    the 1024-literal planning tax) and ASSIGNED against the sidecar's
+    frozen centroids (broadcast form likewise), then appended cell-wise as
+    (vec_id, codes) into atomically-committed epoch dirs. Read path:
+    sidecar-resolved probes + codebook decode over base + committed
+    epochs, shared ADC shortlist + exact rerank. Test-surface only
+    (registry at rotation capacity); pinned row-for-row equal to the
+    batch trained-upsert IVF-PQ index in tests/test_round10_ops.py —
+    frozen artifacts make (cell, codes) ingest-time-invariant."""
+    import os
+    import tempfile
+    import uuid as _uuid
+
+    from pyspark.sql import functions as _F
+
+    from ..operators.similarity import (
+        _DELTA_EPOCH_DIR,
+        PQ_M,
+        _assign_by_broadcast,
+        _emb,
+        _ivfpq_shortlist_rerank,
+        _pq_encode_by_broadcast,
+        _pq_recon_expr,
+        _probes_from_centroids,
+        _publish_index,
+        committed_delta_epochs,
+        read_index_meta,
+        stream_maintained_ivfpq_index,
+    )
+
+    prepare(spark)
+    path = stream_maintained_ivfpq_index(spark, sf_dir)
+    meta = read_index_meta(path)
+    cents = [[float(x) for x in c] for c in meta["centroids"]]
+    cb = meta["codebook"]
+    split = meta.get("split")
+
+    def _read() -> DataFrame:
+        probes = _probes_from_centroids(spark, sf_dir, cents)
+        probed = sorted(
+            r["cell"] for r in probes.select("cell").distinct().collect()
+        )
+        from functools import reduce
+
+        idx = reduce(
+            lambda a, b: a.unionByName(b),
+            [
+                spark.read.parquet(p).filter(_F.col("cell").isin(probed))
+                for p in [path, *committed_delta_epochs(path)]
+            ],
+        )
+        cand = idx.select("vec_id", "cell", _pq_recon_expr(cb).alias("re"))
+        return _ivfpq_shortlist_rerank(spark, sf_dir, cand, probes)
+
+    if split is None or meta.get("delta_folded"):
+        return _read()
+    split = int(split)
+
+    work = tempfile.mkdtemp(prefix="hri_spqm_")
+    (
+        _emb(spark, sf_dir)
+        .filter(F.col("vec_id") >= split)
+        .repartition(_SAIM_DELTA_FILES)
+        .write.mode("overwrite")
+        .parquet(f"{work}/delta")
+    )
+    schema = spark.read.parquet(f"{work}/delta").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{work}/delta")
+    )
+    epoch_root = os.path.join(path, _DELTA_EPOCH_DIR)
+
+    def _append(batch_df: DataFrame, epoch_id: int) -> None:
+        edir = os.path.join(epoch_root, f"e{int(epoch_id)}")
+        tmp = f"{edir}.build-{_uuid.uuid4().hex[:8]}"
+        codes = _pq_encode_by_broadcast(spark, batch_df, cb)
+        rows = codes.join(
+            _assign_by_broadcast(spark, batch_df, cents).select(
+                "vec_id", "cell"
+            ),
+            "vec_id",
+        )
+        (
+            rows.repartition("cell")
+            .sortWithinPartitions("vec_id")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(tmp)
+        )
+        with open(os.path.join(tmp, "_EPOCH"), "w") as fh:
+            fh.write(str(int(epoch_id)))
+        _publish_index(edir, tmp)
+
+    with _pinned_state(spark):
+        q = (
+            src.writeStream.foreachBatch(_append)
+            .option(
+                "checkpointLocation", f"{work}/ckpt_{_uuid.uuid4().hex[:8]}"
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    from ..operators.maintenance import update_drift_stats
+
+    update_drift_stats(spark, path)
+    return _read()

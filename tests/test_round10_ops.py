@@ -526,3 +526,80 @@ def test_stream_maintained_read_prunes_every_source(
         assert 0 < nread < total, (
             f"no pruning on {src}: read {nread} of {total} files"
         )
+
+
+# --------------------------------------------------------------------------
+# Streaming codes-only maintenance: the fourth ingest-matrix cell
+# ({batch, stream} x {raw, codes}). Test-surface only.
+# --------------------------------------------------------------------------
+
+
+def test_stream_ivfpq_maintenance_equals_batch_codes_upsert(
+    spark, tmp_path, monkeypatch
+):
+    """Frozen artifacts make (cell, codes) ingest-time-invariant: the
+    stream-maintained codes index's top-k must equal the batch trained-
+    upsert IVF-PQ read row-for-row, and the combined code table must be
+    set-equal to the batch one."""
+    from hri_flink_validation_passthrough_spark.streaming.windows import (
+        stream_ivfpq_maintenance,
+    )
+
+    S = _fresh_index_root(monkeypatch, tmp_path)
+    got = {
+        (r["qid"], r["nid"], r["rnk"])
+        for r in stream_ivfpq_maintenance(spark, SF_ORACLE).collect()
+    }
+    want = {
+        (r["qid"], r["nid"], r["rnk"])
+        for r in S.ann_ivfpq_trained_upsert_topk(spark, SF_ORACLE).collect()
+    }
+    assert got == want
+
+    spath = S.stream_maintained_ivfpq_index(spark, SF_ORACLE)
+    bpath = S.ivfpq_trained_upsert_index(spark, SF_ORACLE)
+    code_cols = ["vec_id", "cell"] + [f"code_{m}" for m in range(S.PQ_M)]
+    from functools import reduce
+
+    stream_rows = {
+        tuple(r)
+        for r in reduce(
+            lambda a, b: a.unionByName(b),
+            [
+                spark.read.parquet(p).select(*code_cols)
+                for p in [spath, *S.committed_delta_epochs(spath)]
+            ],
+        ).collect()
+    }
+    batch_rows = {
+        tuple(r) for r in spark.read.parquet(bpath).select(*code_cols).collect()
+    }
+    assert stream_rows == batch_rows
+
+
+def test_stream_ivfpq_maintenance_replay_and_drift(
+    spark, tmp_path, monkeypatch
+):
+    """Replay idempotence + drift bookkeeping for the codes-only stream:
+    a second full replay changes nothing; drift stats ride the sidecar
+    and cover base + epochs (codes-only indexes report drift fine —
+    only retrain refuses them)."""
+    from hri_flink_validation_passthrough_spark.streaming.windows import (
+        stream_ivfpq_maintenance,
+    )
+
+    S = _fresh_index_root(monkeypatch, tmp_path)
+    first = {
+        (r["qid"], r["nid"], r["rnk"])
+        for r in stream_ivfpq_maintenance(spark, SF_ORACLE).collect()
+    }
+    again = {
+        (r["qid"], r["nid"], r["rnk"])
+        for r in stream_ivfpq_maintenance(spark, SF_ORACLE).collect()
+    }
+    assert again == first
+    path = S.stream_maintained_ivfpq_index(spark, SF_ORACLE)
+    assert len(S.committed_delta_epochs(path)) >= 2
+    drift = S.read_index_meta(path)["drift"]
+    assert drift["total_rows"] == S._emb(spark, SF_ORACLE).count()
+    assert 0.2 < drift["delta_fraction"] < 0.3
