@@ -19,6 +19,25 @@ from hri_flink_validation_passthrough_spark.plans import QuerySpec
 
 _REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
 
+# In-place supersessions (COVERAGE.md r10 capacity policy rule #1; r10
+# verdict ask #1): when a round changes a registered query's SEMANTICS
+# inside its existing registration (the r10 trained-PQ-codebook swap),
+# driver receipts from earlier rounds attest the RETIRED semantics. For
+# rotation purposes those receipts are ERASED — the query re-enters the
+# order as never-verified (front of the window) until the driver
+# re-attests the new semantics. Maps query name -> the round whose build
+# changed it; receipts from rounds strictly BELOW that value don't count.
+SUPERSEDED_IN: dict[str, int] = {
+    # r10: Lloyd-trained per-subspace PQ codebook superseded the frozen
+    # first-PQ_K codebook in place (operators/similarity.py:1521,1929) —
+    # every query whose oracle embeds _pq_oracle_encode_cte changed.
+    "embedding_pq_codes": 10,
+    "ann_pq_adc_topk": 10,
+    "ann_ivfpq_topk": 10,
+    "ann_ivfpq_durable_topk": 10,
+    "ann_pq_depth_recall_sweep": 10,
+}
+
 
 def _correctness_paths() -> list[str]:
     """CORRECTNESS_r*.json oldest-first by the PARSED round number — a
@@ -45,6 +64,12 @@ def _receipts() -> tuple[dict[str, int], set[str], int]:
     (err == "no_oracle") that produced rows, the strongest evidence the
     driver can record for an oracle-less query. Error/stall/0-row rows are
     NOT receipts: a failed refresh attempt must not mask staleness.
+
+    Receipts older than the query's ``SUPERSEDED_IN`` round are skipped —
+    they attest semantics that no longer exist, so they must neither keep
+    the query out of the never-verified front partition nor feed the
+    staleness sort (r10 verdict ask #1: the trained-codebook queries sat
+    on r9 receipts ~3 rounds from a window).
     """
     import re
 
@@ -63,6 +88,8 @@ def _receipts() -> tuple[dict[str, int], set[str], int]:
         for name, row in rows.items():
             if not isinstance(row, dict):
                 continue
+            if rno < SUPERSEDED_IN.get(name, 0):
+                continue  # receipt for retired semantics — erased
             if row.get("hash_match") is True:
                 ever_hash_green.add(name)
                 latest_green[name] = max(latest_green.get(name, -1), rno)

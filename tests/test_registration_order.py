@@ -193,3 +193,53 @@ def test_registry_within_rotation_capacity():
         "some receipt WILL age past one full rotation — retire a query, "
         "or accept and loosen the age bound deliberately"
     )
+
+
+def test_supersession_erases_pre_supersession_receipts(tmp_path, monkeypatch):
+    """r10 verdict ask #1: an in-place supersession (same registration, new
+    semantics — e.g. the r10 trained PQ codebook) resets the query's receipt
+    age. Receipts from rounds before SUPERSEDED_IN[name] attest retired
+    semantics and must not count — the query re-enters the order as
+    never-verified until a post-supersession receipt lands."""
+    import json
+
+    (tmp_path / "CORRECTNESS_r05.json").write_text(
+        json.dumps(
+            {"victim": {"rows_match": True, "schema_match": True, "hash_match": True}}
+        )
+    )
+    monkeypatch.setattr(entrymod, "_REPO_ROOT", str(tmp_path))
+    monkeypatch.setattr(entrymod, "SUPERSEDED_IN", {"victim": 6})
+    latest_green, ever_hash_green, _ = entrymod._receipts()
+    assert "victim" not in latest_green
+    assert "victim" not in ever_hash_green
+
+    # a POST-supersession receipt counts again (the erase is one-way in
+    # time, not a permanent blacklist)
+    (tmp_path / "CORRECTNESS_r07.json").write_text(
+        json.dumps(
+            {"victim": {"rows_match": True, "schema_match": True, "hash_match": True}}
+        )
+    )
+    latest_green, ever_hash_green, _ = entrymod._receipts()
+    assert latest_green.get("victim") == 7
+    assert "victim" in ever_hash_green
+
+
+def test_superseded_queries_without_fresh_receipt_lead_the_window():
+    """Live contract: every name in SUPERSEDED_IN whose latest receipt
+    predates its supersession round must register inside the driver's
+    ~50-query window. Once the driver re-attests the new semantics the
+    query rejoins the verified tail and this check becomes vacuous for it."""
+    latest_green, _, _ = entrymod._receipts()
+    specs = list(entrymod._all_specs())
+    for name, rno in entrymod.SUPERSEDED_IN.items():
+        if name not in specs:
+            continue  # retired registration
+        if latest_green.get(name, -1) >= rno:
+            continue  # driver already caught up
+        pos = specs.index(name)
+        assert pos < 50, (
+            f"superseded query {name!r} (no post-r{rno} receipt) registers "
+            f"at position {pos} — outside the driver's window"
+        )
