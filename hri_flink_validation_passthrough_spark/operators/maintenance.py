@@ -539,7 +539,12 @@ def fold_delta_epochs(spark: SparkSession, path: str) -> dict:
         return {"folded_epochs": 0, "files_before": n_before,
                 "files_after": n_before}
     meta = read_index_meta(path)
-    df = _ivf_index_frame(spark, path)
+    # Column set comes from the base tree itself, not the raw-index default
+    # (ADVICE r10): the codes-only IVF-PQ stream index has no `e` column —
+    # its rows are (vec_id, code_0..code_{M-1}, cell) — and the epochs
+    # share the base layout by the append contract, so folding is
+    # layout-generic.
+    df = _ivf_index_frame(spark, path, cols=tuple(spark.read.parquet(path).columns))
     n_rows = df.count()
     tmp = f"{path}.build-{uuidmod.uuid4().hex[:8]}"
     (

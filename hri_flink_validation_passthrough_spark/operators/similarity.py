@@ -349,7 +349,20 @@ def _publish_index(base: str, tmp: str) -> None:
         shutil.rmtree(trash, ignore_errors=True)
     try:
         os.rename(tmp, base)
-    except OSError:
+    except OSError as exc:
+        # Only the publish-race errnos mean "another builder won" (rename
+        # onto an existing non-empty dir). Anything else — missing index
+        # root, read-only filesystem — is a REAL failure; swallowing it
+        # would discard the completed build and surface later as a
+        # confusing sidecar-missing error far from the cause (ADVICE r10).
+        import errno as errnomod
+
+        if exc.errno not in (
+            errnomod.ENOTEMPTY,
+            errnomod.EEXIST,
+            errnomod.ENOTDIR,
+        ):
+            raise
         # a concurrent builder published between our rmtree and rename:
         # their complete index is authoritative; clean up our losing build
         shutil.rmtree(tmp, ignore_errors=True)

@@ -47,7 +47,14 @@ def _swap_artifacts(
     tables: list[str],
     dirs: list[str],
 ) -> None:
-    """Register this tag's artifacts, dropping a previous tag's first."""
+    """Register this tag's artifacts, dropping a previous tag's first.
+
+    Ordering contract (ADVICE r10): callers invoke this AFTER the new
+    tables are fully written and registered — never between mkdtemp and
+    the writes. Called early, a failed write would have already dropped
+    the previous tag's catalog tables and data while registering paths
+    that never completed, and a retry under the same tag would skip the
+    drop and leak the half-written directory."""
     import shutil
 
     key = (spark.sparkContext.applicationId, sf_dir, prefix)
@@ -71,7 +78,6 @@ def bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFr
     lt, ot = f"lineitem_{tag}", f"orders_{tag}"
     if not spark.catalog.tableExists(lt):
         base = tempfile.mkdtemp(prefix=f"bucketed_{uuid.uuid4().hex[:6]}_")
-        _swap_artifacts(spark, sf_dir, "bkt", tag, [lt, ot], [base])
         prepare(spark)
         (
             load_table(spark, sf_dir, "lineitem")
@@ -89,6 +95,7 @@ def bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFr
             .sortBy("o_orderkey")
             .saveAsTable(ot)
         )
+        _swap_artifacts(spark, sf_dir, "bkt", tag, [lt, ot], [base])
     return spark.table(lt), spark.table(ot)
 
 
@@ -130,7 +137,6 @@ def partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"events_{tag}"
     if not spark.catalog.tableExists(name):
         base = tempfile.mkdtemp(prefix=f"partitioned_{uuid.uuid4().hex[:6]}_")
-        _swap_artifacts(spark, sf_dir, "part", tag, [name], [base])
         prepare(spark)
         (
             load_table(spark, sf_dir, "events")
@@ -139,6 +145,7 @@ def partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             .partitionBy("event_type")
             .saveAsTable(name)
         )
+        _swap_artifacts(spark, sf_dir, "part", tag, [name], [base])
     return spark.table(name)
 
 
@@ -266,7 +273,6 @@ def zordered_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"events_{tag}"
     if not spark.catalog.tableExists(name):
         base = tempfile.mkdtemp(prefix=f"zorder_{uuid.uuid4().hex[:6]}_")
-        _swap_artifacts(spark, sf_dir, "zord", tag, [name], [base])
         prepare(spark)
         e = load_table(spark, sf_dir, "events")
         e = e.withColumn("ub", (F.col("user_id") % 256).cast("int")).withColumn(
@@ -284,6 +290,7 @@ def zordered_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             .partitionBy("zprefix")
             .saveAsTable(name)
         )
+        _swap_artifacts(spark, sf_dir, "zord", tag, [name], [base])
     return spark.table(name)
 
 
@@ -458,7 +465,6 @@ def materialized_daily_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"daily_mv_{tag}"
     if not spark.catalog.tableExists(name):
         base = tempfile.mkdtemp(prefix=f"dailymv_{uuid.uuid4().hex[:6]}_")
-        _swap_artifacts(spark, sf_dir, "mv", tag, [name], [base])
         prepare(spark)
         (
             load_table(spark, sf_dir, "events")
@@ -472,6 +478,7 @@ def materialized_daily_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("path", f"{base}/{name}")
             .saveAsTable(name)
         )
+        _swap_artifacts(spark, sf_dir, "mv", tag, [name], [base])
     return spark.table(name)
 
 

@@ -1500,6 +1500,12 @@ def stream_ann_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.maintenance import update_drift_stats
 
     update_drift_stats(spark, path)
+    # the work dir held only the replay source + checkpoint; the combined
+    # read below touches the index dirs alone, so drop it now — repeated
+    # bench reps must not accumulate delta-sized copies in /tmp (ADVICE r10)
+    import shutil as _shutil
+
+    _shutil.rmtree(work, ignore_errors=True)
 
     # Combined read: base + committed epochs, every source pruned to the
     # probed cells (each epoch dir is its own hive-partitioned tree).
@@ -1661,4 +1667,9 @@ def stream_ivfpq_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.maintenance import update_drift_stats
 
     update_drift_stats(spark, path)
+    # replay source + checkpoint are consumed; _read() touches only the
+    # index dirs (ADVICE r10 — don't leak a delta copy per invocation)
+    import shutil as _shutil
+
+    _shutil.rmtree(work, ignore_errors=True)
     return _read()

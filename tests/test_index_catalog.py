@@ -334,3 +334,73 @@ def test_bucketing_artifacts_track_regen_and_cleanup(spark, tmp_path):
     # previous copy cleaned up: catalog table gone, data dir removed
     assert not spark.catalog.tableExists(tables1[0])
     assert not os.path.exists(dirs1[0])
+
+
+def test_publish_non_race_oserror_propagates(tmp_path):
+    """ADVICE r11 (low): only the rename-race errnos (ENOTEMPTY / EEXIST /
+    ENOTDIR) mean 'another builder won'. A real failure — here the index
+    root's parent directory missing (ENOENT) — must raise at the publish
+    site, not silently discard the completed build and resurface later as
+    a confusing missing-sidecar error."""
+    import pytest
+
+    from hri_flink_validation_passthrough_spark.operators import similarity as S
+
+    tmp = tmp_path / "idx.build-x"
+    os.makedirs(tmp)
+    (tmp / "data.txt").write_text("built")
+    with pytest.raises(OSError):
+        S._publish_index(str(tmp_path / "no-such-parent" / "idx"), str(tmp))
+    # and the completed build is NOT thrown away on a real failure
+    assert (tmp / "data.txt").exists()
+
+
+def test_bucketing_failed_regen_preserves_previous_copy(spark, tmp_path, monkeypatch):
+    """ADVICE r11 (low): artifact swap must happen AFTER the new tables are
+    written. A regen whose write fails must leave the previous tag's
+    catalog table + data dir fully intact (still served on the next call),
+    not drop them up front and register never-completed paths."""
+    import duckdb
+    import pytest
+
+    from hri_flink_validation_passthrough_spark.plans import bucketing as B
+
+    corpus = tmp_path / "corpus"
+    os.makedirs(corpus)
+    shutil.copy(
+        os.path.join(SF_ORACLE, "events.parquet"), corpus / "events.parquet"
+    )
+    B.partitioned_events(spark, str(corpus))
+    key = (spark.sparkContext.applicationId, str(corpus), "part")
+    tag1, tables1, dirs1 = B._ARTIFACT_REG[key]
+
+    # regenerate IN PLACE (new fingerprint -> new tag on next call)
+    src = str(corpus / "events.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE TABLE t AS SELECT * FROM read_parquet('{src}')"
+        " WHERE event_id % 2 = 0"
+    )
+    con.execute(f"COPY t TO '{src}' (FORMAT PARQUET)")
+    con.close()
+
+    def boom(*a, **k):
+        raise RuntimeError("injected write failure")
+
+    with monkeypatch.context() as mp:
+        mp.setattr(B, "load_table", boom)
+        with pytest.raises(RuntimeError, match="injected"):
+            B.partitioned_events(spark, str(corpus))
+
+    # previous copy survived the failed rebuild: registration unchanged,
+    # catalog table present, data dir on disk
+    assert B._ARTIFACT_REG[key][0] == tag1
+    assert spark.catalog.tableExists(tables1[0])
+    assert os.path.exists(dirs1[0])
+
+    # and a subsequent successful rebuild swaps + cleans up as before
+    t2 = B.partitioned_events(spark, str(corpus))
+    assert t2.count() > 0
+    assert B._ARTIFACT_REG[key][0] != tag1
+    assert not spark.catalog.tableExists(tables1[0])
+    assert not os.path.exists(dirs1[0])

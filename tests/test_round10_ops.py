@@ -603,3 +603,68 @@ def test_stream_ivfpq_maintenance_replay_and_drift(
     drift = S.read_index_meta(path)["drift"]
     assert drift["total_rows"] == S._emb(spark, SF_ORACLE).count()
     assert 0.2 < drift["delta_fraction"] < 0.3
+
+
+def test_fold_delta_epochs_codes_only_index(spark, tmp_path, monkeypatch):
+    """ADVICE r11 (low): fold_delta_epochs derived its column list from the
+    raw-index default (vec_id, e, cell) and raised on the codes-only
+    stream-maintained IVF-PQ index. Columns now come from the base tree's
+    own schema, so the fourth ingest-matrix cell compacts too — and the
+    top-k read is unchanged by the fold."""
+    from hri_flink_validation_passthrough_spark.operators import (
+        maintenance as M,
+    )
+    from hri_flink_validation_passthrough_spark.streaming.windows import (
+        stream_ivfpq_maintenance,
+    )
+
+    S = _fresh_index_root(monkeypatch, tmp_path)
+    before = {
+        (r["qid"], r["nid"], r["rnk"])
+        for r in stream_ivfpq_maintenance(spark, SF_ORACLE).collect()
+    }
+    path = S.stream_maintained_ivfpq_index(spark, SF_ORACLE)
+    assert S.committed_delta_epochs(path)
+
+    res = M.fold_delta_epochs(spark, path)
+    assert res["folded_epochs"] >= 2
+    assert S.committed_delta_epochs(path) == []
+    after = {
+        (r["qid"], r["nid"], r["rnk"])
+        for r in stream_ivfpq_maintenance(spark, SF_ORACLE).collect()
+    }
+    assert after == before
+    idx = spark.read.parquet(path)
+    assert "e" not in idx.columns, "fold must keep the index codes-only"
+    assert (
+        idx.count()
+        == idx.select("vec_id").distinct().count()
+        == S._emb(spark, SF_ORACLE).count()
+    )
+
+
+def test_stream_maintenance_cleans_work_dir(spark, tmp_path, monkeypatch):
+    """ADVICE r11 (low): the streaming maintainers' scratch dir (delta copy
+    + checkpoint) must be removed after the stream drains — repeated bench
+    reps in one session must not accumulate delta-sized copies in /tmp."""
+    import tempfile as T
+
+    from hri_flink_validation_passthrough_spark.streaming.windows import (
+        stream_ann_index_maintenance,
+    )
+
+    _fresh_index_root(monkeypatch, tmp_path)
+    made: list[str] = []
+    real = T.mkdtemp
+
+    def recording(*a, **k):
+        d = real(*a, **k)
+        if k.get("prefix", "").startswith(("hri_saim_", "hri_spqm_")):
+            made.append(d)
+        return d
+
+    monkeypatch.setattr(T, "mkdtemp", recording)
+    assert stream_ann_index_maintenance(spark, SF_ORACLE).count() > 0
+    assert made, "maintenance run should have created a work dir"
+    leaked = [d for d in made if os.path.exists(d)]
+    assert not leaked, f"work dirs left in /tmp: {leaked}"
