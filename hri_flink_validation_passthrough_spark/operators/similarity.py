@@ -1010,22 +1010,17 @@ def committed_delta_epochs(path: str) -> list[str]:
     return out
 
 
-def _trained_ivf_oracle(
-    nlist: int, iters: int, nprobe: int, base_split: bool = False
-) -> str:
-    """IVF top-k over Lloyd-trained centroids: chained CTEs re-run the
-    training (same snapping/tiebreaks as kmeans_lloyd_convergence's
-    oracle), then the standard IVF assignment/probe/topk tail runs against
-    the final trained centroid table. With *base_split*, training runs on
-    the BASE corpus slice only (vec_id below UPSERT_BASE_FRACTION of max —
-    the upsert/streaming-maintenance contract: centroids frozen at
-    base-build time, the delta assigned against them), while the final
-    assignment still covers the full corpus — so the oracle IS the
-    'combined index equals a full rebuild with the frozen grid'
-    equivalence."""
+def _coarse_train_ctes(
+    nlist: int, iters: int, base_split: bool
+) -> tuple[list[str], str]:
+    """The Lloyd coarse-quantizer training re-run as chained CTEs (assumes
+    a CTE ``v`` with (vec_id, e DOUBLE[]) is already in scope). Returns
+    (ctes, final_centroid_cte_name). Shared by _trained_ivf_oracle and
+    _trained_ivfpq_oracle so both attest the SAME frozen-grid contract.
+    With *base_split*, training reads only the base corpus slice (vec_id
+    below UPSERT_BASE_FRACTION of max)."""
     snap = "floor(avg(x) * 1000000000 + 0.500001) / 1000000000"
     ctes = [
-        "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)",
         f"cent0 AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < {nlist})",
     ]
     tv = "v"
@@ -1063,7 +1058,26 @@ def _trained_ivf_oracle(
       ) nc ON {p}.cid = nc.cid
     )"""
         )
-    final = f"cent{iters}"
+    return ctes, f"cent{iters}"
+
+
+def _trained_ivf_oracle(
+    nlist: int, iters: int, nprobe: int, base_split: bool = False
+) -> str:
+    """IVF top-k over Lloyd-trained centroids: chained CTEs re-run the
+    training (same snapping/tiebreaks as kmeans_lloyd_convergence's
+    oracle), then the standard IVF assignment/probe/topk tail runs against
+    the final trained centroid table. With *base_split*, training runs on
+    the BASE corpus slice only (vec_id below UPSERT_BASE_FRACTION of max —
+    the upsert/streaming-maintenance contract: centroids frozen at
+    base-build time, the delta assigned against them), while the final
+    assignment still covers the full corpus — so the oracle IS the
+    'combined index equals a full rebuild with the frozen grid'
+    equivalence."""
+    coarse, final = _coarse_train_ctes(nlist, iters, base_split)
+    ctes = [
+        "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)",
+    ] + coarse
     return (
         "\n    WITH "
         + ",\n    ".join(ctes)
@@ -1653,16 +1667,22 @@ def _pq_encode_with(df: DataFrame, cb: list[list[list[float]]]) -> DataFrame:
     return df.drop(*[f"_d{m}" for m in range(PQ_M)])
 
 
-def _pq_oracle_encode_cte(iters: int = PQ_TRAIN_ITERS) -> str:
+def _pq_oracle_encode_cte(
+    iters: int = PQ_TRAIN_ITERS, train_split: bool = False
+) -> str:
     """Shared oracle CTEs: v (double vectors), cb (the Lloyd-TRAINED
     codebook per subspace — chained CTEs re-run the per-subspace training
     with the same init, snapping, and tiebreaks as _pq_train_codebook,
     mirroring _trained_ivf_oracle), enc (vec_id, m, code, d — chosen
-    centroid + its sq distance)."""
+    centroid + its sq distance). With *train_split*, the codebook trains
+    on the BASE corpus slice only (the frozen-artifact ingest contract:
+    ivfpq_trained_upsert_index / stream_maintained_ivfpq_index train at
+    base-build time), while the encode still covers the full corpus."""
     snap = "floor(avg(x) * 1000000000 + 0.500001) / 1000000000"
+    tsrc = "tsub" if train_split else "sub"
     sq = (
         f"list_sum(list_transform(range(1, {PQ_DSUB} + 1), "
-        "i -> (sub.s[i] - p.c[i]) * (sub.s[i] - p.c[i])))"
+        f"i -> ({tsrc}.s[i] - p.c[i]) * ({tsrc}.s[i] - p.c[i])))"
     )
     ctes = [
         f"""v AS (
@@ -1674,15 +1694,23 @@ def _pq_oracle_encode_cte(iters: int = PQ_TRAIN_ITERS) -> str:
       SELECT m, vec_id AS cid, s AS c FROM sub WHERE vec_id < {PQ_K}
     )"""
     ]
+    if train_split:
+        ctes.append(
+            f"""tsub AS (
+      SELECT * FROM sub
+      WHERE vec_id < (SELECT CAST(floor(max(vec_id) * {UPSERT_BASE_FRACTION})
+                                  AS BIGINT) FROM v)
+    )"""
+        )
     for k in range(1, iters + 1):
         p = f"cb{k - 1}"
         ctes.append(
             f"""pa{k} AS (
       SELECT m, cid AS code, s FROM (
-        SELECT sub.m, sub.vec_id, p.cid, sub.s,
-               row_number() OVER (PARTITION BY sub.m, sub.vec_id
+        SELECT {tsrc}.m, {tsrc}.vec_id, p.cid, {tsrc}.s,
+               row_number() OVER (PARTITION BY {tsrc}.m, {tsrc}.vec_id
                  ORDER BY round({sq}, 6), p.cid) AS rn
-        FROM sub JOIN {p} p ON p.m = sub.m
+        FROM {tsrc} JOIN {p} p ON p.m = {tsrc}.m
       ) WHERE rn = 1
     ), pm{k} AS (
       SELECT m, code, CAST(generate_subscripts(s, 1) - 1 AS INTEGER) AS dim,
@@ -1897,6 +1925,71 @@ def _ivfpq_topk_oracle(nlist: int) -> str:
                           cent.cid) AS rn
         FROM q, cent
       ) WHERE rn <= {NPROBE}
+    ), s AS (
+      SELECT p.qid, p.qe, r.vec_id AS nid,
+             round(sqrt(list_sum(list_transform(range(1, {PQ_M * PQ_DSUB} + 1),
+               i -> (p.qe[i] - r.re[i]) * (p.qe[i] - r.re[i])))), 6) AS adc_dist
+      FROM probes p
+      JOIN asg a ON a.cell = p.cell AND a.vec_id != p.qid
+      JOIN recon r ON r.vec_id = a.vec_id
+    ), shortlist AS (
+      SELECT qid, qe, nid FROM (
+        SELECT qid, qe, nid,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY adc_dist, nid) AS rs
+        FROM s
+      ) WHERE rs <= {PQ_SHORTLIST}
+    ), reranked AS (
+      SELECT sl.qid, sl.nid,
+             round(list_cosine_similarity(sl.qe, v.e), 6) AS cos_sim
+      FROM shortlist sl JOIN v ON v.vec_id = sl.nid
+    )
+    SELECT qid, nid, cos_sim, rnk FROM (
+      SELECT qid, nid, cos_sim,
+             CAST(row_number() OVER (PARTITION BY qid
+                                     ORDER BY cos_sim DESC, nid) AS BIGINT) AS rnk
+      FROM reranked
+    ) WHERE rnk <= {TOP_K}
+    """
+
+
+def _trained_ivfpq_oracle(nlist: int, iters: int, nprobe: int) -> str:
+    """Full-rebuild-equivalence oracle for the trained-quantizer IVF-PQ
+    ingest paths (the batch trained-upsert and the streaming codes-only
+    maintainer): BOTH quantizer levels are re-trained in chained CTEs on
+    the BASE corpus slice — the frozen-artifact contract of
+    ivfpq_trained_upsert_index / stream_maintained_ivfpq_index — then the
+    FULL corpus is encoded + assigned against them and the standard
+    ADC-shortlist + exact-rerank tail runs. A maintained index whose
+    epochs were appended against the frozen sidecar artifacts must EQUAL
+    this full rebuild."""
+    coarse, final = _coarse_train_ctes(nlist, iters, base_split=True)
+    coarse_sql = ",\n    ".join(coarse)
+    return f"""
+    WITH {_pq_oracle_encode_cte(train_split=True)},
+    {coarse_sql}, recon AS (
+      SELECT vec_id, flatten(list(c ORDER BY m)) AS re
+      FROM enc GROUP BY vec_id
+    ), asg AS (
+      SELECT vec_id, cell FROM (
+        SELECT v.vec_id, c.cid AS cell,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY round(list_cosine_similarity(v.e, c.ce), 6) DESC,
+                          c.cid) AS rn
+        FROM v, {final} c
+      ) WHERE rn = 1
+    ), q AS (
+      SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < {N_QUERIES}
+    ), probes AS (
+      SELECT qid, qe, cell FROM (
+        SELECT q.qid, q.qe, c.cid AS cell,
+               row_number() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY round(list_cosine_similarity(q.qe, c.ce), 6) DESC,
+                          c.cid) AS rn
+        FROM q, {final} c
+      ) WHERE rn <= {nprobe}
     ), s AS (
       SELECT p.qid, p.qe, r.vec_id AS nid,
              round(sqrt(list_sum(list_transform(range(1, {PQ_M * PQ_DSUB} + 1),

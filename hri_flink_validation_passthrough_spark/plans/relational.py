@@ -772,17 +772,18 @@ def events_topk_users_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    QUERIES,
-    "sketch_cardinalities",
-    oracle=None,  # HLL/KLL sketches are engine-specific; rows-only check
-    doc=(
-        "Approximate sketches for 100 TB-scale profiling: HyperLogLog "
-        "distinct counts and approx percentiles (sub-1% error, constant "
-        "memory). Exact twins: supplier_part_stats / percentile_events."
-    ),
-)
+# Registration RETIRED in r11 (COVERAGE.md capacity policy, retirement
+# candidate #2) to free the slot for stream_ivfpq_maintenance: as a
+# rows-only no-oracle register (engine-specific HLL/KLL bit patterns) its
+# driver receipt added no verification signal beyond its hash-green twins —
+# hll_cardinality_portable (exact portable HLL) and
+# column_profile_stats_approx (the same approx_count_distinct register
+# surface, hash-checked r10). The operator itself stays: pinned by
+# tests/test_plans.py::test_sketch_cardinalities_tracks_exact_counts.
 def sketch_cardinalities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate sketches for 100 TB-scale profiling: HyperLogLog
+    distinct counts and approx percentiles (sub-1% error, constant
+    memory). Exact twins: supplier_part_stats / percentile_events."""
     e = _t(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("approx_users"),

@@ -1563,10 +1563,11 @@ def stream_ivfpq_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     frozen centroids (broadcast form likewise), then appended cell-wise as
     (vec_id, codes) into atomically-committed epoch dirs. Read path:
     sidecar-resolved probes + codebook decode over base + committed
-    epochs, shared ADC shortlist + exact rerank. Test-surface only
-    (registry at rotation capacity); pinned row-for-row equal to the
-    batch trained-upsert IVF-PQ index in tests/test_round10_ops.py —
-    frozen artifacts make (cell, codes) ingest-time-invariant."""
+    epochs, shared ADC shortlist + exact rerank. Registered r11 (the slot
+    freed by the sketch_cardinalities retirement — COVERAGE.md); also
+    pinned row-for-row equal to the batch trained-upsert IVF-PQ index in
+    tests/test_round10_ops.py — frozen artifacts make (cell, codes)
+    ingest-time-invariant."""
     import os
     import tempfile
     import uuid as _uuid
@@ -1673,3 +1674,41 @@ def stream_ivfpq_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _shutil.rmtree(work, ignore_errors=True)
     return _read()
+
+
+def _register_stream_ivfpq_maintenance() -> None:
+    from ..operators.similarity import (
+        DNLIST,
+        NPROBE,
+        TRAINED_ITERS,
+        _trained_ivfpq_oracle,
+    )
+
+    register(
+        QUERIES,
+        "stream_ivfpq_maintenance",
+        oracle=_trained_ivfpq_oracle(DNLIST, TRAINED_ITERS, NPROBE),
+        doc="Continuous ingest into the CODES-ONLY durable index — the "
+        "fourth cell of the ingest matrix ({batch, stream} x {raw, "
+        "codes}), registered r11 in the slot freed by the "
+        "sketch_cardinalities retirement: BOTH quantizer levels (coarse "
+        "Lloyd centroids AND the per-subspace PQ codebook) are trained on "
+        "the base corpus slice and frozen in the catalog sidecar; each "
+        "delta microbatch is then PQ-encoded and cell-assigned against "
+        "those frozen artifacts (broadcast-data forms — no per-trigger "
+        "literal planning tax) and appended as 8-16 B/vector (vec_id, "
+        "codes) rows into atomically-committed per-epoch dirs. The query "
+        "returns top-k via sidecar-resolved probes + codebook decode over "
+        "base + committed epochs with the shared ADC-shortlist + "
+        "exact-rerank tail; the oracle re-trains both quantizer levels on "
+        "the base slice in chained CTEs and runs the full-corpus IVF-PQ "
+        "tail — the maintained codes-only index must EQUAL a full rebuild "
+        "with the frozen artifacts, the same contract the batch "
+        "trained-upsert pins in tests/test_round10_ops.py. At 100 TB this "
+        "is the always-fresh memory-tier index: per-microbatch cost is "
+        "one encode+assign pass over the batch, never a rebuild, and the "
+        "index stays ~100x smaller than raw vectors.",
+    )(stream_ivfpq_maintenance)
+
+
+_register_stream_ivfpq_maintenance()

@@ -301,3 +301,40 @@ def test_zonemap_manifest_prunes_files(spark):
     full = spark.read.parquet(data_dir).filter(pred).count()
     pruned = spark.read.parquet(*files).filter(pred).count()
     assert pruned == full and full > 0
+
+
+def test_sketch_cardinalities_tracks_exact_counts(spark):
+    """Pins the retired-from-registry sketch query (COVERAGE.md r11): its
+    registration was retired because engine-specific sketch bit patterns
+    can't hash-match a DuckDB oracle, but the operator itself must keep
+    tracking the exact answers — HLL NDVs within the estimator's error
+    envelope and the approx p95 inside the observed value range."""
+    from pyspark.sql import functions as F
+
+    from hri_flink_validation_passthrough_spark.plans.relational import (
+        _t,
+        sketch_cardinalities,
+    )
+
+    rows = {r["event_type"]: r for r in sketch_cardinalities(spark, SF_ORACLE).collect()}
+    assert rows, "sketch query returned no groups"
+    e = _t(spark, SF_ORACLE, "events")
+    exact = {
+        r["event_type"]: r
+        for r in e.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.countDistinct("event_id").alias("events"),
+            F.expr("percentile(value, 0.95)").alias("p95"),
+            F.max("value").alias("vmax"),
+        )
+        .collect()
+    }
+    assert set(rows) == set(exact)
+    for et, r in rows.items():
+        x = exact[et]
+        # approx_count_distinct's default rsd is 5%; allow 3 sigma
+        assert abs(r["approx_users"] - x["users"]) <= max(3, 0.15 * x["users"])
+        assert abs(r["approx_events"] - x["events"]) <= max(3, 0.15 * x["events"])
+        assert 0 <= r["approx_p95"] <= x["vmax"]
+        assert r["approx_p95"] >= 0.5 * x["p95"]
