@@ -36,6 +36,11 @@ SUPERSEDED_IN: dict[str, int] = {
     "ann_ivfpq_topk": 10,
     "ann_ivfpq_durable_topk": 10,
     "ann_pq_depth_recall_sweep": 10,
+    # r11: drift-adaptive probe pruning superseded the fixed-nprobe read
+    # on the maintained-index queries (operators/similarity.py
+    # _adaptive_probes; stream_ivfpq_maintenance registered new in r11 so
+    # it has no pre-supersession receipt to erase).
+    "stream_ann_index_maintenance": 11,
 }
 
 

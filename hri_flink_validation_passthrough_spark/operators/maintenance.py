@@ -340,8 +340,11 @@ def ivf_drift_report(spark: SparkSession, path: str) -> dict:
     nlist = int(meta["nlist"])
     split = meta.get("split")
     df = _ivf_index_frame(spark, path, cols=("vec_id", "cell"))
-    # one pass: per-cell partials (map-side combined), then a 3-way rollup
-    agg = (
+    # one pass: per-cell partials (map-side combined). The collect is
+    # bounded at nlist rows (64 here) — the per-cell sizes land in the
+    # sidecar so the read path can auto-tune its probe set from metadata
+    # alone (r10 verdict ask #5); the scalar rollups derive in Python.
+    per_cell = (
         df.groupBy("cell")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -352,22 +355,20 @@ def ivf_drift_report(spark: SparkSession, path: str) -> dict:
                 ).cast("long")
             ).alias("d"),
         )
-        .agg(
-            F.sum("n").alias("total"),
-            F.max("n").alias("max_cell"),
-            F.sum("d").alias("delta_rows"),
-        )
-        .collect()[0]
+        .collect()
     )
-    total = int(agg["total"] or 0)
-    delta_rows = int(agg["delta_rows"] or 0) if split is not None else 0
-    max_cell = int(agg["max_cell"] or 0)
+    total = sum(int(r["n"]) for r in per_cell)
+    delta_rows = (
+        sum(int(r["d"]) for r in per_cell) if split is not None else 0
+    )
+    max_cell = max((int(r["n"]) for r in per_cell), default=0)
     return {
         "total_rows": total,
         "delta_rows": delta_rows,
         "delta_fraction": (delta_rows / total) if total else 0.0,
         "max_cell_rows": max_cell,
         "cell_skew": (max_cell / (total / nlist)) if total else 0.0,
+        "cell_rows": {str(int(r["cell"])): int(r["n"]) for r in per_cell},
     }
 
 

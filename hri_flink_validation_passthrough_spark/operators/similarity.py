@@ -751,21 +751,17 @@ def _assign_by_broadcast(
     )
 
 
-def _probes_from_centroids(
+def _ranked_probes(
     spark: SparkSession,
     sf_dir: str,
     cents: list[list[float]],
-    nprobe: int = NPROBE,
+    nprobe: int,
 ) -> DataFrame:
-    """(qid, qe, cell): each query attached to its *nprobe* closest cells,
-    ranked against the sidecar centroids shipped as a BROADCAST DataFrame
-    (k rows) — this is how a read path resolves probes from the index
-    metadata alone, with no corpus access. The centroids deliberately ride
-    as DATA, not as a literal array in the expression tree: the k x dim
-    literal form costs ~1.6 s of analysis/codegen PER CALL at k=64, dim=64
-    (interleaved A/B, BASELINE.md r9: 3.4-3.7 s -> 1.8-1.9 s read path,
-    identical results). The literal E-step stays in the one-time index
-    BUILD (_assign_by_literal), where it is amortized and shuffle-free."""
+    """(qid, qe, cell, rn): each query's *nprobe* closest cells WITH their
+    rank — the shared core of the fixed and drift-adaptive probe
+    resolvers. Centroids ride as a BROADCAST DataFrame (k rows), never as
+    an expression-tree literal (the k x dim literal form costs ~1.6 s of
+    analysis/codegen PER CALL at k=64, dim=64 — BASELINE.md r9)."""
     cent_df = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
         "cid int, ce array<double>",
@@ -785,8 +781,88 @@ def _probes_from_centroids(
     return (
         j.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= nprobe)
-        .select("qid", "qe", F.col("cid").alias("cell"))
+        .select("qid", "qe", F.col("cid").alias("cell"), "rn")
     )
+
+
+def _probes_from_centroids(
+    spark: SparkSession,
+    sf_dir: str,
+    cents: list[list[float]],
+    nprobe: int = NPROBE,
+) -> DataFrame:
+    """(qid, qe, cell): each query attached to its *nprobe* closest cells,
+    ranked against the sidecar centroids — how a read path resolves probes
+    from the index metadata alone, with no corpus access."""
+    return _ranked_probes(spark, sf_dir, cents, nprobe).select(
+        "qid", "qe", "cell"
+    )
+
+
+ADAPTIVE_FAT_FACTOR = 2.0  # a cell holding >= 2x the fair share is drift-fat
+
+
+def _adaptive_probes(
+    spark: SparkSession,
+    sf_dir: str,
+    cents: list[list[float]],
+    cell_rows: dict,
+    nprobe: int = NPROBE,
+) -> DataFrame:
+    """Drift-aware probe pruning (r10 verdict ask #5): when a query's
+    TOP-ranked cell is drift-fat (>= ADAPTIVE_FAT_FACTOR x the fair cell
+    share), trailing probes are dropped once the better-ranked cells
+    already cover the mass a fixed-*nprobe* scan expects on a balanced
+    index (total * nprobe / nlist); always capped at *nprobe* cells. The
+    top-cell gate is what makes the pruning recall-safe: a fat FIRST cell
+    means drift piled points near the query, so the covered mass is
+    relevant mass — whereas a fat cell ranked lower is junk mass that
+    must NOT eat the probe budget of the thin tail cells holding real
+    neighbors (the q8 pathology in the r11 guard test). Per-cell sizes
+    come from the sidecar's drift bookkeeping (update_drift_stats), so
+    the decision is metadata-only. On a balanced index this equals the
+    fixed probe set; scanned cells are <= the fixed policy's BY
+    CONSTRUCTION. At 100 TB this caps the pile-local queries' scan cost
+    at the fair-share target instead of letting it grow with the pile."""
+    nlist = len(cents)
+    total = sum(int(n) for n in cell_rows.values())
+    target = total * nprobe / nlist
+    fat = total * ADAPTIVE_FAT_FACTOR / nlist
+    sizes = spark.createDataFrame(
+        [(int(c), int(n)) for c, n in cell_rows.items()],
+        "cell int, n long",
+    )
+    ranked = _ranked_probes(spark, sf_dir, cents, nprobe)
+    w_prior = (
+        Window.partitionBy("qid")
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_top = Window.partitionBy("qid").orderBy("rn")
+    return (
+        ranked.join(F.broadcast(sizes), "cell")
+        .withColumn("prior", F.coalesce(F.sum("n").over(w_prior), F.lit(0)))
+        .withColumn("top_n", F.first("n").over(w_top))
+        .filter(
+            (F.col("prior") < F.lit(float(target)))
+            | (F.col("top_n") < F.lit(float(fat)))
+        )
+        .select("qid", "qe", "cell")
+    )
+
+
+def _maintained_probes(
+    spark: SparkSession, sf_dir: str, meta: dict
+) -> DataFrame:
+    """Probe resolver for drift-tracked (maintained) indexes: when the
+    sidecar carries per-cell sizes, auto-tune the probe set from them;
+    otherwise fall back to the fixed policy. Everything resolves from
+    metadata alone."""
+    cents = [[float(x) for x in c] for c in meta["centroids"]]
+    cell_rows = (meta.get("drift") or {}).get("cell_rows")
+    if cell_rows:
+        return _adaptive_probes(spark, sf_dir, cents, cell_rows)
+    return _probes_from_centroids(spark, sf_dir, cents)
 
 
 def ivf_trained_index(
@@ -1061,8 +1137,43 @@ def _coarse_train_ctes(
     return ctes, f"cent{iters}"
 
 
+def _adaptive_probe_ctes(assign: str, final: str, nprobe: int, nlist: int) -> str:
+    """The drift-adaptive probe CTEs (oracle twin of _adaptive_probes):
+    rank cells as usual, join each ranked cell with its row count from the
+    full assignment, and — only for queries whose TOP-ranked cell is
+    drift-fat (>= ADAPTIVE_FAT_FACTOR x fair share) — drop trailing cells
+    once the better-ranked cells cover the fixed scan's fair-share mass
+    (total * nprobe / nlist), capped at nprobe. Assumes CTEs *assign*
+    (vec_id, .., cell) and q (qid, qe) are in scope."""
+    return f"""cnt AS (
+      SELECT cell, count(*) AS n FROM {assign} GROUP BY cell
+    ), ranked AS (
+      SELECT qid, qe, cid AS cell, rn FROM (
+        SELECT q.qid, q.qe, c.cid,
+               row_number() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY round(list_cosine_similarity(q.qe, c.ce), 6) DESC,
+                          c.cid) AS rn
+        FROM q, {final} c
+      ) WHERE rn <= {nprobe}
+    ), probes AS (
+      SELECT qid, qe, cell FROM (
+        SELECT r.qid, r.qe, r.cell,
+               coalesce(sum(c2.n) OVER (PARTITION BY r.qid ORDER BY r.rn
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior,
+               first_value(c2.n) OVER (PARTITION BY r.qid ORDER BY r.rn) AS top_n
+        FROM ranked r JOIN cnt c2 ON c2.cell = r.cell
+      ) WHERE prior < (SELECT count(*) * {nprobe} * 1.0 / {nlist} FROM {assign})
+         OR top_n < (SELECT count(*) * {ADAPTIVE_FAT_FACTOR} / {nlist} FROM {assign})
+    )"""
+
+
 def _trained_ivf_oracle(
-    nlist: int, iters: int, nprobe: int, base_split: bool = False
+    nlist: int,
+    iters: int,
+    nprobe: int,
+    base_split: bool = False,
+    adaptive: bool = False,
 ) -> str:
     """IVF top-k over Lloyd-trained centroids: chained CTEs re-run the
     training (same snapping/tiebreaks as kmeans_lloyd_convergence's
@@ -1073,11 +1184,25 @@ def _trained_ivf_oracle(
     base-build time, the delta assigned against them), while the final
     assignment still covers the full corpus — so the oracle IS the
     'combined index equals a full rebuild with the frozen grid'
-    equivalence."""
+    equivalence. With *adaptive*, probes follow the drift-aware pruning
+    rule of _adaptive_probes instead of the fixed count."""
     coarse, final = _coarse_train_ctes(nlist, iters, base_split)
     ctes = [
         "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)",
     ] + coarse
+    if adaptive:
+        probe_ctes = _adaptive_probe_ctes("assign", final, nprobe, nlist)
+    else:
+        probe_ctes = f"""probes AS (
+      SELECT qid, qe, cid AS cell FROM (
+        SELECT q.qid, q.qe, c.cid,
+               row_number() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY round(list_cosine_similarity(q.qe, c.ce), 6) DESC,
+                          c.cid) AS rn
+        FROM q, {final} c
+      ) WHERE rn <= {nprobe}
+    )"""
     return (
         "\n    WITH "
         + ",\n    ".join(ctes)
@@ -1093,16 +1218,7 @@ def _trained_ivf_oracle(
       ) WHERE rn = 1
     ), q AS (
       SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < {N_QUERIES}
-    ), probes AS (
-      SELECT qid, qe, cid AS cell FROM (
-        SELECT q.qid, q.qe, c.cid,
-               row_number() OVER (
-                 PARTITION BY q.qid
-                 ORDER BY round(list_cosine_similarity(q.qe, c.ce), 6) DESC,
-                          c.cid) AS rn
-        FROM q, {final} c
-      ) WHERE rn <= {nprobe}
-    ), s AS (
+    ), {probe_ctes}, s AS (
       SELECT p.qid, a.vec_id AS nid,
              round(list_cosine_similarity(p.qe, a.e), 6) AS cos_sim
       FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id != p.qid
@@ -1953,7 +2069,9 @@ def _ivfpq_topk_oracle(nlist: int) -> str:
     """
 
 
-def _trained_ivfpq_oracle(nlist: int, iters: int, nprobe: int) -> str:
+def _trained_ivfpq_oracle(
+    nlist: int, iters: int, nprobe: int, adaptive: bool = False
+) -> str:
     """Full-rebuild-equivalence oracle for the trained-quantizer IVF-PQ
     ingest paths (the batch trained-upsert and the streaming codes-only
     maintainer): BOTH quantizer levels are re-trained in chained CTEs on
@@ -1962,9 +2080,23 @@ def _trained_ivfpq_oracle(nlist: int, iters: int, nprobe: int) -> str:
     FULL corpus is encoded + assigned against them and the standard
     ADC-shortlist + exact-rerank tail runs. A maintained index whose
     epochs were appended against the frozen sidecar artifacts must EQUAL
-    this full rebuild."""
+    this full rebuild. With *adaptive*, probes follow the drift-aware
+    pruning rule of _adaptive_probes instead of the fixed count."""
     coarse, final = _coarse_train_ctes(nlist, iters, base_split=True)
     coarse_sql = ",\n    ".join(coarse)
+    if adaptive:
+        probe_ctes = _adaptive_probe_ctes("asg", final, nprobe, nlist)
+    else:
+        probe_ctes = f"""probes AS (
+      SELECT qid, qe, cell FROM (
+        SELECT q.qid, q.qe, c.cid AS cell,
+               row_number() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY round(list_cosine_similarity(q.qe, c.ce), 6) DESC,
+                          c.cid) AS rn
+        FROM q, {final} c
+      ) WHERE rn <= {nprobe}
+    )"""
     return f"""
     WITH {_pq_oracle_encode_cte(train_split=True)},
     {coarse_sql}, recon AS (
@@ -1981,16 +2113,7 @@ def _trained_ivfpq_oracle(nlist: int, iters: int, nprobe: int) -> str:
       ) WHERE rn = 1
     ), q AS (
       SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < {N_QUERIES}
-    ), probes AS (
-      SELECT qid, qe, cell FROM (
-        SELECT q.qid, q.qe, c.cid AS cell,
-               row_number() OVER (
-                 PARTITION BY q.qid
-                 ORDER BY round(list_cosine_similarity(q.qe, c.ce), 6) DESC,
-                          c.cid) AS rn
-        FROM q, {final} c
-      ) WHERE rn <= {nprobe}
-    ), s AS (
+    ), {probe_ctes}, s AS (
       SELECT p.qid, p.qe, r.vec_id AS nid,
              round(sqrt(list_sum(list_transform(range(1, {PQ_M * PQ_DSUB} + 1),
                i -> (p.qe[i] - r.re[i]) * (p.qe[i] - r.re[i])))), 6) AS adc_dist
@@ -2362,13 +2485,16 @@ def stream_maintained_ivfpq_index(
 
 def ann_ivfpq_trained_upsert_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Read path over the trained-upsert IVF-PQ index, resolved from the
-    sidecar ALONE (probes from the frozen centroids, decode from the
-    frozen codebook) — no corpus access except the shortlist's exact
-    rerank point-lookups. Test-surface twin of ann_ivfpq_durable_topk."""
+    sidecar ALONE (drift-adaptive probes from the frozen centroids +
+    recorded per-cell sizes, decode from the frozen codebook) — no corpus
+    access except the shortlist's exact rerank point-lookups. Test-surface
+    twin of ann_ivfpq_durable_topk; shares the probe policy with
+    stream_ivfpq_maintenance so the {batch, stream} codes-only cells stay
+    row-for-row comparable."""
     prepare(spark)
     path = ivfpq_trained_upsert_index(spark, sf_dir)
     meta = read_index_meta(path)
-    probes = _probes_from_centroids(spark, sf_dir, meta["centroids"])
+    probes = _maintained_probes(spark, sf_dir, meta)
     probed = sorted(
         r["cell"] for r in probes.select("cell").distinct().collect()
     )

@@ -1406,7 +1406,7 @@ def stream_ann_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         _assign_by_broadcast,
         _emb,
         _ivf_index_read_topk,
-        _probes_from_centroids,
+        _maintained_probes,
         _publish_index,
         committed_delta_epochs,
         read_index_meta,
@@ -1429,7 +1429,9 @@ def stream_ann_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # consumed stream offsets mean there is nothing new to ingest. Serve
     # the maintained index as-is.
     if split is None or meta.get("delta_folded"):
-        probes = _probes_from_centroids(spark, sf_dir, cents)
+        # drift-adaptive probes (r10 verdict ask #5): the sidecar's
+        # per-cell sizes prune the probe set, metadata-only
+        probes = _maintained_probes(spark, sf_dir, meta)
         return _ivf_index_read_topk(
             spark, sf_dir, [path] + committed_delta_epochs(path), probes=probes
         )
@@ -1509,7 +1511,8 @@ def stream_ann_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Combined read: base + committed epochs, every source pruned to the
     # probed cells (each epoch dir is its own hive-partitioned tree).
-    probes = _probes_from_centroids(spark, sf_dir, cents)
+    # Probes auto-tune from the drift stats just recorded above.
+    probes = _maintained_probes(spark, sf_dir, read_index_meta(path))
     return _ivf_index_read_topk(
         spark, sf_dir, [path] + committed_delta_epochs(path), probes=probes
     )
@@ -1526,8 +1529,11 @@ def _register_stream_ann_index_maintenance() -> None:
     register(
         QUERIES,
         "stream_ann_index_maintenance",
+        # adaptive=True superseded the fixed-nprobe read in r11 (verdict
+        # ask #5): probes auto-tune from the sidecar's per-cell sizes;
+        # SUPERSEDED_IN re-fronts this query for driver re-attestation.
         oracle=_trained_ivf_oracle(
-            DNLIST, TRAINED_ITERS, NPROBE, base_split=True
+            DNLIST, TRAINED_ITERS, NPROBE, base_split=True, adaptive=True
         ),
         doc="Continuous ANN-index ingest — the STREAMING twin of the batch "
         "upsert (ann_ivf_upsert_topk) over the trained-quantizer index: "
@@ -1580,9 +1586,9 @@ def stream_ivfpq_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         _assign_by_broadcast,
         _emb,
         _ivfpq_shortlist_rerank,
+        _maintained_probes,
         _pq_encode_by_broadcast,
         _pq_recon_expr,
-        _probes_from_centroids,
         _publish_index,
         committed_delta_epochs,
         read_index_meta,
@@ -1597,7 +1603,10 @@ def stream_ivfpq_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = meta.get("split")
 
     def _read() -> DataFrame:
-        probes = _probes_from_centroids(spark, sf_dir, cents)
+        # drift-adaptive probes off the freshest sidecar (r10 verdict
+        # ask #5) — re-read because the maintenance pass above may have
+        # just refreshed the per-cell sizes
+        probes = _maintained_probes(spark, sf_dir, read_index_meta(path))
         probed = sorted(
             r["cell"] for r in probes.select("cell").distinct().collect()
         )
@@ -1687,7 +1696,9 @@ def _register_stream_ivfpq_maintenance() -> None:
     register(
         QUERIES,
         "stream_ivfpq_maintenance",
-        oracle=_trained_ivfpq_oracle(DNLIST, TRAINED_ITERS, NPROBE),
+        oracle=_trained_ivfpq_oracle(
+            DNLIST, TRAINED_ITERS, NPROBE, adaptive=True
+        ),
         doc="Continuous ingest into the CODES-ONLY durable index — the "
         "fourth cell of the ingest matrix ({batch, stream} x {raw, "
         "codes}), registered r11 in the slot freed by the "

@@ -146,7 +146,8 @@ def test_stream_ann_maintenance_equals_batch_trained_upsert(
     }
     up = S.ivf_trained_upsert_index(spark, SF_ORACLE)
     meta = S.read_index_meta(up)
-    probes = S._probes_from_centroids(spark, SF_ORACLE, meta["centroids"])
+    # same (drift-adaptive) probe policy as the stream query under test
+    probes = S._maintained_probes(spark, SF_ORACLE, meta)
     want = {
         (r["qid"], r["nid"], r["rnk"])
         for r in S._ivf_index_read_topk(
@@ -276,8 +277,7 @@ def test_fold_delta_epochs_preserves_reads(spark, tmp_path, monkeypatch):
     assert res["folded_epochs"] >= 2
     assert S.committed_delta_epochs(path) == []
     meta = S.read_index_meta(path)
-    cents = meta["centroids"]
-    probes = S._probes_from_centroids(spark, SF_ORACLE, cents)
+    probes = S._maintained_probes(spark, SF_ORACLE, meta)
     after = {
         (r["qid"], r["nid"], r["rnk"])
         for r in S._ivf_index_read_topk(
@@ -509,7 +509,7 @@ def test_stream_maintained_read_prunes_every_source(
     stream_ann_index_maintenance(spark, SF_ORACLE).collect()
     path = S.stream_maintained_ivf_index(spark, SF_ORACLE)
     meta = S.read_index_meta(path)
-    probes = S._probes_from_centroids(spark, SF_ORACLE, meta["centroids"])
+    probes = S._maintained_probes(spark, SF_ORACLE, meta)
     probed = sorted(
         r["cell"] for r in probes.select("cell").distinct().collect()
     )
@@ -668,3 +668,60 @@ def test_stream_maintenance_cleans_work_dir(spark, tmp_path, monkeypatch):
     assert made, "maintenance run should have created a work dir"
     leaked = [d for d in made if os.path.exists(d)]
     assert not leaked, f"work dirs left in /tmp: {leaked}"
+
+
+def test_adaptive_probes_prune_at_held_recall(
+    spark, tmp_path, monkeypatch, drifted_corpus_dir
+):
+    """r10 verdict ask #5 guard: on a skew-drifted index the drift-adaptive
+    probe policy (_adaptive_probes: probe the k-th ranked cell only while
+    the better-ranked cells' mass is under the fixed scan's fair-share
+    target) must scan STRICTLY fewer index rows than the fixed nprobe
+    policy while recall@5 vs exact KNN stays equal-or-better — and it may
+    never probe a cell the fixed policy wouldn't."""
+    S = _fresh_index_root(monkeypatch, tmp_path)
+    path = S.ivf_trained_upsert_index(spark, drifted_corpus_dir, nlist=8)
+    meta = S.read_index_meta(path)
+    cents = [[float(x) for x in c] for c in meta["centroids"]]
+    cell_rows = meta["drift"]["cell_rows"]
+
+    fixed = S._probes_from_centroids(spark, drifted_corpus_dir, cents)
+    adapt = S._adaptive_probes(spark, drifted_corpus_dir, cents, cell_rows)
+    fset = {(r["qid"], r["cell"]) for r in fixed.select("qid", "cell").collect()}
+    aset = {(r["qid"], r["cell"]) for r in adapt.select("qid", "cell").collect()}
+    assert aset <= fset, "adaptive probed a cell outside the fixed set"
+
+    def scanned(pairs):
+        return sum(cell_rows.get(str(c), 0) for _, c in pairs)
+
+    assert scanned(aset) < scanned(fset), (
+        f"no pruning on the skewed index: {scanned(aset)} vs {scanned(fset)}"
+    )
+
+    def topsets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["qid"], set()).add(r["nid"])
+        return out
+
+    # exact ground truth: brute-force cosine top-k on the same corpus
+    from hri_flink_validation_passthrough_spark.operators.similarity import (
+        knn_brute_force,
+    )
+
+    ex = topsets(knn_brute_force(spark, drifted_corpus_dir))
+
+    def recall(top):
+        return sum(
+            len(top.get(q, set()) & ex[q]) / len(ex[q]) for q in ex
+        ) / len(ex)
+
+    r_fixed = recall(
+        topsets(S._ivf_index_read_topk(spark, drifted_corpus_dir, path, probes=fixed))
+    )
+    r_adapt = recall(
+        topsets(S._ivf_index_read_topk(spark, drifted_corpus_dir, path, probes=adapt))
+    )
+    assert r_adapt >= r_fixed, (
+        f"adaptive pruning cost recall: {r_adapt:.3f} < {r_fixed:.3f}"
+    )
