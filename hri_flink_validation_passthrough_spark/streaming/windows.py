@@ -549,6 +549,17 @@ def stream_passthrough_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        # the returned frame reads the in-memory sink, never these files —
+        # drop the events-sized replay copies so repeated bench reps don't
+        # accumulate one each (same class as the ADVICE r10 maintenance-
+        # work-dir leak). The checkpoint dir deliberately stays: the state
+        # store's async maintenance thread can touch it briefly after
+        # stop() returns (observed failedToCommitStateFileError once when
+        # the whole tmp tree was removed), and it is KB-sized.
+        import shutil as _shutil
+
+        _shutil.rmtree(f"{tmp}/records", ignore_errors=True)
+        _shutil.rmtree(f"{tmp}/ctrl", ignore_errors=True)
 
 
 def make_cdc_merger(
