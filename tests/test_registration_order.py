@@ -243,3 +243,17 @@ def test_superseded_queries_without_fresh_receipt_lead_the_window():
             f"superseded query {name!r} (no post-r{rno} receipt) registers "
             f"at position {pos} — outside the driver's window"
         )
+
+
+def test_superseded_in_names_are_real():
+    """Typo guard: every SUPERSEDED_IN key must be a registered query (or a
+    documented retirement still present as a module function); a misspelled
+    name would silently erase nothing and the stale receipt would keep
+    rotating normally. Rounds must be plausible (1..newest+1)."""
+    specs = entrymod._all_specs()
+    _, _, newest = entrymod._receipts()
+    for name, rno in entrymod.SUPERSEDED_IN.items():
+        assert name in specs, f"SUPERSEDED_IN names unknown query {name!r}"
+        assert 1 <= rno <= newest + 1, (
+            f"SUPERSEDED_IN[{name!r}] = {rno} is outside 1..{newest + 1}"
+        )
