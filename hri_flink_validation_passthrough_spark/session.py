@@ -100,8 +100,14 @@ def prepare(spark: SparkSession) -> SparkSession:
     return spark
 
 
-def build_session(app_name: str = "hri_spark", cpus: int | None = None) -> SparkSession:
-    """Create the tuned local session used by tests, bench.py and the CLI."""
+def build_session(
+    app_name: str = "hri_spark",
+    cpus: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Create the tuned local session used by tests, bench.py and the CLI.
+    *extra_conf* lets diagnostic harnesses (tools/diag_pyworker.py) pin
+    session-start-only confs like spark.python.worker.reuse."""
     n = cpus or _local_cpus()
     b = (
         SparkSession.builder.master(f"local[{n}]")
@@ -111,6 +117,8 @@ def build_session(app_name: str = "hri_spark", cpus: int | None = None) -> Spark
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
     for k, v in RUNTIME_CONF.items():
+        b = b.config(k, v)
+    for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
