@@ -725,3 +725,82 @@ def test_adaptive_probes_prune_at_held_recall(
     assert r_adapt >= r_fixed, (
         f"adaptive pruning cost recall: {r_adapt:.3f} < {r_fixed:.3f}"
     )
+
+
+def test_adaptive_probe_rule_synthetic_properties(spark):
+    """The adaptive rule's contract, pinned directly on synthetic per-cell
+    sizes (no index build — the policy is metadata-only by design):
+    - uniform sizes -> EXACTLY the fixed probe set (balanced identity);
+    - top-cell-fat sizes -> a strict subset with trailing ranks pruned;
+    - fat cell ranked lower -> NO pruning (the junk-mass gate);
+    - always a subset of the fixed set, never empty per query."""
+    from hri_flink_validation_passthrough_spark.operators import (
+        similarity as S,
+    )
+
+    # centroids = first 8 corpus vectors (any deterministic grid works:
+    # the rule under test only consumes the RANKING they induce)
+    cents = [
+        [float(x) for x in r["e"]]
+        for r in S._emb(spark, SF_ORACLE).filter("vec_id < 8").collect()
+    ]
+    fixed = {
+        (r["qid"], r["cell"])
+        for r in S._probes_from_centroids(spark, SF_ORACLE, cents)
+        .select("qid", "cell")
+        .collect()
+    }
+    qids = {q for q, _ in fixed}
+
+    def adapt(sizes: dict) -> set:
+        return {
+            (r["qid"], r["cell"])
+            for r in S._adaptive_probes(spark, SF_ORACLE, cents, sizes)
+            .select("qid", "cell")
+            .collect()
+        }
+
+    # 1) balanced identity
+    uniform = {str(c): 100 for c in range(8)}
+    assert adapt(uniform) == fixed
+
+    # 2) uniformly LARGE cells are not fat — fatness is RELATIVE (>= 2x
+    # the fair share), so scaling every cell equally must change nothing
+    all_big = {str(c): 1000 for c in range(8)}
+    assert adapt(all_big) == fixed
+
+    # 3) one huge cell, thin elsewhere (total 5350, fair share 669, fat
+    # threshold 1337, target 2675). Queries whose TOP cell is the fat one
+    # prune to EXACTLY that one probe (5000 >= target alone); queries
+    # merely PASSING THROUGH the fat cell at rank >= 2 must keep the full
+    # fixed set (the junk-mass gate).
+    skew = {str(c): 50 for c in range(8)}
+    skew["0"] = 5000
+    got = adapt(skew)
+    assert got <= fixed
+    ranked = {}
+    for r in (
+        S._ranked_probes(spark, SF_ORACLE, cents, S.NPROBE)
+        .select("qid", "cell", "rn")
+        .collect()
+    ):
+        ranked.setdefault(r["qid"], {})[r["rn"]] = r["cell"]
+    assert set(ranked) == qids
+    pruned_any = False
+    for q, by_rn in ranked.items():
+        q_fixed = {(q, c) for c in by_rn.values()}
+        q_got = {(q, c) for (qq, c) in got if qq == q}
+        if by_rn[1] == 0:
+            assert q_got == {(q, 0)}, (
+                f"query {q}: fat top cell covers the target alone -> "
+                f"exactly one probe, got {q_got}"
+            )
+            pruned_any = True
+        else:
+            assert q_got == q_fixed, (
+                f"query {q} pruned despite a thin top cell (junk-mass gate)"
+            )
+        assert q_got, f"query {q} lost all probes"
+    if all(by_rn[1] != 0 for by_rn in ranked.values()):
+        pruned_any = True  # no query tops the fat cell on this grid; vacuous
+    assert pruned_any
