@@ -31,6 +31,7 @@ QUERIES: dict[str, QuerySpec] = {}
 
 N_QUERIES = 10  # vec_id < 10 are the query vectors
 TOP_K = 5
+EMB_DIM = 64  # synthetic embeddings are 64-d (TESTDATA.md)
 NLIST = 16  # IVF coarse cells (first NLIST vectors are the centroids)
 NPROBE = 4
 
@@ -1490,6 +1491,110 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("scale", 6).alias("scale_r"),
         F.array_join(q, ",").alias("q8"),
         F.round(err, 9).alias("max_abs_err"),
+    )
+
+
+SQ8_SHORTLIST = 50  # SQ8 ADC shortlist fed to the exact rerank (PQ depth)
+
+
+def _sq8_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dequantized corpus ``(vec_id, re)`` under the symmetric per-vector
+    int8 scheme of ``embedding_quantize_int8``: code = round(x*scale),
+    decode = code/scale with scale = 127/max|x|. Composing
+    quantize∘dequantize in one map-side expression yields exactly the
+    values a scan over STORED codes would decode (round(x*scale) IS the
+    stored int8), so the search semantics are those of the compressed
+    store without materializing it here — the durable-index variants
+    materialize codes; this query pins the read math. Codegen'd array
+    lambdas, no shuffle, no Python."""
+    v = _emb(spark, sf_dir)
+    absmax = F.array_max(F.transform(F.col("e"), lambda x: F.abs(x)))
+    s = v.filter(absmax > 0).withColumn("scale", F.lit(127.0) / absmax)
+    re = F.transform(
+        F.col("e"), lambda x: F.round(x * F.col("scale"), 0) / F.col("scale")
+    )
+    return s.select("vec_id", re.alias("re"))
+
+
+@register(
+    QUERIES,
+    "ann_sq8_adc_topk",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), s AS (
+      SELECT vec_id, e,
+             127.0 / list_max(list_transform(e, x -> abs(x))) AS scale
+      FROM v
+      WHERE list_max(list_transform(e, x -> abs(x))) > 0
+    ), rec AS (
+      SELECT vec_id,
+             list_transform(e, x -> round(x * scale) / scale) AS re
+      FROM s
+    ), q AS (
+      SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < {N_QUERIES}
+    ), d AS (
+      SELECT qid, qe, r.vec_id AS nid,
+             round(sqrt(list_sum(list_transform(range(1, {EMB_DIM} + 1),
+               i -> (qe[i] - re[i]) * (qe[i] - re[i])))), 6) AS adc_dist
+      FROM q, rec r WHERE r.vec_id != qid
+    ), shortlist AS (
+      SELECT qid, qe, nid FROM (
+        SELECT qid, qe, nid,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY adc_dist, nid) AS rs
+        FROM d
+      ) WHERE rs <= {SQ8_SHORTLIST}
+    ), reranked AS (
+      SELECT sl.qid, sl.nid,
+             round(list_cosine_similarity(sl.qe, v.e), 6) AS cos_sim
+      FROM shortlist sl JOIN v ON v.vec_id = sl.nid
+    )
+    SELECT qid, nid, cos_sim, rnk FROM (
+      SELECT qid, nid, cos_sim,
+             CAST(row_number() OVER (PARTITION BY qid
+                                     ORDER BY cos_sim DESC, nid) AS BIGINT) AS rnk
+      FROM reranked
+    ) WHERE rnk <= {TOP_K}
+    """,
+    doc="SQ8 two-phase ANN — the middle rung of the quantized-scan ladder "
+    "(raw float32 = 4d B/vector, SQ8 = d B, PQ = M B): an asymmetric-"
+    "distance scan over per-vector symmetric int8 codes (the "
+    f"embedding_quantize_int8 scheme) shortlists {SQ8_SHORTLIST} candidates "
+    "per query, then an exact cosine rerank picks the final top-k. SQ8 "
+    "keeps ~full recall at 4x less scan bandwidth than raw and needs no "
+    "training (no codebook to drift — a cheap default when PQ retrain "
+    "cadence is a concern); at 100 TB the ADC pass composes with IVF cell "
+    "pruning exactly like the PQ path.",
+)
+def ann_sq8_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cand = _sq8_recon(spark, sf_dir)
+    q = (
+        _emb(spark, sf_dir)
+        .filter(F.col("vec_id") < N_QUERIES)
+        .withColumnsRenamed({"vec_id": "qid", "e": "qe"})
+    )
+    pairs = cand.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+    adc = F.round(F.sqrt(_sqdist(F.col("qe"), F.col("re"))), 6)
+    w_short = Window.partitionBy("qid").orderBy(F.asc("adc_dist"), F.asc("nid"))
+    shortlist = (
+        pairs.select(
+            "qid", "qe", F.col("vec_id").alias("nid"), adc.alias("adc_dist")
+        )
+        .withColumn("rs", F.row_number().over(w_short))
+        .filter(F.col("rs") <= SQ8_SHORTLIST)
+        .select("qid", "qe", "nid")
+    )
+    v = _emb(spark, sf_dir)
+    reranked = shortlist.join(v, shortlist.nid == v.vec_id).select(
+        "qid",
+        "nid",
+        F.round(cosine_similarity(F.col("qe"), F.col("e")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("nid"))
+    return (
+        reranked.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= TOP_K)
     )
 
 

@@ -80,3 +80,17 @@ def test_ivfpq_composed_recall_vs_exact(spark, exact):
 
     r = _mean_recall(exact, _topsets(ann_ivfpq_topk(spark, SF_ORACLE)))
     assert r >= 0.85, f"IVF-PQ mean recall@5 dropped to {r:.3f} (measured 0.92)"
+
+
+def test_sq8_adc_rerank_recall_vs_exact(spark, exact):
+    """SQ8 is the near-lossless rung of the quantized-scan ladder: per-
+    vector symmetric int8 keeps max-abs reconstruction error ~0.4% of
+    |x|max, so the ADC shortlist of 50 (10% of this corpus) must recover
+    the exact top-5 perfectly (measured 1.00). A drop below 1.0 here
+    while PQ holds its floor means the SQ8 quantize/decode math changed."""
+    from hri_flink_validation_passthrough_spark.operators.similarity import (
+        ann_sq8_adc_topk,
+    )
+
+    r = _mean_recall(exact, _topsets(ann_sq8_adc_topk(spark, SF_ORACLE)))
+    assert r >= 1.0, f"SQ8 shortlist+rerank mean recall@5 dropped to {r:.3f}"

@@ -48,6 +48,7 @@ ALLOWED_NESTED_LOOP = {
     "ann_ivfpq_topk": "crossJoin against the broadcast centroid table (nlist rows); the ADC/rerank stages are equi-joins on cell/vec_id",
     "ann_ivfpq_durable_topk": "same probes-side crossJoin against the broadcast centroid table (nlist rows) as ann_ivfpq_topk; codes come from a partition-pruned parquet scan, ADC/rerank are equi-joins on cell/vec_id",
     "ann_pq_adc_topk": "candidate codes × broadcast query set (N_QUERIES rows) — at scale the candidate side is pre-pruned by IVF cells, the query side stays a tiny broadcast",
+    "ann_sq8_adc_topk": "same shape as ann_pq_adc_topk: SQ8 candidate codes × broadcast query set (N_QUERIES rows); at scale the candidate side is pre-pruned by IVF cells",
     "kmeans_one_iteration": "crossJoin against the broadcast centroid table (nlist rows)",
     "dedup_semantic_ivf": "crossJoin against the broadcast centroid table (nlist rows); within-cell pairing itself is an equi-join on cell",
     "q11_important_parts": "1-row scalar threshold broadcast-joined",

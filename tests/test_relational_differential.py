@@ -131,3 +131,29 @@ def test_relational_plan_matches_state_machine(spark, seed):
 
     left, right = canon(machine_routed), canon(relational_routed)
     assert left == right, f"seed {seed}: machine={left} relational={right}"
+
+
+def test_retired_twins_match_state_machine(spark):
+    """COVERAGE.md r11 retirement pin: the two deregistered *_relational
+    parity twins (overcount, terminate) must keep producing exactly what
+    their registered state-machine twins produce on the real events table
+    — the functions stay exercised after the registration retired."""
+    import os
+
+    from hri_flink_validation_passthrough_spark.operators.passthrough import (
+        passthrough_overcount,
+        passthrough_terminate,
+    )
+    from hri_flink_validation_passthrough_spark.operators.passthrough_relational import (
+        passthrough_overcount_relational,
+        passthrough_terminate_relational,
+    )
+
+    sf = os.environ.get("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.001")
+    for machine_fn, twin_fn in (
+        (passthrough_overcount, passthrough_overcount_relational),
+        (passthrough_terminate, passthrough_terminate_relational),
+    ):
+        want = {tuple(r) for r in machine_fn(spark, sf).collect()}
+        got = {tuple(r) for r in twin_fn(spark, sf).collect()}
+        assert got == want, f"{twin_fn.__name__} diverged: {got} != {want}"
