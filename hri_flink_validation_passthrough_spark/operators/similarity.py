@@ -1598,6 +1598,40 @@ def ann_sq8_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Test-surface composition (not registered — COVERAGE.md r11: registry
+# margin is held at 2; the flat scan above carries the oracle receipt and
+# the IVF/shortlist/rerank stages are each oracle-checked elsewhere): the
+# full 100 TB SQ8 read path = IVF cell pruning -> SQ8 ADC scan within
+# probed cells -> exact rerank. Shares the exact shortlist+rerank tail
+# with the IVF-PQ read path, so the only SQ8-specific code is the decode.
+# Pinned by tests/test_ann_quality.py::test_ivf_sq8_composed_equals_ivf.
+def ann_ivf_sq8_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    nprobe: int = NPROBE,
+    nlist: int = NLIST,
+) -> DataFrame:
+    """IVF + SQ8: candidates come only from probed cells (the partition-
+    pruned scan), distances from int8 codes, final top-k from the exact
+    rerank — identical plan shape to ann_ivfpq_topk with per-vector SQ8
+    in place of the trained PQ codebook."""
+    assign, probes = _ivf_assign_probes(spark, sf_dir, nprobe=nprobe, nlist=nlist)
+    absmax = F.array_max(F.transform(F.col("e"), lambda x: F.abs(x)))
+    cand = (
+        assign.filter(absmax > 0)
+        .withColumn("scale", F.lit(127.0) / absmax)
+        .select(
+            "vec_id",
+            "cell",
+            F.transform(
+                F.col("e"),
+                lambda x: F.round(x * F.col("scale"), 0) / F.col("scale"),
+            ).alias("re"),
+        )
+    )
+    return _ivfpq_shortlist_rerank(spark, sf_dir, cand, probes)
+
+
 # SemDeDup threshold, calibrated to the synthetic embedding distribution
 # (max within-cell cosine ≈ 0.49; real corpora use ~0.95 — same plan).
 SEM_THR = 0.42

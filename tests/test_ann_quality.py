@@ -94,3 +94,20 @@ def test_sq8_adc_rerank_recall_vs_exact(spark, exact):
 
     r = _mean_recall(exact, _topsets(ann_sq8_adc_topk(spark, SF_ORACLE)))
     assert r >= 1.0, f"SQ8 shortlist+rerank mean recall@5 dropped to {r:.3f}"
+
+
+def test_ivf_sq8_composed_equals_ivf(spark):
+    """The full SQ8 read path (IVF cell pruning -> int8 ADC scan within
+    probed cells -> exact rerank) must return EXACTLY what the pure-IVF
+    exact scan returns over the same probed candidate set: the near-
+    lossless SQ8 shortlist of 50 recovers the within-probe top-5, so any
+    divergence is a bug in the decode or the shared shortlist/rerank
+    tail, not an approximation artifact."""
+    from hri_flink_validation_passthrough_spark.operators.similarity import (
+        ann_ivf_sq8_topk,
+        ann_ivf_topk,
+    )
+
+    want = {tuple(r) for r in ann_ivf_topk(spark, SF_ORACLE).collect()}
+    got = {tuple(r) for r in ann_ivf_sq8_topk(spark, SF_ORACLE).collect()}
+    assert got == want

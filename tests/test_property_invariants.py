@@ -189,3 +189,42 @@ def test_lindley_closed_form_matches_recurrence(arrivals, cap):
     assert closed == truth
     assert all(0 <= s <= cap for s in served)
     assert sum(served) + closed[-1] == sum(arrivals)
+
+
+# ---- SQ8 per-vector symmetric quantization (ann_sq8_adc_topk) ------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.just(0.0),
+            st.floats(min_value=1e-6, max_value=100.0),
+            st.floats(min_value=-100.0, max_value=-1e-6),
+        ),
+        min_size=1,
+        max_size=64,
+    )
+)
+def test_sq8_quantize_error_bound_and_code_range(vec):
+    """The algebra ann_sq8_adc_topk and its oracle share: with scale =
+    127/max|x|, codes round(x*scale) always fit int8 ([-127, 127]) and the
+    decode error |x - code/scale| is bounded by half a quantization step
+    (max|x|/254) — the bound that makes the ADC shortlist near-lossless.
+
+    Domain precondition (hypothesis found the edge): max|x| must be large
+    enough that 127/max|x| stays finite — a vector whose largest entry is
+    denormal (~5e-324) overflows the scale to inf in BOTH engines. Real
+    embedding components are O(1); the strategy pins |x| in {0} ∪
+    [1e-6, 100]."""
+    absmax = max(abs(x) for x in vec)
+    if absmax == 0:
+        return  # zero vectors are filtered out by both engines
+    scale = 127.0 / absmax
+    step_half = absmax / 254.0
+    for x in vec:
+        code = math.floor(x * scale + 0.5) if x * scale >= 0 else -math.floor(
+            -x * scale + 0.5
+        )  # round-half-away-from-zero, the double semantics both engines use
+        assert -127 <= code <= 127
+        assert abs(x - code / scale) <= step_half + 1e-12
