@@ -203,3 +203,38 @@ def test_vacuum_then_time_travel_interplay(spark, tmp_path):
     assert read_table_version(spark, root, 3).count() == 6
     with pytest.raises(ValueError, match=r"\[3\]"):
         read_table_version(spark, root, 2)
+
+
+def test_committed_delta_epochs_skips_torn_and_empty(tmp_path):
+    """The stream-maintained read's crash-safety contract at the listing
+    layer: an epoch dir counts only with BOTH its _EPOCH marker (written
+    after the parquet data) and at least one part file. A torn write
+    (parquet landed, marker didn't) and an empty-trigger commit (marker,
+    no rows) must both be invisible; ordering is numeric, not lexical."""
+    import os
+
+    from hri_flink_validation_passthrough_spark.operators.similarity import (
+        committed_delta_epochs,
+    )
+
+    root = str(tmp_path / "idx")
+
+    def _epoch(name: str, marker: bool, parquet: bool) -> str:
+        d = os.path.join(root, "_delta_epochs", name)
+        os.makedirs(os.path.join(d, "cell=0"), exist_ok=True)
+        if parquet:
+            with open(os.path.join(d, "cell=0", "part-0.parquet"), "wb") as fh:
+                fh.write(b"x")
+        if marker:
+            with open(os.path.join(d, "_EPOCH"), "w") as fh:
+                fh.write(name)
+        return d
+
+    committed2 = _epoch("e2", marker=True, parquet=True)
+    committed10 = _epoch("e10", marker=True, parquet=True)  # numeric > e2
+    _epoch("e3", marker=False, parquet=True)  # torn: no marker
+    _epoch("e4", marker=True, parquet=False)  # empty trigger: no rows
+    _epoch("junk", marker=True, parquet=True)  # non-epoch name ignored
+
+    assert committed_delta_epochs(root) == [committed2, committed10]
+    assert committed_delta_epochs(str(tmp_path / "missing")) == []
