@@ -285,11 +285,17 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
     d = load_table(spark, sf_dir, "documents")
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    t = d.select(
-        "doc_id",
-        F.size(toks).cast("long").alias("n_tokens"),
-        (F.col("doc_id") / PACK_BLOCK).cast("long").alias("blk"),
+    return pack_token_counts(
+        d.select("doc_id", F.size(toks).cast("long").alias("n_tokens"))
     )
+
+
+def pack_token_counts(t: DataFrame) -> DataFrame:
+    """The packing core over an arbitrary (doc_id, n_tokens) frame —
+    frame-parameterized so pipelines can pack a FILTERED corpus (the
+    quality->dedup->decontam survivors in the e2e composition test), not
+    just the raw table. Plan identical to the registered query's."""
+    t = t.withColumn("blk", (F.col("doc_id") / PACK_BLOCK).cast("long"))
     # level 1: cumsum within each block — parallel across blocks
     w_in = (
         Window.partitionBy("blk")
