@@ -1407,6 +1407,48 @@ _register_stream_dedup_incremental()
 _SAIM_DELTA_FILES = 4  # delta split into 4 files -> 4 microbatches
 
 
+def make_epoch_appender(spark: SparkSession, epoch_root: str, cents):
+    """The raw-vector maintainer's foreachBatch sink — cell-wise append:
+    assign the microbatch against the SIDECAR centroids (frozen at base
+    build — a delta vector's cell is identical whether assigned at ingest
+    or rebuild, which is what makes the oracle a full-rebuild
+    equivalence), build the microbatch's epoch dir in a TEMP location
+    with its _EPOCH marker inside, then atomically swap it into place
+    (the _publish_index seam). A replayed epoch (same epoch_id after
+    failure recovery) therefore replaces its predecessor atomically — a
+    reader either sees the old committed epoch or the new complete one,
+    never a half-written dir and never a committed epoch flickering back
+    to uncommitted (a plain overwrite deletes marker+data before
+    rewriting — r10 self-review finding). Assignment is the BROADCAST-DF
+    form: per-microbatch calls must not pay the k x dim literal planning
+    tax (~1.6 s/call x 4 microbatches, measured — the r9 rule).
+
+    Module-level factory (not an inline closure) so the crash-resume
+    chaos test drives the SAME commit protocol the production query runs
+    (tests/test_round10_ops.py)."""
+    import os
+    import uuid as _uuid
+
+    from ..operators.similarity import _assign_by_broadcast, _publish_index
+
+    def _append(batch_df: DataFrame, epoch_id: int) -> None:
+        edir = os.path.join(epoch_root, f"e{int(epoch_id)}")
+        tmp = f"{edir}.build-{_uuid.uuid4().hex[:8]}"
+        (
+            _assign_by_broadcast(spark, batch_df, cents)
+            .repartition("cell")
+            .sortWithinPartitions("vec_id")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(tmp)
+        )
+        with open(os.path.join(tmp, "_EPOCH"), "w") as fh:
+            fh.write(str(int(epoch_id)))
+        _publish_index(edir, tmp)
+
+    return _append
+
+
 def stream_ann_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
@@ -1414,11 +1456,9 @@ def stream_ann_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.similarity import (
         _DELTA_EPOCH_DIR,
-        _assign_by_broadcast,
         _emb,
         _ivf_index_read_topk,
         _maintained_probes,
-        _publish_index,
         committed_delta_epochs,
         read_index_meta,
         stream_maintained_ivf_index,
@@ -1466,35 +1506,7 @@ def stream_ann_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     epoch_root = os.path.join(path, _DELTA_EPOCH_DIR)
-
-    def _append(batch_df: DataFrame, epoch_id: int) -> None:
-        # cell-wise append: assign against the SIDECAR centroids (frozen at
-        # base build — a delta vector's cell is identical whether assigned
-        # at ingest or rebuild, which is what makes the oracle a full-
-        # rebuild equivalence), build the microbatch's epoch dir in a TEMP
-        # location with its _EPOCH marker inside, then atomically swap it
-        # into place (the _publish_index seam). A replayed epoch (same
-        # epoch_id after failure recovery) therefore replaces its
-        # predecessor atomically — a reader either sees the old committed
-        # epoch or the new complete one, never a half-written dir and
-        # never a committed epoch flickering back to uncommitted (a plain
-        # overwrite deletes marker+data before rewriting — r10 self-review
-        # finding). Assignment is the BROADCAST-DF form: per-microbatch
-        # calls must not pay the k x dim literal planning tax
-        # (~1.6 s/call x 4 microbatches, measured — the r9 rule).
-        edir = os.path.join(epoch_root, f"e{int(epoch_id)}")
-        tmp = f"{edir}.build-{_uuid.uuid4().hex[:8]}"
-        (
-            _assign_by_broadcast(spark, batch_df, cents)
-            .repartition("cell")
-            .sortWithinPartitions("vec_id")
-            .write.mode("overwrite")
-            .partitionBy("cell")
-            .parquet(tmp)
-        )
-        with open(os.path.join(tmp, "_EPOCH"), "w") as fh:
-            fh.write(str(int(epoch_id)))
-        _publish_index(edir, tmp)
+    _append = make_epoch_appender(spark, epoch_root, cents)
 
     with _pinned_state(spark):
         q = (

@@ -804,3 +804,110 @@ def test_adaptive_probe_rule_synthetic_properties(spark):
     if all(by_rn[1] != 0 for by_rn in ranked.values()):
         pruned_any = True  # no query tops the fat cell on this grid; vacuous
     assert pruned_any
+
+
+def test_stream_ann_maintenance_crash_and_resume_same_checkpoint(
+    spark, tmp_path, monkeypatch
+):
+    """Kill the maintainer MID-STREAM (after 2 of 4 microbatch epochs
+    commit), then resume with the SAME checkpoint — the production
+    failure mode the fresh-checkpoint replay test cannot see. Pins the
+    interplay of three mechanisms: the file source's tracked offsets
+    (already-ingested files are not re-read), the _EPOCH commit protocol
+    (the crashed batch left nothing visible — a planted torn build dir
+    stays invisible too), and batchId-stable retry (the resumed run
+    continues the epoch numbering). End state: base + committed epochs
+    hold every corpus vector exactly once with the same cell assignments
+    a batch pass over the full delta produces."""
+    from functools import reduce
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+    from pyspark.sql import functions as F
+
+    from hri_flink_validation_passthrough_spark.streaming import windows as W
+
+    S = _fresh_index_root(monkeypatch, tmp_path)
+    path = S.stream_maintained_ivf_index(spark, SF_ORACLE)
+    meta = S.read_index_meta(path)
+    cents = [[float(x) for x in c] for c in meta["centroids"]]
+    split = int(meta["split"])
+
+    work = str(tmp_path / "replay")
+    (
+        S._emb(spark, SF_ORACLE)
+        .filter(F.col("vec_id") >= split)
+        .repartition(W._SAIM_DELTA_FILES)
+        .write.mode("overwrite")
+        .parquet(f"{work}/delta")
+    )
+    schema = spark.read.parquet(f"{work}/delta").schema
+    ckpt = f"{work}/ckpt"  # the SAME checkpoint for both runs
+    epoch_root = os.path.join(path, S._DELTA_EPOCH_DIR)
+    appender = W.make_epoch_appender(spark, epoch_root, cents)
+    committed_before_crash = 2
+    seen = []
+
+    def bombed(batch_df, epoch_id):
+        if len(seen) >= committed_before_crash:
+            raise RuntimeError("injected crash mid-stream")
+        appender(batch_df, epoch_id)
+        seen.append(int(epoch_id))
+
+    def _run(sink):
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{work}/delta")
+        )
+        q = (
+            src.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    with pytest.raises(StreamingQueryException):
+        _run(bombed)
+    mid = S.committed_delta_epochs(path)
+    assert len(mid) == committed_before_crash, mid
+    # plant the torn build dir a crash inside the epoch write would leave:
+    # parquet data, marker, but never renamed into place — must stay
+    # invisible to the committed listing and to the resume
+    torn = os.path.join(epoch_root, "e2.build-deadbeef", "cell=0")
+    os.makedirs(torn)
+    with open(os.path.join(torn, "part-0.parquet"), "wb") as fh:
+        fh.write(b"x")
+    with open(os.path.join(epoch_root, "e2.build-deadbeef", "_EPOCH"), "w") as fh:
+        fh.write("2")
+    assert S.committed_delta_epochs(path) == mid
+
+    _run(appender)  # resume: same checkpoint, no bomb
+
+    final = S.committed_delta_epochs(path)
+    assert set(mid) <= set(final)
+    assert len(final) >= 3  # the remaining files landed as new epochs
+    # exactly-once: every corpus vector appears exactly once across
+    # base + committed epochs, none lost, none duplicated
+    idx = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            spark.read.parquet(p).select("vec_id", "cell")
+            for p in [path, *final]
+        ],
+    )
+    rows = idx.collect()
+    ids = [r["vec_id"] for r in rows]
+    assert len(ids) == len(set(ids)) == S._emb(spark, SF_ORACLE).count()
+    # cell assignments equal a BATCH pass over the full delta against the
+    # same frozen centroids (ingest-time-invariance of the frozen grid)
+    got = {r["vec_id"]: r["cell"] for r in rows if r["vec_id"] >= split}
+    want = {
+        r["vec_id"]: r["cell"]
+        for r in S._assign_by_broadcast(
+            spark,
+            S._emb(spark, SF_ORACLE).filter(F.col("vec_id") >= split),
+            cents,
+        ).collect()
+    }
+    assert got == want
