@@ -1583,6 +1583,50 @@ def _register_stream_ann_index_maintenance() -> None:
 _register_stream_ann_index_maintenance()
 
 
+def make_codes_epoch_appender(
+    spark: SparkSession, epoch_root: str, cents, cb
+):
+    """The CODES-ONLY maintainer's foreachBatch sink: PQ-encode the
+    microbatch against the frozen per-subspace codebook and cell-assign
+    it against the frozen coarse centroids (both broadcast-DF forms — no
+    per-trigger literal planning tax), then commit the (vec_id, codes,
+    cell) rows through the same atomic _EPOCH swap as the raw-vector
+    appender. Module-level factory for the same reason as
+    make_epoch_appender: the crash-resume chaos test must drive the
+    production commit protocol itself."""
+    import os
+    import uuid as _uuid
+
+    from ..operators.similarity import (
+        _assign_by_broadcast,
+        _pq_encode_by_broadcast,
+        _publish_index,
+    )
+
+    def _append(batch_df: DataFrame, epoch_id: int) -> None:
+        edir = os.path.join(epoch_root, f"e{int(epoch_id)}")
+        tmp = f"{edir}.build-{_uuid.uuid4().hex[:8]}"
+        codes = _pq_encode_by_broadcast(spark, batch_df, cb)
+        rows = codes.join(
+            _assign_by_broadcast(spark, batch_df, cents).select(
+                "vec_id", "cell"
+            ),
+            "vec_id",
+        )
+        (
+            rows.repartition("cell")
+            .sortWithinPartitions("vec_id")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(tmp)
+        )
+        with open(os.path.join(tmp, "_EPOCH"), "w") as fh:
+            fh.write(str(int(epoch_id)))
+        _publish_index(edir, tmp)
+
+    return _append
+
+
 def stream_ivfpq_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous ingest into the CODES-ONLY durable index — the fourth
     cell of the ingest matrix ({batch, stream} x {raw, codes}), closing it:
@@ -1605,14 +1649,10 @@ def stream_ivfpq_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.similarity import (
         _DELTA_EPOCH_DIR,
-        PQ_M,
-        _assign_by_broadcast,
         _emb,
         _ivfpq_shortlist_rerank,
         _maintained_probes,
-        _pq_encode_by_broadcast,
         _pq_recon_expr,
-        _publish_index,
         committed_delta_epochs,
         read_index_meta,
         stream_maintained_ivfpq_index,
@@ -1664,27 +1704,7 @@ def stream_ivfpq_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(f"{work}/delta")
     )
     epoch_root = os.path.join(path, _DELTA_EPOCH_DIR)
-
-    def _append(batch_df: DataFrame, epoch_id: int) -> None:
-        edir = os.path.join(epoch_root, f"e{int(epoch_id)}")
-        tmp = f"{edir}.build-{_uuid.uuid4().hex[:8]}"
-        codes = _pq_encode_by_broadcast(spark, batch_df, cb)
-        rows = codes.join(
-            _assign_by_broadcast(spark, batch_df, cents).select(
-                "vec_id", "cell"
-            ),
-            "vec_id",
-        )
-        (
-            rows.repartition("cell")
-            .sortWithinPartitions("vec_id")
-            .write.mode("overwrite")
-            .partitionBy("cell")
-            .parquet(tmp)
-        )
-        with open(os.path.join(tmp, "_EPOCH"), "w") as fh:
-            fh.write(str(int(epoch_id)))
-        _publish_index(edir, tmp)
+    _append = make_codes_epoch_appender(spark, epoch_root, cents, cb)
 
     with _pinned_state(spark):
         q = (

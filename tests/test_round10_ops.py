@@ -911,3 +911,91 @@ def test_stream_ann_maintenance_crash_and_resume_same_checkpoint(
         ).collect()
     }
     assert got == want
+
+
+def test_stream_ivfpq_maintenance_crash_and_resume_same_checkpoint(
+    spark, tmp_path, monkeypatch
+):
+    """The codes-only twin of the crash-resume pin above: kill the
+    IVF-PQ maintainer after 2 of 4 epochs commit, resume on the same
+    checkpoint, and require base + committed epochs to hold every corpus
+    vector's (cell, codes) row exactly once — with codes EQUAL to a
+    batch encode of the full delta against the same frozen codebook
+    (frozen-artifact ingest-time invariance surviving a mid-stream
+    crash)."""
+    from functools import reduce
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+    from pyspark.sql import functions as F
+
+    from hri_flink_validation_passthrough_spark.streaming import windows as W
+
+    S = _fresh_index_root(monkeypatch, tmp_path)
+    path = S.stream_maintained_ivfpq_index(spark, SF_ORACLE)
+    meta = S.read_index_meta(path)
+    cents = [[float(x) for x in c] for c in meta["centroids"]]
+    cb = meta["codebook"]
+    split = int(meta["split"])
+
+    work = str(tmp_path / "replay")
+    (
+        S._emb(spark, SF_ORACLE)
+        .filter(F.col("vec_id") >= split)
+        .repartition(W._SAIM_DELTA_FILES)
+        .write.mode("overwrite")
+        .parquet(f"{work}/delta")
+    )
+    schema = spark.read.parquet(f"{work}/delta").schema
+    ckpt = f"{work}/ckpt"
+    epoch_root = os.path.join(path, S._DELTA_EPOCH_DIR)
+    appender = W.make_codes_epoch_appender(spark, epoch_root, cents, cb)
+    seen = []
+
+    def bombed(batch_df, epoch_id):
+        if len(seen) >= 2:
+            raise RuntimeError("injected crash mid-stream")
+        appender(batch_df, epoch_id)
+        seen.append(int(epoch_id))
+
+    def _run(sink):
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{work}/delta")
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    with pytest.raises(StreamingQueryException):
+        _run(bombed)
+    assert len(S.committed_delta_epochs(path)) == 2
+    _run(appender)
+    final = S.committed_delta_epochs(path)
+    assert len(final) >= 3
+
+    code_cols = [c for c in spark.read.parquet(path).columns if c.startswith("code_")]
+    idx = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            spark.read.parquet(p).select("vec_id", "cell", *code_cols)
+            for p in [path, *final]
+        ],
+    )
+    rows = idx.collect()
+    ids = [r["vec_id"] for r in rows]
+    assert len(ids) == len(set(ids)) == S._emb(spark, SF_ORACLE).count()
+    got = {
+        r["vec_id"]: tuple(r[c] for c in code_cols)
+        for r in rows
+        if r["vec_id"] >= split
+    }
+    want_codes = S._pq_encode_by_broadcast(
+        spark, S._emb(spark, SF_ORACLE).filter(F.col("vec_id") >= split), cb
+    ).collect()
+    want = {
+        r["vec_id"]: tuple(r[c] for c in code_cols) for r in want_codes
+    }
+    assert got == want
