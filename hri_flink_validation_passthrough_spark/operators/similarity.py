@@ -1598,6 +1598,38 @@ def ann_sq8_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_ivf_filtered_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    nprobe: int = NPROBE,
+    nlist: int = NLIST,
+) -> DataFrame:
+    """Filtered vector search — top-k among vectors passing a metadata
+    predicate (vec_id % 2 = 0 stands in for a tag column on this schema):
+    the filter lands on the CANDIDATE side before any distance work, so
+    the probed-cell scan skips non-matching rows instead of post-
+    filtering a top-k that could then underfill. Test-surface (oracle-
+    checked directly in tests/test_ann_quality.py via the driver's own
+    compare — no registry slot). At 100 TB the predicate reaches the
+    cell-pruned parquet scan as a pushed filter; for HIGHLY selective
+    predicates production raises nprobe (or keeps per-cell tag stats) so
+    enough candidates survive — with this corpus's 50% selectivity the
+    default probe budget already returns a full top-k per query."""
+    assign, probes = _ivf_assign_probes(spark, sf_dir, nprobe=nprobe, nlist=nlist)
+    cand = assign.filter((F.col("vec_id") % 2) == 0)
+    pairs = cand.join(
+        F.broadcast(probes),
+        (cand.cell == probes.cell) & (cand.vec_id != probes.qid),
+    )
+    sim = F.round(cosine_similarity(F.col("qe"), F.col("e")), 6)
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("nid"))
+    return (
+        pairs.select("qid", F.col("vec_id").alias("nid"), sim.alias("cos_sim"))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= TOP_K)
+    )
+
+
 # Test-surface composition (not registered — COVERAGE.md r11: registry
 # margin is held at 2; the flat scan above carries the oracle receipt and
 # the IVF/shortlist/rerank stages are each oracle-checked elsewhere): the
