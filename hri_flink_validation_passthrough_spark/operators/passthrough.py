@@ -13,7 +13,6 @@ per-key state.
 
 from __future__ import annotations
 
-import json
 import math
 
 import pandas as pd
