@@ -503,6 +503,18 @@ SPLIT_VAL_PCT = 5  # val occupies [test, test+val)
 )
 def corpus_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
+    return d.groupBy("source", split_assignment_col().alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+    )
+
+
+def split_assignment_col():
+    """The salted-md5 train/val/test assignment Column over ``doc_id`` —
+    single-sourced so every consumer (the registered audit above, pipeline
+    stages splitting a FILTERED corpus in tests/test_corpus_pipeline_e2e.py)
+    buckets identically; content-independent by construction, so upstream
+    filtering can only remove docs, never move one across splits."""
     b = (
         F.conv(
             F.substring(
@@ -515,14 +527,10 @@ def corpus_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long")
         % 100
     )
-    split = (
+    return (
         F.when(b < SPLIT_TEST_PCT, "test")
         .when(b < SPLIT_TEST_PCT + SPLIT_VAL_PCT, "val")
         .otherwise("train")
-    )
-    return d.groupBy("source", split.alias("split")).agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_chars").cast("long").alias("n_chars"),
     )
 
 

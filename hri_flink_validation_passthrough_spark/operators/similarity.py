@@ -153,12 +153,14 @@ def _ivf_assign_probes(
 
 
 
-def _ivf_topk_oracle(nlist: int, nprobe: int) -> str:
+def _ivf_topk_oracle(nlist: int, nprobe: int, cand_predicate: str = "") -> str:
     """The IVF top-k DuckDB oracle, parameterized by the coarse-grid size —
-    one source of truth for ann_ivf_topk (nlist={NLIST}) and the durable-index
-    twin ann_ivf_durable_topk (nlist={DNLIST}): identical query semantics, the
-    only difference between them is WHERE the cell assignment lives (session
-    memo vs bucketed parquet on disk)."""
+    one source of truth for ann_ivf_topk (nlist={NLIST}), the durable-index
+    twin ann_ivf_durable_topk (nlist={DNLIST}), and (via *cand_predicate*,
+    an extra 'AND ...' clause on the candidate scan) the filtered-search
+    test oracle: identical query semantics, the only differences are WHERE
+    the cell assignment lives (session memo vs bucketed parquet on disk)
+    and the optional metadata filter."""
     return f"""
     WITH v AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
@@ -187,7 +189,7 @@ def _ivf_topk_oracle(nlist: int, nprobe: int) -> str:
     ), s AS (
       SELECT p.qid, a.vec_id AS nid,
              round(list_cosine_similarity(p.qe, a.e), 6) AS cos_sim
-      FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id != p.qid
+      FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id != p.qid{cand_predicate}
     )
     SELECT qid, nid, cos_sim, rnk FROM (
       SELECT qid, nid, cos_sim,
@@ -207,8 +209,15 @@ def _ivf_topk_oracle(nlist: int, nprobe: int) -> str:
     f"{NPROBE} cells. Candidate scan shrinks ~nlist/nprobe at scale; "
     "cells map to disk buckets for partition pruning.",
 )
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_ivf_topk(
+    spark: SparkSession, sf_dir: str, candidate_filter=None
+) -> DataFrame:
+    """*candidate_filter* (an optional Column predicate on the assignment
+    frame) is the filtered-search seam: it prunes candidates INSIDE the
+    probed cells, before any distance work — see ann_ivf_filtered_topk."""
     assign, probes = _ivf_assign_probes(spark, sf_dir)
+    if candidate_filter is not None:
+        assign = assign.filter(candidate_filter)
     pairs = assign.join(
         F.broadcast(probes),
         (assign.cell == probes.cell) & (assign.vec_id != probes.qid),
@@ -1497,23 +1506,30 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQ8_SHORTLIST = 50  # SQ8 ADC shortlist fed to the exact rerank (PQ depth)
 
 
-def _sq8_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dequantized corpus ``(vec_id, re)`` under the symmetric per-vector
-    int8 scheme of ``embedding_quantize_int8``: code = round(x*scale),
-    decode = code/scale with scale = 127/max|x|. Composing
-    quantize∘dequantize in one map-side expression yields exactly the
-    values a scan over STORED codes would decode (round(x*scale) IS the
-    stored int8), so the search semantics are those of the compressed
-    store without materializing it here — the durable-index variants
-    materialize codes; this query pins the read math. Codegen'd array
-    lambdas, no shuffle, no Python."""
-    v = _emb(spark, sf_dir)
+def _sq8_recon_of(v: DataFrame) -> DataFrame:
+    """Dequantize a ``(..., vec_id, e)`` frame under the symmetric
+    per-vector int8 scheme of ``embedding_quantize_int8``: code =
+    round(x*scale), decode = code/scale with scale = 127/max|x|.
+    Composing quantize∘dequantize in one map-side expression yields
+    exactly the values a scan over STORED codes would decode
+    (round(x*scale) IS the stored int8), so the search semantics are
+    those of the compressed store without materializing it — the
+    durable-index variants materialize codes; these queries pin the read
+    math. Frame-parameterized (like _pq_subvectors_of) so the flat scan
+    and the IVF-composed path share ONE copy of the decode algebra;
+    ``e`` is replaced by ``re``, other columns pass through. Codegen'd
+    array lambdas, no shuffle, no Python."""
     absmax = F.array_max(F.transform(F.col("e"), lambda x: F.abs(x)))
     s = v.filter(absmax > 0).withColumn("scale", F.lit(127.0) / absmax)
     re = F.transform(
         F.col("e"), lambda x: F.round(x * F.col("scale"), 0) / F.col("scale")
     )
-    return s.select("vec_id", re.alias("re"))
+    keep = [c for c in v.columns if c != "e"]
+    return s.select(*keep, re.alias("re"))
+
+
+def _sq8_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sq8_recon_of(_emb(spark, sf_dir))
 
 
 @register(
@@ -1575,58 +1591,25 @@ def ann_sq8_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnsRenamed({"vec_id": "qid", "e": "qe"})
     )
     pairs = cand.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
-    adc = F.round(F.sqrt(_sqdist(F.col("qe"), F.col("re"))), 6)
-    w_short = Window.partitionBy("qid").orderBy(F.asc("adc_dist"), F.asc("nid"))
-    shortlist = (
-        pairs.select(
-            "qid", "qe", F.col("vec_id").alias("nid"), adc.alias("adc_dist")
-        )
-        .withColumn("rs", F.row_number().over(w_short))
-        .filter(F.col("rs") <= SQ8_SHORTLIST)
-        .select("qid", "qe", "nid")
-    )
-    v = _emb(spark, sf_dir)
-    reranked = shortlist.join(v, shortlist.nid == v.vec_id).select(
-        "qid",
-        "nid",
-        F.round(cosine_similarity(F.col("qe"), F.col("e")), 6).alias("cos_sim"),
-    )
-    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("nid"))
-    return (
-        reranked.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= TOP_K)
-    )
+    return _flat_adc_shortlist_rerank(spark, sf_dir, pairs, SQ8_SHORTLIST)
 
 
-def ann_ivf_filtered_topk(
-    spark: SparkSession,
-    sf_dir: str,
-    nprobe: int = NPROBE,
-    nlist: int = NLIST,
-) -> DataFrame:
+def ann_ivf_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered vector search — top-k among vectors passing a metadata
     predicate (vec_id % 2 = 0 stands in for a tag column on this schema):
-    the filter lands on the CANDIDATE side before any distance work, so
-    the probed-cell scan skips non-matching rows instead of post-
-    filtering a top-k that could then underfill. Test-surface (oracle-
-    checked directly in tests/test_ann_quality.py via the driver's own
-    compare — no registry slot). At 100 TB the predicate reaches the
-    cell-pruned parquet scan as a pushed filter; for HIGHLY selective
-    predicates production raises nprobe (or keeps per-cell tag stats) so
-    enough candidates survive — with this corpus's 50% selectivity the
-    default probe budget already returns a full top-k per query."""
-    assign, probes = _ivf_assign_probes(spark, sf_dir, nprobe=nprobe, nlist=nlist)
-    cand = assign.filter((F.col("vec_id") % 2) == 0)
-    pairs = cand.join(
-        F.broadcast(probes),
-        (cand.cell == probes.cell) & (cand.vec_id != probes.qid),
-    )
-    sim = F.round(cosine_similarity(F.col("qe"), F.col("e")), 6)
-    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("nid"))
-    return (
-        pairs.select("qid", F.col("vec_id").alias("nid"), sim.alias("cos_sim"))
-        .withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= TOP_K)
+    ann_ivf_topk's candidate_filter seam puts the filter on the CANDIDATE
+    side before any distance work, so the probed-cell scan skips
+    non-matching rows instead of post-filtering a top-k that could then
+    underfill. Test-surface (oracle-checked directly in
+    tests/test_ann_quality.py via the driver's own compare — no registry
+    slot; the oracle is _ivf_topk_oracle with the same predicate). At
+    100 TB the predicate reaches the cell-pruned parquet scan as a pushed
+    filter; for HIGHLY selective predicates production raises nprobe (or
+    keeps per-cell tag stats) so enough candidates survive — with this
+    corpus's 50% selectivity the default probe budget already returns a
+    full top-k per query."""
+    return ann_ivf_topk(
+        spark, sf_dir, candidate_filter=(F.col("vec_id") % 2) == 0
     )
 
 
@@ -1648,19 +1631,7 @@ def ann_ivf_sq8_topk(
     rerank — identical plan shape to ann_ivfpq_topk with per-vector SQ8
     in place of the trained PQ codebook."""
     assign, probes = _ivf_assign_probes(spark, sf_dir, nprobe=nprobe, nlist=nlist)
-    absmax = F.array_max(F.transform(F.col("e"), lambda x: F.abs(x)))
-    cand = (
-        assign.filter(absmax > 0)
-        .withColumn("scale", F.lit(127.0) / absmax)
-        .select(
-            "vec_id",
-            "cell",
-            F.transform(
-                F.col("e"),
-                lambda x: F.round(x * F.col("scale"), 0) / F.col("scale"),
-            ).alias("re"),
-        )
-    )
+    cand = _sq8_recon_of(assign).select("vec_id", "cell", "re")
     return _ivfpq_shortlist_rerank(spark, sf_dir, cand, probes)
 
 
@@ -2158,6 +2129,18 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnsRenamed({"vec_id": "qid", "e": "qe"})
     )
     pairs = cand.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+    return _flat_adc_shortlist_rerank(spark, sf_dir, pairs, PQ_SHORTLIST)
+
+
+def _flat_adc_shortlist_rerank(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame, shortlist_n: int
+) -> DataFrame:
+    """The FLAT (no-cell) ADC shortlist + exact-rerank tail shared by the
+    PQ and SQ8 compressed scans — *pairs* is (vec_id, re, qid, qe, ...):
+    round(sqrt(sqdist), 6) ADC ranking, per-query shortlist of
+    *shortlist_n*, then only the shortlist fetches full-precision vectors
+    for the exact cosine top-k. One copy of the tie-break and rerank
+    algebra (the cell-joined twin is _ivfpq_shortlist_rerank)."""
     adc = F.round(F.sqrt(_sqdist(F.col("qe"), F.col("re"))), 6)
     w_short = Window.partitionBy("qid").orderBy(F.asc("adc_dist"), F.asc("nid"))
     shortlist = (
@@ -2165,10 +2148,9 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qid", "qe", F.col("vec_id").alias("nid"), adc.alias("adc_dist")
         )
         .withColumn("rs", F.row_number().over(w_short))
-        .filter(F.col("rs") <= PQ_SHORTLIST)
+        .filter(F.col("rs") <= shortlist_n)
         .select("qid", "qe", "nid")
     )
-    # exact rerank: only the shortlist fetches full-precision vectors
     v = _emb(spark, sf_dir)
     reranked = shortlist.join(v, shortlist.nid == v.vec_id).select(
         "qid",

@@ -112,6 +112,21 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "aggregated per source — the filter signal a 100 TB corpus pipeline ranks on.",
 )
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        quality_score_per_doc(spark, sf_dir)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("q"), 6).alias("avg_quality"),
+        )
+    )
+
+
+def quality_score_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, q): the exact per-doc quality expression the
+    registered aggregate reports — single-sourced so pipeline stages
+    filtering on quality (tests/test_corpus_pipeline_e2e.py) rank by the
+    SAME unrounded number, never a re-implementation that drifts."""
     prepare(spark)
     d = load_table(spark, sf_dir, "documents")
     toks = _tokens_col()
@@ -129,14 +144,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         + 0.4 * F.least(n_tokens / F.lit(100.0), F.lit(1.0))
         - 0.2 * punct_ratio
     )
-    return (
-        d.select("source", quality.alias("q"))
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg("q"), 6).alias("avg_quality"),
-        )
-    )
+    return d.select("doc_id", "source", quality.alias("q"))
 
 
 def _lang_case_sql() -> str:

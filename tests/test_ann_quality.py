@@ -123,49 +123,14 @@ def test_filtered_ann_matches_sql_oracle_and_fills_topk(spark):
         NLIST,
         NPROBE,
         N_QUERIES,
-        TOP_K,
+        _ivf_topk_oracle,
         ann_ivf_filtered_topk,
     )
     from tests.oracle import assert_matches_oracle
 
-    oracle = f"""
-    WITH v AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-    ), cent AS (
-      SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < {NLIST}
-    ), assign AS (
-      SELECT vec_id, e, cid AS cell FROM (
-        SELECT v.vec_id, v.e, cent.cid,
-               row_number() OVER (
-                 PARTITION BY v.vec_id
-                 ORDER BY round(list_cosine_similarity(v.e, cent.ce), 6) DESC,
-                          cent.cid) AS rn
-        FROM v, cent
-      ) WHERE rn = 1
-    ), q AS (
-      SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < {N_QUERIES}
-    ), probes AS (
-      SELECT qid, qe, cid AS cell FROM (
-        SELECT q.qid, q.qe, cent.cid,
-               row_number() OVER (
-                 PARTITION BY q.qid
-                 ORDER BY round(list_cosine_similarity(q.qe, cent.ce), 6) DESC,
-                          cent.cid) AS rn
-        FROM q, cent
-      ) WHERE rn <= {NPROBE}
-    ), s AS (
-      SELECT p.qid, a.vec_id AS nid,
-             round(list_cosine_similarity(p.qe, a.e), 6) AS cos_sim
-      FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id != p.qid
-      WHERE a.vec_id % 2 = 0
+    oracle = _ivf_topk_oracle(
+        NLIST, NPROBE, cand_predicate=" AND a.vec_id % 2 = 0"
     )
-    SELECT qid, nid, cos_sim, rnk FROM (
-      SELECT qid, nid, cos_sim,
-             CAST(row_number() OVER (PARTITION BY qid
-                                     ORDER BY cos_sim DESC, nid) AS BIGINT) AS rnk
-      FROM s
-    ) WHERE rnk <= {TOP_K}
-    """
     df = ann_ivf_filtered_topk(spark, SF_ORACLE)
     assert_matches_oracle(df, oracle, SF_ORACLE, name="ann_ivf_filtered_topk")
     rows = df.collect()
@@ -173,4 +138,7 @@ def test_filtered_ann_matches_sql_oracle_and_fills_topk(spark):
     per_q = {}
     for r in rows:
         per_q[r["qid"]] = per_q.get(r["qid"], 0) + 1
-    assert all(n == 5 for n in per_q.values()), per_q
+    # every query present AND full — a dict built from the result alone
+    # would silently skip a fully-underfilled query (review finding)
+    assert sorted(per_q) == list(range(N_QUERIES)), per_q
+    assert all(per_q[q] == 5 for q in per_q), per_q

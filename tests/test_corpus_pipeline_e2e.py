@@ -9,7 +9,10 @@ test pins is the composition: stages agree on identifiers, survivor sets
 shrink monotonically, and the downstream stages (packing, split) hold
 their invariants over a FILTERED corpus, not just the raw table. This is
 the "switch from the reference and run your pipeline" claim exercised as
-one flow.
+one flow. Every stage expression is IMPORTED from the operators
+(quality_score_per_doc, dedup_removal_list, decontam_ngram_overlap,
+pack_token_counts, split_assignment_col) — the chain builder holds no
+private copy that could drift from the registered semantics.
 """
 
 from __future__ import annotations
@@ -20,11 +23,11 @@ from pyspark.sql import functions as F
 
 from tests.conftest import SF_ORACLE
 
+CONTAM_TAU = 0.05
 
-@pytest.fixture(scope="module")
-def survivors(spark):
-    """Run the full filter chain once; return (per-stage counts, final
-    survivor DataFrame persisted for the downstream assertions)."""
+
+def _run_chain(spark):
+    """Stages A-D over the documents table; returns (counts, survivors)."""
     from hri_flink_validation_passthrough_spark.operators.corpus import (
         EVAL_MOD,
         EVAL_REM,
@@ -34,23 +37,17 @@ def survivors(spark):
         dedup_removal_list,
     )
     from hri_flink_validation_passthrough_spark.operators.text import (
-        text_stats,
+        quality_score_per_doc,
     )
     from hri_flink_validation_passthrough_spark.session import load_table
 
     docs = load_table(spark, SF_ORACLE, "documents").select("doc_id", "text")
     n0 = docs.count()
 
-    # stage A — quality: the text_quality_score formula per doc, keep the
-    # top 75% (threshold = exact 25th percentile of the corpus itself, so
-    # the stage always drops AND keeps documents on any corpus)
-    stats = text_stats(spark, SF_ORACLE)
-    score = (
-        0.4 * F.col("stop_ratio")
-        + 0.4 * F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0))
-        - 0.2 * F.col("punct_ratio")
-    )
-    scored = stats.select("doc_id", score.alias("q"))
+    # stage A — quality: the registered score per doc, keep the top 75%
+    # (threshold = exact 25th percentile of the corpus itself, so the
+    # stage always drops AND keeps documents on any corpus)
+    scored = quality_score_per_doc(spark, SF_ORACLE).select("doc_id", "q")
     thr = scored.select(
         F.expr("percentile(q, 0.25)").alias("t")
     ).collect()[0]["t"]
@@ -77,16 +74,14 @@ def survivors(spark):
     )
 
     # stage D — decontamination: drop the eval holdout itself plus any
-    # training doc sharing >= 5% of its shingles with the eval n-gram set
+    # training doc sharing >= CONTAM_TAU of its shingles with the eval set
     contaminated = (
         decontam_ngram_overlap(spark, SF_ORACLE)
-        .filter(F.col("contam_ratio") >= 0.05)
+        .filter(F.col("contam_ratio") >= CONTAM_TAU)
         .select("doc_id")
     )
-    d = (
-        c.filter((F.col("doc_id") % EVAL_MOD) != EVAL_REM)
-        .join(contaminated, "doc_id", "left_anti")
-        .persist()
+    d = c.filter((F.col("doc_id") % EVAL_MOD) != EVAL_REM).join(
+        contaminated, "doc_id", "left_anti"
     )
 
     counts = {
@@ -97,6 +92,14 @@ def survivors(spark):
         "decontam": d.count(),
     }
     return counts, d
+
+
+@pytest.fixture(scope="module")
+def survivors(spark):
+    counts, d = _run_chain(spark)
+    d = d.persist()
+    yield counts, d
+    d.unpersist()
 
 
 def test_stages_shrink_monotonically_and_stay_nonempty(survivors):
@@ -140,7 +143,7 @@ def test_survivors_satisfy_every_stage_contract(spark, survivors):
     assert (
         d.join(
             decontam_ngram_overlap(spark, SF_ORACLE).filter(
-                F.col("contam_ratio") >= 0.05
+                F.col("contam_ratio") >= CONTAM_TAU
             ),
             "doc_id",
         ).count()
@@ -176,38 +179,18 @@ def test_packing_covers_survivors_exactly_once(spark, survivors):
     assert run == total
 
 
-def test_split_partitions_survivors(spark, survivors):
+def test_split_partitions_survivors(survivors):
     from hri_flink_validation_passthrough_spark.operators.corpus import (
-        SPLIT_TEST_PCT,
-        SPLIT_VAL_PCT,
+        split_assignment_col,
     )
 
     _, d = survivors
-    # the registered split's salted-md5 bucket expression, applied to the
-    # SURVIVOR set: content-independent, so filtering upstream must not
-    # change any doc's assignment — only remove docs
-    b = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(F.col("doc_id").cast("string"), F.lit("|split-v1"))
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % 100
-    )
-    split = (
-        F.when(b < SPLIT_TEST_PCT, "test")
-        .when(b < SPLIT_TEST_PCT + SPLIT_VAL_PCT, "val")
-        .otherwise("train")
-    )
+    # the registered split's own assignment Column applied to the SURVIVOR
+    # set: content-independent, so filtering upstream must not change any
+    # doc's assignment — only remove docs
     per = {
         r["split"]: r["n"]
-        for r in d.groupBy(split.alias("split"))
+        for r in d.groupBy(split_assignment_col().alias("split"))
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
@@ -219,53 +202,9 @@ def test_split_partitions_survivors(spark, survivors):
 def test_pipeline_is_deterministic(spark, survivors):
     """Re-running the full chain yields the identical survivor set — no
     rand(), no ordering dependence anywhere in the composition."""
-    from hri_flink_validation_passthrough_spark.operators.corpus import (
-        EVAL_MOD,
-        EVAL_REM,
-        decontam_ngram_overlap,
-    )
-    from hri_flink_validation_passthrough_spark.operators.dedup import (
-        dedup_removal_list,
-    )
-    from hri_flink_validation_passthrough_spark.operators.text import (
-        text_stats,
-    )
-    from hri_flink_validation_passthrough_spark.session import load_table
-
     counts, d = survivors
-    docs = load_table(spark, SF_ORACLE, "documents").select("doc_id", "text")
-    stats = text_stats(spark, SF_ORACLE)
-    score = (
-        0.4 * F.col("stop_ratio")
-        + 0.4 * F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0))
-        - 0.2 * F.col("punct_ratio")
-    )
-    scored = stats.select("doc_id", score.alias("q"))
-    thr = scored.select(
-        F.expr("percentile(q, 0.25)").alias("t")
-    ).collect()[0]["t"]
-    a = scored.filter(F.col("q") >= thr).select("doc_id")
-    keep_exact = (
-        docs.join(a, "doc_id")
-        .groupBy(F.md5("text").alias("h"))
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-    )
-    c = keep_exact.join(
-        dedup_removal_list(spark, SF_ORACLE).withColumnsRenamed(
-            {"removed_doc_id": "doc_id"}
-        ),
-        "doc_id",
-        "left_anti",
-    )
-    contaminated = (
-        decontam_ngram_overlap(spark, SF_ORACLE)
-        .filter(F.col("contam_ratio") >= 0.05)
-        .select("doc_id")
-    )
-    d2 = c.filter((F.col("doc_id") % EVAL_MOD) != EVAL_REM).join(
-        contaminated, "doc_id", "left_anti"
-    )
+    counts2, d2 = _run_chain(spark)
+    assert counts2 == counts
     ids1 = {r["doc_id"] for r in d.collect()}
     ids2 = {r["doc_id"] for r in d2.collect()}
     assert ids1 == ids2 and len(ids1) == counts["decontam"]

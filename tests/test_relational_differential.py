@@ -138,7 +138,7 @@ def test_retired_twins_match_state_machine(spark):
     parity twins (overcount, terminate) must keep producing exactly what
     their registered state-machine twins produce on the real events table
     — the functions stay exercised after the registration retired."""
-    import os
+    from tests.conftest import SF_SMALL
 
     from hri_flink_validation_passthrough_spark.operators.passthrough import (
         passthrough_overcount,
@@ -149,7 +149,7 @@ def test_retired_twins_match_state_machine(spark):
         passthrough_terminate_relational,
     )
 
-    sf = os.environ.get("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.001")
+    sf = SF_SMALL
     for machine_fn, twin_fn in (
         (passthrough_overcount, passthrough_overcount_relational),
         (passthrough_terminate, passthrough_terminate_relational),
