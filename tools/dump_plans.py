@@ -82,6 +82,7 @@ SHOWCASE = {
     "bootstrap_ci_event_values": "32-replica multiplier bootstrap in ONE pass: bounded explode, partial-agg per (type, replica), rank-based CI",
     "ohlc_hourly_bars": "single partial-aggregated groupBy; open/close as struct min/max with field extraction — no window, no sort",
     "attribution_last_touch": "union + last_value(struct) IGNORE NULLS running window — one shuffle, no purchase-touch self-join",
+    "ann_sq8_adc_topk": "SQ8 quantize∘decode as map-side array lambdas (codegen, zero Python); broadcast query set; partial WindowGroupLimit pushes the shortlist cut map-side before the one qid shuffle; exact rerank joins raw vectors only for the shortlist",
 }
 
 
