@@ -1603,11 +1603,15 @@ def ann_ivf_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     underfill. Test-surface (oracle-checked directly in
     tests/test_ann_quality.py via the driver's own compare — no registry
     slot; the oracle is _ivf_topk_oracle with the same predicate). At
-    100 TB the predicate reaches the cell-pruned parquet scan as a pushed
-    filter; for HIGHLY selective predicates production raises nprobe (or
-    keeps per-cell tag stats) so enough candidates survive — with this
-    corpus's 50% selectivity the default probe budget already returns a
-    full top-k per query."""
+    100 TB a range/equality predicate on a stored metadata column reaches
+    the cell-pruned parquet scan as a pushed filter
+    (test_filtered_durable_read_pushes_predicate pins PushedFilters +
+    PartitionFilters together on the durable index); the modulo stand-in
+    here is not parquet-pushable and evaluates in the codegen'd filter
+    directly above the scan. For HIGHLY selective predicates production
+    raises nprobe (or keeps per-cell tag stats) so enough candidates
+    survive — with this corpus's 50% selectivity the default probe budget
+    already returns a full top-k per query."""
     return ann_ivf_topk(
         spark, sf_dir, candidate_filter=(F.col("vec_id") % 2) == 0
     )

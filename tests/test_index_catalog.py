@@ -404,3 +404,40 @@ def test_bucketing_failed_regen_preserves_previous_copy(spark, tmp_path, monkeyp
     assert B._ARTIFACT_REG[key][0] != tag1
     assert not spark.catalog.tableExists(tables1[0])
     assert not os.path.exists(dirs1[0])
+
+
+def test_filtered_durable_read_pushes_predicate(spark, tmp_path, monkeypatch):
+    """Filtered search over the ON-DISK index (the 100 TB claim in
+    ann_ivf_filtered_topk's docstring): a range predicate on a stored
+    column must reach the index's parquet scan as a PUSHED filter while
+    the probe set simultaneously prunes cell partitions — both prunings
+    visible on one executed plan, and the filtered result is the plain
+    pruned read minus the filtered-out candidates."""
+    from hri_flink_validation_passthrough_spark.operators import similarity as S
+
+    monkeypatch.setenv(S.INDEX_ROOT_ENV, str(tmp_path))
+    _clear_session_memos()
+    path = S.ivf_durable_index(spark, SF_ORACLE)
+    _, probes = S._ivf_assign_probes(spark, SF_ORACLE, nlist=S.DNLIST)
+    probed = sorted(
+        r["cell"] for r in probes.select("cell").distinct().collect()
+    )
+    cand = (
+        spark.read.parquet(path)
+        .filter(F.col("cell").isin(probed))
+        .filter(F.col("vec_id") < 250)  # the pushable metadata predicate
+    )
+    cand.collect()
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "LessThan(vec_id,250)" in plan, plan
+    assert "PartitionFilters" in plan and "cell#" in plan, plan
+    # correctness of the filtered read vs the unfiltered pruned read
+    unfiltered = {
+        r["vec_id"]
+        for r in spark.read.parquet(path)
+        .filter(F.col("cell").isin(probed))
+        .select("vec_id")
+        .collect()
+    }
+    filtered = {r["vec_id"] for r in cand.select("vec_id").collect()}
+    assert filtered == {v for v in unfiltered if v < 250}
