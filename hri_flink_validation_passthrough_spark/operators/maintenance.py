@@ -48,9 +48,18 @@ DEFAULT_TARGET_BYTES = 128 * 1024 * 1024  # the classic HDFS/parquet sweet spot
 _VER_RE = re.compile(r"^v(\d+)$")
 
 
-def _data_files(path: str) -> list[str]:
+def _data_files(path: str, include_hidden_trees: bool = False) -> list[str]:
+    """Parquet data files under *path*. By default underscore/dot-prefixed
+    SUBDIRECTORIES are pruned too — Spark's reader ignores them (e.g. a
+    stream-maintained index's _delta_epochs), so counting their files
+    against a spark.read row count would make a layout report internally
+    inconsistent (r11 self-review finding). fold_delta_epochs passes
+    include_hidden_trees=True: its before/after file metric deliberately
+    spans the epoch trees it folds."""
     out = []
-    for root, _dirs, files in os.walk(path):
+    for root, dirs, files in os.walk(path):
+        if not include_hidden_trees:
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
         for f in files:
             if f.endswith(".parquet") and not f.startswith(("_", ".")):
                 out.append(os.path.join(root, f))
@@ -155,6 +164,11 @@ def vacuum_table_versions(root: str, keep: int = 2) -> dict:
     """
     if keep < 1:
         raise ValueError("keep must be >= 1 (the current version always stays)")
+    if not os.path.isdir(root):
+        # a table root that does not exist yet has no versions to vacuum —
+        # mirror list_table_versions' graceful empty instead of
+        # FileNotFoundError from a scheduled job (r11 self-review)
+        return {"kept": [], "removed": []}
     vers = sorted(
         int(m.group(1))
         for d in os.listdir(root)
@@ -192,11 +206,15 @@ def checksum_by_bucket(df: DataFrame, cols: list[str], key: str) -> DataFrame:
     count, and one map-side-combinable aggregation — comparing two 100 TB
     replicas costs one scan each plus a 16-row exchange, no data movement.
     A divergent row flips its bucket's checksum with probability 1-2^-60.
+    Bucketing uses pmod, not %: sign-preserving modulo would scatter
+    negative keys across buckets -16..-1 and mis-align replicas bucketed
+    by an engine with different modulo sign semantics (for the positive
+    key domains of the registered query the two are identical).
     """
     s = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
     row_cs = F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
     return (
-        df.withColumn("bucket", F.col(key) % CS_BUCKETS)
+        df.withColumn("bucket", F.pmod(F.col(key), F.lit(CS_BUCKETS)))
         .withColumn("row_cs", row_cs)
         .groupBy("bucket")
         .agg(
@@ -311,20 +329,29 @@ RETRAIN_DELTA_FRACTION = 0.5
 
 
 def _ivf_index_frame(
-    spark: SparkSession, path: str, cols: tuple = ("vec_id", "e", "cell")
+    spark: SparkSession,
+    path: str,
+    cols: tuple = ("vec_id", "e", "cell"),
+    epochs: list[str] | None = None,
 ) -> DataFrame:
     """Selected columns across the base tree + committed stream epochs.
     Drift reporting passes ("vec_id", "cell") so it also works on
-    codes-only (IVF-PQ) indexes that store no raw vectors."""
+    codes-only (IVF-PQ) indexes that store no raw vectors. Callers that
+    already listed the committed epochs pass them via *epochs* so the
+    folded/reported set is exactly the listed one (a second directory
+    listing could race a committing maintainer at the edge of the
+    single-writer contract)."""
     from functools import reduce
 
     from .similarity import committed_delta_epochs
 
+    if epochs is None:
+        epochs = committed_delta_epochs(path)
     return reduce(
         lambda a, b: a.unionByName(b),
         [
             spark.read.parquet(p).select(*cols)
-            for p in [path, *committed_delta_epochs(path)]
+            for p in [path, *epochs]
         ],
     )
 
@@ -337,6 +364,11 @@ def ivf_drift_report(spark: SparkSession, path: str) -> dict:
     from .similarity import read_index_meta
 
     meta = read_index_meta(path)
+    if meta is None:
+        # read_index_meta's None means "no committed sidecar — rebuild";
+        # for a maintenance op there is nothing to measure, so fail with
+        # the cause instead of a NoneType subscript far from it
+        raise ValueError(f"no committed index sidecar at {path}")
     nlist = int(meta["nlist"])
     split = meta.get("split")
     df = _ivf_index_frame(spark, path, cols=("vec_id", "cell"))
@@ -362,13 +394,20 @@ def ivf_drift_report(spark: SparkSession, path: str) -> dict:
         sum(int(r["d"]) for r in per_cell) if split is not None else 0
     )
     max_cell = max((int(r["n"]) for r in per_cell), default=0)
+    # EMPTY cells must appear (as zeros): _adaptive_probes joins ranked
+    # probe cells to these sizes, and a query whose TOP-ranked cell is
+    # missing from the dict would read its fat-top gate off the next
+    # present cell — activating pruning the heuristic forbids for
+    # lower-ranked fat cells (r11 self-review finding).
+    cell_rows = {str(c): 0 for c in range(nlist)}
+    cell_rows.update({str(int(r["cell"])): int(r["n"]) for r in per_cell})
     return {
         "total_rows": total,
         "delta_rows": delta_rows,
         "delta_fraction": (delta_rows / total) if total else 0.0,
         "max_cell_rows": max_cell,
         "cell_skew": (max_cell / (total / nlist)) if total else 0.0,
-        "cell_rows": {str(int(r["cell"])): int(r["n"]) for r in per_cell},
+        "cell_rows": cell_rows,
     }
 
 
@@ -432,7 +471,6 @@ def retrain_if_skewed(
     from .similarity import (
         _INDEX_META,
         _assign_by_literal,
-        _ivf_index_dir_memo,
         _lloyd_iterate,
         _publish_index,
         read_index_meta,
@@ -471,6 +509,7 @@ def retrain_if_skewed(
             "rebuilding, not retrain_if_skewed"
         )
     v = _ivf_index_frame(spark, path).select("vec_id", "e").localCheckpoint()
+    n_rows = v.count()
     init = [
         [float(x) for x in r["e"]]
         for r in v.filter(F.col("vec_id") < nlist).orderBy("vec_id").collect()
@@ -485,6 +524,18 @@ def retrain_if_skewed(
         .partitionBy("cell")
         .parquet(tmp)
     )
+    # row preservation checked on the TMP tree, before the old index is
+    # destroyed (r11 self-review: a post-publish check guards nothing —
+    # the only good copy is already gone). Also catches null-cell rows
+    # landing in a default partition that cell=* readers never scan.
+    n_tmp = spark.read.parquet(tmp).count()
+    if n_tmp != n_rows:
+        import shutil as _shutil
+
+        _shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(
+            f"rebalance must not drop rows: {n_rows} -> {n_tmp} ({path})"
+        )
     new_meta = dict(meta)
     new_meta.update(
         {
@@ -499,13 +550,15 @@ def retrain_if_skewed(
         }
     )
     new_meta.pop("base_files", None)
+    # the PRE-rebalance drift stats are keyed to cell ids whose contents
+    # this rebalance just moved: publishing them would feed
+    # _adaptive_probes wrong sizes until (and forever, if) the
+    # post-publish refresh below lands. Drop them — readers fall back to
+    # the fixed probe policy until fresh stats are recorded.
+    new_meta.pop("drift", None)
     with open(os.path.join(tmp, _INDEX_META), "w") as fh:
         json.dump(new_meta, fh)
     _publish_index(path, tmp)
-    # the path is unchanged but cached memo entries may hold the OLD dir
-    # object semantics; re-stat on next resolve
-    for k in [k for k, p in _ivf_index_dir_memo.items() if p == path]:
-        _ivf_index_dir_memo.pop(k, None)
     after = ivf_drift_report(spark, path)
     final = read_index_meta(path)
     final["drift"] = after
@@ -535,7 +588,7 @@ def fold_delta_epochs(spark: SparkSession, path: str) -> dict:
     )
 
     epochs = committed_delta_epochs(path)
-    n_before = len(_data_files(path))
+    n_before = len(_data_files(path, include_hidden_trees=True))
     if not epochs:
         return {"folded_epochs": 0, "files_before": n_before,
                 "files_after": n_before}
@@ -545,7 +598,12 @@ def fold_delta_epochs(spark: SparkSession, path: str) -> dict:
     # its rows are (vec_id, code_0..code_{M-1}, cell) — and the epochs
     # share the base layout by the append contract, so folding is
     # layout-generic.
-    df = _ivf_index_frame(spark, path, cols=tuple(spark.read.parquet(path).columns))
+    df = _ivf_index_frame(
+        spark,
+        path,
+        cols=tuple(spark.read.parquet(path).columns),
+        epochs=epochs,  # the listed set IS the folded set — never re-list
+    )
     n_rows = df.count()
     tmp = f"{path}.build-{uuidmod.uuid4().hex[:8]}"
     (
@@ -555,6 +613,15 @@ def fold_delta_epochs(spark: SparkSession, path: str) -> dict:
         .partitionBy("cell")
         .parquet(tmp)
     )
+    # row preservation checked on the TMP tree BEFORE the publish destroys
+    # the only complete copy (r11 self-review: the old post-publish check
+    # fired after rollback was impossible)
+    n_tmp = spark.read.parquet(tmp).count()
+    if n_tmp != n_rows:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(
+            f"epoch fold must not drop rows: {n_rows} -> {n_tmp} ({path})"
+        )
     meta = dict(meta)
     meta["n_files"] = len(globmod.glob(f"{tmp}/cell=*/*.parquet"))
     meta.pop("base_files", None)
@@ -571,13 +638,8 @@ def fold_delta_epochs(spark: SparkSession, path: str) -> dict:
     with open(os.path.join(tmp, _INDEX_META), "w") as fh:
         json.dump(meta, fh)
     _publish_index(path, tmp)
-    folded = spark.read.parquet(path)
-    if folded.count() != n_rows:
-        raise RuntimeError(
-            f"epoch fold must not drop rows: {n_rows} -> {folded.count()}"
-        )
     return {
         "folded_epochs": len(epochs),
         "files_before": n_before,
-        "files_after": len(_data_files(path)),
+        "files_after": len(_data_files(path, include_hidden_trees=True)),
     }

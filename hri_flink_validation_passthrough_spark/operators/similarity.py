@@ -838,8 +838,13 @@ def _adaptive_probes(
     total = sum(int(n) for n in cell_rows.values())
     target = total * nprobe / nlist
     fat = total * ADAPTIVE_FAT_FACTOR / nlist
+    # complete EMPTY cells to zero (drift sidecars written before r11
+    # carried only non-empty cells): the inner join below must never drop
+    # a ranked probe cell, or the fat-top gate reads the wrong cell
+    full = {c: 0 for c in range(nlist)}
+    full.update({int(c): int(n) for c, n in cell_rows.items()})
     sizes = spark.createDataFrame(
-        [(int(c), int(n)) for c, n in cell_rows.items()],
+        sorted(full.items()),
         "cell int, n long",
     )
     ranked = _ranked_probes(spark, sf_dir, cents, nprobe)
@@ -1156,7 +1161,11 @@ def _adaptive_probe_ctes(assign: str, final: str, nprobe: int, nlist: int) -> st
     (total * nprobe / nlist), capped at nprobe. Assumes CTEs *assign*
     (vec_id, .., cell) and q (qid, qe) are in scope."""
     return f"""cnt AS (
-      SELECT cell, count(*) AS n FROM {assign} GROUP BY cell
+      -- every centroid's cell, EMPTY ones as zero: the probes join below
+      -- must never drop a ranked cell (mirror of _adaptive_probes)
+      SELECT c.cid AS cell, count(a.vec_id) AS n
+      FROM {final} c LEFT JOIN {assign} a ON a.cell = c.cid
+      GROUP BY c.cid
     ), ranked AS (
       SELECT qid, qe, cid AS cell, rn FROM (
         SELECT q.qid, q.qe, c.cid,

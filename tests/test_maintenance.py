@@ -238,3 +238,34 @@ def test_committed_delta_epochs_skips_torn_and_empty(tmp_path):
 
     assert committed_delta_epochs(root) == [committed2, committed10]
     assert committed_delta_epochs(str(tmp_path / "missing")) == []
+
+
+def test_vacuum_missing_root_is_graceful(tmp_path):
+    """A scheduled vacuum against a not-yet-created table root returns the
+    empty result like list_table_versions, never FileNotFoundError."""
+    from hri_flink_validation_passthrough_spark.operators.maintenance import (
+        vacuum_table_versions,
+    )
+
+    assert vacuum_table_versions(str(tmp_path / "nope")) == {
+        "kept": [],
+        "removed": [],
+    }
+
+
+def test_checksum_buckets_cover_negative_keys(spark):
+    """checksum_by_bucket is a generic anti-entropy primitive: negative
+    keys must land in 0..CS_BUCKETS-1 (pmod), not scatter across
+    sign-preserving negative buckets."""
+    from hri_flink_validation_passthrough_spark.operators.maintenance import (
+        CS_BUCKETS,
+        checksum_by_bucket,
+    )
+
+    df = spark.createDataFrame(
+        [(k, f"v{k}") for k in range(-40, 40)], "k long, v string"
+    )
+    out = checksum_by_bucket(df, ["k", "v"], "k").collect()
+    buckets = {r["bucket"] for r in out}
+    assert buckets == set(range(CS_BUCKETS))
+    assert sum(r["n_rows"] for r in out) == 80

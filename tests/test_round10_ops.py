@@ -999,3 +999,76 @@ def test_stream_ivfpq_maintenance_crash_and_resume_same_checkpoint(
         r["vec_id"]: tuple(r[c] for c in code_cols) for r in want_codes
     }
     assert got == want
+
+
+def test_drift_cell_rows_cover_every_cell_including_empty(spark, tmp_path):
+    """ivf_drift_report must emit ALL nlist cells (empty ones as zeros):
+    _adaptive_probes joins ranked probe cells to these sizes, and a
+    missing top-ranked cell would make the fat-top gate read the next
+    present cell — activating pruning the heuristic forbids for
+    lower-ranked fat cells (r11 self-review). Constructed index with
+    cells 2 and 3 genuinely empty (the real fixture corpora fill every
+    cell, so this is the only way to exercise the zero branch)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from hri_flink_validation_passthrough_spark.operators.maintenance import (
+        ivf_drift_report,
+    )
+    from hri_flink_validation_passthrough_spark.operators.similarity import (
+        _INDEX_META,
+    )
+
+    path = str(tmp_path / "sparse_idx")
+    (
+        spark.range(0, 20)
+        .select(
+            F.col("id").alias("vec_id"),
+            (F.col("id") % 2).cast("int").alias("cell"),  # cells 0,1 only
+        )
+        .write.partitionBy("cell")
+        .parquet(path)
+    )
+    with open(os.path.join(path, _INDEX_META), "w") as fh:
+        json.dump({"nlist": 4, "split": None}, fh)
+    rep = ivf_drift_report(spark, path)
+    assert sorted(int(c) for c in rep["cell_rows"]) == [0, 1, 2, 3]
+    assert rep["cell_rows"]["2"] == rep["cell_rows"]["3"] == 0
+    assert rep["cell_rows"]["0"] == rep["cell_rows"]["1"] == 10
+    assert rep["total_rows"] == 20 and rep["cell_skew"] == 2.0
+
+
+def test_retrain_never_publishes_stale_drift_stats(
+    spark, tmp_path, monkeypatch, drifted_corpus_dir
+):
+    """The rebalanced index's sidecar must NOT carry the pre-rebalance
+    drift stats (they are keyed to cell ids whose contents just moved):
+    if the post-publish refresh dies, readers must fall back to fixed
+    probes, never auto-tune off the stale sizes (r11 self-review)."""
+    from hri_flink_validation_passthrough_spark.operators import (
+        maintenance as M,
+    )
+
+    S = _fresh_index_root(monkeypatch, tmp_path / "idx")
+    path = S.ivf_trained_upsert_index(spark, drifted_corpus_dir, nlist=8)
+
+    real_report = M.ivf_drift_report
+    calls = {"n": 0}
+
+    def dying_report(spark_, path_):
+        # the first call is the retrain decision; the second is the
+        # post-publish refresh — simulate it crashing
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise RuntimeError("injected post-publish crash")
+        return real_report(spark_, path_)
+
+    monkeypatch.setattr(M, "ivf_drift_report", dying_report)
+    with pytest.raises(RuntimeError, match="injected"):
+        M.retrain_if_skewed(spark, path)
+    meta = S.read_index_meta(path)
+    assert meta["centroid_kind"] == "lloyd_trained_rebalanced"  # published
+    assert meta.get("drift") is None, (
+        "stale pre-rebalance drift stats leaked into the published sidecar"
+    )
