@@ -16,7 +16,7 @@ Scale design notes:
   threshold 0.95.
 
 The LSH parameters (32 bands × 2 rows) make the miss probability at the 0.8
-verification threshold ≈ (1 − 0.8²)³² ≈ 6e-13, so the LSH output is
+verification threshold ≈ (1 − 0.8²)³² ≈ 6e-15, so the LSH output is
 deterministically equal to the brute-force pair set at this scale — which is
 why ``dedup_minhash_lsh`` can be oracle-checked against the exact SQL.
 """
@@ -107,6 +107,26 @@ def _jaccard_pairs(s: DataFrame, threshold: float) -> DataFrame:
 DF_CAP = 256
 
 
+def _pair_structs(ids, a_name: str = "doc_a", b_name: str = "doc_b"):
+    """All unordered id pairs of a collected bucket as (least, greatest)
+    structs — the in-array combination expansion every bucketed pipeline
+    (df-capped index, MinHash bands, SRP keys, SimHash bands, tf-idf
+    postings) shares. One definition so the slice bounds and the
+    least/greatest canonicalization cannot drift between copies (r11
+    self-review)."""
+    return F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(
+                    F.least(x, y).alias(a_name), F.greatest(x, y).alias(b_name)
+                ),
+            ),
+        )
+    )
+
+
 def _capped_shared_rare(s: DataFrame, df_cap: int) -> tuple[DataFrame, DataFrame]:
     """(shared_rare, stats) from the df-capped inverted index:
     ``shared_rare(doc_a, doc_b, shared_rare)`` counts the rare (df ≤ cap)
@@ -125,18 +145,7 @@ def _capped_shared_rare(s: DataFrame, df_cap: int) -> tuple[DataFrame, DataFrame
         .agg(F.collect_list("doc_id").alias("ids"))
         .filter(F.size("ids") <= df_cap)
     )
-    ids = F.col("ids")
-    pair_structs = F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + 2, F.size(ids)),
-                lambda y: F.struct(
-                    F.least(x, y).alias("doc_a"), F.greatest(x, y).alias("doc_b")
-                ),
-            ),
-        )
-    )
+    pair_structs = _pair_structs(F.col("ids"))
     # shared_rare = |rare shingles the pair shares| (count per pair, not
     # dropDuplicates — the count powers the pruning bound below for free).
     shared_rare = (
@@ -193,14 +202,7 @@ def _jaccard_pairs_capped(s: DataFrame, threshold: float, df_cap: int = DF_CAP) 
         .filter(jac_ub >= threshold)
         .select("doc_a", "doc_b")
     )
-    sh_a = s.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
-    sh_b = s.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
-    verified = cand.join(sh_a, "doc_a").join(sh_b, "doc_b")
-    shared = F.size(F.array_intersect("sha", "shb")).cast("double")
-    jac = shared / ((F.size("sha") + F.size("shb")).cast("double") - shared)
-    return verified.filter(jac >= threshold).select(
-        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
-    )
+    return _verify_jaccard_pairs(cand, s, threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -363,7 +365,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="MinHash (64 perms) + LSH banding (32 bands × 2 rows) candidate "
     "generation, exact-Jaccard verification at 0.8. Constant-size state per "
     "doc; only same-bucket pairs compared → survives 100 TB. Miss prob at "
-    "0.8 ≈ 6e-13, so output equals the brute-force oracle.",
+    "0.8 ≈ 6e-15, so output equals the brute-force oracle.",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
@@ -373,18 +375,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persists the result shared with the other dedup queries.
     s = _shingles_for(spark, sf_dir)  # doc_id, sh (distinct shingles)
     buckets = _minhash_buckets(s)
-    ids = F.col("ids")
-    pair_structs = F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + 2, F.size(ids)),
-                lambda y: F.struct(
-                    F.least(x, y).alias("doc_a"), F.greatest(x, y).alias("doc_b")
-                ),
-            ),
-        )
-    )
+    pair_structs = _pair_structs(F.col("ids"))
     cand = (
         buckets.groupBy("band", "bkey")
         .agg(F.collect_list("doc_id").alias("ids"))
@@ -497,8 +488,6 @@ _DELTA_NUM, _DELTA_DEN = 3, 4
 )
 def dedup_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
-    from ..session import load_table
-
     max_id = (
         load_table(spark, sf_dir, "documents").agg(F.max("doc_id")).collect()[0][0]
     )
@@ -582,8 +571,12 @@ def _simhash_from_hashes(hs: pd.Series) -> pd.Series:
 # is pinned by tests/test_llm_operators.py::test_dedup_simhash_properties.
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per doc (bit-majority over token xxhash64), plus
-    near-dup pairs at hamming <= 3 bucketed by 16-bit prefix — the cheapest
-    per-doc sketch. xxhash64 variant of dedup_simhash_md5."""
+    near-dup pairs at hamming <= 3 via 4 x 16-bit band blocking — the
+    cheapest per-doc sketch. xxhash64 variant of dedup_simhash_md5, sharing
+    its _banded_hamming_pairs blocking: with 4 bands a pair within hamming
+    3 always matches in at least one band (pigeonhole), so recall is exact.
+    (r11 self-review: the earlier single 16-bit-prefix blocking silently
+    dropped pairs whose differing bits fell in the prefix.)"""
     prepare(spark)
     d = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
@@ -593,25 +586,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.transform(toks, lambda t: F.xxhash64(t)).alias("hs")
     )
     simhash_udf = F.pandas_udf(_simhash_from_hashes, "long")  # lazy: needs session
-    sketched = hashed.select("doc_id", simhash_udf("hs").alias("simhash"))
-    # near-dup: bucket by 16-bit prefix, compare within buckets
-    pref = F.shiftrightunsigned("simhash", 48)
-    sk = sketched.withColumn("pref", pref)
-    a, b = sk.alias("a"), sk.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    return (
-        a.join(
-            b,
-            (F.col("a.pref") == F.col("b.pref"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .filter(ham <= 3)
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            ham.cast("long").alias("hamming"),
-        )
-    )
+    sig = hashed.select("doc_id", simhash_udf("hs").alias("sig"))
+    return _banded_hamming_pairs(sig, n_bands=4, band_bits=16, ham_max=3)
 
 
 @register(
@@ -1022,18 +998,7 @@ def srp_lsh_pairs(emb: DataFrame, threshold: float) -> DataFrame:
     elif _SRP_MATERIALIZE == "ckpt":
         keyed = keyed.localCheckpoint(eager=False)
     buckets = keyed.select("vec_id", F.explode("keys").alias("bkey"))
-    ids = F.col("ids")
-    pair_structs = F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + 2, F.size(ids)),
-                lambda y: F.struct(
-                    F.least(x, y).alias("vec_a"), F.greatest(x, y).alias("vec_b")
-                ),
-            ),
-        )
-    )
+    pair_structs = _pair_structs(F.col("ids"), "vec_a", "vec_b")
     cand = (
         buckets.groupBy("bkey")
         .agg(F.collect_list("vec_id").alias("ids"))
@@ -1094,54 +1059,52 @@ SIMHASH_MD5_BANDS = 4
 SIMHASH_MD5_BAND_BITS = SIMHASH_MD5_BITS // SIMHASH_MD5_BANDS  # 15
 SIMHASH_MD5_HAM_MAX = SIMHASH_MD5_BANDS - 1  # pigeonhole guarantee
 
-# signature expression over the shingle array `sh` — same SQL dialect text
-# works in Spark SQL and (modulo function spellings) DuckDB, so the two
-# engines cannot drift structurally
-_SIMHASH_MD5_SPARK = f"""
+# signature expression over a pre-hashed LONG array `hs` — the per-shingle
+# md5 is projected ONCE in a preceding select (the r11 self-review found the
+# hash nested inside the per-bit lambda, re-hashing every shingle 60x:
+# Catalyst does not hoist loop-invariant expressions out of higher-order-
+# function lambdas). The DuckDB oracle always had this split (its `h` CTE),
+# so the arithmetic — and the hash-checked results — are unchanged.
+_SIMHASH_MD5_HS = "transform(sh, g -> CAST(conv(substring(md5(g), 1, 15), 16, 10) AS LONG))"
+_SIMHASH_MD5_SIG = f"""
     aggregate(sequence(0, {SIMHASH_MD5_BITS - 1}), 0L, (acc, b) -> acc +
-      IF(aggregate(transform(sh, g -> conv(substring(md5(g), 1, 15), 16, 10)),
-                   0L, (a, x) -> a + 2 * ((CAST(x AS LONG) >> b) & 1) - 1) > 0,
+      IF(aggregate(hs, 0L, (a, x) -> a + 2 * ((x >> b) & 1) - 1) > 0,
          shiftleft(1L, b), 0L))
 """
 
 
-def dedup_simhash_md5_pairs(s: DataFrame) -> DataFrame:
-    """Banded SimHash near-dup pairs over the shingle table (doc_id, sh)."""
-    sig = s.select("doc_id", F.expr(_SIMHASH_MD5_SPARK).alias("sig"))
-    band_mask = (1 << SIMHASH_MD5_BAND_BITS) - 1
-    # B is a small compile-time constant: unroll the band structs in Python
-    # (shiftright's bit count must be a literal int, not a Column)
+def _banded_hamming_pairs(
+    sig: DataFrame, n_bands: int, band_bits: int, ham_max: int
+) -> DataFrame:
+    """Banded blocking over a (doc_id, sig) signature table: a pair at
+    hamming <= n_bands - 1 has all its differing bits in <= n_bands - 1
+    bands, so AT LEAST one band matches exactly (pigeonhole) — banded
+    recall is GUARANTEED at ham_max = n_bands - 1. Shared by the md5
+    oracle twin and the xxhash64 production SimHash so their blocking
+    cannot diverge (r11 self-review: the production variant used a single
+    16-bit prefix with NO recall guarantee at hamming <= 3)."""
+    band_mask = (1 << band_bits) - 1
+    # n_bands is a small compile-time constant: unroll the band structs in
+    # Python (shiftright's bit count must be a literal int, not a Column)
     bands = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.shiftright(F.col("sig"), b * SIMHASH_MD5_BAND_BITS)
+                F.shiftright(F.col("sig"), b * band_bits)
                 .bitwiseAND(F.lit(band_mask))
                 .alias("bkey"),
             )
-            for b in range(SIMHASH_MD5_BANDS)
+            for b in range(n_bands)
         ]
     )
-    buckets = sig.select("doc_id", "sig", F.explode(bands).alias("bb")).select(
-        "doc_id", "sig", "bb.band", "bb.bkey"
-    )
-    ids = F.col("ids")
-    pair_structs = F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + 2, F.size(ids)),
-                lambda y: F.struct(
-                    F.least(x, y).alias("doc_a"), F.greatest(x, y).alias("doc_b")
-                ),
-            ),
-        )
+    buckets = sig.select("doc_id", F.explode(bands).alias("bb")).select(
+        "doc_id", "bb.band", "bb.bkey"
     )
     cand = (
         buckets.groupBy("band", "bkey")
         .agg(F.collect_list("doc_id").alias("ids"))
         .filter(F.size("ids") > 1)
-        .select(F.explode(pair_structs).alias("p"))
+        .select(F.explode(_pair_structs(F.col("ids"))).alias("p"))
         .select("p.doc_a", "p.doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
@@ -1151,8 +1114,18 @@ def dedup_simhash_md5_pairs(s: DataFrame) -> DataFrame:
     return (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .filter(ham <= SIMHASH_MD5_HAM_MAX)
+        .filter(ham <= ham_max)
         .select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
+    )
+
+
+def dedup_simhash_md5_pairs(s: DataFrame) -> DataFrame:
+    """Banded SimHash near-dup pairs over the shingle table (doc_id, sh)."""
+    sig = s.select(
+        "doc_id", F.expr(_SIMHASH_MD5_HS).alias("hs")
+    ).select("doc_id", F.expr(_SIMHASH_MD5_SIG).alias("sig"))
+    return _banded_hamming_pairs(
+        sig, SIMHASH_MD5_BANDS, SIMHASH_MD5_BAND_BITS, SIMHASH_MD5_HAM_MAX
     )
 
 
@@ -1399,8 +1372,6 @@ def dedup_passage_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fraction of the corpus) reach it.",
 )
 def dedup_passage_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     prepare(spark)
     docs = load_table(spark, sf_dir, "documents")
     d = docs.select(
@@ -1509,18 +1480,7 @@ def tfidf_shingle_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     nrm = ew.groupBy("doc_id").agg(F.sum(F.col("idf") * F.col("idf")).alias("n2"))
     # pairs from the posting list itself (in-array combination expansion —
     # same shape as _capped_shared_rare), each carrying the shingle's idf²
-    ids = F.col("ids")
-    pair_structs = F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + 2, F.size(ids)),
-                lambda y: F.struct(
-                    F.least(x, y).alias("doc_a"), F.greatest(x, y).alias("doc_b")
-                ),
-            ),
-        )
-    )
+    pair_structs = _pair_structs(F.col("ids"))
     dots = (
         w.filter(F.size("ids") > 1)
         .select((F.col("idf") * F.col("idf")).alias("w2"), F.explode(pair_structs).alias("p"))

@@ -426,3 +426,40 @@ def test_dedup_simhash_properties(spark, tmp_path):
         for r in dedup_simhash(spark, str(d)).collect()
     }
     assert (0, 1, 0) in got
+
+
+def test_banded_hamming_pairs_pigeonhole_recall(spark):
+    """r11 self-review fix: SimHash blocking must catch EVERY pair at
+    hamming <= n_bands-1 regardless of WHICH bits differ (the old single
+    16-bit-prefix blocking missed pairs whose differing bits fell in the
+    prefix). Crafted signatures put the differing bits in the worst spots:
+    inside the former prefix (bits 48-63), across two bands, and at exactly
+    the hamming bound."""
+    from hri_flink_validation_passthrough_spark.operators.dedup import (
+        _banded_hamming_pairs,
+    )
+
+    base = 0x0123_4567_89AB_CDEF
+    rows = [
+        (0, base),
+        (1, base ^ (1 << 50)),            # ham 1, bit in the old prefix
+        (2, base ^ (1 << 50) ^ (1 << 10)),  # ham 2, spans two bands
+        (3, base ^ (1 << 1) ^ (1 << 17) ^ (1 << 33)),  # ham 3, three bands
+        (4, base ^ 0xF),                  # ham 4: beyond the cut, excluded
+    ]
+    sig = spark.createDataFrame(rows, "doc_id long, sig long")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in _banded_hamming_pairs(sig, 4, 16, 3).collect()
+    }
+    # every pair with true hamming <= 3 must be present — pigeonhole says
+    # <= 3 differing bits leave at least one of 4 bands identical
+    import itertools
+
+    sigs = dict(rows)
+    for a, b in itertools.combinations(sigs, 2):
+        ham = bin(sigs[a] ^ sigs[b]).count("1")
+        if ham <= 3:
+            assert got.get((a, b)) == ham, (a, b, ham, got)
+        else:
+            assert (a, b) not in got
