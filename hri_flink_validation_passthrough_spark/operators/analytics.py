@@ -825,7 +825,11 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
-        .persist()
+        # localCheckpoint, not persist: a per-call persist with no
+        # unpersist pins a lineitem-distinct-sized cache entry for the
+        # whole session (the frequent_triples_apriori fix — checkpointed
+        # blocks are reference-released by the ContextCleaner)
+        .localCheckpoint()
     )
     n_orders = li.select(
         F.count_distinct("l_orderkey").alias("n_orders")
@@ -847,9 +851,17 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ia = item.select(F.col("l_partkey").alias("part_a"), F.col("n_i").alias("nia"))
     ib = item.select(F.col("l_partkey").alias("part_b"), F.col("n_i").alias("nib"))
-    lift = (F.col("n_co") * F.col("n_orders")).cast("double") / (
-        F.col("nia") * F.col("nib")
-    )
+    # decimal(19,0) operands, never raw int64 products (the gini/lorenz
+    # r7 rule): at the 100 TB posture n_co * n_orders wraps int64 and the
+    # double cast would launder the wrapped value; at test scale the
+    # decimal quotient is bit-identical to the int64 one
+    lift = (
+        F.col("n_co").cast("decimal(19,0)")
+        * F.col("n_orders").cast("decimal(19,0)")
+    ).cast("double") / (
+        F.col("nia").cast("decimal(19,0)")
+        * F.col("nib").cast("decimal(19,0)")
+    ).cast("double")
     return (
         pair.join(F.broadcast(ia), "part_a")
         .join(F.broadcast(ib), "part_b")
@@ -1151,7 +1163,8 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("r", F.datediff("cutoff", "last"))
         .select("c", "r", "f", "m")
     )
-    rfm = rfm.persist()
+    # localCheckpoint, not persist: reference-released when the plan dies
+    rfm = rfm.localCheckpoint()
 
     # ONE boundary job for all three dimensions (was three sequential
     # collect jobs, each re-reading the persisted rfm table): melt (r, f, m)
@@ -1825,7 +1838,9 @@ def rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = (
         e.select("user_id", F.date_trunc("day", F.col("ts")).alias("day"))
         .distinct()
-        .persist()  # consumed by span/grid, dau, and the window explosion
+        # consumed by span/grid, dau, and the window explosion —
+        # localCheckpoint (reference-released), never a per-call persist
+        .localCheckpoint()
     )
     span = p.agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
     grid = span.select(
@@ -1927,7 +1942,10 @@ def k_anonymity_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("day", F.col("ts")).alias("day"),
         F.floor(F.col("value") / KANON_FINE).alias("bf"),
         F.floor(F.col("value") / KANON_COARSE).alias("bc"),
-    ).persist()  # base projection consumed by both group-size passes
+        # base projection consumed by both group-size passes — this is the
+        # EVENTS-sized frame: a per-call persist with no unpersist pinned a
+        # full copy in executor cache per invocation (r11 self-review)
+    ).localCheckpoint()
     fine = r.groupBy("event_type", "day", "bf").agg(
         F.count(F.lit(1)).alias("nf")
     )
@@ -3309,9 +3327,15 @@ def mann_whitney_u_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ties"),
     )
     na, nb = F.col("na"), F.col("nb")
-    u = F.col("ra") - na * (na + 1) / 2.0
+    # decimal(19,0) operands for the count products (the gini/lorenz r7
+    # rule): na*(na+1) and na*nb wrap int64 at the 100 TB posture — Spark
+    # would wrap silently where the DuckDB oracle errors loudly. Bit-
+    # identical at test scale (exact integers either way).
+    na_d = na.cast("decimal(19,0)")
+    nb_d = nb.cast("decimal(19,0)")
+    u = F.col("ra") - (na_d * (na_d + 1)).cast("double") / 2.0
     var = (
-        na * nb / 12.0
+        (na_d * nb_d).cast("double") / 12.0
         * ((na + nb + 1) - F.col("ties") / ((na + nb) * (na + nb - 1.0)))
     )
     return agg.select(
