@@ -339,13 +339,19 @@ def _tws_session(spark: SparkSession) -> None:
             "transformWithStateInPandas requested but no google.protobuf "
             "runtime reaches this session's Python workers"
         )
-    # transformWithState requires the RocksDB provider, but the conf is
-    # session-wide: without a restore, every LATER streaming query in the
-    # session (including group_state-backed ones) would silently switch
-    # provider too (ADVICE r6). Stash the prior value; restore_state_provider
-    # puts it back once the TWS query has stopped (the conf is read lazily at
-    # state-store init, so it must stay set for the query's whole lifetime —
-    # restoring right after .start() would be a race).
+    _stash_and_set_rocksdb_provider(spark)
+
+
+def _stash_and_set_rocksdb_provider(spark: SparkSession) -> None:
+    """transformWithState requires the RocksDB provider, but the conf is
+    session-wide: without a restore, every LATER streaming query in the
+    session (including group_state-backed ones) would silently switch
+    provider too (ADVICE r6). Stash the prior value; restore_state_provider
+    puts it back once the TWS query has stopped (the conf is read lazily at
+    state-store init, so it must stay set for the query's whole lifetime —
+    restoring right after .start() would be a race). Shared with
+    topology.build_routed_stream's TWS branch (r11 self-review found it
+    setting the conf raw)."""
     if not hasattr(spark, "_hri_prev_state_provider"):
         try:
             prev = spark.conf.get(_PROVIDER_CONF)

@@ -35,7 +35,6 @@ single hot batch serializes on one task, same as in Flink.
 from __future__ import annotations
 
 import json
-import time
 from collections.abc import Iterator
 
 import pandas as pd
@@ -68,6 +67,10 @@ def _protobuf_available() -> bool:
 
 
 def _sorted_rows(pdf: pd.DataFrame) -> pd.DataFrame:
+    """The replay ordering rule (controls before data at equal time, then
+    seq) — pandas twin of run_pipeline_batch's kind_rank column; a change
+    to the tiebreak must land in BOTH or batch/stream oracle agreement
+    breaks (the differential suite pins them together)."""
     kind_rank = (pdf["kind"] == "control").map({True: 0, False: 1})
     return pdf.assign(kind_rank=kind_rank).sort_values(
         ["time_ms", "kind_rank", "seq"], na_position="first"
@@ -75,6 +78,8 @@ def _sorted_rows(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def _apply_rows(machine, st, pdf: pd.DataFrame, now: int, outs: Outputs) -> None:
+    from ..operators.passthrough import _headers_to_py
+
     for row in _sorted_rows(pdf).itertuples(index=False):
         if row.kind == "control":
             notif = {
@@ -85,11 +90,13 @@ def _apply_rows(machine, st, pdf: pd.DataFrame, now: int, outs: Outputs) -> None
         else:
             key_b = bytes(row.key) if row.key is not None else None
             val_b = bytes(row.value) if row.value is not None else None
-            headers = [
-                {"key": h["key"], "value": bytes(h["value"])}
-                for h in (row.headers if row.headers is not None else [])
-            ]
-            outs.extend(machine.on_data(st, key_b, val_b, headers, now))
+            # the batch path's converter: a null header VALUE is legal in
+            # Kafka and must become None, not a TypeError that kills the
+            # query (r11 self-review — the inline bytes(h["value"]) copy
+            # crashed on it)
+            outs.extend(
+                machine.on_data(st, key_b, val_b, _headers_to_py(row.headers), now)
+            )
 
 
 # ---------------------------------------------------------------------------
@@ -126,20 +133,32 @@ def lifecycle_with_group_state(
 
         now = state.getCurrentProcessingTimeMs()
         frames: list[pd.DataFrame] = []
-        if fast:
+        # Concatenate the trigger's Arrow chunks BEFORE the sort: sorting
+        # per chunk let a control row in a later chunk apply after data
+        # rows with larger time_ms from an earlier chunk — a chunk-size-
+        # dependent divergence from the batch replay's whole-group sort
+        # (r11 self-review). Per-trigger-per-key volume is bounded by
+        # maxOffsetsPerTrigger (the documented posture), so the concat is
+        # the same memory class as one applyInPandas group.
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        whole = (
+            pd.concat(chunks, ignore_index=True) if len(chunks) > 1
+            else (chunks[0] if chunks else None)
+        )
+        if whole is None:
+            pass
+        elif fast:
             # bulk routing (same vectorized core as the batch replay, with
             # the trigger's processing time as the constant clock)
-            for pdf in pdf_iter:
-                out_pdf = _replay_vectorized(
-                    _sorted_rows(pdf), machine, batch_id,
-                    st=st, now_ms=now, end_input=False,
-                )
-                if len(out_pdf):
-                    frames.append(out_pdf)
+            out_pdf = _replay_vectorized(
+                _sorted_rows(whole), machine, batch_id,
+                st=st, now_ms=now, end_input=False,
+            )
+            if len(out_pdf):
+                frames.append(out_pdf)
         else:
             outs = Outputs()
-            for pdf in pdf_iter:
-                _apply_rows(machine, st, pdf, now, outs)
+            _apply_rows(machine, st, whole, now, outs)
             rows = outputs_to_rows(outs, batch_id)
             if rows:
                 frames.append(pd.DataFrame(rows, columns=_OUT_COLS))
@@ -204,8 +223,15 @@ try:  # the import itself is safe; instantiation needs protobuf at runtime
             old_deadline = st.deadline_ms
             now = timerValues.getCurrentProcessingTimeInMs()
             outs = Outputs()
-            for pdf in rows:
-                _apply_rows(self.machine, st, pdf, now, outs)
+            # whole-trigger ordering, not per-chunk (see the group_state
+            # path's comment)
+            chunks = [pdf for pdf in rows if len(pdf)]
+            if chunks:
+                whole = (
+                    pd.concat(chunks, ignore_index=True)
+                    if len(chunks) > 1 else chunks[0]
+                )
+                _apply_rows(self.machine, st, whole, now, outs)
             if st.deadline_ms != old_deadline:
                 if old_deadline is not None:
                     self.handle.deleteTimer(old_deadline)
@@ -261,17 +287,24 @@ def build_routed_stream(
         from ..protobuf_shim import ensure_protobuf
 
         spark = records.sparkSession
-        if not ensure_protobuf(spark) or BatchLifecycleProcessor is None:
+        if BatchLifecycleProcessor is None:
+            raise RuntimeError(
+                "transformWithStateInPandas requested but this pyspark has "
+                "no stateful_processor API (needs Spark 4+)"
+            )
+        if not ensure_protobuf(spark):
             raise RuntimeError(
                 "transformWithStateInPandas requested but no google.protobuf "
                 "runtime reaches this session's Python workers (see "
                 "protobuf_shim.pre_jvm_env)"
             )
-        spark.conf.set(
-            "spark.sql.streaming.stateStore.providerClass",
-            "org.apache.spark.sql.execution.streaming.state."
-            "RocksDBStateStoreProvider",
-        )
+        # stash-then-set, NEVER a raw session-wide set: without the stash,
+        # every later streaming query in the session silently inherits the
+        # RocksDB provider (ADVICE r6; state_ttl.restore_state_provider
+        # undoes it once the TWS query has stopped)
+        from .state_ttl import _stash_and_set_rocksdb_provider
+
+        _stash_and_set_rocksdb_provider(spark)
         return grouped.transformWithStateInPandas(
             BatchLifecycleProcessor(completion_delay_ms, validator, lookup),
             outputStructType=ROUTED_SCHEMA,

@@ -102,3 +102,42 @@ def test_unknown_batch_and_interleaving(spark):
     assert [h.key for h in inv[0].headers][0] == "batchId"
     out = [r for r in rows if r.dest == "out"]
     assert len(out) == 5
+
+
+def test_apply_rows_handles_null_header_value():
+    """r11 self-review: a Kafka header with a NULL value is legal (the
+    envelope schema declares it nullable and the batch path converts it to
+    None); the streaming row-wise applier crashed with TypeError on
+    bytes(None). Drive _apply_rows directly with such a row."""
+    import pandas as pd
+
+    from hri_flink_validation_passthrough_spark.model import STARTED
+    from hri_flink_validation_passthrough_spark.operators.batch_state import (
+        BatchState,
+        BatchStateMachine,
+        Outputs,
+        passthrough_validator,
+    )
+    from hri_flink_validation_passthrough_spark.streaming.topology import (
+        _apply_rows,
+    )
+
+    machine = BatchStateMachine(1000, passthrough_validator, None)
+    st = BatchState(batch_id="b1")
+    outs = Outputs()
+    notif = {
+        "id": "b1", "name": "b1", "topic": "ingest.t.x.in", "dataType": "x",
+        "invalidThreshold": -1, "status": STARTED,
+        "expectedRecordCount": None,
+    }
+    pdf = pd.DataFrame(
+        [
+            {"kind": "control", "key": None, "value": None, "headers": None,
+             "notification": notif, "time_ms": 1, "seq": 0},
+            {"kind": "data", "key": b"k", "value": b"v",
+             "headers": [{"key": "batchId", "value": None}],
+             "notification": None, "time_ms": 2, "seq": 1},
+        ]
+    )
+    _apply_rows(machine, st, pdf, now=5, outs=outs)
+    assert st.processed == 1  # the record routed despite the null header
