@@ -41,6 +41,12 @@ SUPERSEDED_IN: dict[str, int] = {
     # _adaptive_probes; stream_ivfpq_maintenance registered new in r11 so
     # it has no pre-supersession receipt to erase).
     "stream_ann_index_maintenance": 11,
+    # r12: explicit sufficient-statistic algebra superseded the
+    # engine-internal F.corr/DuckDB-corr pair in place (the one query
+    # whose moment algebra was delegated to engine internals with
+    # differing association orders — the deferred COVERAGE.md r11
+    # addendum-5 rounding-boundary flake risk).
+    "numeric_corr_matrix": 12,
 }
 
 

@@ -697,19 +697,37 @@ _CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 @register(
     QUERIES,
     "numeric_corr_matrix",
-    oracle=" UNION ALL ".join(
+    oracle="WITH s AS (SELECT count(*) AS n, "
+    + ", ".join(
+        f"sum({c}) AS s_{c}, sum({c} * {c}) AS ss_{c}" for c in _CORR_COLS
+    )
+    + ", "
+    + ", ".join(
+        f"sum({a} * {b}) AS p_{a}_{b}"
+        for i, a in enumerate(_CORR_COLS)
+        for b in _CORR_COLS[i + 1 :]
+    )
+    + " FROM lineitem) "
+    + " UNION ALL ".join(
         f"""
         SELECT '{a}' AS col_a, '{b}' AS col_b,
-               round(corr({a}, {b}), 6) AS pearson_r
-        FROM lineitem"""
+               round((n * p_{a}_{b} - s_{a} * s_{b})
+                     / sqrt((n * ss_{a} - s_{a} * s_{a})
+                            * (n * ss_{b} - s_{b} * s_{b})), 6) AS pearson_r
+        FROM s"""
         for i, a in enumerate(_CORR_COLS)
         for b in _CORR_COLS[i + 1 :]
     ),
     doc="Pearson correlation matrix (upper triangle) over lineitem's numeric "
     "measures, all 6 pairs in ONE aggregation pass — the feature-screening "
-    "scan an ML pipeline runs before training. corr is a streaming "
-    "co-moment aggregate (mergeable partials), so the plan is a single "
-    "map-side-combined groupBy at any scale.",
+    "scan an ML pipeline runs before training. Correlations come from raw "
+    "sufficient statistics (n, Sa, Sb, Saa, Sbb, Sab — 15 map-side-combined "
+    "sums in one scan) with r = (n*Sab - Sa*Sb)/sqrt((n*Saa - Sa^2)(n*Sbb - "
+    "Sb^2)) as closed algebra, NOT the engines' corr() aggregates: their "
+    "streaming co-moment updates differ in association order across "
+    "engines, a rounding-boundary hash risk (COVERAGE.md r11 addendum 5); "
+    "the explicit form is the same expression both sides, like "
+    "welch_t_event_values/ols_price_on_quantity. Superseded in r12.",
 )
 def numeric_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -719,13 +737,27 @@ def numeric_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         for b in _CORR_COLS[i + 1 :]
     ]
     agg = li.agg(
-        *[F.corr(a, b).alias(f"r_{a}_{b}") for a, b in pairs]
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(c).alias(f"s_{c}") for c in _CORR_COLS],
+        *[F.sum(F.col(c) * F.col(c)).alias(f"ss_{c}") for c in _CORR_COLS],
+        *[
+            F.sum(F.col(a) * F.col(b)).alias(f"p_{a}_{b}")
+            for a, b in pairs
+        ],
     )
+
+    def _r(a: str, b: str):
+        n = F.col("n")
+        cov = n * F.col(f"p_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
+        var_a = n * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")
+        var_b = n * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")
+        return cov / F.sqrt(var_a * var_b)
+
     rows = [
         F.struct(
             F.lit(a).alias("col_a"),
             F.lit(b).alias("col_b"),
-            F.round(F.col(f"r_{a}_{b}"), 6).alias("pearson_r"),
+            F.round(_r(a, b), 6).alias("pearson_r"),
         )
         for a, b in pairs
     ]
