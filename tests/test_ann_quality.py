@@ -115,7 +115,8 @@ def test_ivf_sq8_composed_equals_ivf(spark):
 
 def test_filtered_ann_matches_sql_oracle_and_fills_topk(spark):
     """Filtered vector search, oracle-checked with the driver's own
-    compare (test-surface — no registry slot): the metadata predicate
+    compare (registered r12 — this pytest pins the fill/underfill guard
+    the driver's hash compare can't express): the metadata predicate
     applies to the candidate set BEFORE distance work, inside the probed
     cells. With this corpus's 50% selectivity every query still fills a
     complete top-5."""
