@@ -109,3 +109,68 @@ def normalized_text(text) -> Column:
 def fingerprint_md5(text) -> Column:
     """Deterministic document fingerprint: md5 of the normalized text."""
     return F.md5(normalized_text(text))
+
+
+# ---- cross-engine determinism helpers (r11 reviewer consolidation, shipped
+# r12): ONE definition of the repo's floor-nudge half-up rounding rule and of
+# the 30-min-gap sessionize construction, previously copy-pasted at ~12 and 4
+# call sites respectively. The SQL mirrors stay INLINE in each oracle string
+# on purpose — the oracle text is the auditable DuckDB-literal contract and a
+# Python indirection there would hide what the oracle actually runs.
+
+def floor_nudge(c, digits: int) -> Column:
+    """Half-up rounding via floor with a scaled nudge, NOT round():
+    round() is round-half-even on exact halves and both engines can land
+    on opposite sides of a float half-boundary by ~1e-15; the +0.500001
+    nudge (constant across the repo) makes the boundary decision identical
+    on both engines for any value whose true distance from the half grid
+    exceeds 1e-6/scale — see the EWMA note at operators/analytics.py for
+    the original derivation. Mirrors the SQL form
+    ``floor(x * 10^digits + 0.500001) / 10^digits``."""
+    scale = 10 ** digits
+    return F.floor(c * scale + F.lit(0.500001)) / scale
+
+
+def py_floor_nudge(v: float, digits: int) -> float:
+    """The driver-side scalar twin of :func:`floor_nudge` — snaps collected
+    model parameters (GD weights, power-iteration vectors) to the same grid
+    both engines will see, so float noise cannot compound across iterative
+    steps."""
+    import math
+
+    scale = 10 ** digits
+    return math.floor(v * scale + 0.500001) / scale
+
+
+def with_session_ids(events: "DataFrame", gap_s: int) -> "DataFrame":
+    """30-minute-gap sessionization shared by ``events_sessionize`` and the
+    three analytics session queries (max_concurrent_sessions,
+    session_transition_matrix, session_path_topk): a session starts where
+    the per-user inactivity gap exceeds *gap_s* seconds (or at the user's
+    first event), and ``sess_id`` is the running count of session starts —
+    lag + running sum over the same (ts, event_id)-ordered per-user window,
+    no UDF. Returns the input columns plus a numeric ``sess_id``; the
+    intermediate flag column is dropped. At 100 TB this is one hash
+    partition by user_id and two window passes over it — no extra
+    shuffle between them (same partitioning)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_sess = F.when(
+        F.lag("ts").over(w).isNull()
+        | (
+            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+            > gap_s
+        ),
+        1,
+    ).otherwise(0)
+    return (
+        events.withColumn("new_sess", new_sess)
+        .withColumn(
+            "sess_id",
+            F.sum("new_sess").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .drop("new_sess")
+    )

@@ -35,6 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions import floor_nudge, with_session_ids
 from ..plans import QuerySpec, register
 from ..session import load_table, prepare
 
@@ -113,22 +114,7 @@ _SQL_SESSIONS = f"""
 )
 def max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    flagged = e.withColumn(
-        "new_sess",
-        F.when(
-            F.lag("ts").over(w).isNull()
-            | (
-                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
-                > SESSION_GAP_S
-            ),
-            1,
-        ).otherwise(0),
-    )
-    sess = flagged.withColumn(
-        "sess_id",
-        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
+    sess = with_session_ids(e, SESSION_GAP_S)
     si = sess.groupBy("user_id", "sess_id").agg(
         F.min("ts").alias("t_start"), F.max("ts").alias("t_end")
     )
@@ -271,7 +257,7 @@ def events_ewma_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "user_id",
         "event_id",
-        (F.floor(ewma * 10000 + F.lit(0.500001)) / 10000).alias("ewma"),
+        floor_nudge(ewma, 4).alias("ewma"),
     )
 
 
@@ -860,7 +846,17 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         # localCheckpoint, not persist: a per-call persist with no
         # unpersist pins a lineitem-distinct-sized cache entry for the
         # whole session (the frequent_triples_apriori fix — checkpointed
-        # blocks are reference-released by the ContextCleaner)
+        # blocks are reference-released by the ContextCleaner).
+        # Known trade-off for the repo-wide convention (ADVICE r12):
+        # localCheckpoint severs lineage onto NON-replicated executor
+        # blocks, so on a multi-executor cluster losing an executor fails
+        # the downstream job instead of recomputing. Right for this
+        # repo's bench posture (single-JVM, re-runnable queries whose
+        # checkpointed subtree is cheap to rebuild by re-running the
+        # query); a cluster deployment that needs in-query fault
+        # tolerance swaps these sites to reliable checkpoint() (DFS
+        # write) or persist+try/finally-unpersist — the call sites are
+        # the seam, the plans are unchanged.
         .localCheckpoint()
     )
     n_orders = li.select(
@@ -1491,7 +1487,7 @@ def holt_winters_level_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def rnd(c):
         # same floor-nudge as events_ewma_blocked (half-boundary rule)
-        return F.floor(c * 10000 + F.lit(0.500001)) / 10000
+        return floor_nudge(c, 4)
 
     return st.select(
         "event_type",
@@ -1603,7 +1599,7 @@ _SEAS_ORACLE_BASE = f"""
 )
 def seasonal_decompose_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
     def rnd(c):
-        return F.floor(c * 10000 + F.lit(0.500001)) / 10000
+        return floor_nudge(c, 4)
 
     return _seasonal_parts(spark, sf_dir).select(
         "event_type",
@@ -1643,7 +1639,7 @@ SEAS_TOP = 5
 )
 def seasonal_anomaly_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     def rnd(c):
-        return F.floor(c * 10000 + F.lit(0.500001)) / 10000
+        return floor_nudge(c, 4)
 
     parts = _seasonal_parts(spark, sf_dir).filter(F.col("residual").isNotNull())
     parts = parts.withColumn("residual", rnd(F.col("residual")))
@@ -1704,22 +1700,7 @@ def seasonal_anomaly_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def session_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    flagged = e.withColumn(
-        "new_sess",
-        F.when(
-            F.lag("ts").over(w).isNull()
-            | (
-                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
-                > SESSION_GAP_S
-            ),
-            1,
-        ).otherwise(0),
-    )
-    sess = flagged.withColumn(
-        "sess_id",
-        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
+    sess = with_session_ids(e, SESSION_GAP_S)
     ws = Window.partitionBy("user_id", "sess_id").orderBy("ts", "event_id")
     trans = sess.select(
         F.col("event_type").alias("src"),
@@ -1731,15 +1712,11 @@ def session_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "src",
         "dst",
         F.col("n_transitions").cast("long").alias("n_transitions"),
-        (
-            F.floor(
-                F.col("n_transitions")
-                * 1.0
-                / F.sum("n_transitions").over(wnorm)
-                * 1000000
-                + F.lit(0.500001)
-            )
-            / 1000000
+        floor_nudge(
+            F.col("n_transitions")
+            * 1.0
+            / F.sum("n_transitions").over(wnorm),
+            6,
         ).alias("prob"),
     )
 
@@ -1789,7 +1766,7 @@ def _skew_oracle() -> str:
 )
 def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     def rnd(c):
-        return F.floor(c * 1000000 + F.lit(0.500001)) / 1000000
+        return floor_nudge(c, 6)
 
     outs = []
     for table, key in SKEW_KEYS:
@@ -1902,13 +1879,11 @@ def rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # coalesce the numerator too: a zero-DAU day inside another
                 # day's trailing window has wau > 0, and a NULL dau would
                 # otherwise propagate NULL where the metric is 0/wau = 0.0
-                F.floor(
+                floor_nudge(
                     F.coalesce("dau", F.lit(0)).cast("double")
-                    / F.col("wau")
-                    * 10000
-                    + F.lit(0.500001)
+                    / F.col("wau"),
+                    4,
                 )
-                / 10000
             )
             .alias("stickiness"),
         )
@@ -2070,13 +2045,11 @@ def chi_square_type_by_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return cells.groupBy("event_type").agg(
         F.sum("o").cast("long").alias("n_events"),
-        (
-            F.floor(
-                F.sum((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e"))
-                * 1000000
-                + F.lit(0.500001)
-            )
-            / 1000000
+        floor_nudge(
+            F.sum(
+                (F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")
+            ),
+            6,
         ).alias("chi2_contrib"),
     )
 
@@ -2156,12 +2129,9 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return p.groupBy("channel").agg(
         F.count(F.lit(1)).cast("long").alias("n_purchases"),
-        (
-            F.floor(
-                F.coalesce(F.avg("mins"), F.lit(0.0)) * 10000 + F.lit(0.500001)
-            )
-            / 10000
-        ).alias("avg_mins_to_convert"),
+        floor_nudge(F.coalesce(F.avg("mins"), F.lit(0.0)), 4).alias(
+            "avg_mins_to_convert"
+        ),
     )
 
 
@@ -2252,13 +2222,9 @@ def bootstrap_ci_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.array(*[F.lit(b) for b in range(BOOT_B)])).alias("b"),
     ).select("event_type", "b", "value", w.alias("w"))
     m = wtab.groupBy("event_type", "b").agg(
-        (
-            F.floor(
-                F.sum(F.col("w") * F.col("value")) / F.sum("w") * 1000000
-                + F.lit(0.500001)
-            )
-            / 1000000
-        ).alias("mb")
+        floor_nudge(F.sum(F.col("w") * F.col("value")) / F.sum("w"), 6).alias(
+            "mb"
+        )
     )
     rn = F.row_number().over(
         Window.partitionBy("event_type").orderBy("mb", "b")
@@ -2269,9 +2235,7 @@ def bootstrap_ci_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("rn") == BOOT_B - 1, F.col("mb"))).alias("ci_hi"),
     )
     mean = e.groupBy("event_type").agg(
-        (F.floor(F.avg("value") * 1000000 + F.lit(0.500001)) / 1000000).alias(
-            "mean_value"
-        )
+        floor_nudge(F.avg("value"), 6).alias("mean_value")
     )
     return mean.join(ci, "event_type").select(
         "event_type", "mean_value", "ci_lo", "ci_hi"
@@ -2392,13 +2356,9 @@ def time_weighted_avg_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seg.groupBy(
         "event_type", F.date_format("day", "yyyy-MM-dd").alias("day")
     ).agg(
-        (
-            F.floor(
-                F.sum(F.col("value") * F.col("dur")) / F.sum("dur") * 10000
-                + F.lit(0.500001)
-            )
-            / 10000
-        ).alias("twa"),
+        floor_nudge(F.sum(F.col("value") * F.col("dur")) / F.sum("dur"), 4).alias(
+            "twa"
+        ),
         F.count(F.lit(1)).cast("long").alias("n_samples"),
     )
 
@@ -2454,18 +2414,7 @@ PATH_GAP_S = 1800  # same 30-min session gap as events_sessionize
 )
 def session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
-    flagged = e.withColumn(
-        "new_sess",
-        F.when(
-            F.lag("ts").over(w).isNull() | (gap > PATH_GAP_S), 1
-        ).otherwise(0),
-    )
-    sess = flagged.withColumn(
-        "sess_id",
-        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
+    sess = with_session_ids(e, PATH_GAP_S)
     ws = Window.partitionBy("user_id", "sess_id").orderBy("ts", "event_id")
     ranked = sess.withColumn("rn", F.row_number().over(ws)).filter(
         F.col("rn") <= PATH_LEN
@@ -2543,13 +2492,9 @@ def max_drawdown_hourly_close(spark: SparkSession, sf_dir: str) -> DataFrame:
     rel = bars.withColumn("peak", F.max("close").over(wpeak)).select(
         "event_type",
         "hr",
-        (
-            F.floor(
-                (F.col("peak") - F.col("close")) / F.col("peak") * 1000000
-                + F.lit(0.500001)
-            )
-            / 1000000
-        ).alias("drawdown"),
+        floor_nudge((F.col("peak") - F.col("close")) / F.col("peak"), 6).alias(
+            "drawdown"
+        ),
     )
     wmax = Window.partitionBy("event_type")
     return (

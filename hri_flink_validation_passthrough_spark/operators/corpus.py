@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions import floor_nudge
 from ..plans import QuerySpec, register
 from ..session import load_table, prepare
 from .dedup import _shingles_for
@@ -458,9 +459,7 @@ def pmi_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.select(
             "pair",
             F.col("n_pair").cast("long").alias("n_pair"),
-            (F.floor(F.col("pmi") * 1000000 + F.lit(0.500001)) / 1000000).alias(
-                "pmi"
-            ),
+            floor_nudge(F.col("pmi"), 6).alias("pmi"),
         )
         .orderBy(F.col("pmi").desc(), "pair")
         .limit(PMI_TOP)
@@ -592,9 +591,7 @@ def length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_docs").cast("long").alias("n_docs"),
             "n_batches",
             F.col("max_tokens").cast("long").alias("max_tokens"),
-            (F.floor(waste * 10000 + F.lit(0.500001)) / 10000).alias(
-                "pad_waste_pct"
-            ),
+            floor_nudge(waste, 4).alias("pad_waste_pct"),
         )
     )
 
@@ -708,7 +705,5 @@ def corpus_split_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("source").agg(
         F.sum("ct").cast("long").alias("n_train_tokens"),
         F.sum("ch").cast("long").alias("n_heldout_tokens"),
-        (F.floor(F.sum(term) * 1000000 + F.lit(0.500001)) / 1000000).alias(
-            "kl_train_heldout"
-        ),
+        floor_nudge(F.sum(term), 6).alias("kl_train_heldout"),
     )

@@ -38,6 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions import floor_nudge
 from ..plans import QuerySpec, register
 from ..session import load_table, prepare
 
@@ -233,9 +234,7 @@ def pagerank_supplier_coparts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ranked = ranks.select(
         "s",
-        (F.floor(F.col("r") * 100000000 + F.lit(0.500001)) / 100000000).alias(
-            "pagerank"
-        ),
+        floor_nudge(F.col("r"), 8).alias("pagerank"),
     )
     return (
         ranked.join(F.broadcast(sup), ranked.s == sup.s_suppkey)
@@ -448,15 +447,11 @@ def clustering_coefficient_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s").cast("long").alias("s_suppkey"),
             F.col("deg").cast("long").alias("degree"),
             F.coalesce("n_tri", F.lit(0)).cast("long").alias("n_triangles"),
-            (
-                F.floor(
-                    2.0
-                    * F.coalesce("n_tri", F.lit(0))
-                    / (F.col("deg") * (F.col("deg") - 1))
-                    * 1000000
-                    + F.lit(0.500001)
-                )
-                / 1000000
+            floor_nudge(
+                2.0
+                * F.coalesce("n_tri", F.lit(0))
+                / (F.col("deg") * (F.col("deg") - 1)),
+                6,
             ).alias("coeff"),
         )
     )

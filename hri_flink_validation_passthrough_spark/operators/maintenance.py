@@ -193,6 +193,14 @@ def vacuum_table_versions(root: str, keep: int = 2) -> dict:
 
 CS_BUCKETS = 16
 CS_TAMPER_BUCKET = 3  # the query's injected corruption, for a visible diff
+# Checksum-scheme version (ADVICE r12): v1 bucketed with sign-preserving %,
+# v2 with pmod — the two assign NEGATIVE keys to different buckets, so a
+# persisted v1 snapshot compared against a fresh v2 computation would report
+# false divergence on tables with negative keys. The in-repo query computes
+# both sides fresh (always same-version), but any caller that PERSISTS
+# checksum_by_bucket output for later anti-entropy comparison must store
+# this version alongside it and recompute when versions differ.
+CS_SCHEME_VERSION = 2
 
 
 def checksum_by_bucket(df: DataFrame, cols: list[str], key: str) -> DataFrame:
@@ -210,6 +218,9 @@ def checksum_by_bucket(df: DataFrame, cols: list[str], key: str) -> DataFrame:
     negative keys across buckets -16..-1 and mis-align replicas bucketed
     by an engine with different modulo sign semantics (for the positive
     key domains of the registered query the two are identical).
+    Persisted snapshots must carry ``CS_SCHEME_VERSION`` (the % -> pmod
+    change altered bucket assignment for negative keys; cross-version
+    comparison is invalid — see the constant's note).
     """
     s = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
     row_cs = F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import dot as fdot
+from ..functions import py_floor_nudge
 from ..plans import QuerySpec, register
 from ..session import load_table, prepare
 
@@ -82,9 +83,7 @@ def _lr_oracle() -> str:
 
 
 def _snap9(v: float) -> float:
-    import math
-
-    return math.floor(v * 1e9 + 0.500001) / 1e9
+    return py_floor_nudge(v, 9)
 
 
 @register(
@@ -138,9 +137,7 @@ def logistic_gd_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
 
     def r6(v: float) -> float:
-        import math
-
-        return math.floor(v * 1e6 + 0.500001) / 1e6
+        return py_floor_nudge(v, 6)
 
     return spark.createDataFrame(
         [(s, r6(a), r6(b), r6(loss)) for s, a, b, loss in out],
@@ -319,9 +316,7 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _snap6(v: float) -> float:
-    import math
-
-    return math.floor(v * 1e6 + 0.500001) / 1e6
+    return py_floor_nudge(v, 6)
 
 
 # ---- Multinomial naive Bayes (language classifier) -------------------------

@@ -23,7 +23,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions import cosine_similarity
+from ..functions import cosine_similarity, floor_nudge, py_floor_nudge
 from ..plans import QuerySpec, register
 from ..session import load_table, prepare
 
@@ -709,7 +709,7 @@ def _lloyd_iterate(
             if cid in by_cluster:
                 dims = by_cluster[cid]
                 cents[cid] = [
-                    math.floor(dims[d] * 1e9 + 0.500001) / 1e9
+                    py_floor_nudge(dims[d], 9)
                     for d in range(len(cents[cid]))
                 ]
             # else: empty cluster keeps its previous centroid
@@ -1861,7 +1861,7 @@ def _pq_lloyd(
                 dims = by.get((m, cid))
                 if dims is not None:
                     cb[m][cid] = [
-                        math.floor(dims[d] * 1e9 + 0.500001) / 1e9
+                        py_floor_nudge(dims[d], 9)
                         for d in range(PQ_DSUB)
                     ]
                 # else: empty cluster keeps its previous centroid
@@ -2802,9 +2802,7 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("long")
             .alias("n_channels"),
-            (F.floor(rrf * 1000000 + F.lit(0.500001)) / 1000000).alias(
-                "rrf_score"
-            ),
+            floor_nudge(rrf, 6).alias("rrf_score"),
         )
         .orderBy(F.col("rrf_score").desc(), "doc_id")
         .limit(RRF_TOP)
@@ -3335,9 +3333,7 @@ def kmeans_lloyd_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).persist()
         stats = assigned.groupBy("cluster").agg(
             F.count(F.lit(1)).alias("n_members"),
-            (F.floor(F.avg("sim") * 1000000 + F.lit(0.500001)) / 1000000).alias(
-                "avg_sim"
-            ),
+            floor_nudge(F.avg("sim"), 6).alias("avg_sim"),
         )
         traj.extend(
             (it, int(r["cluster"]), int(r["n_members"]), float(r["avg_sim"]))
@@ -3356,7 +3352,7 @@ def kmeans_lloyd_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             if cid in by_cluster:
                 dims = by_cluster[cid]
                 cents[cid] = [
-                    math.floor(dims[d] * 1e9 + 0.500001) / 1e9
+                    py_floor_nudge(dims[d], 9)
                     for d in range(len(cents[cid]))
                 ]
             # else: empty cluster keeps its previous centroid

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions import with_session_ids
 from ..operators.asof import asof_join
 from ..session import load_table, prepare
 from . import QuerySpec, register
@@ -548,22 +549,7 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    flagged = e.withColumn(
-        "new_sess",
-        F.when(
-            F.lag("ts").over(w).isNull()
-            | (
-                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
-                > 1800
-            ),
-            1,
-        ).otherwise(0),
-    )
-    sess = flagged.withColumn(
-        "sess_id",
-        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
+    sess = with_session_ids(e, 1800)
     return sess.groupBy("user_id", "sess_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         _fmt_ts(F.min("ts")).alias("session_start"),

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import floor_nudge
 from ..session import load_table, prepare
 from . import QuerySpec, register
 
@@ -544,7 +545,7 @@ def window_navigation_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     wrun = w.rowsBetween(Window.unboundedPreceding, 0)
-    nudge = lambda c: F.floor(c * 1000000 + F.lit(0.500001)) / 1000000
+    nudge = lambda c: floor_nudge(c, 6)
     big = F.when(F.col("o_totalprice") > 400000, F.col("o_orderkey"))
     return o.select(
         "o_custkey",

@@ -54,6 +54,13 @@ from ..sources.envelope import ROUTED_SCHEMA, control_to_envelope, data_to_envel
 
 _OUT_COLS = ["dest", "batch_id", "key", "value", "headers"]
 _STATE_SCHEMA = "state_json STRING"
+# Whole-trigger ordering (r11) buffers one (key, trigger) group as a single
+# pandas frame; per-trigger volume is expected to be bounded by the source's
+# maxOffsetsPerTrigger / maxFilesPerTrigger. Past this row count the state fn
+# logs a warning pointing at the missing bound (ADVICE r12) — ~5M envelope
+# rows ≈ 1-2 GiB of pandas, the level where one executor's group starts to
+# threaten its heap share.
+TRIGGER_GROUP_WARN_ROWS = 5_000_000
 
 
 def _protobuf_available() -> bool:
@@ -139,12 +146,27 @@ def lifecycle_with_group_state(
         # dependent divergence from the batch replay's whole-group sort
         # (r11 self-review). Per-trigger-per-key volume is bounded by
         # maxOffsetsPerTrigger (the documented posture), so the concat is
-        # the same memory class as one applyInPandas group.
+        # the same memory class as one applyInPandas group. That bound is
+        # a SOURCE option this operator cannot see (ADVICE r12): an
+        # unbounded trigger — availableNow over a large backlog with no
+        # maxOffsetsPerTrigger/maxFilesPerTrigger — materializes a key's
+        # whole backlog here, so an oversized group logs a warning naming
+        # the missing option instead of degrading silently.
         chunks = [pdf for pdf in pdf_iter if len(pdf)]
         whole = (
             pd.concat(chunks, ignore_index=True) if len(chunks) > 1
             else (chunks[0] if chunks else None)
         )
+        if whole is not None and len(whole) > TRIGGER_GROUP_WARN_ROWS:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "batch_id=%s received %d rows in ONE trigger (> %d): "
+                "whole-trigger ordering buffers the group in memory — set "
+                "maxOffsetsPerTrigger/maxFilesPerTrigger on the source to "
+                "bound per-trigger volume",
+                batch_id, len(whole), TRIGGER_GROUP_WARN_ROWS,
+            )
         if whole is None:
             pass
         elif fast:
@@ -274,7 +296,17 @@ def build_routed_stream(
     """records/notifications: STREAMING DataFrames already in record/
     notification shape (see sources.envelope). Returns the destination-tagged
     routed stream (ROUTED_SCHEMA). Pure function — sinks are the caller's
-    (same injection seam as the reference, SURVEY.md §3.2)."""
+    (same injection seam as the reference, SURVEY.md §3.2).
+
+    Caller contract (ADVICE r12): bound the per-trigger volume — either
+    via a source option (``maxOffsetsPerTrigger`` for Kafka,
+    ``maxFilesPerTrigger`` for files) or by staging a corpus whose
+    per-key volume is known-bounded, as the in-repo replay callers do.
+    The state function orders each (batch_id, trigger) group as ONE
+    pandas frame, so an unbounded availableNow backlog would buffer a
+    key's whole backlog in a single group; past
+    ``TRIGGER_GROUP_WARN_ROWS`` it logs a warning naming the missing
+    option instead of degrading silently."""
     env = control_to_envelope(notifications).unionByName(data_to_envelope(records))
     grouped = env.groupBy("batch_id")
 

@@ -426,3 +426,71 @@ def test_dot_norm_unrolled_bit_identical_to_fold(spark):
     ).collect()
     for r in got:
         assert r["d"] and r["n"] and r["c"]
+
+
+def test_floor_nudge_matches_inline_form_and_python_twin(spark):
+    """r12 consolidation: floor_nudge/py_floor_nudge replaced ~18 inline
+    copies of floor(x * 10^d + 0.500001) / 10^d — the helper must be
+    bit-identical to the expression it replaced (including the half-up
+    boundary behavior round() would get wrong) or every consolidated
+    query's hash shifts."""
+    from hri_flink_validation_passthrough_spark.functions import (
+        floor_nudge,
+        py_floor_nudge,
+    )
+
+    vals = [0.00005, 0.123456789, -1.5000004, 2.0, 0.49999999, 123.000049999]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    for d in (4, 6, 9):
+        got = [
+            r["n"]
+            for r in df.select(
+                floor_nudge(F.col("v"), d).alias("n")
+            ).orderBy("v").collect()
+        ]
+        want = [
+            r["n"]
+            for r in df.select(
+                (F.floor(F.col("v") * 10**d + F.lit(0.500001)) / 10**d).alias(
+                    "n"
+                )
+            ).orderBy("v").collect()
+        ]
+        assert got == want, d
+        assert got == sorted(
+            (py_floor_nudge(v, d) for v in vals)
+        ), f"python twin diverges at {d}"
+    # the boundary case that motivated the rule: a value landing exactly on
+    # the half grid resolves UP on both forms
+    assert py_floor_nudge(0.00005, 4) == 0.0001
+
+
+def test_with_session_ids_gap_rule(spark):
+    """r12 consolidation: with_session_ids replaced the 4-site lag+running-
+    sum construction. Pin the gap semantics: a gap STRICTLY greater than
+    gap_s starts a new session; an exact-gap event continues."""
+    import datetime as dt
+
+    from hri_flink_validation_passthrough_spark.functions import (
+        with_session_ids,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        ("u1", t0, 1),
+        ("u1", t0 + dt.timedelta(seconds=1800), 2),  # exact gap: same sess
+        ("u1", t0 + dt.timedelta(seconds=3601), 3),  # 1801s gap: new sess
+        ("u2", t0, 4),  # other user: own first session
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp, event_id long")
+    got = {
+        (r["user_id"], r["event_id"]): r["sess_id"]
+        for r in with_session_ids(df, 1800).collect()
+    }
+    assert got == {
+        ("u1", 1): 1,
+        ("u1", 2): 1,
+        ("u1", 3): 2,
+        ("u2", 4): 1,
+    }
+    assert "new_sess" not in with_session_ids(df, 1800).columns

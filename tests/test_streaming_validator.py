@@ -82,3 +82,62 @@ def test_custom_validator_and_threshold_in_streaming(spark, tmp_path):
     assert len(inv) == 5
     assert json.loads(bytes(inv[0].value))["failure"].endswith("rejected")
     assert [n["status"] for n in notifs] == ["failed"]  # threshold 3 < 4th invalid
+
+
+def test_oversized_trigger_group_logs_warning(monkeypatch, caplog):
+    """ADVICE r12: whole-trigger ordering buffers one (key, trigger) group
+    as a single pandas frame, which is only safe while the source bounds
+    per-trigger volume. Past TRIGGER_GROUP_WARN_ROWS the state function
+    must log a warning naming the missing source option instead of
+    degrading silently (and stay silent under the bound)."""
+    import logging
+
+    import pandas as pd
+
+    from hri_flink_validation_passthrough_spark.operators import passthrough
+    from hri_flink_validation_passthrough_spark.streaming import topology
+
+    monkeypatch.setattr(
+        passthrough, "_replay_vectorized",
+        lambda *a, **k: pd.DataFrame(columns=topology._OUT_COLS),
+    )
+
+    class FakeState:
+        hasTimedOut = False
+        getOption = None
+
+        def update(self, t):
+            self.stored = t
+
+        def getCurrentProcessingTimeMs(self):
+            return 0
+
+        def setTimeoutDuration(self, ms):
+            pass
+
+    def run(n_rows):
+        pdf = pd.DataFrame(
+            {
+                "kind": ["data"] * n_rows,
+                "time_ms": range(n_rows),
+                "seq": range(n_rows),
+            }
+        )
+        fn = topology.lifecycle_with_group_state()
+        with caplog.at_level(
+            logging.WARNING,
+            logger="hri_flink_validation_passthrough_spark.streaming.topology",
+        ):
+            caplog.clear()
+            list(fn(("B",), iter([pdf]), FakeState()))
+        return [
+            r.getMessage()
+            for r in caplog.records
+            if "maxOffsetsPerTrigger" in r.getMessage()
+        ]
+
+    monkeypatch.setattr(topology, "TRIGGER_GROUP_WARN_ROWS", 2)
+    assert not run(2), "at/below the bound must stay silent"
+    warned = run(3)
+    assert warned, "above the bound must warn"
+    assert "batch_id=B" in warned[0]
