@@ -217,7 +217,12 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tf is the aggregated (doc, token) table reused by THREE consumers
     # (df, n_docs, scoring join) — persisted so the tokenize+explode scan
     # runs once; n_docs derives from tf (every doc has >= 1 token row)
-    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf")).persist()
+    # (localCheckpoint, not persist: reference-released — repo convention)
+    tf = (
+        tok.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
+    )
     df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("dfreq"))
     n = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
     scored = (
@@ -425,9 +430,11 @@ def pmi_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(*[shifted_pairs(k) for k in range(1, PMI_W + 1)])
         ).alias("pair")
     )
-    pc = pr.groupBy("pair").agg(F.count(F.lit(1)).alias("n_pair")).persist()
+    pc = pr.groupBy("pair").agg(F.count(F.lit(1)).alias("n_pair")).localCheckpoint()
     u = t.select(F.explode("toks").alias("w"))
-    uc = u.groupBy("w").agg(F.count(F.lit(1)).alias("c")).persist()
+    # (both aggregates localCheckpoint: each feeds the totals AND the
+    # scoring join; reference-released, never per-call persists)
+    uc = u.groupBy("w").agg(F.count(F.lit(1)).alias("c")).localCheckpoint()
     # corpus totals from the AGGREGATED tables (sum of counts == row count
     # of the exploded stream) — re-counting pr/u directly would re-run the
     # two explode scans just for two scalars
@@ -671,7 +678,11 @@ def corpus_split_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = F.when(b < SPLIT_TEST_PCT + SPLIT_VAL_PCT, "heldout").otherwise("train")
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     u = d.select("source", split.alias("split"), F.explode(toks).alias("w"))
-    u = u.persist()  # consumed three times: vocab cut, counts, grid sources
+    # consumed three times (vocab cut, counts, grid sources); lazy
+    # localCheckpoint so the events-sized exploded stream is not
+    # materialized before its first consumer, and reference-released
+    # after — a per-call persist pinned it for the session lifetime
+    u = u.localCheckpoint(eager=False)
     vocab = (
         u.groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))

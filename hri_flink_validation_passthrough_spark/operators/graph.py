@@ -214,7 +214,9 @@ def pagerank_supplier_coparts(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = edges.groupBy(F.col("src").alias("s")).agg(
         F.count(F.lit(1)).alias("deg")
     )
-    deg = deg.persist()
+    # localCheckpoint, not persist: per-call, consumed by every PageRank
+    # iteration — reference-released when the plan dies
+    deg = deg.localCheckpoint()
     n = nodes.count()  # the single driver scalar (node count)
 
     ranks = nodes.withColumn("r", F.lit(1.0 / n))

@@ -199,7 +199,9 @@ def fuzzy_part_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(
             Window.partitionBy("name", "gram").orderBy("pos")
         ),
-    ).persist()  # dictionary-sized index; the self-join consumes it twice
+    # dictionary-sized index; the self-join consumes it twice —
+    # localCheckpoint (reference-released), never a per-call persist
+    ).localCheckpoint()
 
     a, b = grams.alias("a"), grams.alias("b")
     cand = (

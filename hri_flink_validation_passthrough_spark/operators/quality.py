@@ -266,6 +266,11 @@ def boilerplate_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "transform(sequence(1, size(toks) - 1),"
         " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
     )
+    # `exploded` feeds both the df aggregation and the coverage join, so
+    # the tokenize+explode runs twice — deliberate (r12 review): the
+    # exploded bigram stream is LARGER than the corpus, so materializing
+    # it (persist/localCheckpoint) to save one pass would write more
+    # bytes than the second streaming scan reads.
     exploded = d.select("doc_id", F.explode(bigrams).alias("bg"))
     boiler = (
         exploded.groupBy("bg")

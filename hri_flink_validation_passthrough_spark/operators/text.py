@@ -327,7 +327,12 @@ def lm_trigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explode over the corpus (18 s at sf1, found by the r5 scan sweep).
     # The per-doc mean is the k-weighted sum over distinct grams — same
     # value, and the oracle computes the identical weighted form.
-    tfg = tri.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("k")).persist()
+    # localCheckpoint, not persist: a per-call persist with no unpersist
+    # pins a per-doc-trigram-sized cache entry for the whole session;
+    # checkpointed blocks are reference-released by the ContextCleaner
+    # (the repo-wide convention — see market_basket_lift for the
+    # cluster fault-tolerance trade-off note)
+    tfg = tri.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("k")).localCheckpoint()
     model = tfg.groupBy("g").agg(F.sum("k").alias("c"))
     total = model.agg(F.sum("c").alias("n"))
     scored = (
@@ -460,7 +465,9 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select(F.explode(_tokens_col()).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).cast("long").alias("exact_n"))
-        .persist()  # vocab-cardinality; consumed by cells AND the top-k cut
+        # vocab-cardinality; consumed by cells AND the top-k cut —
+        # localCheckpoint (reference-released), never a per-call persist
+        .localCheckpoint()
     )
     rows_ = F.array([F.lit(i) for i in range(CMS_D)])
     cells = (
@@ -528,7 +535,9 @@ def inverted_index_phrase_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings = (
         d.select("doc_id", F.posexplode(_tokens_col()).alias("pos", "term"))
         .filter(F.col("term").isin(*PHRASE))
-        .persist()  # both posting lists cut from one explode pass
+        # both posting lists cut from one explode pass — localCheckpoint
+        # (reference-released), never a per-call persist
+        .localCheckpoint()
     )
     # adjacency as an equi-join KEY (pos+1 on the left, pos on the right),
     # not a post-join filter: a document with tf1/tf2 occurrences of the
