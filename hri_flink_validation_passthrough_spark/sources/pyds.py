@@ -260,6 +260,11 @@ def custom_source_stream_envelope(spark: SparkSession, sf_dir: str) -> DataFrame
                     f"300 s with {got}/{PYDS_N} records ingested — stall, "
                     f"not a semantics result"
                 )
-        return spark.table(name).localCheckpoint()
+        # checkpoint, then DROP the sink view (r12 self-review — the
+        # memory sink otherwise pins its rows in the driver catalog for
+        # the session lifetime, one table per invocation)
+        out = spark.table(name).localCheckpoint()
+        spark.catalog.dropTempView(name)
+        return out
     finally:
         q.stop()

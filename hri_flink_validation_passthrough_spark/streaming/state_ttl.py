@@ -483,11 +483,20 @@ def _run_until_rows(
                     f"{got}/{expected_rows} sink rows — stall, not a "
                     f"semantics result"
                 )
-        # localCheckpoint: detach the result from the (stopped) memory sink
-        return spark.table(name).localCheckpoint()
+        # localCheckpoint: detach the result from the (stopped) memory sink,
+        # then DROP the sink view and remove the checkpoint dir (r12
+        # self-review, same class as the streaming maintainers' r11 work-dir
+        # leak: each invocation otherwise pins a result-sized catalog entry
+        # and leaves a checkpoint tree in /tmp for the session lifetime)
+        out = spark.table(name).localCheckpoint()
+        spark.catalog.dropTempView(name)
+        return out
     finally:
         q.stop()
         restore_state_provider(spark)
+        import shutil
+
+        shutil.rmtree(ckpt, ignore_errors=True)
 
 
 @register(

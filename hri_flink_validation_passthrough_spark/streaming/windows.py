@@ -97,7 +97,18 @@ def _run_to_table(
             .start()
         )
         q.awaitTermination()
-    return spark.table(name)
+    # localCheckpoint + DROP the sink view (r12 self-review): each memory
+    # sink pins its result rows in the driver catalog for the session
+    # lifetime — 16 call sites × repeated bench reps accumulated one
+    # result-sized table per invocation. The stream has fully terminated
+    # (availableNow), so checkpointing here copies the finished result to
+    # ContextCleaner-managed blocks and frees the catalog entry; it also
+    # detaches consumers from the MemoryPlan leaf (which is not
+    # re-resolvable after the view is gone — the reason the old ratelim
+    # site checkpointed locally).
+    out = spark.table(name).localCheckpoint()
+    spark.catalog.dropTempView(name)
+    return out
 
 
 @register(
@@ -545,7 +556,13 @@ def stream_passthrough_route(spark: SparkSession, sf_dir: str) -> DataFrame:
             if (done.n_out or 0) >= n_events and (done.n_done or 0) >= n_batches:
                 break
             time.sleep(0.3)
-        return _summarize(spark.table(name))
+        # summarize (batch-cardinality result), checkpoint, and DROP the
+        # sink view — the routed sink holds one row per event and
+        # otherwise stays pinned in the driver catalog per invocation
+        # (r12 self-review, the same lifecycle as _run_to_table's)
+        out = _summarize(spark.table(name)).localCheckpoint()
+        spark.catalog.dropTempView(name)
+        return out
     finally:
         q.stop()
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
@@ -721,13 +738,20 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
 
     final = spark.read.parquet(str(state["cur"]))
-    return final.select(
+    out = final.select(
         "user_id",
         F.col("event_type").alias("last_type"),
         F.round("value", 2).alias("last_value"),
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
         F.col("n_updates").cast("long").alias("n_updates"),
-    )
+    ).localCheckpoint()
+    # the checkpointed result no longer reads the versioned table — drop
+    # the whole work tree (r12 self-review: each invocation otherwise
+    # leaves table versions + checkpoint in /tmp for the session lifetime)
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)
+    return out
 
 
 STREAM_TOPK = 3
@@ -851,11 +875,11 @@ def stream_rate_limiter_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("window.start").alias("hr"), "event_type", "n")
     )
-    # localCheckpoint: the memory-sink leaf (MemoryPlan) is not a
-    # MultiInstanceRelation, so the grid-vs-hourly self-join below cannot
-    # deduplicate its attribute ids; checkpointing the (hours x types)-sized
-    # table swaps in a LogicalRDD leaf that can.
-    hourly = _run_to_table(agg, "ratelim").localCheckpoint()
+    # _run_to_table's checkpoint already swapped the memory-sink leaf
+    # (MemoryPlan, not a MultiInstanceRelation) for a LogicalRDD, so the
+    # grid-vs-hourly self-join below can deduplicate its attribute ids —
+    # the reason this site used to checkpoint locally.
+    hourly = _run_to_table(agg, "ratelim")
     span = hourly.groupBy("event_type").agg(
         F.min("hr").alias("mn"), F.max("hr").alias("mx")
     )
@@ -963,7 +987,7 @@ def cdc_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             "delta"
         ),
     )
-    return (
+    out = (
         d.groupBy("change_type")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_keys"),
@@ -971,7 +995,12 @@ def cdc_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("from_version", F.lit(int(vers[0])).cast("long"))
         .withColumn("to_version", F.lit(int(vers[-1])).cast("long"))
+        .localCheckpoint()  # detach from the versioned table, then drop it
     )
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)
+    return out
 
 
 @register(
@@ -1365,11 +1394,20 @@ def stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             for f in os.listdir(os.path.join(out_root, d))
         )
     ]
+    import shutil
+
     if not parts:  # zero near-dups in the delta at this sf
+        shutil.rmtree(base, ignore_errors=True)
         return spark.createDataFrame(
             [], "doc_a bigint, doc_b bigint, jaccard double"
         )
-    return spark.read.parquet(*parts)
+    # checkpoint the (pair-sized) result so the delta replay + epoch dirs
+    # can be dropped — each invocation otherwise leaves a delta-sized copy
+    # in /tmp for the session lifetime (r12 self-review, same class as the
+    # maintainers' r11 work-dir leak)
+    out = spark.read.parquet(*parts).localCheckpoint()
+    shutil.rmtree(base, ignore_errors=True)
+    return out
 
 
 def _register_stream_dedup_incremental() -> None:
