@@ -83,6 +83,7 @@ SHOWCASE = {
     "ohlc_hourly_bars": "single partial-aggregated groupBy; open/close as struct min/max with field extraction — no window, no sort",
     "attribution_last_touch": "union + last_value(struct) IGNORE NULLS running window — one shuffle, no purchase-touch self-join",
     "ann_sq8_adc_topk": "SQ8 quantize∘decode as map-side array lambdas (codegen, zero Python); broadcast query set; partial WindowGroupLimit pushes the shortlist cut map-side before the one qid shuffle; exact rerank joins raw vectors only for the shortlist",
+    "ann_ivf_filtered_topk": "metadata predicate evaluated on the CANDIDATE side inside probed cells (codegen filter directly above the assignment scan, before any distance work) — never post-filtering an underfilled top-k",
 }
 
 
