@@ -42,6 +42,7 @@ ALLOWED_NESTED_LOOP = {
     "ann_pq_depth_recall_sweep": "same composition as ann_nprobe_recall_sweep: knn_brute_force ground truth + the broadcast centroid-table crossJoin (nlist rows); the depth sweep is explode+filter over the ONE reranked max-depth shortlist, no extra join or rerank",
     # tiny broadcast cross joins by construction (scalar/1-row side):
     "ann_ivf_topk": "crossJoin against the broadcast centroid table (nlist rows)",
+    "ann_ivf_filtered_topk": "same probes-side crossJoin against the broadcast centroid table (nlist rows) as ann_ivf_topk — identical plan with the candidate filter evaluated above the assignment scan (registered r12)",
     "ann_ivf_durable_topk": "same probes-side crossJoin against the broadcast centroid table (nlist rows) as ann_ivf_topk; the index side is a partition-pruned parquet scan equi-joined on cell",
     "ann_ivf_upsert_topk": "same probes-side crossJoin against the broadcast centroid table (nlist rows); identical read path to ann_ivf_durable_topk over the upserted index dir",
     "ann_ivf_trained_topk": "same probes-side crossJoin against the broadcast centroid table (nlist rows), built from the SIDECAR's centroids (r9: centroids ride as data, not a k x dim literal expression — 1.8x faster read path, BASELINE.md r9)",
