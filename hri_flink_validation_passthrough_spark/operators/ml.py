@@ -127,6 +127,10 @@ def logistic_gd_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append((step, w0, w1, float(g["loss"])))
         w0 = _snap9(w0 - LR_RATE * float(g["g0"]))
         w1 = _snap9(w1 - LR_RATE * float(g["g1"]))
+    # the train cache served its GD steps; the returned trajectory is
+    # literal rows with no lineage to it — release instead of pinning a
+    # lineitem-projection-sized entry per invocation (r12 review)
+    d.unpersist()
     # trajectory rows report the UPDATED params per step (matching the
     # oracle's p_k) alongside the loss measured before that update
     out = [
@@ -308,6 +312,9 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         lead = min(range(PCA_DIM), key=lambda i: (-abs(w_new[i]), i))
         rows.append((k, lam, delta, lead, _snap6(w_new[lead])))
         w = w_new
+    # iterations done; the trajectory is literal rows — release the
+    # per-call train cache (r12 review, same rule as logistic_gd)
+    v.unpersist()
     return spark.createDataFrame(
         rows,
         "iteration long, eigenvalue double, delta double, "

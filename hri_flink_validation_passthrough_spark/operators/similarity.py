@@ -1338,7 +1338,7 @@ def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_bm25_scored_memo: dict[tuple, DataFrame] = {}
+_bm25_scored_memo: dict[tuple, tuple] = {}
 
 
 def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1355,7 +1355,7 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         _fp_key(sf_dir, "documents.parquet"),
     )
     if key in _bm25_scored_memo:
-        return _bm25_scored_memo[key]
+        return _bm25_scored_memo[key][0]
     from ..session import evict_stale_memo
 
     evict_stale_memo(_bm25_scored_memo, key, 2)
@@ -1395,7 +1395,11 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = per_doc.join(F.broadcast(stats)).select(
         "doc_id", F.round(score, 6).alias("score")
     )
-    _bm25_scored_memo[key] = scored
+    # memoize the PERSISTED intermediate alongside the result:
+    # evict_stale_memo unpersists every frame in a tuple entry, and
+    # unpersisting only `scored` (not itself persisted) would leave
+    # per_doc's cache pinned after a corpus-regen eviction (r12 review)
+    _bm25_scored_memo[key] = (scored, per_doc)
     return scored
 
 
@@ -3357,6 +3361,9 @@ def kmeans_lloyd_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             # else: empty cluster keeps its previous centroid
         assigned.unpersist()
+    # trajectory is literal rows — release the per-call projection cache
+    # (r12 review, same rule as the ml.py trainers)
+    v.unpersist()
     return spark.createDataFrame(
         traj, "iteration long, cluster long, n_members long, avg_sim double"
     )
