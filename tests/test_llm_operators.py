@@ -463,3 +463,29 @@ def test_banded_hamming_pairs_pigeonhole_recall(spark):
             assert got.get((a, b)) == ham, (a, b, ham, got)
         else:
             assert (a, b) not in got
+
+
+def test_iterative_trainers_release_their_caches(spark):
+    """r12 review: the GD/PCA/Lloyd trainers persist a train projection for
+    the step loop and return literal trajectory rows — the cache must be
+    RELEASED at return, or every invocation pins another executor-cache
+    entry for the session lifetime. Pin: repeated invocations do not grow
+    the persistent-RDD set (session-memoized artifacts from other
+    operators may pre-exist; the trainers must add none)."""
+    from hri_flink_validation_passthrough_spark.operators.ml import (
+        logistic_gd_returnflag,
+        pca_power_iteration,
+    )
+    from hri_flink_validation_passthrough_spark.operators.similarity import (
+        kmeans_lloyd_convergence,
+    )
+
+    def n_cached() -> int:
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    for fn in (logistic_gd_returnflag, pca_power_iteration,
+               kmeans_lloyd_convergence):
+        fn(spark, "/root/testdata/sf0.001").collect()  # warm: memos build here
+        before = n_cached()
+        fn(spark, "/root/testdata/sf0.001").collect()
+        assert n_cached() == before, fn.__name__
