@@ -968,7 +968,17 @@ _SRP_PINNED: list[DataFrame] = []
 
 def srp_lsh_pairs(emb: DataFrame, threshold: float) -> DataFrame:
     """SRP-LSH near-dup pairs over (vec_id, e: array<double>). Reusable core
-    so tests can drive synthetic near-dup corpora through the same plan."""
+    so tests can drive synthetic near-dup corpora through the same plan.
+
+    Scale lever (SCALING.md r12 10x soak — this is the headline set's one
+    ~linear-growth member): wall tracks the per-row signature multiply plus
+    the band term, and RANDOM band collisions grow with corpus size at
+    fixed (SRP_ROWS, SRP_BANDS). Production holds per-bucket occupancy by
+    raising SRP_ROWS (more sign bits per band key — collision probability
+    falls 2x per bit for near-orthogonal pairs) and SRP_BANDS with it to
+    keep the miss bound; the verify stage already bounds pair work to
+    true-candidate volume, so parameter scaling is a constant-factor knob,
+    never a correctness one."""
     import math
 
     spark = emb.sparkSession
