@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""A/B the SRP-LSH parameter-scaling lever (r12 — backs the srp_lsh_pairs
+docstring): at growing corpus size, RANDOM band collisions at fixed
+(SRP_ROWS, SRP_BANDS) inflate the candidate stage; production raises rows
+(and re-splits the bit budget into fewer, longer bands) to hold bucket
+occupancy. Each arm runs in a FRESH JVM (the signature UDF factory bakes
+the module constants at build time), 1 warm + 3 measured reps, and the
+arms' pair sets are compared for equality (the lever must be a
+constant-factor knob, never a correctness one — miss probability at the
+0.95 threshold stays <= ~3e-5 for the B arm on near-orthogonal corpora).
+
+The B arm re-splits the SAME 256-bit budget into 16 bands x 16 rows
+(the signature packing needs bits % 64 == 0, so the budget is held and
+only the band shape moves). Report includes each arm's pair set hash —
+the B arm's theoretical miss at EXACTLY the 0.95 threshold is ~4%, so
+equality is expected only when the corpus's true pairs sit safely above
+the threshold (they do here); a DIFF is reported, not asserted.
+
+Usage: python tools/ab_srp_params.py [sfdir] [rows_b=16] [bands_b=16]
+"""
+
+from __future__ import annotations
+
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def run_arm(sf: str, rows: int, bands: int, cpus: int):
+    from hri_flink_validation_passthrough_spark.operators import dedup as D
+    from hri_flink_validation_passthrough_spark.session import build_session
+
+    D.SRP_ROWS = rows
+    D.SRP_BANDS = bands
+    D.SRP_BITS = rows * bands  # hyperplane count follows the band budget
+
+    spark = build_session(f"ab_srp_{rows}x{bands}", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def once() -> float:
+        t = time.perf_counter()
+        D.dedup_embedding_srp_lsh(spark, sf).write.mode("overwrite").format(
+            "noop"
+        ).save()
+        return time.perf_counter() - t
+
+    once()  # warm: session memos, codegen
+    reps = [once() for _ in range(3)]
+    pairs = {
+        (r["vec_a"], r["vec_b"])
+        for r in D.dedup_embedding_srp_lsh(spark, sf).collect()
+    }
+    spark.stop()
+    return reps, pairs
+
+
+def main() -> None:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfgen/sf1"
+    rows_b = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    bands_b = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    # fresh process per arm so the baked UDF constants cannot leak across
+    if os.environ.get("_AB_SRP_ARM"):
+        rows, bands = (
+            (8, 32)
+            if os.environ["_AB_SRP_ARM"] == "A"
+            else (rows_b, bands_b)
+        )
+        reps, pairs = run_arm(sf, rows, bands, cpus)
+        print(
+            f"ARM {os.environ['_AB_SRP_ARM']} rows={rows} bands={bands} "
+            f"reps={[round(t, 3) for t in reps]} "
+            f"best={min(reps):.3f} median={statistics.median(reps):.3f} "
+            f"n_pairs={len(pairs)} pairs_hash={hash(frozenset(pairs))}",
+            flush=True,
+        )
+        return
+
+    import subprocess
+
+    for arm in ("A", "B"):
+        env = dict(os.environ, _AB_SRP_ARM=arm)
+        subprocess.run([sys.executable, __file__, *sys.argv[1:]], env=env, check=True)
+
+
+if __name__ == "__main__":
+    main()
