@@ -494,3 +494,56 @@ def test_with_session_ids_gap_rule(spark):
         ("u2", 4): 1,
     }
     assert "new_sess" not in with_session_ids(df, 1800).columns
+
+
+def test_with_session_ids_randomized_differential(spark):
+    """Seeded randomized differential for the shared sessionize helper
+    (r12 — it backs 4 registered queries): arbitrary event sets with
+    duplicate timestamps, exact-gap edges, and interleaved users must
+    match a pure-Python sequential reference of the same rule (new
+    session when gap > gap_s; sess_id = running count of starts per
+    user, ordered by (ts, event_id))."""
+    import datetime as dt
+    import random
+
+    from hri_flink_validation_passthrough_spark.functions import (
+        with_session_ids,
+    )
+
+    gap_s = 600
+    t0 = dt.datetime(2024, 3, 1)
+    for seed in (1, 7, 42):
+        rng = random.Random(seed)
+        rows = []
+        eid = 0
+        for _ in range(250):
+            eid += 1
+            user = f"u{rng.randint(1, 6)}"
+            # cluster offsets so exact-gap and duplicate-ts cases occur
+            off = rng.choice(
+                [0, 1, gap_s - 1, gap_s, gap_s + 1, 5000, 20000]
+            ) + rng.randint(0, 3) * gap_s * 4
+            rows.append((user, t0 + dt.timedelta(seconds=off), eid))
+
+        # python reference: per-user sequential scan in (ts, event_id) order
+        want = {}
+        by_user: dict = {}
+        for user, ts, e in rows:
+            by_user.setdefault(user, []).append((ts, e))
+        for user, evs in by_user.items():
+            evs.sort()
+            sess, last = 0, None
+            for ts, e in evs:
+                if last is None or (ts - last).total_seconds() > gap_s:
+                    sess += 1
+                last = ts
+                want[(user, e)] = sess
+
+        df = spark.createDataFrame(
+            rows, "user_id string, ts timestamp, event_id long"
+        )
+        got = {
+            (r["user_id"], r["event_id"]): r["sess_id"]
+            for r in with_session_ids(df, gap_s).collect()
+        }
+        assert got == want, f"seed {seed}"
