@@ -135,11 +135,17 @@ def py_floor_nudge(v: float, digits: int) -> float:
     """The driver-side scalar twin of :func:`floor_nudge` — snaps collected
     model parameters (GD weights, power-iteration vectors) to the same grid
     both engines will see, so float noise cannot compound across iterative
-    steps."""
+    steps. The ``float(...)`` wrap is load-bearing (r12 hypothesis find):
+    Python's ``math.floor`` returns an EXACT int, and dividing that by the
+    scale can differ by 1 ulp from the engines' double-typed
+    ``floor(x)/scale`` once ``|v|*scale`` exceeds 2^53; converting back to
+    double first reproduces the C semantics bit-for-bit over the whole
+    double range (the practical snap domains — weights, loadings,
+    centroids — sit far below the boundary either way)."""
     import math
 
     scale = 10 ** digits
-    return math.floor(v * scale + 0.500001) / scale
+    return float(math.floor(v * scale + 0.500001)) / scale
 
 
 def with_session_ids(events: "DataFrame", gap_s: int) -> "DataFrame":

@@ -228,3 +228,36 @@ def test_sq8_quantize_error_bound_and_code_range(vec):
         )  # round-half-away-from-zero, the double semantics both engines use
         assert -127 <= code <= 127
         assert abs(x - code / scale) <= step_half + 1e-12
+
+
+# ---- floor-nudge rule: cross-engine identity of the rounding primitive ----
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.floats(min_value=-1e9, max_value=1e9, allow_nan=False),
+    st.sampled_from([4, 6, 8, 9]),
+)
+def test_floor_nudge_python_equals_duckdb(v, digits):
+    """The repo's half-up rule floor(x*10^d + 0.500001)/10^d is load-bearing
+    BECAUSE both engines compute it identically on the same double —
+    py_floor_nudge (the driver-side scalar twin used to snap GD/PCA/Lloyd
+    parameters) must match DuckDB's evaluation of the same expression
+    bit-for-bit for arbitrary doubles, or snapped literals would diverge
+    from oracle CTE re-derivations."""
+    import duckdb
+
+    from hri_flink_validation_passthrough_spark.functions import (
+        py_floor_nudge,
+    )
+
+    scale = 10 ** digits
+    got = py_floor_nudge(v, digits)
+    # bind the double as a PARAMETER: a repr() literal would parse as
+    # DECIMAL first and the DECIMAL->DOUBLE cast can land 1 ulp off the
+    # Python double (a literal-syntax artifact — oracle inputs are parquet
+    # doubles, never high-precision decimal literals)
+    want = duckdb.execute(
+        f"SELECT floor(?::DOUBLE * {scale} + 0.500001) / {scale}", [v]
+    ).fetchone()[0]
+    assert got == want or (math.isnan(got) and math.isnan(want)), (v, digits)
