@@ -697,9 +697,12 @@ _CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
     + " UNION ALL ".join(
         f"""
         SELECT '{a}' AS col_a, '{b}' AS col_b,
-               round((n * p_{a}_{b} - s_{a} * s_{b})
-                     / sqrt((n * ss_{a} - s_{a} * s_{a})
-                            * (n * ss_{b} - s_{b} * s_{b})), 6) AS pearson_r
+               CASE WHEN (n * ss_{a} - s_{a} * s_{a})
+                         * (n * ss_{b} - s_{b} * s_{b}) > 0
+                    THEN round((n * p_{a}_{b} - s_{a} * s_{b})
+                               / sqrt((n * ss_{a} - s_{a} * s_{a})
+                                      * (n * ss_{b} - s_{b} * s_{b})), 6)
+                    END AS pearson_r
         FROM s"""
         for i, a in enumerate(_CORR_COLS)
         for b in _CORR_COLS[i + 1 :]
@@ -712,8 +715,15 @@ _CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
     "Sb^2)) as closed algebra, NOT the engines' corr() aggregates: their "
     "streaming co-moment updates differ in association order across "
     "engines, a rounding-boundary hash risk (COVERAGE.md r11 addendum 5); "
-    "the explicit form is the same expression both sides, like "
-    "welch_t_event_values/ols_price_on_quantity. Superseded in r12.",
+    "the explicit form puts the same FINAL algebra on both sides, which "
+    "REDUCES the round(.,6) boundary risk but does not eliminate it — the "
+    "15 double sums are still partition-order-dependent per engine, and "
+    "the raw-moment form n*Saa - Sa^2 is worse-conditioned than a shifted "
+    "co-moment (cancellation grows with n and column magnitude; at large "
+    "SF, pre-center the columns with a first-pass mean before the moment "
+    "sums — the scale lever, not needed at driver SFs). Zero-variance "
+    "pairs return NULL on both engines (guarded CASE, ADVICE r12). "
+    "Superseded in r12.",
 )
 def numeric_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -737,7 +747,11 @@ def numeric_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         cov = n * F.col(f"p_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
         var_a = n * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")
         var_b = n * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")
-        return cov / F.sqrt(var_a * var_b)
+        # zero-variance guard (ADVICE r12): on a constant column Spark's
+        # Divide yields NULL while DuckDB's ieee division yields NaN/Inf —
+        # the same CASE in both expressions makes both engines return NULL
+        # on a degenerate corpus instead of diverging.
+        return F.when(var_a * var_b > 0, cov / F.sqrt(var_a * var_b))
 
     rows = [
         F.struct(

@@ -111,26 +111,30 @@ def logistic_gd_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist()
     w0, w1 = 0.0, 0.0
     rows = []
-    for step in range(1, LR_STEPS + 1):
-        z = F.lit(w0) + F.lit(w1) * F.col("x")
-        s = 1.0 / (1.0 + F.exp(-z))
-        g = d.agg(
-            F.avg(s - F.col("y")).alias("g0"),
-            F.avg((s - F.col("y")) * F.col("x")).alias("g1"),
-            F.avg(
-                -(
-                    F.col("y") * F.log(s)
-                    + (1.0 - F.col("y")) * F.log(1.0 - s)
-                )
-            ).alias("loss"),
-        ).collect()[0]
-        rows.append((step, w0, w1, float(g["loss"])))
-        w0 = _snap9(w0 - LR_RATE * float(g["g0"]))
-        w1 = _snap9(w1 - LR_RATE * float(g["g1"]))
-    # the train cache served its GD steps; the returned trajectory is
+    # the train cache serves only the GD steps; the returned trajectory is
     # literal rows with no lineage to it — release instead of pinning a
-    # lineitem-projection-sized entry per invocation (r12 review)
-    d.unpersist()
+    # lineitem-projection-sized entry per invocation (r12 review). finally:
+    # a failure mid-loop must not leak exactly the entry the release
+    # targets (ADVICE r12).
+    try:
+        for step in range(1, LR_STEPS + 1):
+            z = F.lit(w0) + F.lit(w1) * F.col("x")
+            s = 1.0 / (1.0 + F.exp(-z))
+            g = d.agg(
+                F.avg(s - F.col("y")).alias("g0"),
+                F.avg((s - F.col("y")) * F.col("x")).alias("g1"),
+                F.avg(
+                    -(
+                        F.col("y") * F.log(s)
+                        + (1.0 - F.col("y")) * F.log(1.0 - s)
+                    )
+                ).alias("loss"),
+            ).collect()[0]
+            rows.append((step, w0, w1, float(g["loss"])))
+            w0 = _snap9(w0 - LR_RATE * float(g["g0"]))
+            w1 = _snap9(w1 - LR_RATE * float(g["g1"]))
+    finally:
+        d.unpersist()
     # trajectory rows report the UPDATED params per step (matching the
     # oracle's p_k) alongside the loss measured before that update
     out = [
@@ -259,8 +263,6 @@ def _pca_oracle() -> str:
     "with the top eigenvector.",
 )
 def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import math
-
     prepare(spark)
     # ONE base scan total: the raw projection is cached, the mean pass and
     # every iteration read the cache, and centering is a cheap in-row
@@ -269,17 +271,37 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     ).persist()
-    mu_rows = (
-        v.select(F.posexplode("e").alias("dim", "x"))
-        .groupBy("dim")
-        .agg(F.avg("x").alias("m"), F.count(F.lit(1)).alias("n"))
-        .collect()
+    try:
+        mu_rows = (
+            v.select(F.posexplode("e").alias("dim", "x"))
+            .groupBy("dim")
+            .agg(F.avg("x").alias("m"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        n = int(mu_rows[0]["n"])  # every dim counts all rows
+        mu = [0.0] * PCA_DIM
+        for r in mu_rows:
+            mu[int(r["dim"])] = _snap9(float(r["m"]))
+        w = [0.125] * PCA_DIM  # deterministic init: normalized all-ones (1/sqrt(64))
+        rows = _pca_rounds(v, mu, w, n)
+    finally:
+        # the trajectory is literal rows — release the per-call train cache
+        # (r12 review, same rule as logistic_gd); finally so a mid-iteration
+        # failure doesn't leak the entry (ADVICE r12)
+        v.unpersist()
+    return spark.createDataFrame(
+        rows,
+        "iteration long, eigenvalue double, delta double, "
+        "leading_dim long, leading_loading double",
     )
-    n = int(mu_rows[0]["n"])  # every dim counts all rows
-    mu = [0.0] * PCA_DIM
-    for r in mu_rows:
-        mu[int(r["dim"])] = _snap9(float(r["m"]))
-    w = [0.125] * PCA_DIM  # deterministic init: normalized all-ones (1/sqrt(64))
+
+
+def _pca_rounds(v, mu, w, n):
+    """The unrolled power-iteration rounds over the cached projection
+    (split from pca_power_iteration so the cache lifetime reads as one
+    try/finally at the call site)."""
+    import math
+
     rows = []
     for k in range(1, PCA_ITERS + 1):
         # centering is algebra, not per-element work: the centered dot is
@@ -312,14 +334,7 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         lead = min(range(PCA_DIM), key=lambda i: (-abs(w_new[i]), i))
         rows.append((k, lam, delta, lead, _snap6(w_new[lead])))
         w = w_new
-    # iterations done; the trajectory is literal rows — release the
-    # per-call train cache (r12 review, same rule as logistic_gd)
-    v.unpersist()
-    return spark.createDataFrame(
-        rows,
-        "iteration long, eigenvalue double, delta double, "
-        "leading_dim long, leading_loading double",
-    )
+    return rows
 
 
 def _snap6(v: float) -> float:

@@ -340,18 +340,17 @@ def passthrough_terminate_relational(spark: SparkSession, sf_dir: str) -> DataFr
     return _summarize(routed).select("batch_id", "n_out", "final_status")
 
 
-@register(
-    QUERIES,
-    "passthrough_unknown_relational",
-    oracle="""
-    SELECT event_type AS batch_id,
-           CAST(CASE WHEN event_type = 'error' THEN 0 ELSE count(*) END AS BIGINT) AS n_out,
-           CAST(CASE WHEN event_type = 'error' THEN count(*) ELSE 0 END AS BIGINT) AS n_invalid,
-           CASE WHEN event_type = 'error' THEN NULL ELSE 'completed' END AS final_status
-    FROM events
-    GROUP BY event_type
-    """,
-    doc="Unknown-batch routing via the relational plan.",
-)
+# Registration RETIRED in r13 (COVERAGE.md capacity policy rule #2c: a
+# *_relational parity twin whose state-machine twin stays green) — the
+# r12 verdict's ask #1, executed once its queued precondition landed:
+# BOTH twins hash-green at age 0 in CORRECTNESS_r12.json
+# (passthrough_unknown_batch + this twin, identical oracle). Restores
+# registry margin 2 (238/240). The plan stays covered by the registered
+# passthrough_route_relational (same routing subtree), the randomized
+# differential suite ('unknown' scenarios every run,
+# tests/test_relational_differential.py), and the direct twin-parity pin
+# test_retired_twins_match_state_machine, extended to this pair.
 def passthrough_unknown_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unknown-batch routing via the relational plan (same oracle as the
+    state machine's passthrough_unknown_batch)."""
     return _summarize(_routed_events(spark, sf_dir, exclude=["error"]))

@@ -3314,56 +3314,63 @@ def _lloyd_oracle() -> str:
     "MLlib iteration shape.",
 )
 def kmeans_lloyd_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import math
-
     v = _emb(spark, sf_dir).persist()
-    cents = [
-        [float(x) for x in r["e"]]
-        for r in v.filter(F.col("vec_id") < NLIST).orderBy("vec_id").collect()
-    ]
     traj = []
-    for it in range(1, LLOYD_ITERS + 1):
-        carr = F.lit(cents)  # k x dim literal — the broadcast model
-        sims = F.transform(carr, lambda c: F.round(cosine_similarity(F.col("e"), c), 6))
-        assigned = (
-            v.withColumn("sims", sims)
-            .select(
-                "e",
-                (F.array_position(F.col("sims"), F.array_max("sims")) - 1)
-                .cast("int")
-                .alias("cluster"),
-                F.array_max("sims").alias("sim"),
+    # trajectory is literal rows — release the per-call caches (r12
+    # review, same rule as the ml.py trainers); finally-scoped so a
+    # mid-iteration failure can't leak them (ADVICE r12)
+    try:
+        cents = [
+            [float(x) for x in r["e"]]
+            for r in v.filter(F.col("vec_id") < NLIST).orderBy("vec_id").collect()
+        ]
+        for it in range(1, LLOYD_ITERS + 1):
+            carr = F.lit(cents)  # k x dim literal — the broadcast model
+            sims = F.transform(
+                carr, lambda c: F.round(cosine_similarity(F.col("e"), c), 6)
             )
-        ).persist()
-        stats = assigned.groupBy("cluster").agg(
-            F.count(F.lit(1)).alias("n_members"),
-            floor_nudge(F.avg("sim"), 6).alias("avg_sim"),
-        )
-        traj.extend(
-            (it, int(r["cluster"]), int(r["n_members"]), float(r["avg_sim"]))
-            for r in stats.collect()
-        )
-        means = (
-            assigned.select("cluster", F.posexplode("e").alias("dim", "x"))
-            .groupBy("cluster", "dim")
-            .agg(F.avg("x").alias("c"))
-            .collect()
-        )
-        by_cluster: dict[int, dict[int, float]] = {}
-        for r in means:
-            by_cluster.setdefault(int(r["cluster"]), {})[int(r["dim"])] = float(r["c"])
-        for cid in range(NLIST):
-            if cid in by_cluster:
-                dims = by_cluster[cid]
-                cents[cid] = [
-                    py_floor_nudge(dims[d], 9)
-                    for d in range(len(cents[cid]))
-                ]
-            # else: empty cluster keeps its previous centroid
-        assigned.unpersist()
-    # trajectory is literal rows — release the per-call projection cache
-    # (r12 review, same rule as the ml.py trainers)
-    v.unpersist()
+            assigned = (
+                v.withColumn("sims", sims)
+                .select(
+                    "e",
+                    (F.array_position(F.col("sims"), F.array_max("sims")) - 1)
+                    .cast("int")
+                    .alias("cluster"),
+                    F.array_max("sims").alias("sim"),
+                )
+            ).persist()
+            try:
+                stats = assigned.groupBy("cluster").agg(
+                    F.count(F.lit(1)).alias("n_members"),
+                    floor_nudge(F.avg("sim"), 6).alias("avg_sim"),
+                )
+                traj.extend(
+                    (it, int(r["cluster"]), int(r["n_members"]), float(r["avg_sim"]))
+                    for r in stats.collect()
+                )
+                means = (
+                    assigned.select("cluster", F.posexplode("e").alias("dim", "x"))
+                    .groupBy("cluster", "dim")
+                    .agg(F.avg("x").alias("c"))
+                    .collect()
+                )
+            finally:
+                assigned.unpersist()
+            by_cluster: dict[int, dict[int, float]] = {}
+            for r in means:
+                by_cluster.setdefault(int(r["cluster"]), {})[int(r["dim"])] = float(
+                    r["c"]
+                )
+            for cid in range(NLIST):
+                if cid in by_cluster:
+                    dims = by_cluster[cid]
+                    cents[cid] = [
+                        py_floor_nudge(dims[d], 9)
+                        for d in range(len(cents[cid]))
+                    ]
+                # else: empty cluster keeps its previous centroid
+    finally:
+        v.unpersist()
     return spark.createDataFrame(
         traj, "iteration long, cluster long, n_members long, avg_sim double"
     )

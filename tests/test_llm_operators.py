@@ -489,3 +489,16 @@ def test_iterative_trainers_release_their_caches(spark):
         before = n_cached()
         fn(spark, "/root/testdata/sf0.001").collect()
         assert n_cached() == before, fn.__name__
+
+    # ADVICE r12: the release must also hold on the EXCEPTION path — a
+    # failure mid-iteration (here: a missing table, so the first cached
+    # action inside the loop throws) must not leak the train cache the
+    # finally block targets.
+    import pytest
+
+    before = n_cached()
+    for fn in (logistic_gd_returnflag, pca_power_iteration,
+               kmeans_lloyd_convergence):
+        with pytest.raises(Exception):
+            fn(spark, "/root/testdata/no-such-sf").collect()
+        assert n_cached() == before, f"{fn.__name__} leaked on failure"

@@ -143,16 +143,20 @@ def test_retired_twins_match_state_machine(spark):
     from hri_flink_validation_passthrough_spark.operators.passthrough import (
         passthrough_overcount,
         passthrough_terminate,
+        passthrough_unknown_batch,
     )
     from hri_flink_validation_passthrough_spark.operators.passthrough_relational import (
         passthrough_overcount_relational,
         passthrough_terminate_relational,
+        passthrough_unknown_relational,
     )
 
     sf = SF_SMALL
     for machine_fn, twin_fn in (
         (passthrough_overcount, passthrough_overcount_relational),
         (passthrough_terminate, passthrough_terminate_relational),
+        # r13 retirement (rule #2c): the unknown-batch relational twin
+        (passthrough_unknown_batch, passthrough_unknown_relational),
     ):
         want = {tuple(r) for r in machine_fn(spark, sf).collect()}
         got = {tuple(r) for r in twin_fn(spark, sf).collect()}

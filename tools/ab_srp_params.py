@@ -11,10 +11,13 @@ constant-factor knob, never a correctness one — miss probability at the
 
 The B arm re-splits the SAME 256-bit budget into 16 bands x 16 rows
 (the signature packing needs bits % 64 == 0, so the budget is held and
-only the band shape moves). Report includes each arm's pair set hash —
-the B arm's theoretical miss at EXACTLY the 0.95 threshold is ~4%, so
-equality is expected only when the corpus's true pairs sit safely above
-the threshold (they do here); a DIFF is reported, not asserted.
+only the band shape moves). The parent captures each arm's report and
+prints an explicit PAIRS EQUAL / PAIRS DIFF verdict line from the parsed
+n_pairs/pairs_hash — the B arm's theoretical miss at EXACTLY the 0.95
+threshold is ~4%, so equality is expected only when the corpus's true
+pairs sit safely above the threshold; a DIFF is reported, not asserted
+(the lever is a perf knob with a quantified recall floor, see
+tests/test_llm_operators.py's band-shape recall pin).
 
 Usage: python tools/ab_srp_params.py [sfdir] [rows_b=16] [bands_b=16]
 """
@@ -57,6 +60,14 @@ def run_arm(sf: str, rows: int, bands: int, cpus: int):
     return reps, pairs
 
 
+def _pairs_digest(pairs: set) -> str:
+    """Process-stable digest (hash(frozenset) is salted for str elements —
+    two arms in different JVM-less subprocesses must agree bit-for-bit)."""
+    import hashlib
+
+    return hashlib.sha256(repr(sorted(pairs)).encode()).hexdigest()[:16]
+
+
 def main() -> None:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfgen/sf1"
     rows_b = int(sys.argv[2]) if len(sys.argv) > 2 else 16
@@ -75,16 +86,43 @@ def main() -> None:
             f"ARM {os.environ['_AB_SRP_ARM']} rows={rows} bands={bands} "
             f"reps={[round(t, 3) for t in reps]} "
             f"best={min(reps):.3f} median={statistics.median(reps):.3f} "
-            f"n_pairs={len(pairs)} pairs_hash={hash(frozenset(pairs))}",
+            f"n_pairs={len(pairs)} pairs_hash={_pairs_digest(pairs)}",
             flush=True,
         )
         return
 
+    import re
     import subprocess
 
+    # ADVICE r12: the parent COMPARES the arms — capture each arm's report,
+    # parse n_pairs/pairs_hash, and print an explicit verdict so a silent
+    # correctness regression between arms surfaces without a manual diff.
+    parsed: dict[str, tuple[int, str]] = {}
     for arm in ("A", "B"):
         env = dict(os.environ, _AB_SRP_ARM=arm)
-        subprocess.run([sys.executable, __file__, *sys.argv[1:]], env=env, check=True)
+        out = subprocess.run(
+            [sys.executable, __file__, *sys.argv[1:]],
+            env=env,
+            check=True,
+            capture_output=True,
+            text=True,
+        ).stdout
+        print(out, end="", flush=True)
+        m = re.search(r"n_pairs=(\d+) pairs_hash=(\w+)", out)
+        if m:
+            parsed[arm] = (int(m.group(1)), m.group(2))
+    if len(parsed) == 2:
+        (na, ha), (nb, hb) = parsed["A"], parsed["B"]
+        if (na, ha) == (nb, hb):
+            print(f"PAIRS EQUAL: both arms found {na} pairs, hash {ha}")
+        else:
+            print(
+                f"PAIRS DIFF: A n={na} hash={ha} vs B n={nb} hash={hb} "
+                f"(delta {na - nb:+d} — expected to be the near-threshold "
+                f"tail; investigate if |delta|/n exceeds ~1e-4)"
+            )
+    else:
+        print("PAIRS VERDICT UNAVAILABLE: could not parse both arm reports")
 
 
 if __name__ == "__main__":
