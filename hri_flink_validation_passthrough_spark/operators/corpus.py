@@ -23,6 +23,7 @@ from ..functions import floor_nudge
 from ..plans import QuerySpec, register
 from ..session import load_table, prepare
 from .dedup import _shingles_for
+from ..materialize import cut, materialize
 
 QUERIES: dict[str, QuerySpec] = {}
 
@@ -221,7 +222,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = (
         tok.groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint()
+        .transform(cut())
     )
     df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("dfreq"))
     n = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
@@ -430,11 +431,11 @@ def pmi_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(*[shifted_pairs(k) for k in range(1, PMI_W + 1)])
         ).alias("pair")
     )
-    pc = pr.groupBy("pair").agg(F.count(F.lit(1)).alias("n_pair")).localCheckpoint()
+    pc = pr.groupBy("pair").agg(F.count(F.lit(1)).alias("n_pair")).transform(cut())
     u = t.select(F.explode("toks").alias("w"))
     # (both aggregates localCheckpoint: each feeds the totals AND the
     # scoring join; reference-released, never per-call persists)
-    uc = u.groupBy("w").agg(F.count(F.lit(1)).alias("c")).localCheckpoint()
+    uc = u.groupBy("w").agg(F.count(F.lit(1)).alias("c")).transform(cut())
     # corpus totals from the AGGREGATED tables (sum of counts == row count
     # of the exploded stream) — re-counting pr/u directly would re-run the
     # two explode scans just for two scalars
@@ -682,7 +683,7 @@ def corpus_split_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint so the events-sized exploded stream is not
     # materialized before its first consumer, and reference-released
     # after — a per-call persist pinned it for the session lifetime
-    u = u.localCheckpoint(eager=False)
+    u = materialize(u, eager=False)
     vocab = (
         u.groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))

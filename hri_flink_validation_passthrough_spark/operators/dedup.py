@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from ..functions import cosine_similarity, fingerprint_md5
 from ..plans import QuerySpec, register
 from ..session import load_table, prepare
+from ..materialize import cut, materialize
 
 QUERIES: dict[str, QuerySpec] = {}
 
@@ -648,7 +649,7 @@ def min_label_components(
         pairs.selectExpr(f"{a} AS a", f"{b} AS b")
         .unionByName(pairs.selectExpr(f"{b} AS a", f"{a} AS b"))
         .distinct()
-        .localCheckpoint()  # eager: truncates the pair-generation lineage
+        .transform(cut(iterative=True))  # eager: truncates the pair-generation lineage
     )
     labels = edges.select(F.col("a").alias("v"), F.col("a").alias("lbl")).distinct()
     prev_sum = None
@@ -668,7 +669,7 @@ def min_label_components(
                     "lbl"
                 ),
             )
-            .localCheckpoint()
+            .transform(cut(iterative=True))
         )
         jump = labels.select(F.col("v").alias("u"), F.col("lbl").alias("ulbl"))
         labels = (
@@ -676,7 +677,7 @@ def min_label_components(
             .select(
                 "v", F.coalesce(F.col("ulbl"), F.col("lbl")).alias("lbl")
             )
-            .localCheckpoint()
+            .transform(cut(iterative=True))
         )
         if it % 2 == 1:
             continue  # batch the convergence barrier every 2nd round
@@ -905,24 +906,30 @@ SRP_ROWS = 8  # bits per band; SRP_BANDS * SRP_ROWS == SRP_BITS
 _SRP_SEED = 0x5EED1  # deterministic hyperplane family
 
 
-def _srp_band_keys_factory(dim: int):
-    """Build the pandas UDF computing, per embedding, the 32 SRP band keys
-    AND the full 256-bit sign signature packed into 4 int64 words (for the
+def _srp_band_keys_factory(dim: int, n_bands: int, n_rows: int):
+    """Build the pandas UDF computing, per embedding, the ``n_bands`` SRP
+    band keys AND the full sign signature packed into int64 words (for the
     Hamming prefilter). Hyperplanes are a fixed seeded Gaussian matrix
-    (dim × SRP_BITS); the whole Arrow batch is one matrix multiply."""
-    H = np.random.RandomState(_SRP_SEED).standard_normal((dim, SRP_BITS))
-    powers = 1 << np.arange(SRP_ROWS, dtype=np.int64)
+    (dim × bits, bits = bands × rows); the whole Arrow batch is one matrix
+    multiply. The same seed generates the same FIRST bits regardless of the
+    band split, so re-banding reshapes the signature rather than redrawing
+    the hyperplane family."""
+    bits = n_bands * n_rows
+    if bits % 64:
+        raise ValueError(f"bands*rows must pack into int64 words, got {bits}")
+    H = np.random.RandomState(_SRP_SEED).standard_normal((dim, bits))
+    powers = 1 << np.arange(n_rows, dtype=np.int64)
     word_powers = (1 << np.arange(64, dtype=np.uint64)).astype(np.uint64)
 
     def srp_band_keys(es: pd.Series) -> pd.DataFrame:
         X = np.stack([np.asarray(e, dtype=np.float64) for e in es])
-        bits = (X @ H) >= 0.0  # (n, SRP_BITS)
-        bands = bits.reshape(len(es), SRP_BANDS, SRP_ROWS)
-        keys = (bands * powers).sum(axis=2).astype(np.int64)  # (n, 32)
+        bits_m = (X @ H) >= 0.0  # (n, bits)
+        bands = bits_m.reshape(len(es), n_bands, n_rows)
+        keys = (bands * powers).sum(axis=2).astype(np.int64)  # (n, n_bands)
         # encode the band index into the key so one groupBy covers all bands
-        keys += np.arange(SRP_BANDS, dtype=np.int64) << np.int64(SRP_ROWS)
-        words = bits.reshape(len(es), SRP_BITS // 64, 64).astype(np.uint64)
-        sig = (words * word_powers).sum(axis=2).astype(np.int64)  # (n, 4)
+        keys += np.arange(n_bands, dtype=np.int64) << np.int64(n_rows)
+        words = bits_m.reshape(len(es), bits // 64, 64).astype(np.uint64)
+        sig = (words * word_powers).sum(axis=2).astype(np.int64)
         return pd.DataFrame({"keys": list(keys), "sig": list(sig)})
 
     return srp_band_keys
@@ -956,37 +963,41 @@ def dedup_embedding_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return srp_lsh_pairs(emb, threshold=0.95)
 
 
-# Materialization policy for the SRP signature stage — module-level so the
-# interleaved A/B harness (tools/ab_srp_materialize.py, r7 verdict ask #2)
-# can flip it without forking the plan. "ckpt" is the shipped policy;
-# "persist" pins the handle in _SRP_PINNED so the harness can unpersist
-# after the consuming action (the leak-free form of the pre-r7 per-call
-# persist); "none" recomputes the pandas-UDF stage per consumer.
-_SRP_MATERIALIZE = "ckpt"
-_SRP_PINNED: list[DataFrame] = []
-
-
-def srp_lsh_pairs(emb: DataFrame, threshold: float) -> DataFrame:
+def srp_lsh_pairs(
+    emb: DataFrame,
+    threshold: float,
+    bands: int | None = None,
+    rows_per_band: int | None = None,
+) -> DataFrame:
     """SRP-LSH near-dup pairs over (vec_id, e: array<double>). Reusable core
     so tests can drive synthetic near-dup corpora through the same plan.
 
-    Scale lever (SCALING.md r12 10x soak — this is the headline set's one
-    ~linear-growth member): wall tracks the per-row signature multiply plus
-    the band term, and RANDOM band collisions grow with corpus size at
-    fixed (SRP_ROWS, SRP_BANDS). Production holds per-bucket occupancy by
-    raising SRP_ROWS (more sign bits per band key — collision probability
-    falls 2x per bit for near-orthogonal pairs) and SRP_BANDS with it to
-    keep the miss bound; the verify stage already bounds pair work to
-    true-candidate volume, so parameter scaling is a constant-factor knob,
-    never a correctness one."""
+    Band-shape lever (r12 verdict ask #4 — parameterized here, defaults
+    unchanged): ``bands × rows_per_band`` splits the signature bit budget.
+    The shipped 32×8 gives miss ≈ 2e-8 at the 0.95 threshold (the oracle's
+    exact-equality contract needs it). As the corpus grows, RANDOM band
+    collisions at fixed shape inflate the candidate stage ~linearly
+    (SCALING.md r12 10x soak — this is the headline set's one ~linear
+    member); re-splitting the SAME 256-bit budget to 16×16 measured 4.5×
+    faster at sf1 with 3/90000 pairs missed — the near-threshold tail
+    (tools/ab_srp_params.py, BASELINE.md r12). The knob trades a
+    quantified miss bound at EXACTLY the threshold for candidate-volume
+    collapse; pairs above ~0.97 are retained with recall pinned by
+    tests/test_llm_operators.py's band-shape recall floor. Resolution is
+    call-time (None → module constants) so harnesses can flip the module
+    knobs without re-binding defaults."""
     import math
 
+    n_bands = SRP_BANDS if bands is None else bands
+    n_rows = SRP_ROWS if rows_per_band is None else rows_per_band
+    n_bits = n_bands * n_rows
     spark = emb.sparkSession
     par = spark.sparkContext.defaultParallelism
     emb = emb.repartition(par, "vec_id")
     dim = emb.select(F.size("e").alias("d")).limit(1).collect()[0]["d"]
     keys_udf = F.pandas_udf(
-        _srp_band_keys_factory(dim), "keys array<long>, sig array<long>"
+        _srp_band_keys_factory(dim, n_bands, n_rows),
+        "keys array<long>, sig array<long>",
     )
     keyed = emb.select("vec_id", keys_udf("e").alias("ks")).select(
         "vec_id", F.col("ks.keys").alias("keys"), F.col("ks.sig").alias("sig")
@@ -995,18 +1006,14 @@ def srp_lsh_pairs(emb: DataFrame, threshold: float) -> DataFrame:
     # the Hamming prefilter); without materialization the pandas-UDF matrix
     # multiply runs three times. The signature sidecar is 36 longs per vector
     # — ~0.3% of the vector bytes — so computing it once is right at any
-    # scale. localCheckpoint (lazy), not persist: a per-call persist with no
-    # unpersist accumulates a new cached copy on EVERY invocation (the
-    # ADVICE-r6 spearman pattern); checkpointed blocks are reference-released
-    # when the result goes out of scope, and lazy rides the first consuming
-    # job (the r7 eager-vs-lazy A/B; the r8 interleaved persist-vs-ckpt A/B
-    # in BASELINE.md re-confirmed ckpt after the r7 driver rep landed in
-    # box drift — tools/ab_srp_materialize.py is the harness).
-    if _SRP_MATERIALIZE == "persist":  # A/B harness path, never the default
-        keyed = keyed.persist()
-        _SRP_PINNED.append(keyed)
-    elif _SRP_MATERIALIZE == "ckpt":
-        keyed = keyed.localCheckpoint(eager=False)
+    # scale. Materialization is the REPO-WIDE policy switch (materialize.py
+    # — the r13 generalization of the knob that lived here as
+    # _SRP_MATERIALIZE): "ckpt" lazy-localCheckpoint default (the r7
+    # eager-vs-lazy A/B; the r8 interleaved persist-vs-ckpt A/B in
+    # BASELINE.md re-confirmed ckpt — tools/ab_srp_materialize.py is the
+    # harness, now flipping materialize.POLICY), "reliable"/"persist"/"none"
+    # per the module docstring.
+    keyed = materialize(keyed, eager=False)
     buckets = keyed.select("vec_id", F.explode("keys").alias("bkey"))
     pair_structs = _pair_structs(F.col("ids"), "vec_a", "vec_b")
     cand = (
@@ -1020,14 +1027,14 @@ def srp_lsh_pairs(emb: DataFrame, threshold: float) -> DataFrame:
     eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
     cos = cosine_similarity(F.col("ea"), F.col("eb"))
     # Hamming prefilter between candidate generation and the exact cosine:
-    # agreement(pair) ~ Binomial(256, 1−θ/π). At the threshold the mean is
-    # 256·p with σ = sqrt(256·p·(1−p)); requiring agreement ≥ mean − 6σ keeps
+    # agreement(pair) ~ Binomial(n_bits, 1−θ/π). At the threshold the mean
+    # is n_bits·p with σ = sqrt(n_bits·p·(1−p)); agreement ≥ mean − 6σ keeps
     # near-threshold pairs with P ≈ 1−1e-9 while a random band collision
     # (agreement ≈ 128, σ = 8) is > 9σ below the bar. The 4-word XOR +
     # bit_count runs JVM-side, so the expensive d-dim cosine is evaluated
     # only on ≈O(output) survivors instead of every bucket collision.
     p_bit = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
-    agree_min = int(SRP_BITS * p_bit - 6.0 * math.sqrt(SRP_BITS * p_bit * (1 - p_bit)))
+    agree_min = int(n_bits * p_bit - 6.0 * math.sqrt(n_bits * p_bit * (1 - p_bit)))
     sig_a = keyed.select(F.col("vec_id").alias("vec_a"), F.col("sig").alias("sig_a"))
     sig_b = keyed.select(F.col("vec_id").alias("vec_b"), F.col("sig").alias("sig_b"))
     hamming = F.aggregate(
@@ -1043,7 +1050,7 @@ def srp_lsh_pairs(emb: DataFrame, threshold: float) -> DataFrame:
     survivors = (
         cand.join(sig_a, "vec_a")
         .join(sig_b, "vec_b")
-        .filter(hamming <= F.lit(SRP_BITS - agree_min))
+        .filter(hamming <= F.lit(n_bits - agree_min))
         .select("vec_a", "vec_b")
         .dropDuplicates(["vec_a", "vec_b"])
     )
@@ -1493,7 +1500,7 @@ def tfidf_shingle_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # vocab-sized; consumed by BOTH the norm and the dot path. One-shot
         # query → localCheckpoint (reference-released), not a pinned persist
-        .localCheckpoint()
+        .transform(cut())
     )
     ew = w.select("g", F.explode("ids").alias("doc_id"), "idf")
     nrm = ew.groupBy("doc_id").agg(F.sum(F.col("idf") * F.col("idf")).alias("n2"))

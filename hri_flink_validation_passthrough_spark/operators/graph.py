@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 from ..functions import floor_nudge
 from ..plans import QuerySpec, register
 from ..session import load_table, prepare
+from ..materialize import cut
 
 QUERIES: dict[str, QuerySpec] = {}
 
@@ -216,7 +217,7 @@ def pagerank_supplier_coparts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # localCheckpoint, not persist: per-call, consumed by every PageRank
     # iteration — reference-released when the plan dies
-    deg = deg.localCheckpoint()
+    deg = deg.transform(cut())
     n = nodes.count()  # the single driver scalar (node count)
 
     ranks = nodes.withColumn("r", F.lit(1.0 / n))
@@ -532,10 +533,10 @@ def bfs_hops_from_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("dst").alias("node"))
             .distinct()
             .join(visited, "node", "left_anti")
-            .localCheckpoint()
+            .transform(cut(iterative=True))
         )
         levels.append(nxt.withColumn("hop", F.lit(i)))
-        visited = visited.unionByName(nxt).localCheckpoint()
+        visited = visited.unionByName(nxt).transform(cut(iterative=True))
         frontier = nxt
     lv = levels[0]
     for x in levels[1:]:

@@ -41,6 +41,7 @@ from ..plans import QuerySpec, register
 from ..session import load_table, prepare
 from .corpus import _SQL_SHINGLES_5, EVAL_MOD, EVAL_REM
 from .dedup import _JACCARD_ORACLE, _shingles_for
+from ..materialize import cut
 
 QUERIES: dict[str, QuerySpec] = {}
 
@@ -201,7 +202,7 @@ def fuzzy_part_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     # dictionary-sized index; the self-join consumes it twice —
     # localCheckpoint (reference-released), never a per-call persist
-    ).localCheckpoint()
+    ).transform(cut())
 
     a, b = grams.alias("a"), grams.alias("b")
     cand = (

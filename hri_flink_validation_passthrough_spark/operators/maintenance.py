@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 
 from ..plans import QuerySpec, register
 from ..session import load_table, prepare
+from ..materialize import cut
 
 QUERIES: dict[str, QuerySpec] = {}
 
@@ -519,7 +520,7 @@ def retrain_if_skewed(
             "probes from the corpus, not the sidecar: rebalance by "
             "rebuilding, not retrain_if_skewed"
         )
-    v = _ivf_index_frame(spark, path).select("vec_id", "e").localCheckpoint()
+    v = _ivf_index_frame(spark, path).select("vec_id", "e").transform(cut())
     n_rows = v.count()
     init = [
         [float(x) for x in r["e"]]

@@ -28,6 +28,7 @@ from ..functions import dot as fdot
 from ..functions import py_floor_nudge
 from ..plans import QuerySpec, register
 from ..session import load_table, prepare
+from ..materialize import cut
 
 QUERIES: dict[str, QuerySpec] = {}
 
@@ -415,7 +416,7 @@ def naive_bayes_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("tf"))
         # consumed by training counts AND the scoring join; one-shot query →
         # localCheckpoint (reference-released), not a session-pinned persist
-        .localCheckpoint()
+        .transform(cut())
     )
     cls = d.groupBy(F.col("lang").alias("c")).agg(F.count(F.lit(1)).alias("n_docs"))
     n_total = d.count()

@@ -104,9 +104,42 @@ def parse_wav_header(b: bytes) -> dict | None:
     return out if out["channels"] is not None else None
 
 
+def parse_gif_header(b: bytes) -> dict | None:
+    """GIF87a/89a logical-screen descriptor → dimensions + palette depth
+    (little-endian per the GIF spec; the packed byte's low 3 bits encode
+    global-color-table size as 2^(n+1) entries → n+1 bits per pixel).
+    Header bytes only — same pre-decode-probe shape as the other parsers;
+    frame counting would need LZW block walking, a real codec's job."""
+    if len(b) < 13 or b[0:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    width = int.from_bytes(b[6:8], "little")
+    height = int.from_bytes(b[8:10], "little")
+    packed = b[10]
+    return {"fmt": "gif", "width": width, "height": height,
+            "bit_depth": (packed & 0x07) + 1, "channels": None,
+            "sample_rate": None, "n_frames": 1}
+
+
+def parse_bmp_header(b: bytes) -> dict | None:
+    """BMP file header + BITMAPINFOHEADER → dimensions/bit depth. Height is
+    SIGNED (negative = top-down rows); dimensions are reported positive."""
+    if len(b) < 30 or b[0:2] != b"BM":
+        return None
+    dib_size = int.from_bytes(b[14:18], "little")
+    if dib_size < 40:  # BITMAPCOREHEADER etc. — not the common case
+        return None
+    width = abs(int.from_bytes(b[18:22], "little", signed=True))
+    height = abs(int.from_bytes(b[22:26], "little", signed=True))
+    bitcount = int.from_bytes(b[28:30], "little")
+    return {"fmt": "bmp", "width": width, "height": height,
+            "bit_depth": bitcount, "channels": max(1, bitcount // 8),
+            "sample_rate": None, "n_frames": 1}
+
+
 def probe_media_header(blob: bytes) -> dict | None:
     """Dispatch across the pure-Python header parsers; None if unrecognized."""
-    for parser in (parse_png_header, parse_jpeg_header, parse_wav_header):
+    for parser in (parse_png_header, parse_jpeg_header, parse_wav_header,
+                   parse_gif_header, parse_bmp_header):
         got = parser(blob)
         if got is not None:
             return got
@@ -114,7 +147,7 @@ def probe_media_header(blob: bytes) -> dict | None:
 
 
 def decode_real(blob: bytes) -> dict:
-    """Real-codec hook. Header-only decoding (PNG/JPEG/WAV) works here with
+    """Real-codec hook. Header-only decoding (PNG/JPEG/WAV/GIF/BMP) works with
     zero dependencies; full pixel/sample decode needs a codec library this
     container doesn't ship — that path raises so callers fall back to
     ``decode_fake`` explicitly rather than silently.
@@ -127,7 +160,7 @@ def decode_real(blob: bytes) -> dict:
     if hdr is None:
         raise NotImplementedError(
             "no pure-Python header parser for this format (have: PNG, JPEG, "
-            "WAV); plug a codec library here or use decode_fake"
+            "WAV, GIF, BMP); plug a codec library here or use decode_fake"
         )
     if hdr["fmt"] == "wav":
         units = hdr["n_frames"] * (hdr["channels"] or 0)

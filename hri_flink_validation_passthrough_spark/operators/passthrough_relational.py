@@ -35,6 +35,7 @@ from ..plans import QuerySpec, register
 from ..session import load_table, prepare
 from ..sources.envelope import events_as_records
 from .passthrough import _derive_control, _derive_control_agg, _summarize
+from ..materialize import materialize
 
 QUERIES: dict[str, QuerySpec] = {}
 
@@ -64,7 +65,7 @@ def _materialize(df: DataFrame) -> DataFrame:
     mode = os.environ.get("HRI_PASSTHROUGH_CKPT", "lazy")
     if mode == "off":
         return df
-    return df.localCheckpoint(eager=(mode == "eager"))
+    return materialize(df, eager=(mode == "eager"))
 
 
 def _outcomes(

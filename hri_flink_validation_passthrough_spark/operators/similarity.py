@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from ..functions import cosine_similarity, floor_nudge, py_floor_nudge
 from ..plans import QuerySpec, register
 from ..session import load_table, prepare
+from ..materialize import cut, materialize
 
 QUERIES: dict[str, QuerySpec] = {}
 
@@ -2100,7 +2101,7 @@ def _pq_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
         enc = _pq_encoded(spark, sf_dir)
         _pq_recon_memo[key] = enc.select(
             "vec_id", _pq_recon_expr(cb).alias("re")
-        ).localCheckpoint(eager=False)
+        ).transform(cut(eager=False))
     return _pq_recon_memo[key]
 
 
@@ -3194,7 +3195,7 @@ def ann_pq_depth_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # across them, so without the barrier the whole shortlist+rerank
     # subtree executes twice (observed 18 embeddings scans -> 6; the r8
     # hll_set_algebra lesson, counted on the EXECUTED plan)
-    reranked = reranked.localCheckpoint(eager=False)
+    reranked = materialize(reranked, eager=False)
     scoped = reranked.select(
         "qid",
         "nid",

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from ..functions import fingerprint_md5
 from ..plans import QuerySpec, register
 from ..session import load_table, prepare
+from ..materialize import cut, materialize
 
 QUERIES: dict[str, QuerySpec] = {}
 
@@ -332,7 +333,7 @@ def lm_trigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpointed blocks are reference-released by the ContextCleaner
     # (the repo-wide convention — see market_basket_lift for the
     # cluster fault-tolerance trade-off note)
-    tfg = tri.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("k")).localCheckpoint()
+    tfg = tri.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("k")).transform(cut())
     model = tfg.groupBy("g").agg(F.sum("k").alias("c"))
     total = model.agg(F.sum("c").alias("n"))
     scored = (
@@ -467,7 +468,7 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("exact_n"))
         # vocab-cardinality; consumed by cells AND the top-k cut —
         # localCheckpoint (reference-released), never a per-call persist
-        .localCheckpoint()
+        .transform(cut())
     )
     rows_ = F.array([F.lit(i) for i in range(CMS_D)])
     cells = (
@@ -537,7 +538,7 @@ def inverted_index_phrase_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("term").isin(*PHRASE))
         # both posting lists cut from one explode pass — localCheckpoint
         # (reference-released), never a per-call persist
-        .localCheckpoint()
+        .transform(cut())
     )
     # adjacency as an equi-join KEY (pos+1 on the left, pos on the right),
     # not a post-join filter: a document with tf1/tf2 occurrences of the
@@ -1194,7 +1195,7 @@ def hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (type, user) table; the lazy checkpoint costs ~0.1 s constant at
     # sf0.1 (within rep spread, interleaved A/B) and caps the 100 TB scan
     # term at TWO passes over events instead of eighteen.
-    regs = _hll_reg_table(e).localCheckpoint(eager=False)
+    regs = materialize(_hll_reg_table(e), eager=False)
     agg = _hll_agg(regs.groupBy("event_type"))
     # types from the materialized regs, not the base table: zero extra scans
     types = regs.select("event_type").distinct()
@@ -1239,8 +1240,8 @@ def hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
             _hll_raw_estimate("s_union", "v_union").alias("raw_u"),
         )
     )
-    tu = e.select("event_type", "user_id").distinct().localCheckpoint(
-        eager=False
+    tu = e.select("event_type", "user_id").distinct().transform(
+        cut(eager=False)
     )
     ua = pairs.join(tu.withColumnRenamed("event_type", "type_a"), "type_a")
     ub = pairs.join(tu.withColumnRenamed("event_type", "type_b"), "type_b")

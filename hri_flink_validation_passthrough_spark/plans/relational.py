@@ -24,6 +24,7 @@ from ..functions import with_session_ids
 from ..operators.asof import asof_join
 from ..session import load_table, prepare
 from . import QuerySpec, register
+from ..materialize import cut
 
 QUERIES: dict[str, QuerySpec] = {}
 
@@ -1212,7 +1213,7 @@ def transitive_closure_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     # to 2^rounds scans — the opposite of the O(log d) claim. Checkpointing
     # every SECOND round halves the materialization barriers while capping
     # the uncheckpointed plan at 2 rounds deep (4 scans of stored rows).
-    state = state.localCheckpoint(eager=True)
+    state = state.transform(cut(iterative=True))
     rounds = _closure_rounds(int(max_key))
     for i in range(rounds):
         hop = state.select(
@@ -1226,7 +1227,7 @@ def transitive_closure_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("depth") + F.col("h_depth")).alias("depth"),
         )
         if i % 2 == 1 or i == rounds - 1:
-            state = state.localCheckpoint(eager=True)
+            state = state.transform(cut(iterative=True))
     w = Window.partitionBy("anc")
     return (
         c.join(state, c.c_custkey == state.node)

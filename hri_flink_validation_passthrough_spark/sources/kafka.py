@@ -68,15 +68,28 @@ def kafka_reader_options(
     return opts
 
 
+# Bounded-by-construction default (r12 verdict ask #3): the lifecycle state
+# function buffers each (batch_id, trigger) group as one pandas frame, so
+# the production sources must never start an unbounded backlog replay —
+# an "earliest" restart over a deep topic would otherwise land a key's
+# whole history in one trigger. 1M records/trigger is well under the
+# whole-trigger concat's warning bar (topology.TRIGGER_GROUP_WARN_ROWS)
+# while keeping steady-state throughput untouched (a trigger drains at
+# most this many records, then the next trigger continues immediately).
+DEFAULT_MAX_OFFSETS_PER_TRIGGER = 1_000_000
+
+
 def read_records_stream(
     spark: SparkSession,
     topic: str,
     brokers: list[str] | str,
     password: str | None = None,
     starting_offsets: str = "earliest",
-    max_offsets_per_trigger: int | None = None,
+    max_offsets_per_trigger: int | None = DEFAULT_MAX_OFFSETS_PER_TRIGGER,
 ) -> DataFrame:
-    """Data-plane source: Kafka envelope + time_ms/seq for replay order."""
+    """Data-plane source: Kafka envelope + time_ms/seq for replay order.
+    ``max_offsets_per_trigger`` defaults BOUNDED; pass None only for a
+    source that will not feed the whole-trigger-ordering path."""
     df = (
         spark.readStream.format("kafka")
         .options(
@@ -108,8 +121,11 @@ def read_notifications_stream(
     brokers: list[str] | str,
     password: str | None = None,
     starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = DEFAULT_MAX_OFFSETS_PER_TRIGGER,
 ) -> DataFrame:
-    """Control-plane source: JSON value → typed notification columns."""
+    """Control-plane source: JSON value → typed notification columns.
+    Control volume is tiny, but the bounded default (see
+    read_records_stream) applies for the same backlog-restart reason."""
     df = (
         spark.readStream.format("kafka")
         .options(
@@ -118,6 +134,7 @@ def read_notifications_stream(
                 brokers,
                 password,
                 starting_offsets,
+                max_offsets_per_trigger,
                 include_headers=False,
             )
         )
@@ -163,6 +180,8 @@ def run_validation_job(spark: SparkSession, config):
         notifs,
         completion_delay_ms=config.batch_completion_delay_ms,
         lookup=lookup,
+        # both sources above carry the bounded maxOffsetsPerTrigger default
+        per_trigger_bound="source-option",
     )
     writer = kafka_fanout_writer(
         topics,

@@ -45,6 +45,7 @@ from pyspark.sql.datasource import (
 
 from ..plans import QuerySpec, register
 from ..session import prepare
+from ..materialize import cut
 
 QUERIES: dict[str, QuerySpec] = {}
 
@@ -263,7 +264,7 @@ def custom_source_stream_envelope(spark: SparkSession, sf_dir: str) -> DataFrame
         # checkpoint, then DROP the sink view (r12 self-review — the
         # memory sink otherwise pins its rows in the driver catalog for
         # the session lifetime, one table per invocation)
-        out = spark.table(name).localCheckpoint()
+        out = spark.table(name).transform(cut())
         spark.catalog.dropTempView(name)
         return out
     finally:

@@ -57,6 +57,7 @@ from pyspark.sql import functions as F
 
 from ..plans import QuerySpec, register
 from ..session import prepare
+from ..materialize import cut
 
 QUERIES: dict[str, QuerySpec] = {}
 
@@ -488,7 +489,7 @@ def _run_until_rows(
         # self-review, same class as the streaming maintainers' r11 work-dir
         # leak: each invocation otherwise pins a result-sized catalog entry
         # and leaves a checkpoint tree in /tmp for the session lifetime)
-        out = spark.table(name).localCheckpoint()
+        out = spark.table(name).transform(cut())
         spark.catalog.dropTempView(name)
         return out
     finally:
@@ -805,4 +806,4 @@ def stream_user_activity_mapstate(
         n_keys,
         "uamap",
     )
-    return out.localCheckpoint()
+    return out.transform(cut())

@@ -292,21 +292,54 @@ def build_routed_stream(
     validator=passthrough_validator,
     lookup=None,
     prefer_transform_with_state: bool | None = None,
+    per_trigger_bound: int | str | None = None,
 ) -> DataFrame:
     """records/notifications: STREAMING DataFrames already in record/
     notification shape (see sources.envelope). Returns the destination-tagged
     routed stream (ROUTED_SCHEMA). Pure function — sinks are the caller's
     (same injection seam as the reference, SURVEY.md §3.2).
 
-    Caller contract (ADVICE r12): bound the per-trigger volume — either
-    via a source option (``maxOffsetsPerTrigger`` for Kafka,
-    ``maxFilesPerTrigger`` for files) or by staging a corpus whose
-    per-key volume is known-bounded, as the in-repo replay callers do.
-    The state function orders each (batch_id, trigger) group as ONE
-    pandas frame, so an unbounded availableNow backlog would buffer a
-    key's whole backlog in a single group; past
-    ``TRIGGER_GROUP_WARN_ROWS`` it logs a warning naming the missing
-    option instead of degrading silently."""
+    ``per_trigger_bound`` — the caller contract, now ENFORCED at build
+    time (r12 verdict ask #3; previously a mid-run warning only): the
+    state function orders each (batch_id, trigger) group as ONE pandas
+    frame, so an unbounded availableNow backlog would buffer a key's
+    whole backlog in a single group. Callers must declare how the
+    per-trigger volume is bounded:
+
+    - ``"source-option"`` — the sources set ``maxOffsetsPerTrigger``
+      (Kafka; ``sources.kafka.read_records_stream`` sets a bounded
+      default) or ``maxFilesPerTrigger`` (files).
+    - an ``int`` — a staged replay whose TOTAL row volume is known;
+      must not exceed ``TRIGGER_GROUP_WARN_ROWS`` (past that, stage the
+      corpus behind a file source with ``maxFilesPerTrigger`` instead).
+
+    Omitting it raises at build time — rejected, not warned after the
+    fact. The runtime warning stays as the backstop for callers whose
+    declaration turns out wrong."""
+    if per_trigger_bound is None:
+        raise ValueError(
+            "build_routed_stream: declare per_trigger_bound — "
+            "'source-option' if the sources set maxOffsetsPerTrigger/"
+            "maxFilesPerTrigger, or the staged corpus's known row count "
+            f"(<= TRIGGER_GROUP_WARN_ROWS={TRIGGER_GROUP_WARN_ROWS}). "
+            "Whole-trigger ordering buffers each (batch_id, trigger) "
+            "group as one pandas frame; an unbounded availableNow replay "
+            "is rejected here rather than warned about mid-run."
+        )
+    if isinstance(per_trigger_bound, int):
+        if not 0 < per_trigger_bound <= TRIGGER_GROUP_WARN_ROWS:
+            raise ValueError(
+                f"build_routed_stream: declared per_trigger_bound="
+                f"{per_trigger_bound} outside (0, "
+                f"{TRIGGER_GROUP_WARN_ROWS}]; stage the corpus behind a "
+                "file source with maxFilesPerTrigger and declare "
+                "'source-option' instead"
+            )
+    elif per_trigger_bound != "source-option":
+        raise ValueError(
+            f"build_routed_stream: per_trigger_bound={per_trigger_bound!r} "
+            "must be 'source-option' or a positive int"
+        )
     env = control_to_envelope(notifications).unionByName(data_to_envelope(records))
     grouped = env.groupBy("batch_id")
 

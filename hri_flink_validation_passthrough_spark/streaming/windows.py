@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from ..operators.text import HLL_ORACLE, QSK_BIN_CENTS, QSK_ORACLE, QSK_QS
 from ..plans import QuerySpec, register
 from ..session import prepare
+from ..materialize import cut
 
 QUERIES: dict[str, QuerySpec] = {}
 
@@ -106,7 +107,7 @@ def _run_to_table(
     # detaches consumers from the MemoryPlan leaf (which is not
     # re-resolvable after the view is gone — the reason the old ratelim
     # site checkpointed locally).
-    out = spark.table(name).localCheckpoint()
+    out = spark.table(name).transform(cut())
     spark.catalog.dropTempView(name)
     return out
 
@@ -523,11 +524,30 @@ def stream_passthrough_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_events = e.count()
     n_batches = e.select("event_type").distinct().count()
     tmp = tempfile.mkdtemp(prefix="hri_stream_route_")
-    events_as_records(e).write.parquet(f"{tmp}/records")
+    from .topology import TRIGGER_GROUP_WARN_ROWS
+
+    # Per-trigger bound (r12 verdict ask #3): at driver SFs the whole
+    # staged corpus is far under the whole-trigger bar, so it replays in
+    # one trigger (fast path) under a declared int bound. Past the bar
+    # (large-SF soaks) the staged source auto-bounds itself: files of
+    # ~1M rows each + maxFilesPerTrigger=1 → bounded triggers, declared
+    # as 'source-option'.
+    if n_events <= TRIGGER_GROUP_WARN_ROWS:
+        bound: int | str = n_events
+        rec_writer = events_as_records(e)
+        rec_reader_opts = {}
+    else:
+        bound = "source-option"
+        n_files = -(-n_events // 1_000_000)
+        rec_writer = events_as_records(e).repartition(n_files)
+        rec_reader_opts = {"maxFilesPerTrigger": "1"}
+    rec_writer.write.parquet(f"{tmp}/records")
     _derive_control(e).write.parquet(f"{tmp}/ctrl")
-    records = spark.readStream.schema(
-        spark.read.parquet(f"{tmp}/records").schema
-    ).parquet(f"{tmp}/records")
+    records = (
+        spark.readStream.schema(spark.read.parquet(f"{tmp}/records").schema)
+        .options(**rec_reader_opts)
+        .parquet(f"{tmp}/records")
+    )
     notifs = spark.readStream.schema(
         spark.read.parquet(f"{tmp}/ctrl").schema
     ).parquet(f"{tmp}/ctrl")
@@ -536,7 +556,9 @@ def stream_passthrough_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     # I/O. Restored after the run; see bench.py for the measurement.
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
-    routed = build_routed_stream(records, notifs, completion_delay_ms=1500)
+    routed = build_routed_stream(
+        records, notifs, completion_delay_ms=1500, per_trigger_bound=bound
+    )
     name = f"route_{uuid.uuid4().hex[:8]}"
     q = start_memory_query(routed, name, f"{tmp}/ckpt")
     try:
@@ -560,7 +582,7 @@ def stream_passthrough_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         # sink view — the routed sink holds one row per event and
         # otherwise stays pinned in the driver catalog per invocation
         # (r12 self-review, the same lifecycle as _run_to_table's)
-        out = _summarize(spark.table(name)).localCheckpoint()
+        out = _summarize(spark.table(name)).transform(cut())
         spark.catalog.dropTempView(name)
         return out
     finally:
@@ -744,7 +766,7 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 2).alias("last_value"),
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
         F.col("n_updates").cast("long").alias("n_updates"),
-    ).localCheckpoint()
+    ).transform(cut())
     # the checkpointed result no longer reads the versioned table — drop
     # the whole work tree (r12 self-review: each invocation otherwise
     # leaves table versions + checkpoint in /tmp for the session lifetime)
@@ -995,7 +1017,7 @@ def cdc_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("from_version", F.lit(int(vers[0])).cast("long"))
         .withColumn("to_version", F.lit(int(vers[-1])).cast("long"))
-        .localCheckpoint()  # detach from the versioned table, then drop it
+        .transform(cut())  # detach from the versioned table, then drop it
     )
     import shutil
 
@@ -1405,7 +1427,7 @@ def stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # can be dropped — each invocation otherwise leaves a delta-sized copy
     # in /tmp for the session lifetime (r12 self-review, same class as the
     # maintainers' r11 work-dir leak)
-    out = spark.read.parquet(*parts).localCheckpoint()
+    out = spark.read.parquet(*parts).transform(cut())
     shutil.rmtree(base, ignore_errors=True)
     return out
 

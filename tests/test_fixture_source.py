@@ -138,7 +138,10 @@ def test_stream_read_routes_through_topology(registered, tmp_path):
     )
     notifs = spark.readStream.schema(ctrl_schema).parquet(str(tmp_path / "ctrl"))
 
-    routed = build_routed_stream(records, notifs, completion_delay_ms=500)
+    routed = build_routed_stream(
+        records, notifs, completion_delay_ms=500,
+        per_trigger_bound='source-option',  # hri_fixture emits bounded microbatches
+    )
     q = start_memory_query(routed, "fixture_e2e", str(tmp_path / "ckpt"))
     try:
         import time

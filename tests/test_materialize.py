@@ -1,0 +1,121 @@
+"""Repo-wide materialization policy (r12 verdict ask #2).
+
+The localCheckpoint convention sites now consult ONE module-level switch
+(``hri_flink_validation_passthrough_spark.materialize``). These pins keep
+the switch honest: every arm must be a pure materialization strategy —
+frame-equal results on representative touched queries (a multi-consumer
+aggregate cut, an iterative lineage-truncating loop, and a streaming
+memory-sink detach) — and the "persist" arm must honor its leak-free
+release contract.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from hri_flink_validation_passthrough_spark import materialize as M
+
+
+@pytest.fixture
+def policy_guard():
+    """Restore the policy (and release any pinned handles) after each test
+    — a leaked 'persist'/'none' policy would skew every later test."""
+    before = M.POLICY
+    yield
+    while M.PINNED:
+        M.PINNED.pop().unpersist()
+    M.POLICY = before
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_policy_arms_frame_equal_on_multi_consumer_cut(spark, policy_guard):
+    """column_profile_stats routes its melted profile through materialize();
+    every arm must return the identical frame."""
+    from hri_flink_validation_passthrough_spark.operators.analytics import (
+        column_profile_stats,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    M.POLICY = "ckpt"
+    want = _rows(column_profile_stats(spark, sf))
+    for arm in ("reliable", "persist", "none"):
+        M.POLICY = arm
+        got = _rows(column_profile_stats(spark, sf))
+        assert got == want, f"arm {arm} diverged"
+        M.release_pinned()
+
+
+def test_policy_arms_frame_equal_on_iterative_loop(spark, policy_guard):
+    """The transitive-closure loop truncates lineage per round through
+    materialize(iterative=True); the reliable arm must agree, and the
+    non-truncating arms must FALL BACK to a truncating one (geometric
+    lineage growth is the r6-diagnosed driver OOM) while still agreeing."""
+    from hri_flink_validation_passthrough_spark.plans.relational import (
+        QUERIES,
+    )
+
+    fn = QUERIES["transitive_closure_depth"].fn
+    sf = "/root/testdata/sf0.001"
+    M.POLICY = "ckpt"
+    want = _rows(fn(spark, sf))
+    for arm in ("reliable", "persist", "none"):
+        M.POLICY = arm
+        assert _rows(fn(spark, sf)) == want, f"arm {arm} diverged"
+        M.release_pinned()
+
+
+def test_policy_arms_frame_equal_on_memory_sink_detach(spark, policy_guard):
+    """The streaming memory-sink result is cut loose (eager) before its
+    view drops; the detach semantics must hold under every arm."""
+    from hri_flink_validation_passthrough_spark.streaming.windows import (
+        QUERIES,
+    )
+
+    fn = QUERIES["stream_tumbling_hourly"].fn
+    sf = "/root/testdata/sf0.001"
+    M.POLICY = "ckpt"
+    want = _rows(fn(spark, sf))
+    for arm in ("reliable", "persist"):
+        M.POLICY = arm
+        assert _rows(fn(spark, sf)) == want, f"arm {arm} diverged"
+        M.release_pinned()
+
+
+def test_persist_arm_pins_and_release_unpersists(spark, policy_guard):
+    """'persist' materializations register in PINNED; release_pinned()
+    unpersists them all — the leak-free contract the A/B harnesses rely
+    on (tools/ab_srp_materialize.py)."""
+    M.POLICY = "persist"
+    df = spark.range(100).selectExpr("id", "id * 2 AS v")
+    out = M.materialize(df)
+    assert M.PINNED, "persist arm did not pin its handle"
+    assert out.storageLevel.useMemory
+    n = M.release_pinned()
+    assert n >= 1 and not M.PINNED
+    assert not out.storageLevel.useMemory
+
+
+def test_invalid_policy_rejected(spark, policy_guard):
+    M.POLICY = "bogus"
+    with pytest.raises(ValueError, match="SPARK_GRAFT_MATERIALIZE"):
+        M.materialize(spark.range(1))
+
+
+def test_iterative_falls_back_to_truncating_arm(spark, policy_guard):
+    """iterative=True under 'persist'/'none' must produce a
+    lineage-truncated frame (localCheckpoint fallback), not a persisted or
+    pass-through one — un-truncated loop lineage grows geometrically."""
+    M.POLICY = "none"
+    df = spark.range(10)
+    out = M.materialize(df, iterative=True)
+    # localCheckpoint rewrites the plan onto materialized blocks; a pure
+    # pass-through would keep the Range scan in the physical plan
+    assert "Range" not in out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "simple"
+    )
+    M.POLICY = "persist"
+    out = M.materialize(df, iterative=True)
+    assert not M.PINNED  # fell back to ckpt, nothing pinned

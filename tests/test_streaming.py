@@ -100,6 +100,7 @@ def stream_env(request, spark, tmp_path):
         notifs,
         completion_delay_ms=DELAY_MS,
         prefer_transform_with_state=prefer,
+        per_trigger_bound=1000,  # per-scenario staged rows, all tiny
     )
     name = f"routed_{uuid.uuid4().hex[:8]}"
     q = start_memory_query(routed, name, ckpt)

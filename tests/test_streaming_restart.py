@@ -127,6 +127,7 @@ def test_restart_from_checkpoint_no_loss_no_dup(spark, tmp_path, stateful_backen
             notifs,
             completion_delay_ms=DELAY_MS,
             prefer_transform_with_state=stateful_backend,
+            per_trigger_bound=1000,  # staged chaos scenarios are tiny
         )
         return (
             routed.writeStream.format("parquet")

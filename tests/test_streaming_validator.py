@@ -60,6 +60,7 @@ def test_custom_validator_and_threshold_in_streaming(spark, tmp_path):
         spark.readStream.schema(CTRL_SCHEMA).parquet(ctrl_dir),
         completion_delay_ms=60_000,
         validator=reject_odd_keys,
+        per_trigger_bound=10,  # the 10 staged records
     )
     name = f"val_{uuid.uuid4().hex[:8]}"
     q = start_memory_query(routed, name, ckpt)
@@ -82,6 +83,47 @@ def test_custom_validator_and_threshold_in_streaming(spark, tmp_path):
     assert len(inv) == 5
     assert json.loads(bytes(inv[0].value))["failure"].endswith("rejected")
     assert [n["status"] for n in notifs] == ["failed"]  # threshold 3 < 4th invalid
+
+
+def test_unbounded_replay_rejected_at_build(spark, tmp_path):
+    """r12 verdict ask #3 (promotes the r12 warning to a CONTRACT): a
+    caller that declares no per-trigger bound is rejected at topology
+    build time — before any query starts — instead of warned mid-run;
+    a declared bound past TRIGGER_GROUP_WARN_ROWS (a whole-trigger frame
+    that cannot safely concat) is equally rejected, and so is garbage."""
+    from hri_flink_validation_passthrough_spark.streaming.topology import (
+        TRIGGER_GROUP_WARN_ROWS,
+    )
+
+    data_dir, ctrl_dir = str(tmp_path / "d"), str(tmp_path / "c")
+    spark.createDataFrame([], REC_SCHEMA).write.parquet(data_dir)
+    spark.createDataFrame([], CTRL_SCHEMA).write.parquet(ctrl_dir)
+    records = spark.readStream.schema(REC_SCHEMA).parquet(data_dir)
+    notifs = spark.readStream.schema(CTRL_SCHEMA).parquet(ctrl_dir)
+
+    with pytest.raises(ValueError, match="per_trigger_bound"):
+        build_routed_stream(records, notifs, completion_delay_ms=500)
+    with pytest.raises(ValueError, match="maxFilesPerTrigger"):
+        build_routed_stream(
+            records,
+            notifs,
+            completion_delay_ms=500,
+            per_trigger_bound=TRIGGER_GROUP_WARN_ROWS + 1,
+        )
+    with pytest.raises(ValueError, match="source-option"):
+        build_routed_stream(
+            records, notifs, completion_delay_ms=500, per_trigger_bound="yes"
+        )
+    # valid declarations still build
+    assert build_routed_stream(
+        records, notifs, completion_delay_ms=500, per_trigger_bound=10
+    ).isStreaming
+    assert build_routed_stream(
+        records,
+        notifs,
+        completion_delay_ms=500,
+        per_trigger_bound="source-option",
+    ).isStreaming
 
 
 def test_oversized_trigger_group_logs_warning(monkeypatch, caplog):

@@ -1,6 +1,8 @@
 #!/usr/bin/env python
 """Interleaved A/B of the SRP signature stage's materialization policy
-(r7 verdict ask #2): the r7 driver bench showed dedup_embedding_srp_lsh
+(r7 verdict ask #2; r13: the knob is now the REPO-WIDE materialize.POLICY
+switch, generalized per the r12 verdict): the r7 driver bench showed
+dedup_embedding_srp_lsh
 +35.8% after commit 6b8b962 swapped a per-call persist for a lazy
 localCheckpoint — the one touched headline regressor. This harness runs the
 candidate policies INTERLEAVED in one session (A-B-C-A-B-C...) so box drift
@@ -32,6 +34,7 @@ def main() -> None:
 
     from hri_flink_validation_passthrough_spark.session import build_session
     from hri_flink_validation_passthrough_spark.operators import dedup
+    from hri_flink_validation_passthrough_spark import materialize
 
     spark = build_session("srp_ab", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
@@ -42,7 +45,7 @@ def main() -> None:
         # try/finally: a throw mid-measurement must not leave the production
         # knob on 'persist'/'none' or handles pinned — that would skew every
         # later arm in this session (r8 ADVICE)
-        dedup._SRP_MATERIALIZE = policy
+        materialize.POLICY = policy
         try:
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
@@ -50,9 +53,8 @@ def main() -> None:
         finally:
             # explicit unpersist AFTER the consuming action — the leak-free
             # persist contract the r7 verdict asked to benchmark
-            while dedup._SRP_PINNED:
-                dedup._SRP_PINNED.pop().unpersist()
-            dedup._SRP_MATERIALIZE = "ckpt"
+            materialize.release_pinned()
+            materialize.POLICY = "ckpt"
         return dt
 
     arms = ["ckpt", "persist", "none"]

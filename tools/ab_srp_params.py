@@ -37,8 +37,7 @@ def run_arm(sf: str, rows: int, bands: int, cpus: int):
     from hri_flink_validation_passthrough_spark.session import build_session
 
     D.SRP_ROWS = rows
-    D.SRP_BANDS = bands
-    D.SRP_BITS = rows * bands  # hyperplane count follows the band budget
+    D.SRP_BANDS = bands  # bit budget = rows * bands, resolved at call time
 
     spark = build_session(f"ab_srp_{rows}x{bands}", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
