@@ -21,7 +21,11 @@ SRP-local ``_SRP_MATERIALIZE`` knob, ``operators/dedup.py``):
     local temp dir is auto-provisioned otherwise so the arm is testable on
     one box). Survives executor loss; also truncates lineage, so it is
     valid for the iterative operators. Costs a full write+read of the
-    intermediate — the price of fault tolerance at 100 TB.
+    intermediate — the price of fault tolerance at 100 TB. Checkpoint
+    trees are deleted when the result goes out of scope only under
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` — a
+    CONTEXT-start conf, set by ``session.build_session``; sessions built
+    elsewhere should set it too or accept accrual.
 
 ``persist``
     ``df.persist(MEMORY_AND_DISK)`` pinned in :data:`PINNED` so a harness

@@ -115,6 +115,12 @@ def build_session(
         .config("spark.sql.shuffle.partitions", str(max(n, 8)))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # context-start-only (ContextCleaner reads it once): reliable
+        # checkpoints (materialize.py's SPARK_GRAFT_MATERIALIZE=reliable
+        # arm) are otherwise never deleted — out-of-scope checkpoint data
+        # must be reference-released like cached blocks, or a long session
+        # accrues one checkpoint tree per materialized intermediate
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
     for k, v in RUNTIME_CONF.items():
         b = b.config(k, v)

@@ -57,7 +57,7 @@ def main() -> None:
             materialize.POLICY = "ckpt"
         return dt
 
-    arms = ["ckpt", "persist", "none"]
+    arms = ["ckpt", "persist", "none", "reliable"]  # reliable: r13 cluster arm
     # one unmeasured warm pass (JIT, parquet footer cache, broadcast paths)
     for a in arms:
         run_once(a)
