@@ -530,15 +530,18 @@ def stream_passthrough_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     # staged corpus is far under the whole-trigger bar, so it replays in
     # one trigger (fast path) under a declared int bound. Past the bar
     # (large-SF soaks) the staged source auto-bounds itself: files of
-    # ~1M rows each + maxFilesPerTrigger=1 → bounded triggers, declared
-    # as 'source-option'.
+    # ≤ bar/5 rows each + maxFilesPerTrigger=1 → bounded triggers,
+    # declared as 'source-option' (branch pinned end-to-end by
+    # tests/test_streaming.py::test_passthrough_route_auto_bounded_replay
+    # with a shrunken bar).
     if n_events <= TRIGGER_GROUP_WARN_ROWS:
         bound: int | str = n_events
         rec_writer = events_as_records(e)
         rec_reader_opts = {}
     else:
         bound = "source-option"
-        n_files = -(-n_events // 1_000_000)
+        rows_per_file = max(1, TRIGGER_GROUP_WARN_ROWS // 5)
+        n_files = -(-n_events // rows_per_file)
         rec_writer = events_as_records(e).repartition(n_files)
         rec_reader_opts = {"maxFilesPerTrigger": "1"}
     rec_writer.write.parquet(f"{tmp}/records")

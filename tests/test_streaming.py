@@ -306,3 +306,33 @@ def test_idempotent_sink_replay_does_not_duplicate(spark, tmp_path):
     again = spark.read.parquet(out)
     assert again.count() == 150
     assert again.agg({"v": "sum"}).collect()[0][0] == sum(range(150))
+
+
+def test_passthrough_route_auto_bounded_replay(spark, monkeypatch):
+    """r13: stream_passthrough_route's auto-bound branch (corpus past the
+    whole-trigger bar → re-staged as small files + maxFilesPerTrigger=1,
+    declared 'source-option') must produce the SAME per-batch summary as
+    the single-trigger fast path — the multi-trigger replay exercises
+    control rows and data rows landing in DIFFERENT triggers, which the
+    keyed state machine must absorb. The bar is shrunk so the sf0.001
+    corpus (1000 events) takes the branch: 1000 > 400 → ≤80-row files,
+    one file per trigger."""
+    from hri_flink_validation_passthrough_spark.streaming import (
+        topology,
+        windows,
+    )
+
+    want = {
+        tuple(r)
+        for r in windows.QUERIES["stream_passthrough_route"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    monkeypatch.setattr(topology, "TRIGGER_GROUP_WARN_ROWS", 400)
+    got = {
+        tuple(r)
+        for r in windows.QUERIES["stream_passthrough_route"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    assert got == want
