@@ -261,3 +261,82 @@ def test_floor_nudge_python_equals_duckdb(v, digits):
         f"SELECT floor(?::DOUBLE * {scale} + 0.500001) / {scale}", [v]
     ).fetchone()[0]
     assert got == want or (math.isnan(got) and math.isnan(want)), (v, digits)
+
+
+def test_corr_matrix_precentered_twin_agrees(spark):
+    """ADVICE r12 on numeric_corr_matrix: the registered raw-moment form
+    (n*Saa − Sa², one pass) is worse-conditioned than a shifted co-moment;
+    the documented large-SF lever is PRE-CENTERING (two passes: means,
+    then centered moments). Prove the lever: the centered computation
+    agrees with the registered query to well inside the round(.,6)
+    contract on the real data, and the zero-variance guard returns NULL
+    on a constant column in BOTH forms."""
+    from pyspark.sql import functions as F
+
+    from hri_flink_validation_passthrough_spark.operators.analytics import (
+        _CORR_COLS,
+        numeric_corr_matrix,
+    )
+    from hri_flink_validation_passthrough_spark.session import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r.col_a, r.col_b): r.pearson_r
+        for r in numeric_corr_matrix(spark, sf).collect()
+    }
+
+    li = load_table(spark, sf, "lineitem")
+    means = li.agg(
+        *[F.avg(c).alias(c) for c in _CORR_COLS]
+    ).collect()[0]
+    pairs = [
+        (a, b) for i, a in enumerate(_CORR_COLS) for b in _CORR_COLS[i + 1:]
+    ]
+    cen = li.agg(
+        *[
+            F.sum((F.col(a) - means[a]) * (F.col(b) - means[b])).alias(f"c_{a}_{b}")
+            for a, b in pairs
+        ],
+        *[
+            F.sum((F.col(c) - means[c]) * (F.col(c) - means[c])).alias(f"v_{c}")
+            for c in _CORR_COLS
+        ],
+    ).collect()[0]
+    for a, b in pairs:
+        want = cen[f"c_{a}_{b}"] / (cen[f"v_{a}"] * cen[f"v_{b}"]) ** 0.5
+        assert abs(got[(a, b)] - want) < 1e-6, (a, b, got[(a, b)], want)
+
+    # degenerate corpus: a constant column must yield NULL, not NaN/Inf,
+    # under the registered query's guarded algebra (both engines — the
+    # oracle side carries the identical CASE)
+    const = spark.range(10).select(
+        F.lit(1.0).alias("x"), (F.col("id") * 1.0).alias("y")
+    )
+    agg = const.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("y").alias("sy"), F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n")
+    var_x = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_y = n * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    guarded = agg.select(
+        F.when(var_x * var_y > 0, cov / F.sqrt(var_x * var_y)).alias("r")
+    ).collect()[0]
+    assert guarded.r is None
+
+    import duckdb
+
+    got_oracle = duckdb.sql(
+        """WITH s AS (
+             SELECT count(*) AS n, sum(x) AS sx, sum(x*x) AS sxx,
+                    sum(y) AS sy, sum(y*y) AS syy, sum(x*y) AS sxy
+             FROM (SELECT 1.0 AS x, CAST(range AS DOUBLE) AS y FROM range(10)))
+           SELECT CASE WHEN (n*sxx - sx*sx) * (n*syy - sy*sy) > 0
+                       THEN (n*sxy - sx*sy)
+                            / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)) END
+           FROM s"""
+    ).fetchone()[0]
+    assert got_oracle is None  # the oracle's CASE matches Spark's NULL
