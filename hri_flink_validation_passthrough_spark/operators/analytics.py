@@ -1192,7 +1192,7 @@ def _rfm_oracle() -> str:
 )
 def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
-    cut = o.agg(F.max("o_orderdate").alias("cutoff"))
+    cutoff = o.agg(F.max("o_orderdate").alias("cutoff"))
     rfm = (
         o.groupBy(F.col("o_custkey").alias("c"))
         .agg(
@@ -1200,11 +1200,11 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("f"),
             F.round(F.sum("o_totalprice"), 2).alias("m"),
         )
-        .join(F.broadcast(cut))
+        .join(F.broadcast(cutoff))
         .withColumn("r", F.datediff("cutoff", "last"))
         .select("c", "r", "f", "m")
     )
-    # localCheckpoint, not persist: reference-released when the plan dies
+    # policy cut (materialize.py), not persist: released when the plan dies
     rfm = rfm.transform(cut())
 
     # ONE boundary job for all three dimensions (was three sequential
