@@ -340,3 +340,42 @@ def test_corr_matrix_precentered_twin_agrees(spark):
            FROM s"""
     ).fetchone()[0]
     assert got_oracle is None  # the oracle's CASE matches Spark's NULL
+
+
+@given(st.binary(min_size=0, max_size=64))
+@settings(max_examples=300, deadline=None)
+def test_media_header_parsers_never_crash(blob):
+    """r13 GIF/BMP additions: every header parser must be total over
+    arbitrary bytes — return a well-formed dict or None, never raise
+    (decode_real runs inside mapInPandas; a parser crash would fail the
+    whole Arrow batch, not one blob). Parsed dims/depths must be
+    non-negative ints or None."""
+    from hri_flink_validation_passthrough_spark.operators.multimodal import (
+        probe_media_header,
+    )
+
+    got = probe_media_header(blob)
+    if got is None:
+        return
+    assert got["fmt"] in ("png", "jpeg", "wav", "gif", "bmp")
+    for k in ("width", "height", "bit_depth", "channels", "sample_rate",
+              "n_frames"):
+        v = got[k]
+        assert v is None or (isinstance(v, int) and v >= 0), (k, v)
+
+
+@given(st.binary(min_size=0, max_size=64))
+@settings(max_examples=300, deadline=None)
+def test_media_header_parsers_never_crash_with_magic(blob):
+    """Same totality pin with each format's magic prefix grafted on, so
+    the fuzz actually reaches the per-format field parsing instead of
+    bailing at the signature check."""
+    from hri_flink_validation_passthrough_spark.operators.multimodal import (
+        probe_media_header,
+    )
+
+    for magic in (b"\x89PNG\r\n\x1a\n", b"\xff\xd8", b"RIFF1234WAVE",
+                  b"GIF89a", b"BM"):
+        got = probe_media_header(magic + blob)
+        assert got is None or got["fmt"] in ("png", "jpeg", "wav", "gif",
+                                             "bmp")
