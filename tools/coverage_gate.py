@@ -10,9 +10,11 @@ and the overhead stays tolerable.
 
 Scope caveats (documented, JaCoCo-comparable-but-not-identical):
 - Python-UDF bodies run in forked worker processes and are not observed by
-  the in-process tracer; their lines are excluded from the denominator
-  below via the EXECUTOR_SIDE markers (they are behavior-tested through
-  their operators' oracle checks instead).
+  the in-process tracer; their lines stay IN the denominator (no marker
+  mechanism — r13 correction of an over-claim here), which honestly
+  depresses the per-file numbers of pandas-UDF-heavy modules
+  (multimodal/similarity/fixture). They are behavior-tested through their
+  operators' oracle checks instead.
 - The Kafka builders require a broker/connector jar absent here; kafka.py
   is excluded the same way the reference excludes its uncovered config
   shell from the JaCoCo rule.
@@ -35,30 +37,17 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # infrastructure absent in the container; excluded from the gate denominator.
 EXCLUDED_FILES = {"sources/kafka.py"}
 
-# The gate's test set: every oracle-checked query (exercises plans/operators/
-# functions end to end) plus the unit surfaces of the state machine, CLI,
-# lookup and model layers. Streaming integration tests run separately in CI
-# (they hold real queries open for minutes; the tracer slows them ~2x).
-TEST_SET = [
-    "tests/test_oracle_parity.py",
-    "tests/test_batch_state.py",
-    "tests/test_cli.py",
-    "tests/test_lookup.py",
-    "tests/test_plans.py",
-    "tests/test_llm_operators.py",
-    "tests/test_replay_equivalence.py",
-    "tests/test_asof_property.py",
-    # streaming integration: affordable under the path-filtered tracer
-    # (only package frames pay the tracing cost, not pyspark/py4j)
-    "tests/test_streaming.py",
-    "tests/test_streaming_watermark.py",
-    "tests/test_streaming_validator.py",
-    "tests/test_streaming_restart.py",
-    "tests/test_fixture_source.py",
-    "tests/test_functions.py",
-    "tests/test_maintenance.py",
-    "tests/test_observability.py",
-]
+# The gate's test set: the ENTIRE suite (r13 — the r9-era designated list
+# had aged: rounds 10-13 added modules whose tests live in newer files
+# (similarity ladder -> test_ann_quality/test_trained_*/test_round*_ops,
+# state_ttl -> test_round10_ops, materialize.py -> test_materialize,
+# ckpt.py -> test_plan_lint), so the gate under-measured real coverage
+# at 89.2%. The path-filtered tracer keeps overhead tolerable: only
+# package frames pay; streaming waits are untraced sleeps.)
+TEST_SET = sorted(
+    os.path.relpath(p, REPO)
+    for p in __import__("glob").glob(os.path.join(REPO, "tests", "test_*.py"))
+)
 
 
 def main() -> int:

@@ -25,9 +25,13 @@ def main() -> int:
 
     from pyspark.sql import SparkSession
 
+    # env overrides so the round capstone can run the SAME sweep under the
+    # grading driver's config (local[32]/shuffle=200) without a fork
+    master = os.environ.get("HRI_VW_MASTER", "local[8]")
+    shuffle = os.environ.get("HRI_VW_SHUFFLE", "8")
     spark = (
-        SparkSession.builder.master("local[8]")
-        .config("spark.sql.shuffle.partitions", "8")
+        SparkSession.builder.master(master)
+        .config("spark.sql.shuffle.partitions", shuffle)
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
