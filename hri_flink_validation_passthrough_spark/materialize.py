@@ -38,8 +38,11 @@ SRP-local ``_SRP_MATERIALIZE`` knob, ``operators/dedup.py``):
 
 ``none``
     No materialization (measurement arm: quantifies what the
-    materialization saves). Iterative sites fall back to ``ckpt`` for the
-    same reason as ``persist``.
+    materialization saves). Applies only to LAZY requests: an
+    ``eager=True`` call declares detach semantics — the caller will read
+    the result after its source is gone (a dropped memory-sink view, a
+    loop variable about to be rebound) — so ``none`` falls back to
+    ``ckpt`` there, as it does for ``iterative`` sites.
 
 Set via the ``SPARK_GRAFT_MATERIALIZE`` env var at process start, or by
 assigning :data:`POLICY` (tests/harnesses; always restore in ``finally``).
@@ -86,6 +89,9 @@ def materialize(
     from a memory-sink view before the view drops) vs ride the first
     consuming job. ``iterative``: the call truncates loop lineage, so only
     lineage-cutting arms apply ("persist"/"none" fall back to "ckpt").
+    ``eager=True`` under "none" likewise falls back to "ckpt": eager is a
+    SEMANTIC declaration (the source may be gone by read time), not a
+    performance hint, so the no-op arm may not honor it by doing nothing.
     """
     policy = POLICY
     if policy not in _VALID:
@@ -93,6 +99,8 @@ def materialize(
             f"SPARK_GRAFT_MATERIALIZE={policy!r}: expected one of {_VALID}"
         )
     if iterative and policy in ("persist", "none"):
+        policy = "ckpt"
+    if eager and policy == "none":
         policy = "ckpt"
     if policy == "ckpt":
         return df.localCheckpoint(eager=eager)

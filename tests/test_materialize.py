@@ -78,7 +78,10 @@ def test_policy_arms_frame_equal_on_memory_sink_detach(spark, policy_guard):
     sf = "/root/testdata/sf0.001"
     M.POLICY = "ckpt"
     want = _rows(fn(spark, sf))
-    for arm in ("reliable", "persist"):
+    # incl. "none": eager=True declares detach semantics, so the no-op arm
+    # must fall back to a materializing one instead of breaking the read
+    # of a dropped memory-sink view (r13 self-review)
+    for arm in ("reliable", "persist", "none"):
         M.POLICY = arm
         assert _rows(fn(spark, sf)) == want, f"arm {arm} diverged"
         M.release_pinned()
@@ -119,3 +122,14 @@ def test_iterative_falls_back_to_truncating_arm(spark, policy_guard):
     M.POLICY = "persist"
     out = M.materialize(df, iterative=True)
     assert not M.PINNED  # fell back to ckpt, nothing pinned
+    # eager=True under "none" is a detach declaration — must materialize
+    M.POLICY = "none"
+    out = M.materialize(spark.range(7), eager=True)
+    assert "Range" not in out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "simple"
+    )
+    # lazy under "none" really is a pass-through (the measurement arm)
+    out = M.materialize(spark.range(7), eager=False)
+    assert "Range" in out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "simple"
+    )
