@@ -49,6 +49,25 @@ SUPERSEDED_IN: dict[str, int] = {
     "numeric_corr_matrix": 12,
 }
 
+# Capacity-policy rule-#2c retirements (COVERAGE.md dated records): names
+# REMOVED from the registry whose old driver receipts still sit in the
+# CORRECTNESS history. They are not registered queries, so their receipts
+# must not feed the staleness rotation or the ageing bar — the r13 judge
+# found `test_no_receipt_ages_past_a_full_rotation` detonating the moment
+# the driver's newest CORRECTNESS file landed, because the frozen receipts
+# of retired names aged past a full rotation (they can never refresh).
+# Each entry cites the round whose COVERAGE.md section records the
+# retirement evidence (final receipts, surviving twin, pytest pin).
+RETIRED: frozenset[str] = frozenset(
+    {
+        "dedup_simhash",  # r10 (survivor: dedup_simhash_md5)
+        "sketch_cardinalities",  # r11 registry swap
+        "passthrough_overcount_relational",  # r11 (survivor: passthrough_overcount)
+        "passthrough_terminate_relational",  # r11 (survivor: passthrough_terminate)
+        "passthrough_unknown_relational",  # r13 (survivor: passthrough_unknown_batch)
+    }
+)
+
 
 def _correctness_paths() -> list[str]:
     """CORRECTNESS_r*.json oldest-first by the PARSED round number — a
@@ -80,7 +99,11 @@ def _receipts() -> tuple[dict[str, int], set[str], int]:
     they attest semantics that no longer exist, so they must neither keep
     the query out of the never-verified front partition nor feed the
     staleness sort (r10 verdict ask #1: the trained-codebook queries sat
-    on r9 receipts ~3 rounds from a window).
+    on r9 receipts ~3 rounds from a window). Receipts for ``RETIRED``
+    names are skipped entirely — a retired registration's frozen receipts
+    can only age, and letting them feed the rotation/ageing consumers
+    made the ageing bar fail on names that are not queries (r13 verdict
+    ask #1).
     """
     import re
 
@@ -99,6 +122,8 @@ def _receipts() -> tuple[dict[str, int], set[str], int]:
         for name, row in rows.items():
             if not isinstance(row, dict):
                 continue
+            if name in RETIRED:
+                continue  # receipt for a retired registration — not a query
             if rno < SUPERSEDED_IN.get(name, 0):
                 continue  # receipt for retired semantics — erased
             if row.get("hash_match") is True:

@@ -90,6 +90,48 @@ def test_no_receipt_ages_past_a_full_rotation():
     assert not overdue, f"receipts older than one full rotation: {overdue}"
 
 
+def test_retired_names_are_real_retirements():
+    """r13 verdict ask #1: the RETIRED set that keeps frozen receipts out
+    of the rotation must stay in lockstep with COVERAGE.md's dated
+    rule-#2c/registry-swap records — a name in RETIRED that is still
+    registered would silently exempt a live query from the ageing bar,
+    and a retirement missing from RETIRED re-detonates the ageing test
+    the next time the driver writes a CORRECTNESS file."""
+    import os
+
+    registered = set(entrymod.queries())
+    assert not (entrymod.RETIRED & registered), (
+        "RETIRED names must not be in the live registry: "
+        f"{entrymod.RETIRED & registered}"
+    )
+    coverage = open(
+        os.path.join(entrymod._REPO_ROOT, "COVERAGE.md"), encoding="utf-8"
+    ).read()
+    undocumented = {n for n in entrymod.RETIRED if n not in coverage}
+    assert not undocumented, (
+        f"RETIRED names without a COVERAGE.md retirement record: {undocumented}"
+    )
+    # every retired name really does have frozen driver receipts — that's
+    # the whole reason the filter exists; an entry with no receipts is
+    # either a typo or premature.
+    import glob as _glob
+    import json as _json
+
+    seen: set[str] = set()
+    for path in _glob.glob(
+        os.path.join(entrymod._REPO_ROOT, "CORRECTNESS_r*.json")
+    ):
+        try:
+            seen.update(_json.load(open(path)))
+        except (OSError, ValueError):
+            continue
+    if seen:  # skip on trees without driver artifacts (fresh clones)
+        phantom = entrymod.RETIRED - seen
+        assert not phantom, (
+            f"RETIRED names with no receipt in any CORRECTNESS file: {phantom}"
+        )
+
+
 def test_stale_rows_only_ignores_unproductive_rows(tmp_path, monkeypatch):
     """A failed refresh attempt (error/stall/0-row driver row) must NOT
     reset a rows-only query's staleness clock — staleness keys on the
