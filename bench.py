@@ -336,17 +336,39 @@ def _stream_passthrough(spark, sf_dir: str) -> float:
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "5")
     tmp = tempfile.mkdtemp(prefix="hri_stream_bench_")
-    events_as_records(e).write.parquet(f"{tmp}/records")
+    from hri_flink_validation_passthrough_spark.streaming.topology import (
+        TRIGGER_GROUP_WARN_ROWS,
+    )
+
+    # Mirror stream_passthrough_route's auto-bound branch (r13 ADVICE): at
+    # bench SFs the staged corpus replays in one declared-int trigger; past
+    # the whole-trigger bar (sf >= ~5) re-stage into <= bar/5-row files +
+    # maxFilesPerTrigger=1 and declare 'source-option' instead of letting
+    # build_routed_stream reject the oversized int bound and abort the bench.
+    rec_writer = events_as_records(e)
+    rec_reader_opts: dict[str, str] = {}
+    if n_events <= TRIGGER_GROUP_WARN_ROWS:
+        bound: int | str = max(1, int(n_events))
+    else:
+        bound = "source-option"
+        rows_per_file = max(1, TRIGGER_GROUP_WARN_ROWS // 5)
+        rec_writer = rec_writer.repartition(-(-int(n_events) // rows_per_file))
+        rec_reader_opts = {"maxFilesPerTrigger": "1"}
+    rec_writer.write.parquet(f"{tmp}/records")
     _derive_control(e).write.parquet(f"{tmp}/ctrl")
 
     rec_schema = spark.read.parquet(f"{tmp}/records").schema
     ctrl_schema = spark.read.parquet(f"{tmp}/ctrl").schema
-    records = spark.readStream.schema(rec_schema).parquet(f"{tmp}/records")
+    records = (
+        spark.readStream.schema(rec_schema)
+        .options(**rec_reader_opts)
+        .parquet(f"{tmp}/records")
+    )
     notifs = spark.readStream.schema(ctrl_schema).parquet(f"{tmp}/ctrl")
     routed = build_routed_stream(
         records, notifs, completion_delay_ms=2000,
         # staged corpus of known volume (contract: topology ask #3 r13)
-        per_trigger_bound=int(n_events),
+        per_trigger_bound=bound,
     )
     # Sink = foreachBatch distributed per-dest count (the production sink is
     # Kafka, so a distributed aggregate models its cost far better than the

@@ -34,7 +34,16 @@ SRP-local ``_SRP_MATERIALIZE`` knob, ``operators/dedup.py``):
     KEPT, so recompute-on-loss works as long as the source does). Not
     valid for iterative lineage truncation: those sites fall back to
     ``ckpt`` (un-truncated iterative lineage grows geometrically — the
-    r6-diagnosed driver OOM during codegen).
+    r6-diagnosed driver OOM during codegen). CAVEAT (r13 ADVICE): at
+    ``eager=True`` detach sites the caller removes the source right after
+    (memory-sink view drop, staged-parquet rmtree), so a cached-block loss
+    would make the lineage recompute FAIL — unlike the ``ckpt`` fallback
+    ``none`` gets. This arm stays persist anyway because it exists only
+    for single-box A/B harnesses (``tools/ab_srp_materialize.py``), where
+    MEMORY_AND_DISK blocks survive memory pressure by spilling and are
+    lost only with the whole JVM; a ckpt fallback at eager sites would
+    make the arm silently measure ``ckpt``. It is NOT a production arm —
+    never ship a cluster job with ``SPARK_GRAFT_MATERIALIZE=persist``.
 
 ``none``
     No materialization (measurement arm: quantifies what the
@@ -74,9 +83,28 @@ def _ensure_checkpoint_dir(spark) -> None:
     """
     sc = spark.sparkContext
     if sc.getCheckpointDir() is None:
-        path = os.environ.get(
-            "SPARK_GRAFT_CHECKPOINT_DIR"
-        ) or tempfile.mkdtemp(prefix="spark_graft_ckpt_")
+        path = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+        if not path:
+            path = tempfile.mkdtemp(prefix="spark_graft_ckpt_")
+            # r13 verdict ask #4: the reliable arm's whole point is
+            # executor-loss durability; on a multi-node master a driver-
+            # local temp dir is NOT shared storage, so the "fault-tolerant"
+            # arm would quietly not be. Warn instead of raising — the arm
+            # must stay exercisable in CI containers whose master string
+            # isn't local but whose storage is.
+            master = sc.master or ""
+            if not master.startswith("local"):
+                import warnings
+
+                warnings.warn(
+                    "materialize policy 'reliable' is falling back to a "
+                    f"driver-local checkpoint dir {path!r} under "
+                    f"master={master!r}; checkpoints will NOT survive "
+                    "executor loss. Set SPARK_GRAFT_CHECKPOINT_DIR to "
+                    "durable shared storage (HDFS/object store).",
+                    RuntimeWarning,
+                    stacklevel=3,
+                )
         sc.setCheckpointDir(path)
 
 

@@ -911,9 +911,12 @@ def _srp_band_keys_factory(dim: int, n_bands: int, n_rows: int):
     band keys AND the full sign signature packed into int64 words (for the
     Hamming prefilter). Hyperplanes are a fixed seeded Gaussian matrix
     (dim × bits, bits = bands × rows); the whole Arrow batch is one matrix
-    multiply. The same seed generates the same FIRST bits regardless of the
-    band split, so re-banding reshapes the signature rather than redrawing
-    the hyperplane family."""
+    multiply. Re-splitting the SAME total bit budget (bands × rows
+    constant) reshapes the signature over an identical hyperplane family —
+    ``H`` depends only on (dim, bits). A DIFFERENT total redraws every
+    hyperplane: RandomState fills ``H = (dim, bits)`` row-major, so
+    changing ``bits`` reassigns the whole draw sequence (r13 ADVICE — the
+    earlier "same first bits" claim held only at constant budget)."""
     bits = n_bands * n_rows
     if bits % 64:
         raise ValueError(f"bands*rows must pack into int64 words, got {bits}")

@@ -326,7 +326,11 @@ def build_routed_stream(
             "group as one pandas frame; an unbounded availableNow replay "
             "is rejected here rather than warned about mid-run."
         )
-    if isinstance(per_trigger_bound, int):
+    # bool is an int subclass: per_trigger_bound=True would otherwise
+    # validate as a declared bound of 1 (r13 ADVICE) — reject it as garbage
+    if isinstance(per_trigger_bound, int) and not isinstance(
+        per_trigger_bound, bool
+    ):
         if not 0 < per_trigger_bound <= TRIGGER_GROUP_WARN_ROWS:
             raise ValueError(
                 f"build_routed_stream: declared per_trigger_bound="

@@ -535,7 +535,10 @@ def stream_passthrough_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tests/test_streaming.py::test_passthrough_route_auto_bounded_replay
     # with a shrunken bar).
     if n_events <= TRIGGER_GROUP_WARN_ROWS:
-        bound: int | str = n_events
+        # max(1, ·): an empty corpus would declare bound=0, which the
+        # build-time contract rejects as outside (0, bar] — a degenerate
+        # input must yield an empty summary, not a ValueError (r13 ADVICE)
+        bound: int | str = max(1, n_events)
         rec_writer = events_as_records(e)
         rec_reader_opts = {}
     else:

@@ -133,3 +133,60 @@ def test_iterative_falls_back_to_truncating_arm(spark, policy_guard):
     assert "Range" in out._sc._jvm.PythonSQLUtils.explainString(
         out._jdf.queryExecution(), "simple"
     )
+
+
+def test_reliable_local_fallback_warns_on_nonlocal_master(monkeypatch):
+    """r13 verdict ask #4: when SPARK_GRAFT_CHECKPOINT_DIR is unset, the
+    reliable arm provisions a DRIVER-LOCAL temp dir — fine under local[*],
+    silently non-durable under a real cluster master. The fallback must
+    warn there (and only there): a user flipping the cluster arm on
+    without shared storage should learn it before the first executor
+    loss, not after. Stubbed SparkContext: no cluster master exists in
+    the sandbox, and the seam under test is pure driver-side."""
+    import warnings
+
+    class _FakeSC:
+        def __init__(self, master):
+            self.master = master
+            self.dir = None
+
+        def getCheckpointDir(self):
+            return self.dir
+
+        def setCheckpointDir(self, path):
+            self.dir = path
+
+    class _FakeSpark:
+        def __init__(self, master):
+            self.sparkContext = _FakeSC(master)
+
+    monkeypatch.delenv("SPARK_GRAFT_CHECKPOINT_DIR", raising=False)
+
+    # cluster-shaped masters: warn, but still provision (stay exercisable)
+    for master in ("spark://host:7077", "yarn", "k8s://https://host"):
+        fake = _FakeSpark(master)
+        with pytest.warns(RuntimeWarning, match="NOT survive executor loss"):
+            M._ensure_checkpoint_dir(fake)
+        assert fake.sparkContext.dir  # fallback dir was still set
+
+    # local masters: silent — the fallback is the documented single-box path
+    for master in ("local", "local[32]", "local-cluster[2,1,1024]"):
+        fake = _FakeSpark(master)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            M._ensure_checkpoint_dir(fake)
+        assert fake.sparkContext.dir
+
+    # env var set: no warning regardless of master, and the env dir wins
+    monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT_DIR", "/tmp/sg_ckpt_env_test")
+    fake = _FakeSpark("yarn")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        M._ensure_checkpoint_dir(fake)
+    assert fake.sparkContext.dir == "/tmp/sg_ckpt_env_test"
+
+    # an already-configured session is left alone
+    fake = _FakeSpark("yarn")
+    fake.sparkContext.dir = "hdfs://nn/ckpt"
+    M._ensure_checkpoint_dir(fake)
+    assert fake.sparkContext.dir == "hdfs://nn/ckpt"

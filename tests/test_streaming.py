@@ -336,3 +336,21 @@ def test_passthrough_route_auto_bounded_replay(spark, monkeypatch):
         .collect()
     }
     assert got == want
+
+
+def test_passthrough_route_empty_corpus_returns_empty_summary(spark, tmp_path):
+    """r13 ADVICE: an empty events table used to declare per_trigger_bound=0,
+    which the build-time contract rejects as outside (0, bar] — a degenerate
+    corpus must come back as an empty summary, not a ValueError. Staged via
+    pyarrow so the parquet physical types (TIMESTAMP(NANOS)) match the
+    driver tables byte-for-byte."""
+    import pyarrow.parquet as pq
+
+    from hri_flink_validation_passthrough_spark.streaming import windows
+
+    src = pq.read_table("/root/testdata/sf0.001/events.parquet")
+    pq.write_table(
+        src.schema.empty_table(), str(tmp_path / "events.parquet")
+    )
+    out = windows.QUERIES["stream_passthrough_route"].fn(spark, str(tmp_path))
+    assert out.count() == 0

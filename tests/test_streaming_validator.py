@@ -114,6 +114,12 @@ def test_unbounded_replay_rejected_at_build(spark, tmp_path):
         build_routed_stream(
             records, notifs, completion_delay_ms=500, per_trigger_bound="yes"
         )
+    # bool is an int subclass — True must not slip through as a declared
+    # bound of 1 (r13 ADVICE)
+    with pytest.raises(ValueError, match="positive int"):
+        build_routed_stream(
+            records, notifs, completion_delay_ms=500, per_trigger_bound=True
+        )
     # valid declarations still build
     assert build_routed_stream(
         records, notifs, completion_delay_ms=500, per_trigger_bound=10
