@@ -155,3 +155,18 @@ def test_prev_record_skips_mismatched_sf():
     assert str(prev.get("sf")) == "0.1"
     # no committed record exists at a made-up sf
     assert bench._load_prev(7.77) == {}
+
+
+def test_stream_passthrough_auto_bounds_past_the_bar(spark, monkeypatch):
+    """r13 ADVICE: bench._stream_passthrough used to declare the whole
+    staged corpus as an int per_trigger_bound, which build_routed_stream
+    rejects once the events table exceeds the whole-trigger bar (sf>=~5)
+    — aborting the bench. The mirrored auto-bound branch must instead
+    re-stage into small files + maxFilesPerTrigger=1 and still route every
+    record. Bar shrunk so the sf0.001 corpus (1000 events) takes the
+    branch: 1000 > 400 -> <=80-row files, one per trigger."""
+    from hri_flink_validation_passthrough_spark.streaming import topology
+
+    monkeypatch.setattr(topology, "TRIGGER_GROUP_WARN_ROWS", 400)
+    dt = bench._stream_passthrough(spark, "/root/testdata/sf0.001")
+    assert dt > 0
