@@ -1245,12 +1245,12 @@ def transitive_closure_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scd2_user_state_history",
     oracle="""
     WITH ordered AS (
-      SELECT user_id, event_type, ts,
+      SELECT user_id, event_type, ts, event_id,
              lag(event_type) OVER w AS prev_type
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), changes AS (
-      SELECT user_id, event_type, ts
+      SELECT user_id, event_type, ts, event_id
       FROM ordered
       WHERE prev_type IS NULL OR event_type != prev_type
     )
@@ -1258,10 +1258,11 @@ def transitive_closure_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
            event_type AS state,
            strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
            coalesce(
-             strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts),
+             strftime(lead(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id),
                       '%Y-%m-%d %H:%M:%S'),
              '9999-12-31 00:00:00') AS valid_to,
-           lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
              AS is_current
     FROM changes
     """,
@@ -1283,9 +1284,14 @@ def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("prev_type").isNull()
             | (F.col("event_type") != F.col("prev_type"))
         )
-        .select("user_id", "event_type", "ts")
+        .select("user_id", "event_type", "ts", "event_id")
     )
-    w2 = Window.partitionBy("user_id").orderBy("ts")
+    # event_id tiebreak (r14): two change points at the same (user_id, ts)
+    # would make a ts-only lead nondeterministic — bit-identical on driver
+    # data (zero such ties at every SF, checked), deterministic on any
+    # input; pinned by the tie-heavy differential in
+    # tests/test_prefix_sum_differential.py
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
     nxt = F.lead("ts").over(w2)
     return changes.select(
         "user_id",

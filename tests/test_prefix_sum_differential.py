@@ -208,3 +208,154 @@ def test_mixture_token_budget_matches_naive(spark, tmp_path, seed):
         if n_docs:
             want[s] = (n_docs, n_tokens)
     assert got == want
+
+
+@pytest.mark.parametrize("seed", [51, 52, 53])
+def test_scd2_history_matches_naive(spark, tmp_path, seed):
+    """Tie-heavy on purpose: the r14 event_id tiebreak on the lead window
+    is what makes same-(user_id, ts) change points well-defined at all —
+    this differential is its pin (zero such ties exist in driver data)."""
+    from hri_flink_validation_passthrough_spark.plans.relational import (
+        scd2_user_state_history,
+    )
+
+    rng = random.Random(seed)
+    rows, eids = [], list(range(1, 301))
+    rng.shuffle(eids)
+    for i in range(300):
+        rows.append(
+            (
+                eids[i],
+                rng.randrange(5),
+                BASE + timedelta(seconds=900 * rng.randrange(30)),
+                rng.choice(["A", "B", "C"]),
+            )
+        )
+    df = spark.createDataFrame(
+        [(e, ts, u, et, 0.0, "{}") for e, u, ts, et in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.coalesce(2).write.parquet(f"{tmp_path}/events.parquet")
+
+    got = sorted(
+        (r.user_id, r.state, r.valid_from, r.valid_to, r.is_current)
+        for r in scd2_user_state_history(spark, str(tmp_path)).collect()
+    )
+
+    by_user = defaultdict(list)
+    for e, u, ts, et in rows:
+        by_user[u].append((ts, e, et))
+    want = []
+    for u, evs in by_user.items():
+        evs.sort()
+        changes = [
+            (ts, e, et)
+            for i, (ts, e, et) in enumerate(evs)
+            if i == 0 or et != evs[i - 1][2]
+        ]
+        for i, (ts, _e, et) in enumerate(changes):
+            nxt = (
+                changes[i + 1][0].strftime("%Y-%m-%d %H:%M:%S")
+                if i + 1 < len(changes)
+                else "9999-12-31 00:00:00"
+            )
+            want.append(
+                (
+                    u,
+                    et,
+                    ts.strftime("%Y-%m-%d %H:%M:%S"),
+                    nxt,
+                    i + 1 == len(changes),
+                )
+            )
+    assert got == sorted(want)
+
+
+@pytest.mark.parametrize("seed", [61, 62, 63])
+def test_chunk_overlap_windows_matches_naive(spark, tmp_path, seed):
+    from hri_flink_validation_passthrough_spark.operators.corpus import (
+        CHUNK_C,
+        CHUNK_S,
+        chunk_overlap_windows,
+    )
+
+    # lengths straddle every edge: empty, 1, C-1, C, C+1, C+S, long tails
+    rng = random.Random(seed)
+    vocab = ["aa", "bb", "cc", "dd"]
+    docs = [
+        (
+            i,
+            "web",
+            " ".join(
+                rng.choice(vocab)
+                for _ in range(
+                    rng.choice([0, 1, CHUNK_C - 1, CHUNK_C, CHUNK_C + 1,
+                                CHUNK_C + CHUNK_S, rng.randrange(0, 150)])
+                )
+            ),
+        )
+        for i in range(120)
+    ]
+    _stage_documents(spark, str(tmp_path), docs)
+
+    got = sorted(
+        (r.doc_id, r.chunk_id, r.start_token, r.n_chunk_tokens, r.chunk_md5)
+        for r in chunk_overlap_windows(spark, str(tmp_path)).collect()
+    )
+    want = []
+    for d, _s, text in docs:
+        toks = re.split(r"\s+", text.strip().lower())
+        n = len(toks)
+        n_chunks = (
+            1 if n <= CHUNK_C else (n - CHUNK_C + CHUNK_S - 1) // CHUNK_S + 1
+        )
+        for k in range(n_chunks):
+            chunk = toks[k * CHUNK_S : k * CHUNK_S + CHUNK_C]
+            want.append(
+                (
+                    d,
+                    k,
+                    k * CHUNK_S,
+                    len(chunk),
+                    hashlib.md5(" ".join(chunk).encode()).hexdigest(),
+                )
+            )
+    assert got == sorted(want)
+
+
+@pytest.mark.parametrize("seed", [71, 72, 73])
+def test_length_bucket_batching_matches_naive(spark, tmp_path, seed):
+    from hri_flink_validation_passthrough_spark.functions import py_floor_nudge
+    from hri_flink_validation_passthrough_spark.operators.corpus import (
+        LB_BATCH,
+        LB_WIDTH,
+        length_bucket_batching,
+    )
+
+    rng = random.Random(seed)
+    docs = [
+        (
+            i,
+            "web",
+            " ".join("w" for _ in range(rng.randrange(0, 120))),
+        )
+        for i in range(180)
+    ]
+    _stage_documents(spark, str(tmp_path), docs)
+
+    got = {
+        r.bucket: (r.n_docs, r.n_batches, r.max_tokens, r.pad_waste_pct)
+        for r in length_bucket_batching(spark, str(tmp_path)).collect()
+    }
+    buckets = defaultdict(list)
+    for _d, _s, text in docs:
+        n = len(re.split(r"\s+", text.strip().lower()))
+        buckets[n // LB_WIDTH].append(n)
+    want = {}
+    for b, ns in buckets.items():
+        n_docs, mx, tot = len(ns), max(ns), sum(ns)
+        n_batches = (n_docs + LB_BATCH - 1) // LB_BATCH
+        waste = 1.0 - tot / (n_batches * LB_BATCH * mx)
+        want[b] = (n_docs, n_batches, mx, py_floor_nudge(waste, 4))
+    assert got == want
