@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import fingerprint_md5
+from ..materialize import materialize
 from ..plans import QuerySpec, register
 from ..session import load_table, prepare
 
@@ -275,11 +276,13 @@ PACK_BLOCK = 64
     doc="Sequence packing for training: documents are laid end-to-end in "
     "doc_id order and chunked into fixed token-budget context windows "
     "(start offset = exclusive running token count, chunk = offset / ctx). "
-    "The oracle uses a flat window cumsum; the Spark plan is the TWO-LEVEL "
-    "parallel prefix sum (within-block cumsum partitioned by doc_id/block "
-    "in parallel + tiny block-total prefix broadcast back), because a "
-    "single ORDER BY window is one task at 100 TB. Same numbers, scalable "
-    "shape; recurse the block level once more at extreme scale.",
+    "The oracle uses a flat window cumsum; the Spark plan is the MULTI-"
+    "LEVEL parallel prefix sum (within-block cumsum partitioned by "
+    "doc_id/block in parallel + a RECURSIVE blocks-of-blocks exclusive "
+    "prefix over the 64x-smaller summaries, bottoming out in one window "
+    "task below 64k rows — exclusive_block_offsets), because a single "
+    "ORDER BY window is one task at 100 TB. Same numbers at every depth "
+    "(forced-recursion frame-equality pin + naive differential).",
 )
 def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
@@ -287,6 +290,54 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     return pack_token_counts(
         d.select("doc_id", F.size(toks).cast("long").alias("n_tokens"))
+    )
+
+
+# When a block-summary level still exceeds this many rows, recurse another
+# level instead of running one global window task over it. 64k rows of
+# (key, tot) in a single window task is trivially cheap; each recursion
+# level shrinks the summary by PACK_BLOCK (64×), so depth is
+# log64(N/PACK_BLOCK/64k) — 2 levels past 4M docs, 3 past ~270M, 4 past
+# ~17B. Tests shrink the bar to force multi-level on driver-sized data.
+PREFIX_SINGLE_TASK_BAR = 1 << 16
+
+
+def exclusive_block_offsets(summary: DataFrame, key: str) -> DataFrame:
+    """Exclusive prefix sum over a ``(key, tot)`` summary frame: for each
+    key, the sum of ``tot`` across all strictly-smaller keys, returned as
+    ``(key, blk_offset)``.
+
+    This is the upper half of the two-level prefix-sum pattern, made
+    RECURSIVE: below ``PREFIX_SINGLE_TASK_BAR`` rows it is the familiar
+    one-task global window; above it, blocks-of-blocks — an intra-parent
+    exclusive window partitioned by ``key div PACK_BLOCK`` (parallel) plus
+    a recursive call on the 64×-smaller parent summary. The parent-offset
+    join joins on the same key the window just hash-partitioned by, so the
+    exchange is reused; AQE broadcasts the parent side when it is small.
+    The one count() that picks the shape runs on a lazily materialized
+    summary, so the aggregation feeding it is computed once."""
+    summary = materialize(summary, eager=False)
+    if summary.count() <= PREFIX_SINGLE_TASK_BAR:
+        w = Window.orderBy(key).rowsBetween(Window.unboundedPreceding, -1)
+        return summary.select(
+            key,
+            F.coalesce(F.sum("tot").over(w), F.lit(0)).alias("blk_offset"),
+        )
+    s = summary.withColumn("pk", (F.col(key) / PACK_BLOCK).cast("long"))
+    w_in = (
+        Window.partitionBy("pk")
+        .orderBy(key)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    s = s.withColumn(
+        "local_off", F.coalesce(F.sum("tot").over(w_in), F.lit(0))
+    )
+    parents = s.groupBy("pk").agg(F.sum("tot").alias("tot"))
+    par_off = exclusive_block_offsets(
+        parents.select(F.col("pk").alias(key), "tot"), key
+    ).select(F.col(key).alias("pk"), F.col("blk_offset").alias("parent_off"))
+    return s.join(par_off, "pk").select(
+        key, (F.col("local_off") + F.col("parent_off")).alias("blk_offset")
     )
 
 
@@ -303,17 +354,16 @@ def pack_token_counts(t: DataFrame) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     t = t.withColumn("cum_in", F.sum("n_tokens").over(w_in))
-    # level 2: exclusive prefix over per-block totals — N/PACK_BLOCK rows,
-    # broadcast back (at 100 TB recurse: blocks-of-blocks)
+    # upper levels: recursive exclusive prefix over per-block totals
+    # (N/PACK_BLOCK rows — single window task below the bar, blocks-of-
+    # blocks above it; r14, the docstring's promised recursion made real).
+    # The offsets join keys on blk, the same key the level-1 window just
+    # partitioned t by, so the exchange is reused; a FORCED broadcast here
+    # would ship N/64 rows through the driver at 100 TB — let AQE pick
+    # broadcast only while the offsets side is actually small.
     blk_tot = t.groupBy("blk").agg(F.sum("n_tokens").alias("tot"))
-    w_blk = (
-        Window.orderBy("blk")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    blk_pre = blk_tot.select(
-        "blk", (F.sum("tot").over(w_blk) - F.col("tot")).alias("blk_offset")
-    )
-    joined = t.join(F.broadcast(blk_pre), "blk")
+    blk_pre = exclusive_block_offsets(blk_tot, "blk")
+    joined = t.join(blk_pre, "blk")
     start = F.col("blk_offset") + F.col("cum_in") - F.col("n_tokens")
     return joined.select(
         "doc_id",

@@ -77,7 +77,7 @@ ALLOWED_NESTED_LOOP = {
 # input is a tiny DATA-SIZE-INDEPENDENT domain (the offset level of a
 # two-level prefix sum), not the record stream.
 ALLOWED_GLOBAL_SORT = {
-    "sequence_packing": "block-total exclusive prefix: one row per PACK_BLOCK docs (N/64 rows), broadcast back; the record-level cumsum is partitioned by blk",
+    "sequence_packing": "block-total exclusive prefix: one row per PACK_BLOCK docs (N/64 rows), joined back on the level-1 partition key (AQE broadcasts while small); above PREFIX_SINGLE_TASK_BAR the summary recurses blocks-of-blocks and only the tiny top level sorts globally",
     "max_concurrent_sessions": "day-total offset window: ONE ROW PER DAY (thousands at a century of data); the event-level running sum is partitioned by day",
     "hybrid_search_rrf": "rank assignment over the two depth-50 TakeOrderedAndProject channel outputs — k rows by construction, data-size-independent; the corpus-wide cut itself is the parallel partial top-k",
     "session_path_topk": "rank window over the path-FREQUENCY table: at most |event_types|^PATH_LEN (~625) rows regardless of data volume; session windows themselves are partitioned by user",

@@ -359,3 +359,32 @@ def test_length_bucket_batching_matches_naive(spark, tmp_path, seed):
         waste = 1.0 - tot / (n_batches * LB_BATCH * mx)
         want[b] = (n_docs, n_batches, mx, py_floor_nudge(waste, 4))
     assert got == want
+
+
+@pytest.mark.parametrize("bar", [1, 4, 64])
+def test_sequence_packing_recursion_depth_invariant(spark, tmp_path, bar):
+    """r14: the block-summary prefix recurses (blocks-of-blocks) once a
+    level exceeds PREFIX_SINGLE_TASK_BAR rows. Shrinking the bar to 1/4/64
+    forces 1-3 extra recursion levels on driver-sized data; every depth
+    must produce the identical packing (the production bar of 64k rows is
+    unreachable in tests, so depth-invariance IS the pin that the
+    recursive upper half computes the same exclusive prefix)."""
+    from hri_flink_validation_passthrough_spark.operators import sampling
+
+    docs = _random_docs(77, n=300)
+    _stage_documents(spark, str(tmp_path), docs)
+    want = sorted(
+        tuple(r) for r in sampling.sequence_packing(spark, str(tmp_path)).collect()
+    )
+    assert want  # non-degenerate corpus
+
+    prev = sampling.PREFIX_SINGLE_TASK_BAR
+    sampling.PREFIX_SINGLE_TASK_BAR = bar
+    try:
+        got = sorted(
+            tuple(r)
+            for r in sampling.sequence_packing(spark, str(tmp_path)).collect()
+        )
+    finally:
+        sampling.PREFIX_SINGLE_TASK_BAR = prev
+    assert got == want
