@@ -41,10 +41,15 @@ def _stage_events(spark, tmp, rows):
     df.coalesce(2).write.mode("overwrite").parquet(f"{tmp}/events.parquet")
 
 
+def _lang(doc_id):
+    return ["en", "de", "fr"][doc_id % 3]
+
+
 def _stage_documents(spark, tmp, rows):
-    """rows: (doc_id, source, text)."""
+    """rows: (doc_id, source, text); lang derived from doc_id so naive
+    references can reproduce it."""
     df = spark.createDataFrame(
-        [(d, t, "en", s, len(t)) for d, s, t in rows],
+        [(d, t, _lang(d), s, len(t)) for d, s, t in rows],
         "doc_id long, text string, lang string, source string, n_chars long",
     )
     df.coalesce(2).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
@@ -387,4 +392,112 @@ def test_sequence_packing_recursion_depth_invariant(spark, tmp_path, bar):
         )
     finally:
         sampling.PREFIX_SINGLE_TASK_BAR = prev
+    assert got == want
+
+
+def _h8(s):
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+@pytest.mark.parametrize("seed", [81, 82])
+def test_hash_sampling_family_matches_naive(spark, tmp_path, seed):
+    """The deterministic-hash sampling/split family in one staged corpus:
+    every op derives from salted md5(doc_id), so a naive hashlib replica
+    is an exact reference (no floats, no ordering ambiguity)."""
+    from hri_flink_validation_passthrough_spark.operators.corpus import (
+        SPLIT_TEST_PCT,
+        SPLIT_VAL_PCT,
+        corpus_train_val_test_split,
+    )
+    from hri_flink_validation_passthrough_spark.operators.sampling import (
+        SAMPLE_SALT,
+        SHUFFLE_SALT,
+        SHUFFLE_SHARDS,
+        corpus_shuffle_assignment,
+        sample_hash_10pct,
+        stratified_sample_by_source,
+        train_val_test_split,
+    )
+
+    docs = _random_docs(seed, n=250)
+    _stage_documents(spark, str(tmp_path), docs)
+    sf = str(tmp_path)
+
+    # sample_hash_10pct: bucket = md5(doc_id+salt)[:8] % 100 < 10
+    got = {
+        r.doc_id: (r.source, r.n_chars, r.bucket)
+        for r in sample_hash_10pct(spark, sf).collect()
+    }
+    want = {}
+    for d, s, text in docs:
+        b = _h8(f"{d}{SAMPLE_SALT}") % 100
+        if b < 10:
+            want[d] = (s, len(text), b)
+    assert got == want
+
+    # train_val_test_split: 80/10/10 per (split, lang)
+    got = {
+        (r.split, r.lang): (r.n_docs, r.total_chars)
+        for r in train_val_test_split(spark, sf).collect()
+    }
+    agg = defaultdict(lambda: [0, 0])
+    for d, _s, text in docs:
+        b = _h8(f"{d}{SAMPLE_SALT}") % 100
+        split = "train" if b < 80 else ("val" if b < 90 else "test")
+        a = agg[(split, _lang(d))]
+        a[0] += 1
+        a[1] += len(text)
+    assert got == {k: tuple(v) for k, v in agg.items()}
+
+    # corpus_train_val_test_split: 5/5/90 with the independent split salt
+    got = {
+        (r.source, r.split): (r.n_docs, r.n_chars)
+        for r in corpus_train_val_test_split(spark, sf).collect()
+    }
+    agg = defaultdict(lambda: [0, 0])
+    for d, s, text in docs:
+        b = _h8(f"{d}|split-v1") % 100
+        split = (
+            "test"
+            if b < SPLIT_TEST_PCT
+            else ("val" if b < SPLIT_TEST_PCT + SPLIT_VAL_PCT else "train")
+        )
+        a = agg[(s, split)]
+        a[0] += 1
+        a[1] += len(text)
+    assert got == {k: tuple(v) for k, v in agg.items()}
+
+    # stratified_sample_by_source: top-20 per source in (md5, doc_id) order
+    got = {
+        (r.source, r.rk): r.doc_id
+        for r in stratified_sample_by_source(spark, sf).collect()
+    }
+    by_source = defaultdict(list)
+    for d, s, _t in docs:
+        by_source[s].append(
+            (hashlib.md5(f"{d}{SAMPLE_SALT}".encode()).hexdigest(), d)
+        )
+    want = {}
+    for s, items in by_source.items():
+        items.sort()
+        for rk, (_h, d) in enumerate(items[:20], start=1):
+            want[(s, rk)] = d
+    assert got == want
+
+    # corpus_shuffle_assignment: shard from the sample hash, position from
+    # the independently salted order hash
+    got = {
+        r.doc_id: (r.shard, r.pos)
+        for r in corpus_shuffle_assignment(spark, sf).collect()
+    }
+    shards = defaultdict(list)
+    for d, _s, _t in docs:
+        shard = _h8(f"{d}{SAMPLE_SALT}") % SHUFFLE_SHARDS
+        ordh = hashlib.md5(f"{d}{SHUFFLE_SALT}".encode()).hexdigest()
+        shards[shard].append((ordh, d))
+    want = {}
+    for shard, items in shards.items():
+        items.sort()
+        for pos, (_o, d) in enumerate(items, start=1):
+            want[d] = (shard, pos)
     assert got == want
