@@ -501,3 +501,77 @@ def test_hash_sampling_family_matches_naive(spark, tmp_path, seed):
         for pos, (_o, d) in enumerate(items, start=1):
             want[d] = (shard, pos)
     assert got == want
+
+
+@pytest.mark.parametrize("seed", [91, 92])
+def test_bpe_and_pmi_match_naive(spark, tmp_path, seed):
+    """Adjacent/skip-gram pair statistics vs a plain token-loop reference.
+    The tiny vocab makes counts collide heavily, stressing the
+    (count desc, pair) / (pmi desc, pair) tiebreak cuts; short and empty
+    documents stress the negative-slice clamp at gaps 1..3."""
+    import math
+
+    from hri_flink_validation_passthrough_spark.functions import py_floor_nudge
+    from hri_flink_validation_passthrough_spark.operators.corpus import (
+        BPE_TOP,
+        PMI_MIN,
+        PMI_TOP,
+        PMI_W,
+        bpe_pair_merge_stats,
+        pmi_cooccurrence_topk,
+    )
+
+    rng = random.Random(seed)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    docs = [
+        (
+            i,
+            "web",
+            " ".join(
+                rng.choice(vocab)
+                for _ in range(rng.choice([0, 1, 2, 3, rng.randrange(0, 40)]))
+            ),
+        )
+        for i in range(150)
+    ]
+    _stage_documents(spark, str(tmp_path), docs)
+    sf = str(tmp_path)
+
+    tok_docs = [re.split(r"\s+", t.strip().lower()) for _d, _s, t in docs]
+
+    # bpe: adjacent pairs, top-30 by (count desc, pair)
+    got = [
+        (r.pair, r.n_occurrences)
+        for r in bpe_pair_merge_stats(spark, sf).collect()
+    ]
+    counts = defaultdict(int)
+    for toks in tok_docs:
+        for a, b in zip(toks, toks[1:]):
+            counts[f"{a} {b}"] += 1
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:BPE_TOP]
+    assert got == want
+
+    # pmi: skip-grams k=1..3, min count, rounded PMI, top-25
+    got = [
+        (r.pair, r.n_pair, r.pmi)
+        for r in pmi_cooccurrence_topk(spark, sf).collect()
+    ]
+    pc, tu = defaultdict(int), 0
+    uc = defaultdict(int)
+    for toks in tok_docs:
+        for w in toks:
+            uc[w] += 1
+            tu += 1
+        for k in range(1, PMI_W + 1):
+            for a, b in zip(toks, toks[k:]):
+                pc[f"{a} {b}"] += 1
+    tp = sum(pc.values())
+    scored = []
+    for pair, c in pc.items():
+        if c < PMI_MIN:
+            continue
+        a, b = pair.split(" ")
+        pmi = math.log((c * 1.0 * tu * tu) / (tp * 1.0 * uc[a] * uc[b]))
+        scored.append((pair, c, py_floor_nudge(pmi, 6)))
+    want = sorted(scored, key=lambda r: (-r[2], r[0]))[:PMI_TOP]
+    assert got == want
