@@ -31,10 +31,11 @@ GAP_S = 1800
 
 
 def _stage_events(spark, tmp, rows):
-    """rows: (event_id, user_id, ts) — written as tmp/events.parquet with
-    the driver table's column set so load_table reads it unchanged."""
+    """rows: (event_id, user_id, ts[, event_type]) — written as
+    tmp/events.parquet with the driver table's column set so load_table
+    reads it unchanged."""
     df = spark.createDataFrame(
-        [(e, ts, u, "t", 0.0, "{}") for e, u, ts in rows],
+        [(r[0], r[2], r[1], r[3] if len(r) > 3 else "t", 0.0, "{}") for r in rows],
         "event_id long, ts timestamp, user_id long, event_type string, "
         "value double, props string",
     )
@@ -574,4 +575,89 @@ def test_bpe_and_pmi_match_naive(spark, tmp_path, seed):
         pmi = math.log((c * 1.0 * tu * tu) / (tp * 1.0 * uc[a] * uc[b]))
         scored.append((pair, c, py_floor_nudge(pmi, 6)))
     want = sorted(scored, key=lambda r: (-r[2], r[0]))[:PMI_TOP]
+    assert got == want
+
+
+def _random_typed_events(seed, n=400, users=6, grid=50, types="ABCD"):
+    rng = random.Random(seed)
+    eids = list(range(1, n + 1))
+    rng.shuffle(eids)
+    return [
+        (
+            eids[i],
+            rng.randrange(users),
+            BASE + timedelta(seconds=900 * rng.randrange(grid)),
+            rng.choice(types),
+        )
+        for i in range(n)
+    ]
+
+
+def _naive_typed_sessions(rows):
+    """(uid, sess_id) -> [(ts, event_id, event_type)] in (ts, event_id)
+    order under the 30-min strict-gap rule."""
+    by_user = defaultdict(list)
+    for eid, uid, ts, et in rows:
+        by_user[uid].append((ts, eid, et))
+    sessions = defaultdict(list)
+    for uid, evs in by_user.items():
+        evs.sort()
+        sid, prev = 0, None
+        for ts, eid, et in evs:
+            if prev is None or (ts - prev).total_seconds() > GAP_S:
+                sid += 1
+            sessions[(uid, sid)].append((ts, eid, et))
+            prev = ts
+    return sessions
+
+
+@pytest.mark.parametrize("seed", [101, 102])
+def test_session_transition_matrix_matches_naive(spark, tmp_path, seed):
+    from hri_flink_validation_passthrough_spark.functions import py_floor_nudge
+    from hri_flink_validation_passthrough_spark.operators.analytics import (
+        session_transition_matrix,
+    )
+
+    rows = _random_typed_events(seed)
+    _stage_events(spark, str(tmp_path), rows)
+    got = {
+        (r.src, r.dst): (r.n_transitions, r.prob)
+        for r in session_transition_matrix(spark, str(tmp_path)).collect()
+    }
+
+    counts = defaultdict(int)
+    for evs in _naive_typed_sessions(rows).values():
+        for (_t1, _e1, a), (_t2, _e2, b) in zip(evs, evs[1:]):
+            counts[(a, b)] += 1
+    src_tot = defaultdict(int)
+    for (a, _b), c in counts.items():
+        src_tot[a] += c
+    want = {
+        k: (c, py_floor_nudge(c * 1.0 / src_tot[k[0]], 6))
+        for k, c in counts.items()
+    }
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", [111, 112])
+def test_session_path_topk_matches_naive(spark, tmp_path, seed):
+    from hri_flink_validation_passthrough_spark.operators.analytics import (
+        PATH_LEN,
+        PATH_TOP,
+        session_path_topk,
+    )
+
+    # few types + tight grid -> many identical paths (rank-cut tie stress)
+    rows = _random_typed_events(seed, types="AB")
+    _stage_events(spark, str(tmp_path), rows)
+    got = [
+        (r.path, r.n_sessions, r.rnk)
+        for r in session_path_topk(spark, str(tmp_path)).collect()
+    ]
+
+    counts = defaultdict(int)
+    for evs in _naive_typed_sessions(rows).values():
+        counts[">".join(et for _t, _e, et in evs[:PATH_LEN])] += 1
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:PATH_TOP]
+    want = [(p, c, i + 1) for i, (p, c) in enumerate(ranked)]
     assert got == want
