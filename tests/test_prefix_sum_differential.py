@@ -661,3 +661,59 @@ def test_session_path_topk_matches_naive(spark, tmp_path, seed):
     ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:PATH_TOP]
     want = [(p, c, i + 1) for i, (p, c) in enumerate(ranked)]
     assert got == want
+
+
+@pytest.mark.parametrize("seed", [121, 122, 123])
+def test_equi_depth_histogram_matches_naive(spark, tmp_path, seed):
+    """Decile boundaries vs a sorted-loop reference on a COARSE price grid:
+    duplicates pile onto few distinct values, so several deciles share one
+    boundary and many 10*cum == k*n exact-tie cases arise (the rule is
+    boundary_k = min v with 10*cum >= k*n; ties fall to the lower bin)."""
+    from hri_flink_validation_passthrough_spark.operators.analytics import (
+        HIST_BINS,
+        equi_depth_histogram,
+    )
+
+    rng = random.Random(seed)
+    # 40 distinct 2-decimal values across price bands (cb = v div 1000
+    # varies), counts up to 40 each — n is a multiple of small counts often
+    vals = sorted(
+        round(rng.uniform(900.0, 4100.0), 2) for _ in range(40)
+    )
+    prices = []
+    for v in vals:
+        prices.extend([v] * rng.randrange(1, 40))
+    spark.createDataFrame(
+        [(p,) for p in prices], "l_extendedprice double"
+    ).coalesce(2).write.parquet(f"{tmp_path}/lineitem.parquet")
+
+    got = {
+        r.bin: (r.n_rows, r.min_price, r.max_price, r.sum_price)
+        for r in equi_depth_histogram(spark, str(tmp_path)).collect()
+    }
+
+    n = len(prices)
+    dist = sorted(set(prices))
+    counts = defaultdict(int)
+    for p in prices:
+        counts[p] += 1
+    cum, cums = 0, {}
+    for v in dist:
+        cum += counts[v]
+        cums[v] = cum
+    bounds = []
+    for k in range(1, HIST_BINS):
+        bounds.append(min(v for v in dist if HIST_BINS * cums[v] >= k * n))
+    agg = defaultdict(list)
+    for p in prices:
+        agg[sum(1 for b in bounds if p > b)].append(p)
+    want = {
+        b: (
+            len(ps),
+            round(min(ps), 2),
+            round(max(ps), 2),
+            round(sum(ps), 2),
+        )
+        for b, ps in agg.items()
+    }
+    assert got == want
