@@ -717,3 +717,49 @@ def test_equi_depth_histogram_matches_naive(spark, tmp_path, seed):
         for b, ps in agg.items()
     }
     assert got == want
+
+
+@pytest.mark.parametrize("seed", [131, 132])
+def test_fingerprint_family_matches_naive(spark, tmp_path, seed):
+    """doc_fingerprint (normalize -> md5) and rolling_hash_fingerprint
+    (token stats -> modular sum) vs hashlib/integer replicas — punctuation,
+    mixed case, repeated spaces, and empty docs in the mix."""
+    from hri_flink_validation_passthrough_spark.operators.text import (
+        doc_fingerprint,
+        rolling_hash_fingerprint,
+    )
+
+    rng = random.Random(seed)
+    pieces = ["Foo", "BAR,", "baz!", "q-7", "x", "", "42", "a.b", "##", "Mix3d"]
+    docs = [
+        (
+            i,
+            "web",
+            (" " * rng.randrange(0, 3)).join(
+                rng.choice(pieces) for _ in range(rng.randrange(0, 15))
+            ),
+        )
+        for i in range(150)
+    ]
+    _stage_documents(spark, str(tmp_path), docs)
+    sf = str(tmp_path)
+
+    got = {
+        r.doc_id: r.fingerprint for r in doc_fingerprint(spark, sf).collect()
+    }
+    want = {}
+    for d, _s, text in docs:
+        norm = re.sub(r" +", " ", re.sub(r"[^a-z0-9 ]", "", text.lower())).strip()
+        want[d] = hashlib.md5(norm.encode()).hexdigest()
+    assert got == want
+
+    got = {
+        r.doc_id: r.rhash
+        for r in rolling_hash_fingerprint(spark, sf).collect()
+    }
+    want = {}
+    for d, _s, text in docs:
+        toks = re.split(r"\s+", text.strip().lower())
+        total = sum(len(t) + (ord(t[0]) if t else 0) * 31 for t in toks)
+        want[d] = total % 1000000007
+    assert got == want
