@@ -492,7 +492,9 @@ def dedup_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_id = (
         load_table(spark, sf_dir, "documents").agg(F.max("doc_id")).collect()[0][0]
     )
-    split = max_id * _DELTA_NUM // _DELTA_DEN
+    # empty corpus: no split point, and the shingle/bucket stages below are
+    # empty anyway — 0 keeps the arithmetic total (r14 empty-corpus sweep)
+    split = (max_id or 0) * _DELTA_NUM // _DELTA_DEN
     s = _shingles_for(spark, sf_dir)
     buckets = _minhash_buckets(s).withColumn(
         "is_new", F.col("doc_id") >= split
@@ -997,7 +999,16 @@ def srp_lsh_pairs(
     spark = emb.sparkSession
     par = spark.sparkContext.defaultParallelism
     emb = emb.repartition(par, "vec_id")
-    dim = emb.select(F.size("e").alias("d")).limit(1).collect()[0]["d"]
+    first = emb.select(F.size("e").alias("d")).limit(1).collect()
+    if not first:
+        # empty corpus: no dimensionality to build hyperplanes from, and no
+        # pairs to emit — return the typed empty result instead of crashing
+        # (r14 empty-corpus sweep; an over-aggressive upstream filter must
+        # not kill the pipeline)
+        return spark.createDataFrame(
+            [], "vec_a long, vec_b long, cos_sim double"
+        )
+    dim = first[0]["d"]
     keys_udf = F.pandas_udf(
         _srp_band_keys_factory(dim, n_bands, n_rows),
         "keys array<long>, sig array<long>",

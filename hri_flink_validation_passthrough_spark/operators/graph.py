@@ -219,6 +219,12 @@ def pagerank_supplier_coparts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # iteration — reference-released when the plan dies
     deg = deg.transform(cut())
     n = nodes.count()  # the single driver scalar (node count)
+    if n == 0:
+        # empty corpus: no graph, no ranks (r14 empty-corpus sweep —
+        # 1.0/n below would divide by zero)
+        return spark.createDataFrame(
+            [], "s_suppkey long, s_name string, pagerank double"
+        )
 
     ranks = nodes.withColumn("r", F.lit(1.0 / n))
     for _ in range(PR_ITERS):

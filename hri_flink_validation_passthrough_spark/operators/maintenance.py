@@ -353,18 +353,29 @@ def _ivf_index_frame(
     folded/reported set is exactly the listed one (a second directory
     listing could race a committing maintainer at the edge of the
     single-writer contract)."""
+    import glob as globmod
     from functools import reduce
 
     from .similarity import committed_delta_epochs
 
     if epochs is None:
         epochs = committed_delta_epochs(path)
+    paths = [path, *epochs]
+    if not any(
+        globmod.glob(f"{p}/**/*.parquet", recursive=True) for p in paths
+    ):
+        # an index built over an empty corpus has a committed sidecar but
+        # zero part-files — there is no footer to infer a schema from, so
+        # return the typed empty frame instead (r14 empty-corpus sweep).
+        # `cell` rides as a hive partition column and `e` as data; every
+        # other index column (vec_id, code_*) is integral.
+        types = {"e": "array<double>", "cell": "int", "vec_id": "long"}
+        return spark.createDataFrame(
+            [], ", ".join(f"{c} {types.get(c, 'int')}" for c in cols)
+        )
     return reduce(
         lambda a, b: a.unionByName(b),
-        [
-            spark.read.parquet(p).select(*cols)
-            for p in [path, *epochs]
-        ],
+        [spark.read.parquet(p).select(*cols) for p in paths],
     )
 
 

@@ -131,6 +131,10 @@ def logistic_gd_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 ).alias("loss"),
             ).collect()[0]
+            if g["g0"] is None:
+                # empty training set: avg over zero rows — no gradient, no
+                # trajectory (r14 empty-corpus sweep)
+                break
             rows.append((step, w0, w1, float(g["loss"])))
             w0 = _snap9(w0 - LR_RATE * float(g["g0"]))
             w1 = _snap9(w1 - LR_RATE * float(g["g1"]))
@@ -279,12 +283,18 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.avg("x").alias("m"), F.count(F.lit(1)).alias("n"))
             .collect()
         )
-        n = int(mu_rows[0]["n"])  # every dim counts all rows
-        mu = [0.0] * PCA_DIM
-        for r in mu_rows:
-            mu[int(r["dim"])] = _snap9(float(r["m"]))
-        w = [0.125] * PCA_DIM  # deterministic init: normalized all-ones (1/sqrt(64))
-        rows = _pca_rounds(v, mu, w, n)
+        if not mu_rows:
+            # empty corpus: nothing to center, no spectrum (r14
+            # empty-corpus sweep)
+            rows = []
+        else:
+            n = int(mu_rows[0]["n"])  # every dim counts all rows
+            mu = [0.0] * PCA_DIM
+            for r in mu_rows:
+                mu[int(r["dim"])] = _snap9(float(r["m"]))
+            # deterministic init: normalized all-ones (1/sqrt(64))
+            w = [0.125] * PCA_DIM
+            rows = _pca_rounds(v, mu, w, n)
     finally:
         # the trajectory is literal rows — release the per-call train cache
         # (r12 review, same rule as logistic_gd); finally so a mid-iteration

@@ -494,6 +494,13 @@ def _ivf_index_read_topk(
     probed = sorted(
         r["cell"] for r in probes.select("cell").distinct().collect()
     )
+    if not probed:
+        # no queries / empty corpus: nothing to probe — short-circuit
+        # BEFORE the parquet read (an empty index tree has no footers to
+        # infer a schema from; r14 empty-corpus sweep)
+        return spark.createDataFrame(
+            [], "qid long, nid long, cos_sim double, rnk long"
+        )
     paths = [path] if isinstance(path, str) else list(path)
     parts = [
         spark.read.parquet(p).filter(F.col("cell").isin(probed))
@@ -567,9 +574,7 @@ def ivf_upsert_index(spark: SparkSession, sf_dir: str, nlist: int = DNLIST) -> s
     if not _index_is_current(base, key, name):
         tmp = f"{base}.build-{uuidmod.uuid4().hex[:8]}"
         assign, _ = _ivf_assign_probes(spark, sf_dir, nlist=nlist)
-        split = int(
-            assign.agg(F.max("vec_id")).collect()[0][0] * UPSERT_BASE_FRACTION
-        )
+        split = int(_max_vec_id(assign) * UPSERT_BASE_FRACTION)
 
         def _phase(df, mode):
             (
@@ -684,6 +689,10 @@ def _lloyd_iterate(
     import math
 
     k = len(cents)
+    if k == 0:
+        # empty corpus: no init grid, nothing to train — F.lit([]) below
+        # would be an untyped empty literal (r14 empty-corpus sweep)
+        return cents
     for _it in range(iters):
         sims = F.transform(
             F.lit(cents),
@@ -723,6 +732,12 @@ def _assign_by_literal(v: DataFrame, cents: list[list[float]]) -> DataFrame:
     whole-stage codegen, ZERO shuffle (vs the crossJoin+window of
     _ivf_assign_probes; first occurrence of the max = lowest cid, the same
     tiebreak as the window form and the oracle's row_number)."""
+    if not cents:
+        # empty corpus: no grid to assign against (r14 empty-corpus sweep
+        # — F.lit([]) would be an untyped empty literal)
+        return v.sparkSession.createDataFrame(
+            [], "vec_id long, e array<double>, cell int"
+        )
     sims = F.transform(
         F.lit(cents), lambda c: F.round(cosine_similarity(F.col("e"), c), 6)
     )
@@ -760,6 +775,13 @@ def _assign_by_broadcast(
         .filter(F.col("rn") == 1)
         .select("vec_id", "e", F.col("cid").alias("cell"))
     )
+
+
+def _max_vec_id(v: DataFrame) -> int:
+    """max vec_id as the upsert split anchor; 0 on an empty corpus so the
+    base/delta arithmetic stays defined (r14 empty-corpus sweep)."""
+    m = v.agg(F.max("vec_id")).collect()[0][0]
+    return int(m) if m is not None else 0
 
 
 def _ranked_probes(
@@ -836,6 +858,12 @@ def _adaptive_probes(
     CONSTRUCTION. At 100 TB this caps the pile-local queries' scan cost
     at the fair-share target instead of letting it grow with the pile."""
     nlist = len(cents)
+    if nlist == 0:
+        # empty corpus: sidecar has no grid, so no cells to probe (r14
+        # empty-corpus sweep — the fair-share arithmetic divides by nlist)
+        return spark.createDataFrame(
+            [], "qid long, qe array<double>, cell int"
+        )
     total = sum(int(n) for n in cell_rows.values())
     target = total * nprobe / nlist
     fat = total * ADAPTIVE_FAT_FACTOR / nlist
@@ -955,9 +983,7 @@ def ivf_trained_upsert_index(
     if not _index_is_current(base, key, name):
         tmp = f"{base}.build-{uuidmod.uuid4().hex[:8]}"
         v = _emb(spark, sf_dir)
-        split = int(
-            v.agg(F.max("vec_id")).collect()[0][0] * UPSERT_BASE_FRACTION
-        )
+        split = int(_max_vec_id(v) * UPSERT_BASE_FRACTION)
         # train on the BASE slice only — the delta doesn't exist yet at
         # base-build time (same shared loop body as lloyd_trained_centroids,
         # which trains on the full corpus)
@@ -1049,9 +1075,7 @@ def stream_maintained_ivf_index(
         _ivf_index_dir_memo[(key, name)] = published
         return published
     v = _emb(spark, sf_dir)
-    split = int(
-        v.agg(F.max("vec_id")).collect()[0][0] * UPSERT_BASE_FRACTION
-    )
+    split = int(_max_vec_id(v) * UPSERT_BASE_FRACTION)
     base_v = v.filter(F.col("vec_id") < split)
     cents = _lloyd_iterate(
         base_v,
@@ -1836,6 +1860,10 @@ def _pq_lloyd(
     upsert codebook. Mutates and returns *cb*."""
     import math
 
+    if not cb or not cb[0]:
+        # empty corpus: the frozen init collected zero vectors, so there is
+        # no codebook to train (r14 empty-corpus sweep)
+        return cb
     for _it in range(iters):
         cb_lit = F.array(
             *[
@@ -1920,7 +1948,17 @@ def _pq_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     evict_stale_memo(_pq_encoded_memo, key, 2)
     cb = _pq_codebook(spark, sf_dir)
-    out = _pq_encode_with(_emb(spark, sf_dir), cb).persist()
+    if not cb or not cb[0]:
+        # empty corpus: no codebook — the encode expression cannot even be
+        # CONSTRUCTED (empty centroid literals fail analysis), so return
+        # the typed empty codes table directly (r14 empty-corpus sweep)
+        schema = "vec_id long, e array<double>, " + ", ".join(
+            [f"code_{m} int" for m in range(PQ_M)]
+            + [f"d_{m} double" for m in range(PQ_M)]
+        )
+        out = spark.createDataFrame([], schema).persist()
+    else:
+        out = _pq_encode_with(_emb(spark, sf_dir), cb).persist()
     _pq_encoded_memo[key] = out
     return out
 
@@ -2098,10 +2136,17 @@ def _pq_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         evict_stale_memo(_pq_recon_memo, key, 2)
         cb = _pq_codebook(spark, sf_dir)
-        enc = _pq_encoded(spark, sf_dir)
-        _pq_recon_memo[key] = enc.select(
-            "vec_id", _pq_recon_expr(cb).alias("re")
-        ).transform(cut(eager=False))
+        if not cb or not cb[0]:
+            # empty corpus: decode expression is unconstructible, result is
+            # empty either way (r14 empty-corpus sweep)
+            _pq_recon_memo[key] = spark.createDataFrame(
+                [], "vec_id long, re array<double>"
+            )
+        else:
+            enc = _pq_encoded(spark, sf_dir)
+            _pq_recon_memo[key] = enc.select(
+                "vec_id", _pq_recon_expr(cb).alias("re")
+            ).transform(cut(eager=False))
     return _pq_recon_memo[key]
 
 
@@ -2395,6 +2440,12 @@ def ann_ivfpq_durable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probed = sorted(
         r["cell"] for r in probes.select("cell").distinct().collect()
     )
+    if not probed:
+        # no queries / empty corpus: the codes tree has no parquet footers
+        # to infer a schema from — short-circuit (r14 empty-corpus sweep)
+        return spark.createDataFrame(
+            [], "qid long, nid long, cos_sim double, rnk long"
+        )
     idx = spark.read.parquet(path).filter(F.col("cell").isin(probed))
     # the TRAINED codebook rides the sidecar: decoding never re-trains (or
     # even touches) the corpus — tests/test_trained_pq.py poisons the
@@ -2522,9 +2573,7 @@ def ivfpq_trained_upsert_index(
     if not _index_is_current(base, key, name):
         tmp = f"{base}.build-{uuidmod.uuid4().hex[:8]}"
         v = _emb(spark, sf_dir)
-        split = int(
-            v.agg(F.max("vec_id")).collect()[0][0] * UPSERT_BASE_FRACTION
-        )
+        split = int(_max_vec_id(v) * UPSERT_BASE_FRACTION)
         base_v = v.filter(F.col("vec_id") < split)
         cents = _lloyd_iterate(
             base_v,
@@ -2616,9 +2665,7 @@ def stream_maintained_ivfpq_index(
         _ivf_index_dir_memo[(key, name)] = published
         return published
     v = _emb(spark, sf_dir)
-    split = int(
-        v.agg(F.max("vec_id")).collect()[0][0] * UPSERT_BASE_FRACTION
-    )
+    split = int(_max_vec_id(v) * UPSERT_BASE_FRACTION)
     base_v = v.filter(F.col("vec_id") < split)
     cents = _lloyd_iterate(
         base_v,
@@ -2632,6 +2679,15 @@ def stream_maintained_ivfpq_index(
     )
 
     def _rows() -> DataFrame:
+        if not cb or not cb[0]:
+            # empty corpus: no codebook to encode against — the encode
+            # expression cannot be constructed (r14 empty-corpus sweep)
+            return spark.createDataFrame(
+                [],
+                "vec_id long, "
+                + ", ".join(f"code_{m} int" for m in range(PQ_M))
+                + ", cell int",
+            )
         codes = _pq_encode_with(base_v, cb).select(
             "vec_id", *[f"code_{m}" for m in range(PQ_M)]
         )
@@ -3325,7 +3381,9 @@ def kmeans_lloyd_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             [float(x) for x in r["e"]]
             for r in v.filter(F.col("vec_id") < NLIST).orderBy("vec_id").collect()
         ]
-        for it in range(1, LLOYD_ITERS + 1):
+        # empty corpus: no init grid, no trajectory (r14 empty-corpus
+        # sweep — F.lit([]) below would be an untyped empty literal)
+        for it in range(1, LLOYD_ITERS + 1 if cents else 0):
             carr = F.lit(cents)  # k x dim literal — the broadcast model
             sims = F.transform(
                 carr, lambda c: F.round(cosine_similarity(F.col("e"), c), 6)

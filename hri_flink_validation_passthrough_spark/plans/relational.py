@@ -1195,7 +1195,10 @@ def transitive_closure_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     # nodes would silently drop those chains while the oracle, which
     # recurses arithmetically, keeps them.
     max_key = c.agg(F.max("c_custkey")).collect()[0][0]
-    dom = spark.range(0, int(max_key) + 1).select(F.col("id").alias("node"))
+    # empty corpus: empty key domain -> empty (correctly typed) closure
+    # (r14 empty-corpus sweep; int(None) would throw)
+    max_key = -1 if max_key is None else int(max_key)
+    dom = spark.range(0, max_key + 1).select(F.col("id").alias("node"))
     is_root = F.col("node") <= 2
     state = dom.select(
         "node",

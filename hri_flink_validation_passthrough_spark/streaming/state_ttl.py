@@ -603,7 +603,7 @@ def stream_windowed_topk_eviction(
         .agg(F.count(F.lit(1)).alias("n"))
         .agg(F.sum(F.least(F.col("n"), F.lit(TOPK_K))))
         .collect()[0][0]
-    )
+    ) or 0  # empty corpus: nothing staged, expect zero sink rows (r14)
     keyed = _events_keyed_stream(spark, sf_dir).select(
         "event_type", "event_id", "value", "ts_us"
     )

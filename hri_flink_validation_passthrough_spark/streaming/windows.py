@@ -1355,7 +1355,8 @@ def stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
     docs = load_table(spark, sf_dir, "documents")
     max_id = docs.agg(F.max("doc_id")).collect()[0][0]
-    split = max_id * _DELTA_NUM // _DELTA_DEN
+    # empty corpus: no split point; every stage below is empty (r14)
+    split = (max_id or 0) * _DELTA_NUM // _DELTA_DEN
 
     # Standing-corpus side: shared session shingle table (same memo the
     # batch twin uses) filtered to the corpus, banded once, persisted for
@@ -1739,6 +1740,13 @@ def stream_ivfpq_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         probed = sorted(
             r["cell"] for r in probes.select("cell").distinct().collect()
         )
+        if not probed:
+            # no queries / empty corpus: no codes files to infer a schema
+            # from, and the decode expression is unconstructible on an
+            # empty codebook (r14 empty-corpus sweep)
+            return spark.createDataFrame(
+                [], "qid long, nid long, cos_sim double, rnk long"
+            )
         from functools import reduce
 
         idx = reduce(

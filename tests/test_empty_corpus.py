@@ -1,0 +1,47 @@
+"""Registry-wide degenerate-corpus pin (r14).
+
+Every registered batch query must SURVIVE an empty corpus — at 100 TB an
+over-aggressive upstream filter, an empty ingest day, or a mis-scoped
+partition predicate produces exactly this input, and the pipeline must
+yield empty results, not die in model-training math. The r14 sweep found
+19 of 238 queries crashing (empty centroid/codebook literals failing
+analysis, None from aggregates entering Python arithmetic, [0]-indexing
+empty collects, divide-by-count, schema inference over part-file-less
+index trees); each got a guard at its model-artifact seam. This test
+keeps the whole registry inside that contract as new queries land.
+
+One looping test (not parametrize): a single pass over the registry
+shares the staged corpus and session, and the failure report lists every
+offender at once instead of 238 separate entries."""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(tmp_path_factory):
+    import pyarrow.parquet as pq
+
+    from hri_flink_validation_passthrough_spark.session import TABLES
+
+    d = tmp_path_factory.mktemp("empty_sf")
+    for t in TABLES:
+        src = pq.read_schema(f"/root/testdata/sf0.001/{t}.parquet")
+        pq.write_table(src.empty_table(), str(d / f"{t}.parquet"))
+    return str(d)
+
+
+def test_every_registered_query_survives_an_empty_corpus(spark, empty_sf_dir):
+    import __spark_entry__ as entrymod
+
+    failures = {}
+    for name, fn in entrymod.queries().items():
+        try:
+            fn(spark, empty_sf_dir).collect()
+        except Exception as e:  # noqa: BLE001 — we report them all below
+            failures[name] = f"{type(e).__name__}: {str(e).splitlines()[0][:120]}"
+    assert not failures, (
+        f"{len(failures)} queries crash on an empty corpus:\n"
+        + "\n".join(f"  {n}: {m}" for n, m in sorted(failures.items()))
+    )
