@@ -353,22 +353,22 @@ def _ivf_index_frame(
     folded/reported set is exactly the listed one (a second directory
     listing could race a committing maintainer at the edge of the
     single-writer contract)."""
-    import glob as globmod
     from functools import reduce
 
-    from .similarity import committed_delta_epochs
+    from .similarity import committed_delta_epochs, visible_parquet_paths
 
     if epochs is None:
         epochs = committed_delta_epochs(path)
-    paths = [path, *epochs]
-    if not any(
-        globmod.glob(f"{p}/**/*.parquet", recursive=True) for p in paths
-    ):
+    paths = visible_parquet_paths([path, *epochs])
+    if not paths:
         # an index built over an empty corpus has a committed sidecar but
         # zero part-files — there is no footer to infer a schema from, so
-        # return the typed empty frame instead (r14 empty-corpus sweep).
-        # `cell` rides as a hive partition column and `e` as data; every
-        # other index column (vec_id, code_*) is integral.
+        # return the typed empty frame instead (r14 empty/tiny-corpus
+        # sweeps; a tiny corpus can also leave just the BASE tree empty
+        # when every vector lands past the upsert split, so part-file-less
+        # trees are dropped per-path). `cell` rides as a hive partition
+        # column and `e` as data; every other index column (vec_id,
+        # code_*) is integral.
         types = {"e": "array<double>", "cell": "int", "vec_id": "long"}
         return spark.createDataFrame(
             [], ", ".join(f"{c} {types.get(c, 'int')}" for c in cols)

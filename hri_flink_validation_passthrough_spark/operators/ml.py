@@ -340,6 +340,12 @@ def _pca_rounds(v, mu, w, n):
             g[d] = _snap9((float(r["a"]) - mu[d] * float(r["ssum"])) / n)
         lam = _snap6(sum(w[i] * g[i] for i in range(PCA_DIM)))
         nrm = math.sqrt(sum(x * x for x in g))
+        if nrm == 0.0:
+            # degenerate spectrum: a single-row (or constant) corpus has a
+            # zero covariance operator — the iterate vanishes and there is
+            # no direction to normalize; the trajectory simply ends (r14
+            # tiny-corpus sweep)
+            break
         w_new = [_snap9(x / nrm) for x in g]
         delta = _snap6(sum(abs(w_new[i] - w[i]) for i in range(PCA_DIM)))
         lead = min(range(PCA_DIM), key=lambda i: (-abs(w_new[i]), i))

@@ -501,7 +501,15 @@ def _ivf_index_read_topk(
         return spark.createDataFrame(
             [], "qid long, nid long, cos_sim double, rnk long"
         )
-    paths = [path] if isinstance(path, str) else list(path)
+    paths = visible_parquet_paths(
+        [path] if isinstance(path, str) else list(path)
+    )
+    if not paths:
+        # every tree is part-file-less (tiny corpus whose rows all landed
+        # in one side of a split): there are no candidates to rank
+        return spark.createDataFrame(
+            [], "qid long, nid long, cos_sim double, rnk long"
+        )
     parts = [
         spark.read.parquet(p).filter(F.col("cell").isin(probed))
         for p in paths
@@ -775,6 +783,28 @@ def _assign_by_broadcast(
         .filter(F.col("rn") == 1)
         .select("vec_id", "e", F.col("cid").alias("cell"))
     )
+
+
+def visible_parquet_paths(paths: list[str]) -> list[str]:
+    """The subset of *paths* holding at least one parquet DATA file by
+    Spark's visibility rule (files under ``_``- or ``.``-prefixed path
+    segments — epoch subtrees, _SUCCESS markers — are metadata). A tree
+    built over an empty/tiny corpus can be part-file-less while its
+    committed sidecar exists; reading it fails schema inference, so
+    readers drop such trees up front (r14 empty/tiny-corpus sweeps)."""
+    import glob as globmod
+    import os
+
+    def _visible(p: str) -> bool:
+        return any(
+            not any(
+                seg.startswith(("_", "."))
+                for seg in os.path.relpath(f, p).split(os.sep)
+            )
+            for f in globmod.glob(f"{p}/**/*.parquet", recursive=True)
+        )
+
+    return [p for p in paths if _visible(p)]
 
 
 def _max_vec_id(v: DataFrame) -> int:

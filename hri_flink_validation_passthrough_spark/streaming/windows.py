@@ -1740,10 +1740,15 @@ def stream_ivfpq_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         probed = sorted(
             r["cell"] for r in probes.select("cell").distinct().collect()
         )
-        if not probed:
-            # no queries / empty corpus: no codes files to infer a schema
-            # from, and the decode expression is unconstructible on an
-            # empty codebook (r14 empty-corpus sweep)
+        from ..operators.similarity import visible_parquet_paths
+
+        idx_paths = visible_parquet_paths(
+            [path, *committed_delta_epochs(path)]
+        )
+        if not probed or not idx_paths:
+            # no queries / part-file-less trees (empty or tiny corpus): no
+            # codes to read, and the decode expression is unconstructible
+            # on an empty codebook (r14 empty/tiny-corpus sweeps)
             return spark.createDataFrame(
                 [], "qid long, nid long, cos_sim double, rnk long"
             )
@@ -1753,7 +1758,7 @@ def stream_ivfpq_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda a, b: a.unionByName(b),
             [
                 spark.read.parquet(p).filter(_F.col("cell").isin(probed))
-                for p in [path, *committed_delta_epochs(path)]
+                for p in idx_paths
             ],
         )
         cand = idx.select("vec_id", "cell", _pq_recon_expr(cb).alias("re"))

@@ -32,16 +32,43 @@ def empty_sf_dir(tmp_path_factory):
     return str(d)
 
 
-def test_every_registered_query_survives_an_empty_corpus(spark, empty_sf_dir):
+@pytest.fixture(scope="module")
+def one_row_sf_dir(tmp_path_factory):
+    """One row per table — the other degenerate shape: splits/quantile/
+    upsert anchors degenerate to a single point (the r14 sweep found a
+    zero PCA spectrum and a part-file-less upsert BASE tree here even
+    after the empty-corpus fixes)."""
+    import pyarrow.parquet as pq
+
+    from hri_flink_validation_passthrough_spark.session import TABLES
+
+    d = tmp_path_factory.mktemp("one_row_sf")
+    for t in TABLES:
+        src = pq.read_table(f"/root/testdata/sf0.001/{t}.parquet")
+        pq.write_table(src.slice(0, 1), str(d / f"{t}.parquet"))
+    return str(d)
+
+
+def _sweep(spark, sf_dir, label):
     import __spark_entry__ as entrymod
 
     failures = {}
     for name, fn in entrymod.queries().items():
         try:
-            fn(spark, empty_sf_dir).collect()
+            fn(spark, sf_dir).collect()
         except Exception as e:  # noqa: BLE001 — we report them all below
             failures[name] = f"{type(e).__name__}: {str(e).splitlines()[0][:120]}"
     assert not failures, (
-        f"{len(failures)} queries crash on an empty corpus:\n"
+        f"{len(failures)} queries crash on {label}:\n"
         + "\n".join(f"  {n}: {m}" for n, m in sorted(failures.items()))
     )
+
+
+def test_every_registered_query_survives_an_empty_corpus(spark, empty_sf_dir):
+    _sweep(spark, empty_sf_dir, "an empty corpus")
+
+
+def test_every_registered_query_survives_a_one_row_corpus(
+    spark, one_row_sf_dir
+):
+    _sweep(spark, one_row_sf_dir, "a one-row corpus")
