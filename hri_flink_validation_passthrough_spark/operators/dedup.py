@@ -884,7 +884,11 @@ def dedup_containment_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        # NULL embeddings are unindexable — same rule as similarity._emb
+        # (r14 null-corpus sweep)
+        F.col("embedding").isNotNull()
+    ).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
     a = emb.withColumnsRenamed({"vec_id": "vec_a", "e": "ea"})
@@ -962,7 +966,11 @@ def _srp_band_keys_factory(dim: int, n_bands: int, n_rows: int):
 )
 def dedup_embedding_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        # NULL embeddings are unindexable — same rule as similarity._emb
+        # (r14 null-corpus sweep)
+        F.col("embedding").isNotNull()
+    ).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
     return srp_lsh_pairs(emb, threshold=0.95)

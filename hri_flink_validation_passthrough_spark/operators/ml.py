@@ -273,7 +273,11 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every iteration read the cache, and centering is a cheap in-row
     # zip_with against the literal snapped mean (recomputing 64
     # subtractions per row per pass beats a second cached copy)
-    v = load_table(spark, sf_dir, "embeddings").select(
+    v = load_table(spark, sf_dir, "embeddings").filter(
+        # NULL embeddings are unindexable — same rule as similarity._emb
+        # (r14 null-corpus sweep)
+        F.col("embedding").isNotNull()
+    ).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     ).persist()
     try:

@@ -38,9 +38,17 @@ NPROBE = 4
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, e) with NULL embeddings dropped: a row whose vector never
+    materialized (failed embed job, late join) is unindexable — every
+    consumer here collects model artifacts (centroids, codebooks, SRP
+    dims) from these rows driver-side, where a None is a crash, not a
+    rankable candidate (r14 null-corpus sweep). Driver corpora carry no
+    NULL vectors, so the rule is invisible to the oracle gate."""
     prepare(spark)
-    return load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
     )
 
 
@@ -2938,7 +2946,11 @@ HN_K = 3  # positives / hard negatives kept per query
 )
 def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
-    v = load_table(spark, sf_dir, "embeddings").select(
+    v = load_table(spark, sf_dir, "embeddings").filter(
+        # NULL embeddings are unindexable — same rule as similarity._emb
+        # (r14 null-corpus sweep)
+        F.col("embedding").isNotNull()
+    ).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e"), "label"
     )
     q = v.filter(F.col("vec_id") < N_QUERIES).select(

@@ -480,7 +480,19 @@ def map_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m = per_type.groupBy("user_id").agg(
         F.map_from_entries(
-            F.collect_list(F.struct("event_type", "cnt"))
+            # NULL event_type is a real group in the oracle's conditional
+            # aggregation, but Spark maps cannot hold a NULL key — carry it
+            # under a NUL-byte sentinel so n_types/total still count it
+            # (r14 null-corpus sweep; driver data has no NULL types, so
+            # the sentinel never appears at the oracle gate)
+            F.collect_list(
+                F.struct(
+                    F.coalesce(F.col("event_type"), F.lit("\x00")).alias(
+                        "event_type"
+                    ),
+                    "cnt",
+                )
+            )
         ).alias("m")
     )
     zero = F.lit(0).cast("long")

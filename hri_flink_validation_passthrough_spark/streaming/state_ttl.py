@@ -84,9 +84,16 @@ def _merge_metrics(st: dict, pdf: pd.DataFrame) -> None:
     order-independent (int sums, min/max, set union)."""
     st["n_events"] += int(len(pdf))
     # exact integer cents: floor(v*100 + 0.5) is identical in Python, Spark
-    # and DuckDB on the same input double (banker's-rounding-free)
+    # and DuckDB on the same input double (banker's-rounding-free). NULL
+    # values arrive as NaN in the Arrow batch and contribute nothing, the
+    # same as SQL sum() skipping NULLs — int(floor(nan)) would instead
+    # kill the worker and stall the whole query (r14 null-corpus sweep)
     st["sum_cents"] += int(
-        sum(int(math.floor(v * 100.0 + 0.5)) for v in pdf["value"])
+        sum(
+            int(math.floor(v * 100.0 + 0.5))
+            for v in pdf["value"]
+            if v == v  # NaN-safe
+        )
     )
     ts_min, ts_max = int(pdf["ts_us"].min()), int(pdf["ts_us"].max())
     st["min_ts"] = ts_min if st["min_ts"] is None else min(st["min_ts"], ts_min)
@@ -467,6 +474,11 @@ def _run_until_rows(
         t0 = time.time()
         got = 0
         while time.time() - t0 < 300:
+            if q.exception() is not None:
+                # a dead query can never fill the sink — surface ITS error
+                # now instead of a 300 s stall that hides it (r14: a
+                # worker-side crash class was only visible as the timeout)
+                raise q.exception()
             got = spark.table(name).count()
             if got >= expected_rows:
                 break

@@ -49,6 +49,44 @@ def one_row_sf_dir(tmp_path_factory):
     return str(d)
 
 
+@pytest.fixture(scope="module")
+def null_heavy_sf_dir(tmp_path_factory):
+    """Every other row's nullable payload columns nulled — the shape real
+    ingests produce (failed embed jobs, absent metadata). The r14 sweep
+    found 14 crashes here: NaN cents killing the TTL worker (visible only
+    as a 300 s stall before the dead-query fast-fail), NULL map keys, and
+    None embeddings in every model-artifact collect."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from hri_flink_validation_passthrough_spark.session import TABLES
+
+    nullable = {
+        "documents": ["text", "lang", "source"],
+        "events": ["event_type", "props", "value"],
+        "embeddings": ["embedding", "label"],
+        "customer": ["c_comment", "c_mktsegment"],
+        "orders": ["o_comment"],
+        "lineitem": ["l_comment", "l_shipmode"],
+    }
+    d = tmp_path_factory.mktemp("null_sf")
+    for t in TABLES:
+        src = pq.read_table(f"/root/testdata/sf0.001/{t}.parquet")
+        n = src.num_rows
+        mask = pa.array([i % 2 == 0 for i in range(n)])
+        cols = {}
+        for name in src.schema.names:
+            col = src.column(name)
+            if name in nullable.get(t, []):
+                col = pc.if_else(
+                    mask, col, pa.nulls(n, src.schema.field(name).type)
+                )
+            cols[name] = col
+        pq.write_table(pa.table(cols), str(d / f"{t}.parquet"))
+    return str(d)
+
+
 def _sweep(spark, sf_dir, label):
     import __spark_entry__ as entrymod
 
@@ -72,3 +110,9 @@ def test_every_registered_query_survives_a_one_row_corpus(
     spark, one_row_sf_dir
 ):
     _sweep(spark, one_row_sf_dir, "a one-row corpus")
+
+
+def test_every_registered_query_survives_a_null_heavy_corpus(
+    spark, null_heavy_sf_dir
+):
+    _sweep(spark, null_heavy_sf_dir, "a null-heavy corpus")

@@ -588,15 +588,30 @@ def test_iterative_trainers_release_their_caches(spark):
         kmeans_lloyd_convergence,
     )
 
+    import time
+
     def n_cached() -> int:
-        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+        """Settled persistent-RDD count: the async ContextCleaner may
+        still be unpersisting frames dropped by EARLIER tests (r14: the
+        degenerate-corpus sweeps run hundreds of queries first), so read
+        until two consecutive samples agree — and the growth assertions
+        below are <=, since a concurrent background unpersist shrinking
+        the set is not a trainer leak."""
+        prev = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+        for _ in range(25):
+            time.sleep(0.2)
+            cur = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+            if cur == prev:
+                return cur
+            prev = cur
+        return prev
 
     for fn in (logistic_gd_returnflag, pca_power_iteration,
                kmeans_lloyd_convergence):
         fn(spark, "/root/testdata/sf0.001").collect()  # warm: memos build here
         before = n_cached()
         fn(spark, "/root/testdata/sf0.001").collect()
-        assert n_cached() == before, fn.__name__
+        assert n_cached() <= before, fn.__name__
 
     # ADVICE r12: the release must also hold on the EXCEPTION path — a
     # failure mid-iteration (here: a missing table, so the first cached
@@ -609,4 +624,4 @@ def test_iterative_trainers_release_their_caches(spark):
                kmeans_lloyd_convergence):
         with pytest.raises(Exception):
             fn(spark, "/root/testdata/no-such-sf").collect()
-        assert n_cached() == before, f"{fn.__name__} leaked on failure"
+        assert n_cached() <= before, f"{fn.__name__} leaked on failure"
