@@ -392,6 +392,12 @@ def _stream_passthrough(spark, sf_dir: str) -> float:
     )
     try:
         while counts.get("out", 0) < n_events:
+            # dead-query fast-fail (ADVICE r14): a worker crash otherwise
+            # hides behind a 300 s TimeoutError — surface the query's own
+            # exception the moment it dies (same fix as state_ttl's polls)
+            exc = q.exception()
+            if exc is not None:
+                raise exc
             if time.perf_counter() - t0 > 300:
                 raise TimeoutError(f"only {counts.get('out', 0)}/{n_events} routed")
             time.sleep(0.05)

@@ -31,12 +31,12 @@ north-star extensions mandated by the engine's own CDC/table features.
 from __future__ import annotations
 
 import math
-import os
 import re
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from .. import iofs
 
 from ..plans import QuerySpec, register
 from ..session import load_table, prepare
@@ -56,21 +56,25 @@ def _data_files(path: str, include_hidden_trees: bool = False) -> list[str]:
     against a spark.read row count would make a layout report internally
     inconsistent (r11 self-review finding). fold_delta_epochs passes
     include_hidden_trees=True: its before/after file metric deliberately
-    spans the epoch trees it folds."""
+    spans the epoch trees it folds. Listing routes through iofs (r15), so
+    the layout report works on an object-store catalog root too."""
     out = []
-    for root, dirs, files in os.walk(path):
-        if not include_hidden_trees:
-            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
-        for f in files:
-            if f.endswith(".parquet") and not f.startswith(("_", ".")):
-                out.append(os.path.join(root, f))
+    for rel in iofs.list_files(path):
+        segs = rel.split("/")
+        if not segs[-1].endswith(".parquet") or segs[-1].startswith(("_", ".")):
+            continue
+        if not include_hidden_trees and any(
+            s.startswith(("_", ".")) for s in segs[:-1]
+        ):
+            continue
+        out.append(iofs.join(path, rel))
     return out
 
 
 def table_layout_report(spark: SparkSession, path: str) -> dict:
     """File-layout health of a parquet dataset (metadata-only + row count)."""
     files = _data_files(path)
-    sizes = [os.path.getsize(f) for f in files]
+    sizes = [iofs.stat(f)["size"] for f in files]
     n_rows = spark.read.parquet(path).count() if files else 0
     return {
         "n_files": len(files),
@@ -117,9 +121,9 @@ def list_table_versions(root: str) -> list[int]:
     ascending. Uncommitted partial writes (crash between parquet write and
     marker write) are excluded — they are not readable history."""
     out = []
-    for d in os.listdir(root) if os.path.isdir(root) else []:
+    for d in iofs.list_names(root):
         m = _VER_RE.match(d)
-        if m and os.path.exists(os.path.join(root, d, "_EPOCH")):
+        if m and iofs.exists(iofs.join(root, d, "_EPOCH")):
             out.append(int(m.group(1)))
     return sorted(out)
 
@@ -135,8 +139,8 @@ def read_table_version(spark: SparkSession, root: str, version: int):
     Raises ``ValueError`` for unknown/uncommitted versions (listing the
     committed ones, so callers can bisect history).
     """
-    path = os.path.join(root, f"v{version}")
-    if not os.path.isdir(path) or not os.path.exists(os.path.join(path, "_EPOCH")):
+    path = iofs.join(root, f"v{version}")
+    if not iofs.is_dir(path) or not iofs.exists(iofs.join(path, "_EPOCH")):
         raise ValueError(
             f"no committed version v{version} under {root}; "
             f"committed versions: {list_table_versions(root)}"
@@ -165,19 +169,19 @@ def vacuum_table_versions(root: str, keep: int = 2) -> dict:
     """
     if keep < 1:
         raise ValueError("keep must be >= 1 (the current version always stays)")
-    if not os.path.isdir(root):
+    if not iofs.is_dir(root):
         # a table root that does not exist yet has no versions to vacuum —
         # mirror list_table_versions' graceful empty instead of
         # FileNotFoundError from a scheduled job (r11 self-review)
         return {"kept": [], "removed": []}
     vers = sorted(
         int(m.group(1))
-        for d in os.listdir(root)
-        if (m := _VER_RE.match(d)) and os.path.isdir(os.path.join(root, d))
+        for d in iofs.list_names(root)
+        if (m := _VER_RE.match(d)) and iofs.is_dir(iofs.join(root, d))
     )
 
     def _committed(v: int) -> bool:
-        return os.path.exists(os.path.join(root, f"v{v}", "_EPOCH"))
+        return iofs.exists(iofs.join(root, f"v{v}", "_EPOCH"))
 
     by_keep_priority = sorted(vers, key=lambda v: (_committed(v), v), reverse=True)
     hold = set(by_keep_priority[:keep])
@@ -186,7 +190,7 @@ def vacuum_table_versions(root: str, keep: int = 2) -> dict:
         hold.add(max(marked))  # the recovery anchor survives any keep
     drop = [v for v in vers if v not in hold]
     for v in drop:
-        shutil.rmtree(os.path.join(root, f"v{v}"))
+        iofs.delete(iofs.join(root, f"v{v}"), ignore_errors=False)
     return {"kept": sorted(hold), "removed": drop}
 
 
@@ -340,6 +344,27 @@ RETRAIN_SKEW_THRESHOLD = 2.5
 RETRAIN_DELTA_FRACTION = 0.5
 
 
+def _index_columns(
+    spark: SparkSession, path: str, epochs: list[str] | None = None
+) -> tuple[str, ...]:
+    """Column set of a durable index, resolved through the FIRST visible
+    tree among [base, *committed epochs] — never an unconditional read of
+    the base tree, which is part-file-less on a tiny corpus whose rows all
+    landed past the upsert split (ADVICE r14 medium: schema inference over
+    a part-file-less BASE with committed delta epochs crashed the fold).
+    Base and epochs share one layout by the append contract, so any
+    visible tree answers for all. Empty tuple when NO tree is visible
+    (nothing indexed — callers short-circuit)."""
+    from .similarity import committed_delta_epochs, visible_parquet_paths
+
+    if epochs is None:
+        epochs = committed_delta_epochs(path)
+    vis = visible_parquet_paths([path, *epochs])
+    if not vis:
+        return ()
+    return tuple(spark.read.parquet(vis[0]).columns)
+
+
 def _ivf_index_frame(
     spark: SparkSession,
     path: str,
@@ -436,15 +461,16 @@ def ivf_drift_report(spark: SparkSession, path: str) -> dict:
 
 def _rewrite_sidecar(path: str, meta: dict) -> None:
     """Atomic sidecar update: temp file + rename, readers never see a torn
-    JSON."""
+    JSON. (On an object-store catalog ``iofs.replace`` narrows but cannot
+    close the window — the reader treats a missing sidecar as rebuild, so
+    the worst case is a spurious rebuild, never a torn read.)"""
     import json
 
     from .similarity import _INDEX_META
 
-    tmp = os.path.join(path, f".{_INDEX_META}.tmp")
-    with open(tmp, "w") as fh:
-        json.dump(meta, fh)
-    os.replace(tmp, os.path.join(path, _INDEX_META))
+    tmp = iofs.join(path, f".{_INDEX_META}.tmp")
+    iofs.write_text(tmp, json.dumps(meta))
+    iofs.replace(tmp, iofs.join(path, _INDEX_META))
 
 
 def update_drift_stats(spark: SparkSession, path: str) -> dict:
@@ -486,7 +512,6 @@ def retrain_if_skewed(
     a rebalanced sidecar — rebalancing is paired with re-deriving the
     oracle (here it is exercised on scratch/test indexes; the registered
     queries never trigger it)."""
-    import glob as globmod
     import json
     import time as timemod
     import uuid as uuidmod
@@ -495,6 +520,7 @@ def retrain_if_skewed(
         _INDEX_META,
         _assign_by_literal,
         _lloyd_iterate,
+        _n_cell_files,
         _publish_index,
         read_index_meta,
     )
@@ -512,8 +538,11 @@ def retrain_if_skewed(
 
     nlist = int(meta["nlist"])
     it = iters if iters is not None else int(meta.get("iters", _DEFAULT_ITERS))
-    probe = spark.read.parquet(path)
-    if "e" not in probe.columns:
+    # column check through the visible trees, not an unconditional read of
+    # the base (part-file-less on a tiny corpus whose rows all landed past
+    # the upsert split — the ADVICE r14 seam; the drift report above
+    # guarantees rows exist somewhere once we're on the retrain arm)
+    if "e" not in _index_columns(spark, path):
         raise ValueError(
             f"{path} is a codes-only index (no raw vectors): rebalancing it "
             "means re-encoding from the corpus — rebuild via its builder "
@@ -553,16 +582,14 @@ def retrain_if_skewed(
     # landing in a default partition that cell=* readers never scan.
     n_tmp = spark.read.parquet(tmp).count()
     if n_tmp != n_rows:
-        import shutil as _shutil
-
-        _shutil.rmtree(tmp, ignore_errors=True)
+        iofs.delete(tmp)
         raise RuntimeError(
             f"rebalance must not drop rows: {n_rows} -> {n_tmp} ({path})"
         )
     new_meta = dict(meta)
     new_meta.update(
         {
-            "n_files": len(globmod.glob(f"{tmp}/cell=*/*.parquet")),
+            "n_files": _n_cell_files(tmp),
             "built_unix": timemod.time(),
             "centroids": cents,
             "centroid_kind": "lloyd_trained_rebalanced",
@@ -579,8 +606,7 @@ def retrain_if_skewed(
     # post-publish refresh below lands. Drop them — readers fall back to
     # the fixed probe policy until fresh stats are recorded.
     new_meta.pop("drift", None)
-    with open(os.path.join(tmp, _INDEX_META), "w") as fh:
-        json.dump(new_meta, fh)
+    iofs.write_text(iofs.join(tmp, _INDEX_META), json.dumps(new_meta))
     _publish_index(path, tmp)
     after = ivf_drift_report(spark, path)
     final = read_index_meta(path)
@@ -599,12 +625,12 @@ def fold_delta_epochs(spark: SparkSession, path: str) -> dict:
     files per epoch — at 100 TB this runs on the compaction schedule right
     before retrain_if_skewed, which reuses the same publish seam).
     Returns file counts before/after."""
-    import glob as globmod
     import json
     import uuid as uuidmod
 
     from .similarity import (
         _INDEX_META,
+        _n_cell_files,
         _publish_index,
         committed_delta_epochs,
         read_index_meta,
@@ -616,15 +642,24 @@ def fold_delta_epochs(spark: SparkSession, path: str) -> dict:
         return {"folded_epochs": 0, "files_before": n_before,
                 "files_after": n_before}
     meta = read_index_meta(path)
-    # Column set comes from the base tree itself, not the raw-index default
-    # (ADVICE r10): the codes-only IVF-PQ stream index has no `e` column —
-    # its rows are (vec_id, code_0..code_{M-1}, cell) — and the epochs
-    # share the base layout by the append contract, so folding is
-    # layout-generic.
+    # Column set comes from the index's own trees, not the raw-index
+    # default (ADVICE r10): the codes-only IVF-PQ stream index has no `e`
+    # column — its rows are (vec_id, code_0..code_{M-1}, cell) — and the
+    # epochs share the base layout by the append contract, so folding is
+    # layout-generic. Resolved through the FIRST VISIBLE tree, not an
+    # unconditional base read: with a part-file-less base and committed
+    # delta epochs (tiny corpus, all rows past the upsert split) schema
+    # inference over the base crashes (ADVICE r14 medium).
+    cols = _index_columns(spark, path, epochs=epochs)
+    if not cols:
+        # committed epochs exist but hold no visible part files and the
+        # base is bare too — nothing to fold
+        return {"folded_epochs": 0, "files_before": n_before,
+                "files_after": n_before}
     df = _ivf_index_frame(
         spark,
         path,
-        cols=tuple(spark.read.parquet(path).columns),
+        cols=cols,
         epochs=epochs,  # the listed set IS the folded set — never re-list
     )
     n_rows = df.count()
@@ -641,12 +676,12 @@ def fold_delta_epochs(spark: SparkSession, path: str) -> dict:
     # fired after rollback was impossible)
     n_tmp = spark.read.parquet(tmp).count()
     if n_tmp != n_rows:
-        shutil.rmtree(tmp, ignore_errors=True)
+        iofs.delete(tmp)
         raise RuntimeError(
             f"epoch fold must not drop rows: {n_rows} -> {n_tmp} ({path})"
         )
     meta = dict(meta)
-    meta["n_files"] = len(globmod.glob(f"{tmp}/cell=*/*.parquet"))
+    meta["n_files"] = _n_cell_files(tmp)
     meta.pop("base_files", None)
     # the folded base now HOLDS the deltas: a subsequent maintenance run
     # must not replay them (it would duplicate every delta vector in the
@@ -658,8 +693,7 @@ def fold_delta_epochs(spark: SparkSession, path: str) -> dict:
     # with an append-only corpus would replace the flag with a
     # folded-through vec_id/epoch watermark on the same meta field.
     meta["delta_folded"] = True
-    with open(os.path.join(tmp, _INDEX_META), "w") as fh:
-        json.dump(meta, fh)
+    iofs.write_text(iofs.join(tmp, _INDEX_META), json.dumps(meta))
     _publish_index(path, tmp)
     return {
         "folded_epochs": len(epochs),

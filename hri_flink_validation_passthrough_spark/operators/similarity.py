@@ -23,6 +23,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .. import iofs
 from ..functions import cosine_similarity, floor_nudge, py_floor_nudge
 from ..plans import QuerySpec, register
 from ..session import load_table, prepare
@@ -292,13 +293,14 @@ def _corpus_fingerprint(sf_dir: str) -> dict:
     a durable volume while the data dir was wiped) returns a sentinel that
     never equals a build-recorded fingerprint — a successful build always
     stats the real file — so resolution degrades to 'stale', it never
-    raises (r9 ADVICE)."""
-    src = os.path.join(sf_dir.rstrip("/"), "embeddings.parquet")
-    try:
-        st = os.stat(src)
-    except OSError:
+    raises (r9 ADVICE). Routed through iofs so an object-store corpus
+    (``s3a://.../sf_dir``) fingerprints exactly like a local one (r15:
+    object-store-safe catalog)."""
+    src = iofs.join(sf_dir.rstrip("/"), "embeddings.parquet")
+    st = iofs.stat(src)
+    if st is None:
         return {"src": src, "missing": True}
-    return {"src": src, "size": st.st_size, "mtime_ns": st.st_mtime_ns}
+    return {"src": src, "size": st["size"], "mtime_ns": st["mtime_ns"]}
 
 
 def _fp_key(sf_dir: str, fname: str = "embeddings.parquet") -> tuple:
@@ -320,8 +322,7 @@ def read_index_meta(base: str) -> dict | None:
     import json
 
     try:
-        with open(os.path.join(base, _INDEX_META)) as fh:
-            return json.load(fh)
+        return json.loads(iofs.read_text(iofs.join(base, _INDEX_META)))
     except (OSError, ValueError):
         return None
 
@@ -335,7 +336,7 @@ def _index_is_current(base: str, sf_dir: str, name: str) -> bool:
         and meta.get("format_version") == INDEX_FORMAT_VERSION
         and meta.get("name") == name
         and meta.get("fingerprint") == _corpus_fingerprint(sf_dir)
-        and os.path.exists(os.path.join(base, "_SUCCESS"))
+        and iofs.exists(iofs.join(base, "_SUCCESS"))
     )
 
 
@@ -344,47 +345,64 @@ def _index_base_path(sf_dir: str, name: str) -> str:
 
     key = sf_dir.rstrip("/")
     tag = hashlib.md5(key.encode()).hexdigest()[:8]
-    return os.path.join(
-        index_root(), f"hri_{name}_index_{os.path.basename(key)}_{tag}"
+    return iofs.join(
+        index_root(), f"hri_{name}_index_{key.rsplit('/', 1)[-1]}_{tag}"
     )
 
 
 def _publish_index(base: str, tmp: str) -> None:
     """Atomically swap the fully-built *tmp* directory into place. A stale
-    previous version is moved aside first (rename, then best-effort rmtree:
+    previous version is moved aside first (rename, then best-effort delete:
     POSIX keeps open file handles of in-flight readers valid). Two racing
     builders each build a complete index; the first rename wins — POSIX
     rename onto an existing non-empty directory fails (ENOTEMPTY/EEXIST),
     so the loser treats the already-published index as authoritative and
     discards its own tmp dir (r9 ADVICE — previously documented as 'last
     wins', which the rename semantics don't actually provide). Readers can
-    never observe an interleaved overwrite/append state either way."""
-    import shutil
+    never observe an interleaved overwrite/append state either way.
+
+    r15: both renames route through ``iofs.rename``, which maps the Hadoop
+    ``FileSystem.rename`` false-with-destination-present outcome onto the
+    same lost-the-race semantics and raises for real failures — so the
+    publish seam behaves identically for a local catalog root and an
+    ``hdfs://`` one (atomic dir rename). On a bare object store rename is
+    copy-then-delete; the single-writer maintenance contract covers the
+    race there (iofs module docstring)."""
     import uuid as uuidmod
 
-    if os.path.exists(base):
+    if iofs.exists(base):
         trash = f"{base}.old-{uuidmod.uuid4().hex[:8]}"
-        os.rename(base, trash)
-        shutil.rmtree(trash, ignore_errors=True)
-    try:
-        os.rename(tmp, base)
-    except OSError as exc:
-        # Only the publish-race errnos mean "another builder won" (rename
-        # onto an existing non-empty dir). Anything else — missing index
-        # root, read-only filesystem — is a REAL failure; swallowing it
-        # would discard the completed build and surface later as a
-        # confusing sidecar-missing error far from the cause (ADVICE r10).
-        import errno as errnomod
+        if iofs.rename(base, trash):
+            iofs.delete(trash)
+    if not iofs.rename(tmp, base):
+        # a concurrent builder published between our aside-move and our
+        # rename: their complete index is authoritative; clean up our
+        # losing build. Real failures (missing index root, read-only
+        # filesystem) raise inside iofs.rename instead of being swallowed
+        # here (ADVICE r10).
+        iofs.delete(tmp)
 
-        if exc.errno not in (
-            errnomod.ENOTEMPTY,
-            errnomod.EEXIST,
-            errnomod.ENOTDIR,
+
+def _cell_file_rels(tree: str) -> list[str]:
+    """Relative paths of the parquet data files in *tree*'s
+    ``cell=K/part-*.parquet`` layout — the sidecar's file bookkeeping,
+    backend-agnostic (replaces the ``glob.glob`` calls that only worked
+    on a local catalog; r15 object-store-safe catalog)."""
+    out = []
+    for rel in iofs.list_files(tree):
+        segs = rel.split("/")
+        if (
+            len(segs) == 2
+            and segs[0].startswith("cell=")
+            and segs[1].endswith(".parquet")
+            and not segs[1].startswith(("_", "."))
         ):
-            raise
-        # a concurrent builder published between our rmtree and rename:
-        # their complete index is authoritative; clean up our losing build
-        shutil.rmtree(tmp, ignore_errors=True)
+            out.append(rel)
+    return out
+
+
+def _n_cell_files(tree: str) -> int:
+    return len(_cell_file_rels(tree))
 
 
 def _write_cell_index(
@@ -409,7 +427,6 @@ def _write_cell_index(
     the bucketed-by-cell index table a trillion-vector corpus ships
     alongside the data; cells are also sorted by vec_id within files so a
     future zone-map over vec_id composes."""
-    import glob as globmod
     import json
     import time as timemod
     import uuid as uuidmod
@@ -436,14 +453,13 @@ def _write_cell_index(
             "sf_dir": key,
             "nlist": nlist,
             "fingerprint": _corpus_fingerprint(key),
-            "n_files": len(globmod.glob(f"{tmp}/cell=*/*.parquet")),
+            "n_files": _n_cell_files(tmp),
             "built_unix": timemod.time(),
             "centroids": centroids,
         }
         if extra_meta:
             meta.update(extra_meta)
-        with open(os.path.join(tmp, _INDEX_META), "w") as fh:
-            json.dump(meta, fh)
+        iofs.write_text(iofs.join(tmp, _INDEX_META), json.dumps(meta))
         _publish_index(base, tmp)
     _ivf_index_dir_memo[memo_key] = base
     return base
@@ -575,7 +591,6 @@ def ivf_upsert_index(spark: SparkSession, sf_dir: str, nlist: int = DNLIST) -> s
     catalog publish (atomic rename) happens only after the delta phase, so
     readers never see a base-only index, and the recorded base file set is
     rebased onto the published path."""
-    import glob as globmod
     import json
     import time as timemod
     import uuid as uuidmod
@@ -603,8 +618,7 @@ def ivf_upsert_index(spark: SparkSession, sf_dir: str, nlist: int = DNLIST) -> s
 
         _phase(assign.filter(F.col("vec_id") < split), "overwrite")
         base_files = sorted(
-            os.path.join(base, os.path.relpath(p, tmp))
-            for p in globmod.glob(f"{tmp}/cell=*/*.parquet")
+            iofs.join(base, rel) for rel in _cell_file_rels(tmp)
         )
         _phase(assign.filter(F.col("vec_id") >= split), "append")
         meta = {
@@ -613,15 +627,14 @@ def ivf_upsert_index(spark: SparkSession, sf_dir: str, nlist: int = DNLIST) -> s
             "sf_dir": key,
             "nlist": nlist,
             "fingerprint": _corpus_fingerprint(key),
-            "n_files": len(globmod.glob(f"{tmp}/cell=*/*.parquet")),
+            "n_files": _n_cell_files(tmp),
             "built_unix": timemod.time(),
             "centroids": _first_n_centroids(spark, sf_dir, nlist),
             "centroid_kind": "first_n",
             "split": split,
             "base_files": base_files,
         }
-        with open(os.path.join(tmp, _INDEX_META), "w") as fh:
-            json.dump(meta, fh)
+        iofs.write_text(iofs.join(tmp, _INDEX_META), json.dumps(meta))
         _publish_index(base, tmp)
         # drift bookkeeping rides every upsert (r9 verdict #3): the sidecar
         # records delta_fraction + cell_skew so the retrain-at-compaction
@@ -799,17 +812,15 @@ def visible_parquet_paths(paths: list[str]) -> list[str]:
     segments — epoch subtrees, _SUCCESS markers — are metadata). A tree
     built over an empty/tiny corpus can be part-file-less while its
     committed sidecar exists; reading it fails schema inference, so
-    readers drop such trees up front (r14 empty/tiny-corpus sweeps)."""
-    import glob as globmod
-    import os
+    readers drop such trees up front (r14 empty/tiny-corpus sweeps).
+    Listing routes through iofs (r15): relative ``/``-separated paths on
+    every backend, so the per-segment visibility rule is scheme-agnostic."""
 
     def _visible(p: str) -> bool:
         return any(
-            not any(
-                seg.startswith(("_", "."))
-                for seg in os.path.relpath(f, p).split(os.sep)
-            )
-            for f in globmod.glob(f"{p}/**/*.parquet", recursive=True)
+            f.endswith(".parquet")
+            and not any(seg.startswith(("_", ".")) for seg in f.split("/"))
+            for f in iofs.list_files(p)
         )
 
     return [p for p in paths if _visible(p)]
@@ -1006,7 +1017,6 @@ def ivf_trained_upsert_index(
     full re-trained rebuild, because training on the grown corpus moves
     the centroids and reassigns everything; that re-train + rebuild is the
     periodic REBALANCE operation, not the daily append."""
-    import glob as globmod
     import json
     import time as timemod
     import uuid as uuidmod
@@ -1044,8 +1054,7 @@ def ivf_trained_upsert_index(
 
         _phase(base_v, "overwrite")
         base_files = sorted(
-            os.path.join(base, os.path.relpath(p, tmp))
-            for p in globmod.glob(f"{tmp}/cell=*/*.parquet")
+            iofs.join(base, rel) for rel in _cell_file_rels(tmp)
         )
         # delta phase: in production this runs days later in a fresh
         # session — the centroids come from the sidecar-shaped artifact
@@ -1058,7 +1067,7 @@ def ivf_trained_upsert_index(
             "sf_dir": key,
             "nlist": nlist,
             "fingerprint": _corpus_fingerprint(key),
-            "n_files": len(globmod.glob(f"{tmp}/cell=*/*.parquet")),
+            "n_files": _n_cell_files(tmp),
             "built_unix": timemod.time(),
             "centroids": cents,
             "centroid_kind": "lloyd_trained_base_slice",
@@ -1066,8 +1075,7 @@ def ivf_trained_upsert_index(
             "split": split,
             "base_files": base_files,
         }
-        with open(os.path.join(tmp, _INDEX_META), "w") as fh:
-            json.dump(meta, fh)
+        iofs.write_text(iofs.join(tmp, _INDEX_META), json.dumps(meta))
         _publish_index(base, tmp)
         # drift bookkeeping rides every upsert (r9 verdict #3): the sidecar
         # records delta_fraction + cell_skew so the retrain-at-compaction
@@ -1146,21 +1154,17 @@ def committed_delta_epochs(path: str) -> list[str]:
     (written after the parquet data is complete) and it holds at least one
     part file (an empty final microbatch commits a marker but no rows —
     reading its dir would fail schema inference)."""
-    import glob as globmod
     import re
 
-    root = os.path.join(path, _DELTA_EPOCH_DIR)
+    root = iofs.join(path, _DELTA_EPOCH_DIR)
     out = []
-    if os.path.isdir(root):
-        for d in sorted(
-            (d for d in os.listdir(root) if re.fullmatch(r"e\d+", d)),
-            key=lambda s: int(s[1:]),
-        ):
-            edir = os.path.join(root, d)
-            if os.path.exists(os.path.join(edir, "_EPOCH")) and globmod.glob(
-                f"{edir}/cell=*/*.parquet"
-            ):
-                out.append(edir)
+    for d in sorted(
+        (d for d in iofs.list_names(root) if re.fullmatch(r"e\d+", d)),
+        key=lambda s: int(s[1:]),
+    ):
+        edir = iofs.join(root, d)
+        if iofs.exists(iofs.join(edir, "_EPOCH")) and _n_cell_files(edir):
+            out.append(edir)
     return out
 
 
@@ -2596,7 +2600,6 @@ def ivfpq_trained_upsert_index(
     in the corpus for the shortlist rerank only. Not registered as a
     driver query (registry at rotation capacity — COVERAGE.md r10 policy);
     exercised by the pytest suite like ivf_trained_upsert_index."""
-    import glob as globmod
     import json
     import time as timemod
     import uuid as uuidmod
@@ -2643,8 +2646,7 @@ def ivfpq_trained_upsert_index(
 
         _phase(base_v, "overwrite")
         base_files = sorted(
-            os.path.join(base, os.path.relpath(p, tmp))
-            for p in globmod.glob(f"{tmp}/cell=*/*.parquet")
+            iofs.join(base, rel) for rel in _cell_file_rels(tmp)
         )
         _phase(v.filter(F.col("vec_id") >= split), "append")
         meta = {
@@ -2653,7 +2655,7 @@ def ivfpq_trained_upsert_index(
             "sf_dir": key,
             "nlist": nlist,
             "fingerprint": _corpus_fingerprint(key),
-            "n_files": len(globmod.glob(f"{tmp}/cell=*/*.parquet")),
+            "n_files": _n_cell_files(tmp),
             "built_unix": timemod.time(),
             "centroids": cents,
             "centroid_kind": "lloyd_trained_base_slice",
@@ -2669,8 +2671,7 @@ def ivfpq_trained_upsert_index(
             "split": split,
             "base_files": base_files,
         }
-        with open(os.path.join(tmp, _INDEX_META), "w") as fh:
-            json.dump(meta, fh)
+        iofs.write_text(iofs.join(tmp, _INDEX_META), json.dumps(meta))
         _publish_index(base, tmp)
         from .maintenance import update_drift_stats
 

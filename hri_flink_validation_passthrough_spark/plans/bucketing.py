@@ -593,6 +593,11 @@ def zonemap_manifest(
 
         import pyarrow.parquet as pq
 
+        # Session-local SCRATCH by construction (mkdtemp on the driver) —
+        # NOT the durable catalog, so plain os/glob/pyarrow access below is
+        # correct even when the index catalog lives on an object store; the
+        # footer-stats manifest read is the point of the query (r15 note,
+        # scope contract in iofs module docstring).
         base = tempfile.mkdtemp(prefix=f"zonemap_{uuid.uuid4().hex[:6]}_")
         data_dir = f"{base}/lineitem_clustered"
         prepare(spark)

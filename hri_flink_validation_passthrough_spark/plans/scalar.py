@@ -481,31 +481,45 @@ def map_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = per_type.groupBy("user_id").agg(
         F.map_from_entries(
             # NULL event_type is a real group in the oracle's conditional
-            # aggregation, but Spark maps cannot hold a NULL key — carry it
-            # under a NUL-byte sentinel so n_types/total still count it
-            # (r14 null-corpus sweep; driver data has no NULL types, so
-            # the sentinel never appears at the oracle gate)
+            # aggregation, but Spark maps cannot hold a NULL key — so the
+            # NULL group rides OUTSIDE the map as its own aggregate
+            # (null_cnt) and is folded into the scalars below. No in-band
+            # sentinel key: a genuine NUL-byte event_type value stays a
+            # distinct map key, and nothing synthetic is observable
+            # through size/map_filter (ADVICE r14; attested outputs are
+            # bit-identical on driver data, which has no NULL types).
             F.collect_list(
-                F.struct(
-                    F.coalesce(F.col("event_type"), F.lit("\x00")).alias(
-                        "event_type"
-                    ),
-                    "cnt",
+                F.when(
+                    F.col("event_type").isNotNull(),
+                    F.struct(F.col("event_type"), F.col("cnt")),
                 )
             )
-        ).alias("m")
+        ).alias("m"),
+        F.coalesce(
+            F.sum(F.when(F.col("event_type").isNull(), F.col("cnt"))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("null_cnt"),
     )
     zero = F.lit(0).cast("long")
+    null_group = (F.col("null_cnt") > 0).cast("long")  # 1 iff NULL type seen
     return m.select(
         "user_id",
-        F.size("m").cast("long").alias("n_types"),
+        (F.size("m") + null_group).cast("long").alias("n_types"),
         F.coalesce(F.element_at("m", F.lit("error")), zero)
         .cast("long")
         .alias("error_cnt"),
-        F.size(F.map_filter("m", lambda _k, v: v >= 10))
+        (
+            F.size(F.map_filter("m", lambda _k, v: v >= 10))
+            + (F.col("null_cnt") >= 10).cast("long")
+        )
         .cast("long")
         .alias("hot_types"),
-        F.aggregate(F.map_values("m"), zero, lambda a, v: a + v)
+        (
+            F.aggregate(F.map_values("m"), zero, lambda a, v: a + v)
+            + F.col("null_cnt")
+        )
         .cast("long")
         .alias("total"),
         F.coalesce(

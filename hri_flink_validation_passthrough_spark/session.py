@@ -137,18 +137,20 @@ def source_fingerprint(sf_dir: str, fname: str) -> tuple:
     (r9 ADVICE, generalized in r10): keyed on path alone, a dataset
     regenerated in place mid-session would silently serve stale persisted
     intermediates. A missing file yields a truly never-matching (unique)
-    sentinel rather than raising."""
-    src = os.path.join(sf_dir.rstrip("/"), fname)
-    try:
-        st = os.stat(src)
-    except OSError:
+    sentinel rather than raising. Routed through iofs (r15) so a
+    ``scheme://`` data dir fingerprints like a local one."""
+    from . import iofs
+
+    src = iofs.join(sf_dir.rstrip("/"), fname)
+    st = iofs.stat(src)
+    if st is None:
         # UNIQUE per call (itertools counter), so the sentinel can never
         # equal another fingerprint — including another missing-file one:
         # a stat that races a delete-then-regenerate window must not let
         # two sentinel keys collide and serve a stale entry. (Nothing can
         # be BUILT while the file is absent, so unique keys cost nothing.)
         return (fname, None, next(_FP_MISSING))
-    return (fname, st.st_size, st.st_mtime_ns)
+    return (fname, st["size"], st["mtime_ns"])
 
 
 def evict_stale_memo(memo: dict, key: tuple, n_prefix: int) -> None:

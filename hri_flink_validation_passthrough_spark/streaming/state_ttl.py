@@ -87,7 +87,14 @@ def _merge_metrics(st: dict, pdf: pd.DataFrame) -> None:
     # and DuckDB on the same input double (banker's-rounding-free). NULL
     # values arrive as NaN in the Arrow batch and contribute nothing, the
     # same as SQL sum() skipping NULLs — int(floor(nan)) would instead
-    # kill the worker and stall the whole query (r14 null-corpus sweep)
+    # kill the worker and stall the whole query (r14 null-corpus sweep).
+    # Ingest contract (ADVICE r14): `value` is a money amount — a genuine
+    # NaN DATUM is out of contract and is treated as NULL here (SQL sum()
+    # would instead poison the whole aggregate to NaN, which no consumer
+    # of a cents total wants). pandas conversion folds the Arrow validity
+    # bitmap into NaN for float columns, so the two cases are inherently
+    # indistinguishable at this seam; a deployment that must carry
+    # NaN-as-data would ingest `value` as decimal, where NULL stays NULL.
     st["sum_cents"] += int(
         sum(
             int(math.floor(v * 100.0 + 0.5))

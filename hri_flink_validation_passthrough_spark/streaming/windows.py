@@ -19,6 +19,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .. import iofs
 from ..operators.text import HLL_ORACLE, QSK_BIN_CENTS, QSK_ORACLE, QSK_QS
 from ..plans import QuerySpec, register
 from ..session import prepare
@@ -676,8 +677,9 @@ def make_cdc_merger(
         state["ver"] = int(state["ver"]) + 1
         path = f"{base}/v{state['ver']}"
         b.write.mode("overwrite").parquet(path)
-        with open(f"{path}/_EPOCH", "w") as fh:
-            fh.write(f"{int(epoch_id)}\n{state.get('run_id') or ''}")
+        iofs.write_text(
+            f"{path}/_EPOCH", f"{int(epoch_id)}\n{state.get('run_id') or ''}"
+        )
         state["cur"] = path
         state["last_epoch"] = int(epoch_id)
 
@@ -692,21 +694,19 @@ def recover_cdc_state(base: str) -> dict:
     when the current run's identity differs (epoch ids restart at 0 with a
     fresh checkpoint location).
     """
-    import os
     import re
 
     best = {"cur": None, "ver": 0, "last_epoch": -1, "run_id": None}
     pat = re.compile(r"^v(\d+)$")
-    for d in os.listdir(base) if os.path.isdir(base) else []:
+    for d in iofs.list_names(base):
         m = pat.match(d)
-        marker = os.path.join(base, d, "_EPOCH")
-        if m and os.path.exists(marker):
+        marker = iofs.join(base, d, "_EPOCH")
+        if m and iofs.exists(marker):
             ver = int(m.group(1))
             if ver > int(best["ver"]):
-                with open(marker) as fh:
-                    lines = fh.read().splitlines()
+                lines = iofs.read_text(marker).splitlines()
                 best = {
-                    "cur": os.path.join(base, d),
+                    "cur": iofs.join(base, d),
                     "ver": ver,
                     "last_epoch": int(lines[0].strip()),
                     "run_id": (lines[1] or None) if len(lines) > 1 else None,
@@ -1509,8 +1509,7 @@ def make_epoch_appender(spark: SparkSession, epoch_root: str, cents):
             .partitionBy("cell")
             .parquet(tmp)
         )
-        with open(os.path.join(tmp, "_EPOCH"), "w") as fh:
-            fh.write(str(int(epoch_id)))
+        iofs.write_text(iofs.join(tmp, "_EPOCH"), str(int(epoch_id)))
         _publish_index(edir, tmp)
 
     return _append
@@ -1687,8 +1686,7 @@ def make_codes_epoch_appender(
             .partitionBy("cell")
             .parquet(tmp)
         )
-        with open(os.path.join(tmp, "_EPOCH"), "w") as fh:
-            fh.write(str(int(epoch_id)))
+        iofs.write_text(iofs.join(tmp, "_EPOCH"), str(int(epoch_id)))
         _publish_index(edir, tmp)
 
     return _append

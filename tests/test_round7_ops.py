@@ -216,3 +216,44 @@ def test_zonemap_prune_never_drops_a_matching_file(intervals, lo, hi):
         )
         if has_match:
             assert i in kept
+
+
+def test_map_showcase_null_type_distinct_from_nul_byte(spark, tmp_path):
+    """ADVICE r14 (low, resolved r15): the NULL event_type group used to
+    ride inside the map under a '\\x00' sentinel key — observable through
+    size/map_filter, and a GENUINE NUL-byte event_type value would merge
+    with it. The NULL group now rides outside the map as its own
+    aggregate: both groups count, separately."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hri_flink_validation_passthrough_spark.plans.scalar import (
+        map_functions_showcase,
+    )
+
+    ts = datetime.datetime(2024, 1, 1)
+    rows = {
+        "event_id": [1, 2, 3, 4],
+        "ts": [ts] * 4,
+        "user_id": [7, 7, 7, 7],
+        "event_type": ["\x00", None, "error", "error"],
+        "value": [1.0] * 4,
+        "props": [None] * 4,
+    }
+    t = pa.table(
+        rows,
+        schema=pq.read_schema("/root/testdata/sf0.001/events.parquet").remove_metadata(),
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = {
+        r["user_id"]: r
+        for r in map_functions_showcase(spark, str(tmp_path)).collect()
+    }
+    r = out[7]
+    # groups: '\x00' (1), NULL (1), 'error' (2) -> three distinct types
+    assert r["n_types"] == 3
+    assert r["total"] == 4
+    assert r["error_cnt"] == 2
+    assert r["hot_types"] == 0
