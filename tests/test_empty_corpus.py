@@ -87,6 +87,41 @@ def null_heavy_sf_dir(tmp_path_factory):
     return str(d)
 
 
+@pytest.fixture(scope="module")
+def all_null_sf_dir(tmp_path_factory):
+    """EVERY row's nullable payload columns nulled (r15, VERDICT ask #5).
+    The null-heavy sweep nulls every other row, so every aggregate still
+    sees data; a 100%-null payload column exercises the next seam out:
+    min/max/avg collapse to None at every driver-side collect, and the
+    embedding loader's null-drop leaves trainers facing a fully EMPTY
+    corpus even though the table itself has rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hri_flink_validation_passthrough_spark.session import TABLES
+
+    nullable = {
+        "documents": ["text", "lang", "source"],
+        "events": ["event_type", "props", "value"],
+        "embeddings": ["embedding", "label"],
+        "customer": ["c_comment", "c_mktsegment"],
+        "orders": ["o_comment"],
+        "lineitem": ["l_comment", "l_shipmode"],
+    }
+    d = tmp_path_factory.mktemp("all_null_sf")
+    for t in TABLES:
+        src = pq.read_table(f"/root/testdata/sf0.001/{t}.parquet")
+        n = src.num_rows
+        cols = {}
+        for name in src.schema.names:
+            col = src.column(name)
+            if name in nullable.get(t, []):
+                col = pa.nulls(n, src.schema.field(name).type)
+            cols[name] = col
+        pq.write_table(pa.table(cols), str(d / f"{t}.parquet"))
+    return str(d)
+
+
 def _sweep(spark, sf_dir, label):
     import __spark_entry__ as entrymod
 
@@ -116,3 +151,9 @@ def test_every_registered_query_survives_a_null_heavy_corpus(
     spark, null_heavy_sf_dir
 ):
     _sweep(spark, null_heavy_sf_dir, "a null-heavy corpus")
+
+
+def test_every_registered_query_survives_an_all_null_corpus(
+    spark, all_null_sf_dir
+):
+    _sweep(spark, all_null_sf_dir, "an all-null-payload corpus")
