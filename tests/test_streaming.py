@@ -354,3 +354,133 @@ def test_passthrough_route_empty_corpus_returns_empty_summary(spark, tmp_path):
     )
     out = windows.QUERIES["stream_passthrough_route"].fn(spark, str(tmp_path))
     assert out.count() == 0
+
+
+def _cold_start_env(spark, tmp_path, ctrl_rows, rec_rows):
+    """Start the topology AFTER staging all control/data files: the first
+    microbatch ingests everything, so the per-trigger whole-group sort by
+    (time_ms, kind_rank, seq) — not file-arrival races — defines the
+    processing order. This is how 'mid-trigger' scenarios are staged
+    deterministically (r15 adversarial streaming pins)."""
+    data_dir = str(tmp_path / "data")
+    ctrl_dir = str(tmp_path / "ctrl")
+    spark.createDataFrame(ctrl_rows, CTRL_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(ctrl_dir)
+    spark.createDataFrame(rec_rows, REC_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(data_dir)
+    records = spark.readStream.schema(REC_SCHEMA).parquet(data_dir)
+    notifs = spark.readStream.schema(CTRL_SCHEMA).parquet(ctrl_dir)
+    routed = build_routed_stream(
+        records, notifs, completion_delay_ms=DELAY_MS, per_trigger_bound=1000
+    )
+    name = f"routed_{uuid.uuid4().hex[:8]}"
+    q = start_memory_query(routed, name, str(tmp_path / "ckpt"))
+
+    def rows():
+        return spark.sql(f"SELECT * FROM {name}").collect()
+
+    return q, rows
+
+
+def test_streaming_empty_control_topic_routes_all_unknown(spark, tmp_path):
+    """Adversarial shape the registry sweeps can't stage (r15 stretch,
+    spec.rb:264-290): the control topic is EMPTY — no batch ever started,
+    notifications never arrive. Every data record must route invalid with
+    the reference's unknown-batch body, nothing reaches out, and the job
+    emits zero notifications (there is no batch to complete or fail)."""
+    recs = [_rec_row(i, bid=(b"batch-A" if i % 2 else b"batch-B"), t=100)
+            for i in range(40)]
+    q, rows = _cold_start_env(spark, tmp_path, [], recs)
+    try:
+        t0 = time.time()
+        while time.time() - t0 < 30:
+            r = rows()
+            if len(_dest(r, "invalid")) == 40:
+                break
+            time.sleep(0.3)
+        r = rows()
+        inv = _dest(r, "invalid")
+        assert len(inv) == 40, f"expected 40 invalid, got {len(inv)}"
+        for x in inv:
+            assert json.loads(bytes(x.value)) == {
+                "failure": "Bad Message - Unknown batchId"
+            }
+        # the batchId header survives onto the invalid route, per batch
+        by_bid = {}
+        for x in inv:
+            bid = dict((h.key, bytes(h.value)) for h in x.headers)["batchId"]
+            by_bid[bid] = by_bid.get(bid, 0) + 1
+        assert by_bid == {b"batch-A": 20, b"batch-B": 20}
+        assert not _dest(r, "out") and not _notifs(r)
+    finally:
+        q.stop()
+
+
+def test_streaming_terminate_mid_trigger_splits_by_event_order(
+    spark, tmp_path
+):
+    """Adversarial shape (r15 stretch, spec.rb:229-262): `terminated`
+    lands in the SAME microbatch as data records on both sides of it. The
+    whole-group event-time sort must route exactly the records ordered
+    BEFORE the terminate to out, drop the ones after, and emit no
+    notification — the routing table, not mere survival."""
+    ctrl = [
+        _notif_row("started", t=0, seq=0),
+        _notif_row("terminated", t=545, seq=1),
+    ]
+    # records at t=500,510,...,590: five strictly before 545, five after
+    recs = [_rec_row(i, t=500 + 10 * i - i) for i in range(10)]
+    # (_rec_row adds i to t: effective time_ms = 500+10*i; keep it explicit)
+    q, rows = _cold_start_env(spark, tmp_path, ctrl, recs)
+    try:
+        t0 = time.time()
+        while time.time() - t0 < 30:
+            r = rows()
+            if len(_dest(r, "out")) >= 5:
+                break
+            time.sleep(0.3)
+        time.sleep(3.0)  # settle: any late mis-routed rows would appear
+        r = rows()
+        out_keys = sorted(int(bytes(x.key)) for x in _dest(r, "out"))
+        assert out_keys == [0, 1, 2, 3, 4], (
+            f"pre-terminate records mis-routed: {out_keys}"
+        )
+        assert not _dest(r, "invalid")  # dropped, not invalidated
+        assert not _notifs(r)  # terminated batches emit nothing
+    finally:
+        q.stop()
+
+
+def test_streaming_data_before_started_at_volume(spark, stream_env):
+    """Adversarial shape (r15 stretch): a VOLUME of records for a batch
+    arrives before its `started` notification. All of them route invalid
+    as unknown-batch and are NOT counted; once the batch starts, its real
+    records flow and the completion count covers only them."""
+    q, rows, wait_for, write_ctrl, write_recs = stream_env
+
+    write_recs([_rec_row(i, bid=b"batch-pre", t=50) for i in range(200)])
+    r = wait_for(
+        lambda r: len(_dest(r, "invalid")) == 200,
+        timeout=45,
+        msg="200 pre-started records on invalid",
+    )
+    for x in _dest(r, "invalid"):
+        assert json.loads(bytes(x.value)) == {
+            "failure": "Bad Message - Unknown batchId"
+        }
+    assert not _dest(r, "out")
+
+    write_ctrl([_notif_row("started", bid="batch-pre", t=300, seq=5)])
+    time.sleep(1.5)  # let the control absorb before data follows
+    write_recs([_rec_row(i, bid=b"batch-pre", t=400) for i in range(25)])
+    wait_for(lambda r: len(_dest(r, "out")) == 25, msg="25 routed post-start")
+    write_ctrl(
+        [_notif_row("sendCompleted", bid="batch-pre", expected=25, t=600, seq=6)]
+    )
+    r = wait_for(lambda r: _notifs(r), msg="completion for batch-pre")
+    n = _notifs(r)
+    assert [x["status"] for x in n] == ["completed"]
+    # the 200 unknown-batch rejects are NOT in the batch's record count
+    assert n[0]["recordCount"] == 25 and n[0]["expectedRecordCount"] == 25
