@@ -45,6 +45,7 @@ ALLOWED_NESTED_LOOP = {
     "ann_ivf_filtered_topk": "same probes-side crossJoin against the broadcast centroid table (nlist rows) as ann_ivf_topk — identical plan with the candidate filter evaluated above the assignment scan (registered r12)",
     "ann_ivf_durable_topk": "same probes-side crossJoin against the broadcast centroid table (nlist rows) as ann_ivf_topk; the index side is a partition-pruned parquet scan equi-joined on cell",
     "ann_ivf_upsert_topk": "same probes-side crossJoin against the broadcast centroid table (nlist rows); identical read path to ann_ivf_durable_topk over the upserted index dir",
+    "ann_ivf_objectstore_topk": "same probes-side crossJoin against the broadcast centroid table (nlist rows) as ann_ivf_durable_topk; identical partition-pruned read path, only the catalog root is a scheme:// URI (r15 object-store arm)",
     "ann_ivf_trained_topk": "same probes-side crossJoin against the broadcast centroid table (nlist rows), built from the SIDECAR's centroids (r9: centroids ride as data, not a k x dim literal expression — 1.8x faster read path, BASELINE.md r9)",
     "ann_ivfpq_topk": "crossJoin against the broadcast centroid table (nlist rows); the ADC/rerank stages are equi-joins on cell/vec_id",
     "ann_ivfpq_durable_topk": "same probes-side crossJoin against the broadcast centroid table (nlist rows) as ann_ivfpq_topk; codes come from a partition-pruned parquet scan, ADC/rerank are equi-joins on cell/vec_id",
