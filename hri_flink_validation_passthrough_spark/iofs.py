@@ -57,6 +57,7 @@ __all__ = [
     "is_dir",
     "list_names",
     "list_files",
+    "list_files_with_size",
     "stat",
     "read_text",
     "write_text",
@@ -109,8 +110,10 @@ def _try_file_context(jvm, path: str, conf):
     ``FileSystem.rename`` silently moves the source INTO an existing
     destination directory (mv nesting — which would corrupt a publish)."""
     try:
+        # Path.toUri() parses/escapes the string the way Hadoop itself
+        # does — java.net.URI(str) would reject legal path characters
         return jvm.org.apache.hadoop.fs.FileContext.getFileContext(
-            jvm.java.net.URI(path), conf
+            jvm.org.apache.hadoop.fs.Path(path).toUri(), conf
         )
     except Exception as exc:
         if "UnsupportedFileSystemException" in _jexc_name(exc):
@@ -137,9 +140,11 @@ def _jfs(path: str):
         )
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
-    uri = jvm.java.net.URI(path)
-    fs = jvm.org.apache.hadoop.fs.FileSystem.get(uri, conf)
-    return jvm, fs, jvm.org.apache.hadoop.fs.Path(path)
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    # Path.getFileSystem is the canonical resolution (same instance cache
+    # as FileSystem.get) and tolerates characters java.net.URI(str) won't
+    fs = p.getFileSystem(conf)
+    return jvm, fs, p
 
 
 def exists(path: str) -> bool:
@@ -173,12 +178,26 @@ def list_files(path: str) -> list[str]:
     is what the visibility rule needs (per-segment ``_``/``.`` checks)
     and sidesteps per-scheme URI normalization (``file:/`` vs
     ``file:///``) entirely — callers re-anchor with :func:`join`."""
-    out: list[str] = []
+    return [rel for rel, _sz in list_files_with_size(path)]
+
+
+def list_files_with_size(path: str) -> list[tuple[str, int]]:
+    """Like :func:`list_files` but each entry is ``(rel_path, bytes)`` —
+    the sizes ride along in the SAME listing pass, so a layout report
+    over a million-file table costs one recursive listing, not a million
+    follow-up stat RPCs (the listStatus response already carries
+    lengths; locally os.walk + stat touches each dirent once anyway)."""
+    out: list[tuple[str, int]] = []
     if not is_remote(path):
         for root, _dirs, files in os.walk(path):
             rel = os.path.relpath(root, path)
             pre = "" if rel == "." else rel.replace(os.sep, "/") + "/"
-            out.extend(f"{pre}{f}" for f in files)
+            for f in files:
+                try:
+                    sz = os.stat(os.path.join(root, f)).st_size
+                except OSError:
+                    continue  # raced a concurrent delete
+                out.append((f"{pre}{f}", sz))
         return out
     _, fs, p = _jfs(path)
     if not fs.exists(p):
@@ -190,7 +209,7 @@ def list_files(path: str) -> list[str]:
             if st.isDirectory():
                 _walk(st.getPath(), f"{prefix}{name}/")
             else:
-                out.append(f"{prefix}{name}")
+                out.append((f"{prefix}{name}", int(st.getLen())))
 
     if fs.getFileStatus(p).isDirectory():
         _walk(p, "")

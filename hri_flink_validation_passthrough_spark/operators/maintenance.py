@@ -58,8 +58,17 @@ def _data_files(path: str, include_hidden_trees: bool = False) -> list[str]:
     include_hidden_trees=True: its before/after file metric deliberately
     spans the epoch trees it folds. Listing routes through iofs (r15), so
     the layout report works on an object-store catalog root too."""
+    return [f for f, _sz in _data_files_with_size(path, include_hidden_trees)]
+
+
+def _data_files_with_size(
+    path: str, include_hidden_trees: bool = False
+) -> list[tuple[str, int]]:
+    """(full path, bytes) per data file, in ONE recursive listing pass —
+    the listStatus response already carries lengths, so the layout report
+    over a remote million-file table never pays a per-file stat RPC."""
     out = []
-    for rel in iofs.list_files(path):
+    for rel, sz in iofs.list_files_with_size(path):
         segs = rel.split("/")
         if not segs[-1].endswith(".parquet") or segs[-1].startswith(("_", ".")):
             continue
@@ -67,14 +76,15 @@ def _data_files(path: str, include_hidden_trees: bool = False) -> list[str]:
             s.startswith(("_", ".")) for s in segs[:-1]
         ):
             continue
-        out.append(iofs.join(path, rel))
+        out.append((iofs.join(path, rel), sz))
     return out
 
 
 def table_layout_report(spark: SparkSession, path: str) -> dict:
     """File-layout health of a parquet dataset (metadata-only + row count)."""
-    files = _data_files(path)
-    sizes = [iofs.stat(f)["size"] for f in files]
+    files_sized = _data_files_with_size(path)
+    files = [f for f, _sz in files_sized]
+    sizes = [sz for _f, sz in files_sized]
     n_rows = spark.read.parquet(path).count() if files else 0
     return {
         "n_files": len(files),
