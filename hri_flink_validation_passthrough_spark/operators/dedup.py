@@ -641,9 +641,9 @@ def min_label_components(
           with label(u) ≤ u, so composing is monotone and stays inside
           the component).
     Labels only ever DECREASE, so the sum of labels strictly decreases on
-    any change — convergence is one cheap aggregate, batched every 2nd
-    round to halve driver round-trips (each is a full-cluster barrier at
-    scale). localCheckpoint per step keeps the plan O(1) deep instead of
+    any change — convergence is one cheap aggregate per round over the
+    just-checkpointed labels (cheaper than the extra iteration a batched
+    check lets run; see inline note). localCheckpoint per step keeps the plan O(1) deep instead of
     O(iterations) (lineage growth is what kills iterative DataFrame jobs)
     and materializes the frame the shortcut self-join reads twice.
     """
@@ -681,8 +681,14 @@ def min_label_components(
             )
             .transform(cut(iterative=True))
         )
-        if it % 2 == 1:
-            continue  # batch the convergence barrier every 2nd round
+        # Convergence is checked EVERY round (r15 opt; r14 batched it every
+        # 2nd round to halve driver round-trips): the check is one aggregate
+        # over the labels frame just materialized by the checkpoint — a read
+        # of stored blocks plus a reduce — while a missed detection costs a
+        # whole extra iteration (two shuffle joins + two checkpoints over
+        # |V|-row frames). Rounds are O(log diameter), so the added barriers
+        # number O(log d) and each is strictly cheaper than the iteration it
+        # can save — the trade holds at every scale.
         cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
         if cur_sum == prev_sum:
             converged = True
@@ -912,26 +918,36 @@ SRP_ROWS = 8  # bits per band; SRP_BANDS * SRP_ROWS == SRP_BITS
 _SRP_SEED = 0x5EED1  # deterministic hyperplane family
 
 
-def _srp_band_keys_factory(dim: int, n_bands: int, n_rows: int):
+def _srp_band_keys_factory(n_bands: int, n_rows: int):
     """Build the pandas UDF computing, per embedding, the ``n_bands`` SRP
     band keys AND the full sign signature packed into int64 words (for the
     Hamming prefilter). Hyperplanes are a fixed seeded Gaussian matrix
     (dim × bits, bits = bands × rows); the whole Arrow batch is one matrix
-    multiply. Re-splitting the SAME total bit budget (bands × rows
-    constant) reshapes the signature over an identical hyperplane family —
-    ``H`` depends only on (dim, bits). A DIFFERENT total redraws every
-    hyperplane: RandomState fills ``H = (dim, bits)`` row-major, so
-    changing ``bits`` reassigns the whole draw sequence (r13 ADVICE — the
-    earlier "same first bits" claim held only at constant budget)."""
+    multiply. ``H`` is built LAZILY from the first batch's dimensionality
+    (r15 opt): deriving dim on the driver cost a ``limit(1).collect()``
+    scan job on EVERY call, while inside the UDF it is one ``len()`` — and
+    H stays a deterministic function of (dim, bits), identical on every
+    task, so signatures are unchanged. Re-splitting the SAME total bit
+    budget (bands × rows constant) reshapes the signature over an
+    identical hyperplane family — ``H`` depends only on (dim, bits). A
+    DIFFERENT total redraws every hyperplane: RandomState fills
+    ``H = (dim, bits)`` row-major, so changing ``bits`` reassigns the
+    whole draw sequence (r13 ADVICE — the earlier "same first bits" claim
+    held only at constant budget)."""
     bits = n_bands * n_rows
     if bits % 64:
         raise ValueError(f"bands*rows must pack into int64 words, got {bits}")
-    H = np.random.RandomState(_SRP_SEED).standard_normal((dim, bits))
     powers = 1 << np.arange(n_rows, dtype=np.int64)
     word_powers = (1 << np.arange(64, dtype=np.uint64)).astype(np.uint64)
+    H_cache: dict[int, np.ndarray] = {}
 
     def srp_band_keys(es: pd.Series) -> pd.DataFrame:
         X = np.stack([np.asarray(e, dtype=np.float64) for e in es])
+        dim = X.shape[1]
+        H = H_cache.get(dim)
+        if H is None:
+            H = np.random.RandomState(_SRP_SEED).standard_normal((dim, bits))
+            H_cache[dim] = H
         bits_m = (X @ H) >= 0.0  # (n, bits)
         bands = bits_m.reshape(len(es), n_bands, n_rows)
         keys = (bands * powers).sum(axis=2).astype(np.int64)  # (n, n_bands)
@@ -1007,18 +1023,15 @@ def srp_lsh_pairs(
     spark = emb.sparkSession
     par = spark.sparkContext.defaultParallelism
     emb = emb.repartition(par, "vec_id")
-    first = emb.select(F.size("e").alias("d")).limit(1).collect()
-    if not first:
-        # empty corpus: no dimensionality to build hyperplanes from, and no
-        # pairs to emit — return the typed empty result instead of crashing
-        # (r14 empty-corpus sweep; an over-aggressive upstream filter must
-        # not kill the pipeline)
-        return spark.createDataFrame(
-            [], "vec_a long, vec_b long, cos_sim double"
-        )
-    dim = first[0]["d"]
+    # Hyperplanes are built lazily inside the UDF from the first batch's
+    # dimensionality (r15 opt): the former driver-side dim probe was a
+    # ``limit(1).collect()`` scan job on EVERY call. An empty corpus (the
+    # r14 empty-corpus sweep's over-aggressive-upstream-filter case) now
+    # simply flows zero rows through the fully-typed plan — the UDF is
+    # never invoked, every stage is empty, and the result is the same
+    # typed-empty frame the old short-circuit returned.
     keys_udf = F.pandas_udf(
-        _srp_band_keys_factory(dim, n_bands, n_rows),
+        _srp_band_keys_factory(n_bands, n_rows),
         "keys array<long>, sig array<long>",
     )
     keyed = emb.select("vec_id", keys_udf("e").alias("ks")).select(

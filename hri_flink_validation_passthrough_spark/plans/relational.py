@@ -1149,12 +1149,24 @@ def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The forest here is deterministic (parent = custkey div 3, roots are
 # custkey <= 2) so DuckDB's real WITH RECURSIVE is the oracle.
 def _closure_rounds(max_key: int) -> int:
-    """ceil(log2(max chain depth)) + 1 margin: parent = key div 3, so depth
-    is bounded by log3(max_key); doubling squares the reach each round."""
+    """ceil(log2(max chain depth)), with the max depth computed EXACTLY by
+    walking the arithmetic parent function from the deepest node (depth is
+    monotone in the key: parent = max(key div 3, 1) is monotone, so the
+    deepest chain starts at max_key). The r14 form bounded depth by
+    ceil(log3(max_key)) + 1 margin and rounds by ceil(log2(bound)) + 1 —
+    each ceil+margin compounding into 5 rounds at sf0.1 where 3 suffice
+    (exact depth 8, 2^3 >= 8). Every round is a full self-join plus (every
+    2nd) a lineage checkpoint, at ANY scale, so the exact bound — a
+    driver-side integer loop over at most log3(max_key) steps, no Spark
+    job — is strictly cheaper; correctness is unchanged because pointer
+    doubling resolves every chain once 2^rounds >= max depth (r15 opt)."""
     import math
 
-    depth_bound = max(2, math.ceil(math.log(max_key + 2, 3)) + 1)
-    return max(2, math.ceil(math.log2(depth_bound)) + 1)
+    depth, k = 0, max_key
+    while k > 2:
+        k = max(k // 3, 1)
+        depth += 1
+    return 0 if depth <= 1 else math.ceil(math.log2(depth))
 
 
 @register(
