@@ -19,6 +19,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..model import SEND_COMPLETED, STARTED, TERMINATED, UNKNOWN_BATCH_FAILURE
 from ..plans import QuerySpec, register
@@ -71,6 +72,18 @@ _notification_json = notification_json  # shared with the streaming processor
 
 _OUT_COLS = ["dest", "batch_id", "key", "value", "headers"]
 
+# ROUTED_SCHEMA with ``headers`` as its ``to_json`` string form — the
+# fast-path boundary schema (decoded back to HEADER_TYPE right after the
+# replay; see run_pipeline_batch).
+_ROUTED_ENC_SCHEMA = T.StructType(
+    [
+        f
+        if f.name != "headers"
+        else T.StructField("headers", T.StringType(), True)
+        for f in ROUTED_SCHEMA.fields
+    ]
+)
+
 
 def _replay_rowwise(pdf: pd.DataFrame, machine: BatchStateMachine, batch_id):
     """Reference implementation: event-at-a-time through the pure core."""
@@ -99,6 +112,7 @@ def _replay_vectorized(
     st: BatchState | None = None,
     now_ms: int | None = None,
     end_input: bool = True,
+    encoded: bool = False,
 ):
     """Passthrough fast path: control rows still go one-by-one through the
     core, but runs of data rows between controls are routed in BULK (pandas
@@ -126,6 +140,15 @@ def _replay_vectorized(
       deadline governs the tail;
     - otherwise       → every row routes to .out; the only state change is
       processed += n and at most one sendCompleted-overage failure.
+
+    ``encoded=True`` (r15, guide §4 boundary slimming): the ``headers`` and
+    ``notification`` columns arrive as their ``to_json`` string forms
+    instead of Arrow nested types. Data-row headers are pure passthrough
+    here, so flat strings cross the boundary instead of per-row Python
+    object trees (the dominant Arrow-conversion cost of the batch replay);
+    control rows — a handful per batch — parse their notification with
+    ``json.loads``. Only ``run_pipeline_batch``'s fast path sets this; the
+    streaming processor and the row-wise core keep real structs.
     """
     from ..model import COMPLETED, SEND_COMPLETED, TERMINATED
 
@@ -216,7 +239,15 @@ def _replay_vectorized(
         else:
             t = _none_if_nan(row["time_ms"])
             now = int(t) if t is not None else None
-        notif = {k: _none_if_nan(v) for k, v in dict(row["notification"]).items()}
+        if encoded:
+            import json as _json
+
+            raw = row["notification"]
+            notif = _json.loads(raw) if isinstance(raw, str) else {}
+        else:
+            notif = {
+                k: _none_if_nan(v) for k, v in dict(row["notification"]).items()
+            }
         out = Outputs()
         out.extend(machine.on_control(st, notif, now))
         notifs.extend(out.notifications)
@@ -249,7 +280,7 @@ def _replay_vectorized(
                     "batch_id": batch_id,
                     "key": [(batch_id or "").encode("utf-8")] * len(notifs),
                     "value": [_notification_json(n) for n in notifs],
-                    "headers": [[]] * len(notifs),
+                    "headers": (["[]"] if encoded else [[]]) * len(notifs),
                 }
             )
         )
@@ -258,9 +289,14 @@ def _replay_vectorized(
     return pd.concat(frames, ignore_index=True)[_OUT_COLS]
 
 
-def make_replay(delay_ms: int, validator=passthrough_validator, lookup=None):
-    """Build the per-group replay fn; closure is cloudpickled to executors."""
+def make_replay(
+    delay_ms: int, validator=passthrough_validator, lookup=None, encoded: bool = False
+):
+    """Build the per-group replay fn; closure is cloudpickled to executors.
+    ``encoded`` (fast path only) — see ``_replay_vectorized``."""
     fast = validator is passthrough_validator and lookup is None
+    if encoded and not fast:
+        raise ValueError("encoded envelope is only valid for the fast path")
 
     def replay(pdf: pd.DataFrame) -> pd.DataFrame:
         machine = BatchStateMachine(delay_ms, validator, lookup)
@@ -268,7 +304,7 @@ def make_replay(delay_ms: int, validator=passthrough_validator, lookup=None):
         raw_bid = pdf["batch_id"].iloc[0]
         batch_id = raw_bid if isinstance(raw_bid, str) else None
         if fast:
-            return _replay_vectorized(pdf, machine, batch_id)
+            return _replay_vectorized(pdf, machine, batch_id, encoded=encoded)
         return _replay_rowwise(pdf, machine, batch_id)
 
     return replay
@@ -290,8 +326,38 @@ def run_pipeline_batch(
     env = env.withColumn(
         "kind_rank", F.when(F.col("kind") == "control", 0).otherwise(1)
     )
-    return env.groupBy("batch_id").applyInPandas(
-        make_replay(completion_delay_ms, validator, lookup), ROUTED_SCHEMA
+    fast = validator is passthrough_validator and lookup is None
+    if not fast:
+        return env.groupBy("batch_id").applyInPandas(
+            make_replay(completion_delay_ms, validator, lookup), ROUTED_SCHEMA
+        )
+    # Fast path (r15, guide §4): the passthrough validator never inspects
+    # headers and notifications only matter on the handful of control rows,
+    # yet the nested ARRAY<STRUCT<..binary>> / notification STRUCT columns
+    # dominated the Arrow boundary cost — each crossing builds per-row
+    # Python object trees both ways (measured ~0.6 s of the sf0.1 replay;
+    # flat-width identity A/B in OPTIMIZATION_r15.md). Encode both as their
+    # ``to_json`` strings JVM-side, ship flat strings through the replay
+    # (headers are pure passthrough there), and decode back with
+    # ``from_json`` after — a lossless roundtrip incl. binary header values
+    # (base64) and null/empty shapes, pinned by tests.
+    from ..model import HEADER_TYPE
+
+    enc = env.select(
+        "batch_id", "kind", "time_ms", "seq", "kind_rank", "key", "value",
+        F.to_json("headers").alias("headers"),
+        F.to_json("notification").alias("notification"),
+    )
+    routed_enc = enc.groupBy("batch_id").applyInPandas(
+        make_replay(completion_delay_ms, validator, lookup, encoded=True),
+        _ROUTED_ENC_SCHEMA,
+    )
+    return routed_enc.select(
+        "dest",
+        "batch_id",
+        "key",
+        "value",
+        F.from_json("headers", HEADER_TYPE).alias("headers"),
     )
 
 
