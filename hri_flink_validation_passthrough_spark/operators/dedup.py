@@ -653,10 +653,49 @@ def min_label_components(
         .distinct()
         .transform(cut(iterative=True))  # eager: truncates the pair-generation lineage
     )
-    labels = edges.select(F.col("a").alias("v"), F.col("a").alias("lbl")).distinct()
+    # Fused initialization (r15 opt): with initial labels equal to vertex
+    # ids, the FIRST neighbor step is exactly one aggregation over the
+    # doubled edge list — label(v) = min(v, min(b) over v's edges) — so the
+    # r14 form's separate label init (a distinct = one shuffle of all
+    # vertex ids) plus join-based first neighbor step collapse into a
+    # single groupBy. Every vertex appears on the `a` side of the doubled
+    # list, so coverage is identical.
+    labels = (
+        edges.groupBy("a")
+        .agg(F.min("b").alias("mb"))
+        .select(
+            F.col("a").alias("v"), F.least(F.col("a"), F.col("mb")).alias("lbl")
+        )
+        .transform(cut(iterative=True))
+    )
     prev_sum = None
     converged = False
     for it in range(max_rounds):
+        jump = labels.select(F.col("v").alias("u"), F.col("lbl").alias("ulbl"))
+        labels = (
+            labels.join(jump, labels.lbl == jump.u, "left")
+            .select(
+                "v", F.coalesce(F.col("ulbl"), F.col("lbl")).alias("lbl")
+            )
+            .transform(cut(iterative=True))
+        )
+        # Convergence is checked EVERY round (r15 opt; r14 batched it every
+        # 2nd round to halve driver round-trips): the check is one aggregate
+        # over the labels frame just materialized by the checkpoint — a read
+        # of stored blocks plus a reduce — while a missed detection costs a
+        # whole extra iteration (two shuffle joins + two checkpoints over
+        # |V|-row frames). Rounds are O(log diameter), so the added barriers
+        # number O(log d) and each is strictly cheaper than the iteration it
+        # can save — the trade holds at every scale. The check sits after
+        # the jump with the next neighbor step between checks, so an
+        # unchanged sum still brackets one full [neighbor; jump] cycle —
+        # the fixpoint argument is unchanged: an n-fixpoint makes labels
+        # constant per component, and min-id labels are self-stable.
+        cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+        if cur_sum == prev_sum:
+            converged = True
+            break
+        prev_sum = cur_sum
         neighbor_min = (
             edges.join(labels, edges.b == labels.v)
             .groupBy(edges.a)
@@ -673,27 +712,6 @@ def min_label_components(
             )
             .transform(cut(iterative=True))
         )
-        jump = labels.select(F.col("v").alias("u"), F.col("lbl").alias("ulbl"))
-        labels = (
-            labels.join(jump, labels.lbl == jump.u, "left")
-            .select(
-                "v", F.coalesce(F.col("ulbl"), F.col("lbl")).alias("lbl")
-            )
-            .transform(cut(iterative=True))
-        )
-        # Convergence is checked EVERY round (r15 opt; r14 batched it every
-        # 2nd round to halve driver round-trips): the check is one aggregate
-        # over the labels frame just materialized by the checkpoint — a read
-        # of stored blocks plus a reduce — while a missed detection costs a
-        # whole extra iteration (two shuffle joins + two checkpoints over
-        # |V|-row frames). Rounds are O(log diameter), so the added barriers
-        # number O(log d) and each is strictly cheaper than the iteration it
-        # can save — the trade holds at every scale.
-        cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
-        if cur_sum == prev_sum:
-            converged = True
-            break
-        prev_sum = cur_sum
     if not converged:
         raise RuntimeError(
             "min_label_components: did not converge within the iteration "
