@@ -171,6 +171,20 @@ def evict_stale_memo(memo: dict, key: tuple, n_prefix: int) -> None:
                 pass
 
 
+# (applicationId, sf_dir, name, source_fingerprint) -> inferred StructType.
+# Schema METADATA only — the catalog every production engine consults
+# instead of re-reading parquet footers per query (r15 opt, guide §1/§6):
+# a bare ``spark.read.parquet`` runs a footer-inference job on EVERY call
+# (measured 0.16-0.37 s warm per table vs 0.027 s with the schema
+# supplied), and the repo's queries call load_table 1-3× per invocation.
+# Fingerprint-keyed like every corpus-derived memo (r10 rule) so a dataset
+# regenerated in place re-infers instead of serving a stale schema; the
+# applicationId component keeps sessions with different reader confs
+# (e.g. a driver session where ``nanosAsLong`` could not be applied) from
+# sharing inference results.
+_SCHEMA_MEMO: dict[tuple, object] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one driver-generated parquet table (TESTDATA.md).
 
@@ -179,7 +193,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     (``div``) to microseconds — matching DuckDB's truncating nanos→micros
     read; float division would round and drift by 1µs.
     """
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir.rstrip("/"),
+        name,
+        source_fingerprint(sf_dir, f"{name}.parquet"),
+    )
+    schema = _SCHEMA_MEMO.get(key)
+    if schema is None:
+        # drop stale entries for the same table (different fingerprint)
+        for k in [k for k in _SCHEMA_MEMO if k != key and k[:3] == key[:3]]:
+            del _SCHEMA_MEMO[k]
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        _SCHEMA_MEMO[key] = df.schema
+    else:
+        df = spark.read.schema(schema).parquet(f"{sf_dir}/{name}.parquet")
     for f in df.schema.fields:
         if f.name == "ts" and f.dataType.simpleString() == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
