@@ -64,45 +64,49 @@ def test_stream_dedup_incremental_matches_batch_twin(spark):
     assert got == want
 
 
-def test_stream_dedup_incremental_is_multi_microbatch(spark):
+def test_stream_dedup_incremental_is_multi_microbatch(spark, monkeypatch):
     """The replay must actually exercise >1 microbatch (maxFilesPerTrigger=1
     over the multi-file delta) — otherwise the foreachBatch loop degenerates
-    to a single batch job and the epoch-idempotence shape goes untested."""
+    to a single batch job and the epoch-idempotence shape goes untested.
+
+    r15 fix: the old witness looked for LEFTOVER ``hri_sdi_*`` run dirs in
+    the tempdir, but the query cleans its run tree on every successful exit
+    (the r12 lifecycle fix) — the witness only ever passed when suite
+    ordering happened to leave dirs behind, and fails deterministically in
+    isolation. Defer the query's own rmtree for its run dir, count the
+    per-epoch output directories, then remove it ourselves."""
     from hri_flink_validation_passthrough_spark.streaming.windows import (
         _SDI_DELTA_FILES,
+        stream_dedup_incremental,
     )
 
     assert _SDI_DELTA_FILES >= 2
-    # the per-epoch output directories are the microbatch witness
     import os
     import re
-    import tempfile
+    import shutil
 
-    def _roots():
-        return [
-            d
-            for d in os.listdir(tempfile.gettempdir())
-            if d.startswith("hri_sdi_")
-        ]
+    real_rmtree = shutil.rmtree
+    kept: list[str] = []
 
-    roots = _roots()
-    if not roots:  # self-sufficient when run in isolation
-        from hri_flink_validation_passthrough_spark.streaming.windows import (
-            stream_dedup_incremental,
-        )
+    def deferring_rmtree(path, *a, **kw):
+        if os.path.basename(str(path)).startswith("hri_sdi_"):
+            kept.append(str(path))
+            return None
+        return real_rmtree(path, *a, **kw)
 
+    monkeypatch.setattr(shutil, "rmtree", deferring_rmtree)
+    try:
         stream_dedup_incremental(spark, SF_ORACLE).collect()
-        roots = _roots()
-    assert roots, "stream_dedup_incremental left no run directory"
-    newest = max(
-        (os.path.join(tempfile.gettempdir(), d) for d in roots),
-        key=os.path.getmtime,
-    )
+    finally:
+        monkeypatch.setattr(shutil, "rmtree", real_rmtree)
+    assert kept, "stream_dedup_incremental left no run directory"
     epochs = [
         d
-        for d in os.listdir(os.path.join(newest, "out"))
+        for d in os.listdir(os.path.join(kept[0], "out"))
         if re.fullmatch(r"e\d+", d)
     ]
+    for p in kept:
+        real_rmtree(p, ignore_errors=True)
     assert len(epochs) >= 2, f"expected >=2 microbatch epochs, got {epochs}"
 
 
