@@ -529,16 +529,25 @@ def run_pipeline_batch(
             make_replay(completion_delay_ms, validator, lookup), ROUTED_SCHEMA
         )
     # Fast path boundary choice (HRI_PASSTHROUGH_BOUNDARY):
-    #   'interval' (default) — metadata-only replay + JVM broadcast-interval
-    #     routing (_interval_plan); requires caller-provided time_ms AND seq
-    #     on the records frame, because the envelope subtree is evaluated by
-    #     two plan legs and a generated monotonically_increasing_id seq is
-    #     not guaranteed identical across evaluations.
-    #   'encoded'  — the flat-column Arrow boundary below (also the
+    #   'encoded' (default) — the flat-column Arrow boundary below (also the
     #     automatic fallback when a batch's sort key is ambiguous).
+    #   'interval' — metadata-only replay + JVM broadcast-interval routing
+    #     (_interval_plan); requires caller-provided time_ms AND seq on the
+    #     records frame, because the envelope subtree is evaluated by two
+    #     plan legs and a generated monotonically_increasing_id seq is not
+    #     guaranteed identical across evaluations.
+    # Default chosen by measurement (guide §1.1 — the "ideal" plan lost the
+    # empirical loop at driver scale): interval never moves payload bytes
+    # through Python or a shuffle, but at sf0.1 the boundary cost is
+    # row-count-bound, not byte-bound — the metadata pass alone (~0.92 s)
+    # costs as much as the whole encoded replay, so interval benched 2.04 s
+    # vs encoded 1.38 s; at 20x payload width the two tie (1.91 vs 1.95).
+    # On a real cluster, where the payload shuffle crosses NICs and records
+    # are KB-MB blobs, 'interval' is the right arm — it is kept tested
+    # (row-level differential vs encoded) and selectable here.
     import os as _os
 
-    boundary = _os.environ.get("HRI_PASSTHROUGH_BOUNDARY", "interval")
+    boundary = _os.environ.get("HRI_PASSTHROUGH_BOUNDARY", "encoded")
     if (
         boundary == "interval"
         and "seq" in records.columns

@@ -1243,15 +1243,20 @@ def transitive_closure_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if i % 2 == 1 or i == rounds - 1:
             state = state.transform(cut(iterative=True))
-    w = Window.partitionBy("anc")
-    return (
-        c.join(state, c.c_custkey == state.node)
-        .select(
-            "c_custkey",
-            F.col("anc").alias("root_key"),
-            "depth",
-            F.count(F.lit(1)).over(w).cast("long").alias("root_n"),
-        )
+    resolved = c.join(state, c.c_custkey == state.node)
+    # root_n = tree size per root. The root domain is {1, 2} — a window
+    # partitioned by ``anc`` would funnel EVERY row through at most two
+    # tasks (guide §2.5 hot keys; the exact shape that serializes at
+    # scale). A per-root aggregate (2 rows) broadcast-joined back computes
+    # the identical count with the heavy side never re-shuffled.
+    root_sizes = resolved.groupBy("anc").agg(
+        F.count(F.lit(1)).cast("long").alias("root_n")
+    )
+    return resolved.join(F.broadcast(root_sizes), "anc").select(
+        "c_custkey",
+        F.col("anc").alias("root_key"),
+        "depth",
+        "root_n",
     )
 
 
