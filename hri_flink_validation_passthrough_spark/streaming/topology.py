@@ -109,14 +109,45 @@ def _apply_rows(machine, st, pdf: pd.DataFrame, now: int, outs: Outputs) -> None
 # ---------------------------------------------------------------------------
 # Path A: applyInPandasWithState (GroupState; no extra deps — active here)
 # ---------------------------------------------------------------------------
+def _headers_to_json(h) -> str | None:
+    """Encode a routed row's header list (``[{key, value-bytes}]`` dicts) as
+    the SAME JSON form Spark's ``to_json``/``from_json`` use for
+    ``HEADER_TYPE`` (binary values as base64) — the encoded-boundary twin of
+    the rows :func:`outputs_to_rows` emits with real lists."""
+    if h is None:
+        return None
+    import base64
+
+    out = []
+    for item in h:
+        k, v = item["key"], item["value"]
+        out.append(
+            {"key": k}
+            if v is None
+            else {"key": k, "value": base64.b64encode(bytes(v)).decode("ascii")}
+        )
+    return json.dumps(out)
+
+
 def lifecycle_with_group_state(
     completion_delay_ms: int = DEFAULT_BATCH_COMPLETION_DELAY_MS,
     validator=passthrough_validator,
     lookup=None,
+    encoded: bool = False,
 ):
-    """Returns the (key, pdf_iter, state) function for applyInPandasWithState."""
+    """Returns the (key, pdf_iter, state) function for applyInPandasWithState.
+    ``encoded`` (fast path only — see build_routed_stream): headers and
+    notification arrive/leave as their ``to_json`` string forms."""
 
     fast = validator is passthrough_validator and lookup is None
+    if encoded and not fast:
+        raise ValueError("encoded envelope is only valid for the fast path")
+
+    def _rows_frame(rows: list[dict]) -> pd.DataFrame:
+        pdf = pd.DataFrame(rows, columns=_OUT_COLS)
+        if encoded:
+            pdf["headers"] = pdf["headers"].map(_headers_to_json)
+        return pdf
 
     def fn(key, pdf_iter, state) -> Iterator[pd.DataFrame]:
         from ..operators.passthrough import _replay_vectorized
@@ -135,7 +166,7 @@ def lifecycle_with_group_state(
             state.update((json.dumps(st.to_dict()),))
             rows = outputs_to_rows(outs, batch_id)
             if rows:
-                yield pd.DataFrame(rows, columns=_OUT_COLS)
+                yield _rows_frame(rows)
             return
 
         now = state.getCurrentProcessingTimeMs()
@@ -174,7 +205,7 @@ def lifecycle_with_group_state(
             # the trigger's processing time as the constant clock)
             out_pdf = _replay_vectorized(
                 _sorted_rows(whole), machine, batch_id,
-                st=st, now_ms=now, end_input=False,
+                st=st, now_ms=now, end_input=False, encoded=encoded,
             )
             if len(out_pdf):
                 frames.append(out_pdf)
@@ -379,6 +410,41 @@ def build_routed_stream(
             outputStructType=ROUTED_SCHEMA,
             outputMode="append",
             timeMode="processingTime",
+        )
+    fast = validator is passthrough_validator and lookup is None
+    if fast:
+        # Encoded boundary for the streaming fast path (r15, guide §4 —
+        # same trade as run_pipeline_batch's encoded plan): the passthrough
+        # validator never inspects headers and notifications only matter on
+        # control rows, so the nested ARRAY<STRUCT<..binary>> headers and
+        # the notification STRUCT cross the stateful Arrow boundary as
+        # their ``to_json`` strings (encoded BELOW the keyed exchange, so
+        # the batchId shuffle also carries flat strings) and headers are
+        # ``from_json``-decoded right after the stateful operator — routed
+        # rows are bit-identical. Custom validators/lookups keep structs.
+        from ..model import HEADER_TYPE
+        from ..operators.passthrough import _ROUTED_ENC_SCHEMA
+
+        enc = env.select(
+            "batch_id", "kind", "time_ms", "seq", "key", "value",
+            F.to_json("headers").alias("headers"),
+            F.to_json("notification").alias("notification"),
+        )
+        routed_enc = enc.groupBy("batch_id").applyInPandasWithState(
+            lifecycle_with_group_state(
+                completion_delay_ms, validator, lookup, encoded=True
+            ),
+            outputStructType=_ROUTED_ENC_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf="ProcessingTimeTimeout",
+        )
+        return routed_enc.select(
+            "dest",
+            "batch_id",
+            "key",
+            "value",
+            F.from_json("headers", HEADER_TYPE).alias("headers"),
         )
     return grouped.applyInPandasWithState(
         lifecycle_with_group_state(completion_delay_ms, validator, lookup),
