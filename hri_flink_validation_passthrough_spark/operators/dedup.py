@@ -378,7 +378,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = _minhash_buckets(s)
     pair_structs = _pair_structs(F.col("ids"))
     cand = (
-        buckets.groupBy("band", "bkey")
+        buckets.groupBy("bkey")
         .agg(F.collect_list("doc_id").alias("ids"))
         .filter(F.size("ids") > 1)
         .select(F.explode(pair_structs).alias("p"))
@@ -389,17 +389,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_buckets(s: DataFrame) -> DataFrame:
-    """(doc_id, band, bkey) LSH bucket memberships — shared by the full
-    corpus dedup and the incremental delta-vs-corpus variant.
+    """(doc_id, bkey) LSH bucket memberships — shared by the full corpus
+    dedup and the incremental delta-vs-corpus variant.
 
     64-permutation MinHash signature. Shingle STRINGS are hashed exactly
     once JVM-side (xxhash64); the 64 permutations are multiply-add over
-    uint64 computed as one numpy matrix op per doc in an Arrow-batched
-    pandas UDF — the expression-tree form (64 nested transforms) spends
-    more time building arrays than hashing. 32 bands x 2 rows: band key =
-    hash of the band's signature slice. Explode ONLY (doc_id, band, bkey):
-    the shingle arrays must not ride through the x32 explode (that
-    amplification was the first bench cost)."""
+    uint64 computed as one numpy matrix op per Arrow batch in a pandas
+    UDF — the expression-tree form (64 nested transforms) spends more
+    time building arrays than hashing. 32 bands x 2 rows: band key =
+    xxhash64 of the band's signature slice WITH the band index as a hash
+    argument, so distinct bands land in distinct key spaces and a single
+    8-byte bkey is the whole bucket identity — the x32 exploded rows and
+    the bucket shuffle carry (doc_id, bkey) only, no separate band column
+    (a cross-band 64-bit hash collision merely adds candidate pairs,
+    which the exact-Jaccard verification stage discards). Explode ONLY
+    (doc_id, bkey): the shingle arrays must not ride through the x32
+    explode (that amplification was the first bench cost)."""
     base = s.select(
         "doc_id",
         F.transform(F.col("sh"), lambda g: F.xxhash64(g)).alias("hs"),
@@ -408,21 +413,16 @@ def _minhash_buckets(s: DataFrame) -> DataFrame:
     signed = base.select("doc_id", sig_udf("hs").alias("sig"))
     bands = F.transform(
         F.sequence(F.lit(0), F.lit(31)),
-        lambda b: F.struct(
-            b.alias("band"),
-            F.xxhash64(
-                F.element_at(F.col("sig"), (2 * b + 1).cast("int")),
-                F.element_at(F.col("sig"), (2 * b + 2).cast("int")),
-                b,
-            ).alias("bkey"),
+        lambda b: F.xxhash64(
+            F.element_at(F.col("sig"), (2 * b + 1).cast("int")),
+            F.element_at(F.col("sig"), (2 * b + 2).cast("int")),
+            b,
         ),
     )
     # Candidates come from groupBy(bucket) + in-array pair combinations
     # rather than a self-join: one pass over the signature pipeline instead
     # of two (self-joins re-execute the expensive subtree on both sides).
-    return signed.select("doc_id", F.explode(bands).alias("bb")).select(
-        "doc_id", "bb.band", "bb.bkey"
-    )
+    return signed.select("doc_id", F.explode(bands).alias("bkey"))
 
 
 def _verify_jaccard_pairs(cand: DataFrame, s: DataFrame, thr: float) -> DataFrame:
@@ -512,7 +512,7 @@ def dedup_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     cand = (
-        buckets.groupBy("band", "bkey")
+        buckets.groupBy("bkey")
         .agg(
             F.collect_list(
                 F.when(~F.col("is_new"), F.col("doc_id"))
@@ -537,17 +537,36 @@ _MH_B = _RNG.randint(0, 2**63, size=64, dtype=np.uint64).astype(np.uint64)
 
 
 def _minhash_signature(hs: pd.Series) -> pd.Series:
-    """64-slot MinHash from pre-hashed shingles, one matrix op per doc."""
-    out = []
+    """64-slot MinHash from pre-hashed shingles, vectorized across the
+    Arrow batch: docs are concatenated into one flat hash vector per
+    bounded chunk, the 64 multiply-add permutations computed as a single
+    (sum_len x 64) matrix op, and per-doc minima taken with a segmented
+    ``np.minimum.reduceat`` — no per-doc Python loop over the batch.
+    Bit-identical to the per-doc form (same uint64 products, same mins;
+    empty docs keep the int64-max sentinel signature). Chunks are capped
+    so at most ~2^18 shingle rows of 64-wide uint64 perms (~128 MB) are
+    in flight per task regardless of batch shape."""
+    n = len(hs)
+    out = np.full((n, 64), np.iinfo(np.int64).max, dtype=np.int64)
+    arrs = [np.asarray(a, dtype=np.int64) for a in hs]
+    lens = np.fromiter((a.size for a in arrs), dtype=np.int64, count=n)
+    idx = np.flatnonzero(lens)
+    cap = 1 << 18
+    i = 0
     with np.errstate(over="ignore"):
-        for arr in hs:
-            a = np.asarray(arr, dtype=np.int64).view(np.uint64)
-            if a.size == 0:
-                out.append(np.full(64, np.iinfo(np.int64).max, dtype=np.int64))
-                continue
-            perms = a[:, None] * _MH_A[None, :] + _MH_B[None, :]  # mod 2^64
-            out.append(perms.min(axis=0).view(np.int64))
-    return pd.Series(out)
+        while i < idx.size:
+            j, tot = i, 0
+            while j < idx.size and (tot == 0 or tot + lens[idx[j]] <= cap):
+                tot += lens[idx[j]]
+                j += 1
+            sel = idx[i:j]
+            flat = np.concatenate([arrs[k] for k in sel]).view(np.uint64)
+            perms = flat[:, None] * _MH_A[None, :] + _MH_B[None, :]  # mod 2^64
+            starts = np.zeros(sel.size, dtype=np.int64)
+            np.cumsum(lens[sel][:-1], out=starts[1:])
+            out[sel] = np.minimum.reduceat(perms, starts, axis=0).view(np.int64)
+            i = j
+    return pd.Series(list(out))
 
 
 def _simhash_from_hashes(hs: pd.Series) -> pd.Series:

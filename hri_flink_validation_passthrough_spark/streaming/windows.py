@@ -1389,7 +1389,7 @@ def stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         bsh = _shingles(batch_df)
         bbk = _minhash_buckets(bsh).withColumnRenamed("doc_id", "doc_b")
         cand = (
-            corpus_idx.join(F.broadcast(bbk), ["band", "bkey"])
+            corpus_idx.join(F.broadcast(bbk), ["bkey"])
             .select("doc_a", "doc_b")
             .dropDuplicates(["doc_a", "doc_b"])
         )
