@@ -190,7 +190,15 @@ def test_regressed_previously_verified_query_also_leads(tmp_path, monkeypatch):
 
     specs_now = list(entrymod._all_specs())
     verified_now = entrymod._driver_verified_names()
-    victim = next(n for n in specs_now if n in verified_now)
+    # Exclude SUPERSEDED_IN names: their synthetic r00/r01 receipts below
+    # would be erased by the supersession cutoff, failing the test for a
+    # reason unrelated to what it pins (observed when the r15 receipts
+    # rotated ann_ivfpq_durable_topk, superseded in r10, to the front).
+    victim = next(
+        n
+        for n in specs_now
+        if n in verified_now and n not in entrymod.SUPERSEDED_IN
+    )
 
     (tmp_path / "CORRECTNESS_r00.json").write_text(
         json.dumps(
