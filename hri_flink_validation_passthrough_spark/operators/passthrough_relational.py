@@ -75,7 +75,9 @@ def _outcomes(
     ctrl_agg: DataFrame | None = None,
 ) -> DataFrame:
     """Per-batch outcome table: (batch_id, term_t, completed_t,
-    final_status). ``records``: envelope rows with batch_id/time_ms/seq;
+    final_status, known) — one row per batch_id present in ``records``,
+    ``known`` TRUE where a control row matched (NULL for unknown batches).
+    ``records``: envelope rows with batch_id/time_ms/seq;
     ``controls``: notification columns + time_ms/seq. ``ctrl_agg``: the
     already-aggregated (batch_id, started_t, sc_t, expected, term_t) table
     (e.g. ``_derive_control_agg``) — skips the control aggregation pass."""
@@ -101,14 +103,24 @@ def _outcomes(
             F.when(F.col("sc_t").isNull(), F.lit(None)).otherwise(F.col("expected_raw")),
         ).select("batch_id", "started_t", "sc_t", "expected", "term_t")
 
-    # ctrl (per-batch cardinality, tiny) is consumed twice — the broadcast
-    # join into the record stream and the final outcome join. Materialize it
-    # once or each consumer re-runs the control subtree, which is itself a
-    # full events-table aggregation (measured ~0.4 s per extra run at sf0.1).
-    ctrl = _materialize(ctrl)
-
+    # ctrl has exactly ONE consumer in this plan — the broadcast join below.
+    # (r15 shipped a second consumer, a final `ctrl LEFT JOIN agg`, plus a
+    # lazy localCheckpoint so the control aggregation — itself a full
+    # events-table pass — would not run twice. r16 removes BOTH: the ctrl
+    # columns ride the broadcast join through the record aggregation and are
+    # read back with first() per batch, so no re-join and no checkpoint —
+    # one less toRdd planning at build time and one less barrier, with the
+    # control aggregate still evaluated exactly once in the plan. The only
+    # rows this drops from the outcome table are control batches with ZERO
+    # records, whose final_status is provably NULL — failed_at_sc needs
+    # processed_at_sc > expected (no agg row → NULL → false), armed needs
+    # t_expected (a record) — so they emit no notification and can join no
+    # record: the routed output is identical. `known` is attached here,
+    # below the aggregation, so unknown-batch records (no ctrl match)
+    # surface as known-NULL outcome rows, which route to invalid exactly as
+    # the old missing-row form did.)
     r = records.select("batch_id", "time_ms", "seq").join(
-        F.broadcast(ctrl), "batch_id", "left"
+        F.broadcast(ctrl.withColumn("known", F.lit(True))), "batch_id", "left"
     )
     eligible = F.col("term_t").isNull() | (F.col("time_ms") < F.col("term_t"))
     # Per-batch running count as a TWO-LEVEL prefix sum (same technique as
@@ -151,7 +163,7 @@ def _outcomes(
     r = r.join(F.broadcast(offsets), ["batch_id", "bucket"]).withColumn(
         "cnt", F.col("b_offset") + F.sum("elig").over(w_in)
     )
-    agg = r.groupBy("batch_id").agg(
+    o = r.groupBy("batch_id").agg(
         F.count(F.when(eligible & (F.col("time_ms") < F.col("sc_t")), 1)).alias(
             "processed_at_sc"
         ),
@@ -161,8 +173,14 @@ def _outcomes(
         F.min(
             F.when(eligible & (F.col("cnt") == F.col("expected") + 1), F.col("time_ms"))
         ).alias("t_over"),
+        # per-batch constants from the broadcast ctrl join (ctrl is one row
+        # per batch_id, so first() is deterministic), read back instead of
+        # re-joining ctrl — see the single-consumer note above
+        F.first("sc_t").alias("sc_t"),
+        F.first("expected").alias("expected"),
+        F.first("term_t").alias("term_t"),
+        F.first("known").alias("known"),
     )
-    o = ctrl.join(agg, "batch_id", "left")
 
     failed_at_sc = F.col("sc_t").isNotNull() & (
         F.col("processed_at_sc") > F.col("expected")
@@ -185,6 +203,7 @@ def _outcomes(
         F.when(failed_at_sc | failed_in_window, F.lit(FAILED))
         .when(completed, F.lit(COMPLETED))
         .alias("final_status"),
+        "known",
     )
 
 
@@ -206,14 +225,14 @@ def route_records_relational(
     # per-batch cardinality — tiny at any scale — so a localCheckpoint
     # (the same lineage-control trade as dedup_clusters) materializes it once
     # and both consumers read the stored rows; see _materialize for the
-    # eager-vs-lazy choice.
+    # eager-vs-lazy choice. This is the plan's ONLY materialization (r16):
+    # _outcomes no longer checkpoints the control aggregate separately.
     outcomes = _materialize(_outcomes(records, controls, delay_ms, ctrl_agg))
-    # outcomes carries exactly one row per batch_id seen in `controls`, so a
-    # single broadcast join both marks known batches and attaches their
+    # outcomes carries one row per batch_id seen in `records` with `known`
+    # already attached (TRUE where a control row matched, NULL otherwise),
+    # so a single broadcast join both marks known batches and attaches their
     # terminal times — no separate known-ids join over the record stream.
-    rec = records.join(
-        F.broadcast(outcomes.withColumn("known", F.lit(True))), "batch_id", "left"
-    )
+    rec = records.join(F.broadcast(outcomes), "batch_id", "left")
 
     unknown_body = F.encode(
         F.lit('{"failure": "%s"}' % UNKNOWN_BATCH_FAILURE), "UTF-8"
