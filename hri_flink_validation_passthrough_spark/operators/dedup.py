@@ -660,11 +660,12 @@ def min_label_components(
           with label(u) ≤ u, so composing is monotone and stays inside
           the component).
     Labels only ever DECREASE, so the sum of labels strictly decreases on
-    any change — convergence is one cheap aggregate per round over the
-    just-checkpointed labels (cheaper than the extra iteration a batched
-    check lets run; see inline note). localCheckpoint per step keeps the plan O(1) deep instead of
-    O(iterations) (lineage growth is what kills iterative DataFrame jobs)
-    and materializes the frame the shortcut self-join reads twice.
+    any change — convergence is an observe() metric collected DURING each
+    round's checkpoint materialization (one driver barrier per round, no
+    separate aggregate job; see inline note). localCheckpoint per step
+    keeps the plan O(1) deep instead of O(iterations) (lineage growth is
+    what kills iterative DataFrame jobs) and materializes the frame the
+    shortcut self-join reads twice.
     """
     edges = (
         pairs.selectExpr(f"{a} AS a", f"{b} AS b")
@@ -689,28 +690,35 @@ def min_label_components(
     )
     prev_sum = None
     converged = False
+    # Loop-invariant expression objects built ONCE (r16: Column objects are
+    # immutable and reusable across DataFrames, so the per-round py4j
+    # construction chatter drops to the join/select calls themselves).
+    _jump_lbl = F.coalesce(F.col("ulbl"), F.col("lbl")).alias("lbl")
+    _nb_lbl = F.least(
+        F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
+    ).alias("lbl")
+    _sum_lbl = F.sum("lbl").alias("s")
     for it in range(max_rounds):
+        from pyspark.sql import Observation
+
         jump = labels.select(F.col("v").alias("u"), F.col("lbl").alias("ulbl"))
+        # Convergence is checked EVERY round (r15 opt) and, since r16, the
+        # aggregate rides the checkpoint's OWN materialization job as an
+        # observe() metric (CollectMetrics) instead of a separate
+        # agg.collect() action — one driver barrier per round instead of
+        # two, identical value (the sum is computed over exactly the rows
+        # the checkpoint materializes). Labels only ever decrease, so an
+        # unchanged sum across the [neighbor; jump] cycle is a fixpoint —
+        # the bracket argument is unchanged from r15: an n-fixpoint makes
+        # labels constant per component, and min-id labels are self-stable.
+        obs = Observation(f"mlc_conv_{it}")
         labels = (
             labels.join(jump, labels.lbl == jump.u, "left")
-            .select(
-                "v", F.coalesce(F.col("ulbl"), F.col("lbl")).alias("lbl")
-            )
+            .select("v", _jump_lbl)
+            .observe(obs, _sum_lbl)
             .transform(cut(iterative=True))
         )
-        # Convergence is checked EVERY round (r15 opt; r14 batched it every
-        # 2nd round to halve driver round-trips): the check is one aggregate
-        # over the labels frame just materialized by the checkpoint — a read
-        # of stored blocks plus a reduce — while a missed detection costs a
-        # whole extra iteration (two shuffle joins + two checkpoints over
-        # |V|-row frames). Rounds are O(log diameter), so the added barriers
-        # number O(log d) and each is strictly cheaper than the iteration it
-        # can save — the trade holds at every scale. The check sits after
-        # the jump with the next neighbor step between checks, so an
-        # unchanged sum still brackets one full [neighbor; jump] cycle —
-        # the fixpoint argument is unchanged: an n-fixpoint makes labels
-        # constant per component, and min-id labels are self-stable.
-        cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+        cur_sum = obs.get["s"]
         if cur_sum == prev_sum:
             converged = True
             break
@@ -723,12 +731,7 @@ def min_label_components(
         )
         labels = (
             labels.join(neighbor_min, "v", "left")
-            .select(
-                "v",
-                F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias(
-                    "lbl"
-                ),
-            )
+            .select("v", _nb_lbl)
             .transform(cut(iterative=True))
         )
     if not converged:
