@@ -427,7 +427,15 @@ def _minhash_buckets(s: DataFrame) -> DataFrame:
 
 def _verify_jaccard_pairs(cand: DataFrame, s: DataFrame, thr: float) -> DataFrame:
     """Exact-Jaccard verification of candidate (doc_a, doc_b) pairs against
-    the shingle table — the LSH pipelines' shared last stage."""
+    the shingle table — the LSH pipelines' shared last stage.
+
+    The self-pair guard makes the bucket stage airtight (ADVICE r15): with
+    the band index folded into the 64-bit bkey, a same-doc cross-band key
+    collision (~2^-59 per doc) would put one doc_id twice in a bucket and
+    the resulting (x, x) candidate passes exact Jaccard at 1.0; real
+    near-dup pairs always have doc_a < doc_b, so the guard drops only
+    degenerate self-pairs."""
+    cand = cand.filter(F.col("doc_a") != F.col("doc_b"))
     sh_a = s.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
     sh_b = s.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
     verified = cand.join(sh_a, "doc_a").join(sh_b, "doc_b")
@@ -537,36 +545,29 @@ _MH_B = _RNG.randint(0, 2**63, size=64, dtype=np.uint64).astype(np.uint64)
 
 
 def _minhash_signature(hs: pd.Series) -> pd.Series:
-    """64-slot MinHash from pre-hashed shingles, vectorized across the
-    Arrow batch: docs are concatenated into one flat hash vector per
-    bounded chunk, the 64 multiply-add permutations computed as a single
-    (sum_len x 64) matrix op, and per-doc minima taken with a segmented
-    ``np.minimum.reduceat`` — no per-doc Python loop over the batch.
-    Bit-identical to the per-doc form (same uint64 products, same mins;
-    empty docs keep the int64-max sentinel signature). Chunks are capped
-    so at most ~2^18 shingle rows of 64-wide uint64 perms (~128 MB) are
-    in flight per task regardless of batch shape."""
-    n = len(hs)
-    out = np.full((n, 64), np.iinfo(np.int64).max, dtype=np.int64)
-    arrs = [np.asarray(a, dtype=np.int64) for a in hs]
-    lens = np.fromiter((a.size for a in arrs), dtype=np.int64, count=n)
-    idx = np.flatnonzero(lens)
-    cap = 1 << 18
-    i = 0
+    """64-slot MinHash from pre-hashed shingles, one numpy matrix op per
+    doc.
+
+    r15 shipped a batch-wide form (docs concatenated per ~128 MB chunk,
+    one multiply-add matrix op + segmented ``np.minimum.reduceat``); the
+    driver measured the query 22% SLOWER and the r16 interleaved
+    decomposition at sf1 confirmed it: the signature stage ran 1.3-15s
+    batch-wide vs 0.9-3.3s per-doc, and even an 8 MB cache-sized chunk
+    cap lost every aligned rep (2.0-2.6s vs 1.1-1.6s; OPTIMIZATION_r16.md).
+    Per-doc (sum_len x 64) work stays in cache and reduceat's strided
+    segmented min is slower than contiguous per-doc mins, while the numpy
+    call overhead is amortized over >=64 shingle rows per doc — so the
+    per-doc loop IS the fast form at real batch shapes. Reverted."""
+    out = []
     with np.errstate(over="ignore"):
-        while i < idx.size:
-            j, tot = i, 0
-            while j < idx.size and (tot == 0 or tot + lens[idx[j]] <= cap):
-                tot += lens[idx[j]]
-                j += 1
-            sel = idx[i:j]
-            flat = np.concatenate([arrs[k] for k in sel]).view(np.uint64)
-            perms = flat[:, None] * _MH_A[None, :] + _MH_B[None, :]  # mod 2^64
-            starts = np.zeros(sel.size, dtype=np.int64)
-            np.cumsum(lens[sel][:-1], out=starts[1:])
-            out[sel] = np.minimum.reduceat(perms, starts, axis=0).view(np.int64)
-            i = j
-    return pd.Series(list(out))
+        for arr in hs:
+            a = np.asarray(arr, dtype=np.int64).view(np.uint64)
+            if a.size == 0:
+                out.append(np.full(64, np.iinfo(np.int64).max, dtype=np.int64))
+                continue
+            perms = a[:, None] * _MH_A[None, :] + _MH_B[None, :]  # mod 2^64
+            out.append(perms.min(axis=0).view(np.int64))
+    return pd.Series(out)
 
 
 def _simhash_from_hashes(hs: pd.Series) -> pd.Series:
