@@ -1228,7 +1228,12 @@ def transitive_closure_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     # to 2^rounds scans — the opposite of the O(log d) claim. Checkpointing
     # every SECOND round halves the materialization barriers while capping
     # the uncheckpointed plan at 2 rounds deep (4 scans of stored rows).
-    state = state.transform(cut(iterative=True))
+    # The INITIAL state is deliberately NOT checkpointed (r16): it is pure
+    # compute from spark.range — no scan, no shuffle — so round 0's
+    # self-join re-deriving it on both sides costs two cheap codegen passes
+    # at any scale, strictly less than an eager materialization barrier
+    # (interleaved A/B: ~10-15% faster at sf0.1 and 10x, outputs
+    # checksum-identical; the i=1 checkpoint still bounds lineage depth).
     rounds = _closure_rounds(int(max_key))
     for i in range(rounds):
         hop = state.select(
