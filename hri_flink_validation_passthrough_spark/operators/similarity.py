@@ -2239,6 +2239,33 @@ def _pq_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pq_recon_memo[key]
 
 
+_ivfpq_cand_memo: dict[tuple, DataFrame] = {}
+
+
+def _ivfpq_cand(spark: SparkSession, sf_dir: str):
+    """(cand, probes) for the composed IVF-PQ read path, where cand =
+    (vec_id, cell, re) — PQ reconstructions joined with the coarse-cell
+    assignment. Both inputs are ingest-time index artifacts (already
+    session-memoized); their JOIN is index content too — it is exactly the
+    table ann_ivfpq_durable_topk ships to disk partitioned by cell — so
+    composing it per call paid one broadcast build + join job per query
+    (r16, guide §1 fewer jobs). Memoized behind the same lazy
+    localCheckpoint + fingerprint discipline as _pq_recon; probes depend
+    on the query set and stay per-call."""
+    assign, probes = _ivf_assign_probes(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"), _fp_key(sf_dir))
+    if key not in _ivfpq_cand_memo:
+        from ..session import evict_stale_memo
+
+        evict_stale_memo(_ivfpq_cand_memo, key, 2)
+        _ivfpq_cand_memo[key] = (
+            _pq_recon(spark, sf_dir)
+            .join(assign.select("vec_id", "cell"), "vec_id")
+            .transform(cut(eager=False))
+        )
+    return _ivfpq_cand_memo[key], probes
+
+
 
 @register(
     QUERIES,
@@ -2468,10 +2495,7 @@ def _trained_ivfpq_oracle(
     "guarded in tests/test_ann_quality.py.",
 )
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    assign, probes = _ivf_assign_probes(spark, sf_dir)
-    cand = _pq_recon(spark, sf_dir).join(
-        assign.select("vec_id", "cell"), "vec_id"
-    )
+    cand, probes = _ivfpq_cand(spark, sf_dir)
     return _ivfpq_shortlist_rerank(spark, sf_dir, cand, probes)
 
 
@@ -3311,10 +3335,7 @@ def _depth_sweep_oracle() -> str:
     "ann_nprobe_recall_sweep.",
 )
 def ann_pq_depth_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    assign, probes = _ivf_assign_probes(spark, sf_dir)
-    cand = _pq_recon(spark, sf_dir).join(
-        assign.select("vec_id", "cell"), "vec_id"
-    )
+    cand, probes = _ivfpq_cand(spark, sf_dir)
     pairs = cand.join(
         F.broadcast(probes),
         (cand.cell == probes.cell) & (cand.vec_id != probes.qid),
