@@ -548,10 +548,18 @@ def run_pipeline_batch(
     import os as _os
 
     boundary = _os.environ.get("HRI_PASSTHROUGH_BOUNDARY", "encoded")
+    # The notifications frame must carry its own time_ms AND seq too
+    # (ADVICE r15): control_to_envelope otherwise defaults every control's
+    # seq to 0 with null time_ms, so any batch with >= 2 controls
+    # deterministically trips the duplicate-key fallback — interval mode
+    # would pay the full eager metadata pass (localCheckpoint + count at
+    # plan-build time) on EVERY batch only to revert to the encoded plan.
     if (
         boundary == "interval"
         and "seq" in records.columns
         and "time_ms" in records.columns
+        and "seq" in notifications.columns
+        and "time_ms" in notifications.columns
     ):
         routed = _interval_plan(env, completion_delay_ms)
         if routed is not None:
