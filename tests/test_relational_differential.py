@@ -222,3 +222,52 @@ def test_relational_plan_matches_state_machine_on_ties(spark, seed):
 
     left, right = canon(machine), canon(relational)
     assert left == right, f"seed {seed}: machine={left} relational={right}"
+
+
+def test_zero_record_control_batches_match_state_machine(spark):
+    """Control batches with ZERO records — the exact rows the r16
+    single-consumer restructure drops from the relational outcome table
+    (previously `ctrl LEFT JOIN agg` kept them as all-NULL-status rows).
+    The equivalence argument is that such batches can never produce output:
+    no record can join them and their final_status is provably NULL
+    (failed_at_sc needs an agg row, armed needs t_expected — a record).
+    Pin it against the real state machine for every zero-record control
+    shape: started-only, started+sendCompleted expecting records that never
+    arrive, and terminated-only; plus one normal batch as the anchor."""
+    records = [
+        (b"a-k0", b"a-v0", [("batchId", b"a")], BASE + 100, 0),
+        (b"a-k1", b"a-v1", [("batchId", b"a")], BASE + 200, 1),
+    ]
+    controls = [
+        # anchor batch with records: started + sendCompleted(expected=2)
+        ("a", "a", "ingest.t.x.in", "x", -1, STARTED, None, BASE, 0),
+        ("a", "a", "ingest.t.x.in", "x", -1, SEND_COMPLETED, 2, BASE + 300, 1),
+        # zero-record: started only
+        ("z1", "z1", "ingest.t.x.in", "x", -1, STARTED, None, BASE, 0),
+        # zero-record: full lifecycle, expected never arrives
+        ("z2", "z2", "ingest.t.x.in", "x", -1, STARTED, None, BASE, 0),
+        ("z2", "z2", "ingest.t.x.in", "x", -1, SEND_COMPLETED, 5, BASE + 300, 1),
+        # zero-record: terminated mid-lifecycle
+        ("z3", "z3", "ingest.t.x.in", "x", -1, STARTED, None, BASE, 0),
+        ("z3", "z3", "ingest.t.x.in", "x", -1, TERMINATED, None, BASE + 150, 1),
+    ]
+    rec_df = spark.createDataFrame(records, REC_SCHEMA)
+    ctrl_df = spark.createDataFrame(controls, CTRL_SCHEMA)
+    machine = run_pipeline_batch(rec_df, ctrl_df, completion_delay_ms=DELAY_MS)
+    from hri_flink_validation_passthrough_spark.sources.envelope import (
+        batch_id_from_headers,
+    )
+
+    env = rec_df.withColumn("batch_id", batch_id_from_headers())
+    relational = route_records_relational(env, ctrl_df, delay_ms=DELAY_MS)
+
+    def canon(routed):
+        return {
+            r["batch_id"]: (r["n_out"], r["n_invalid"], r["final_status"])
+            for r in _summarize(routed).collect()
+        }
+
+    left, right = canon(machine), canon(relational)
+    assert left == right, f"machine={left} relational={right}"
+    # and the zero-record batches emitted nothing through either engine
+    assert not {"z1", "z2", "z3"} & set(left)
