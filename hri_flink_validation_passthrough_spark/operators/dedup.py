@@ -699,9 +699,9 @@ def min_label_components(
         F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
     ).alias("lbl")
     _sum_lbl = F.sum("lbl").alias("s")
-    for it in range(max_rounds):
-        from pyspark.sql import Observation
+    from pyspark.sql import Observation
 
+    for it in range(max_rounds):
         jump = labels.select(F.col("v").alias("u"), F.col("lbl").alias("ulbl"))
         # Convergence is checked EVERY round (r15 opt) and, since r16, the
         # aggregate rides the checkpoint's OWN materialization job as an
